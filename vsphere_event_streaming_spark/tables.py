@@ -1,0 +1,49 @@
+"""Test-table loaders (TESTDATA.md).
+
+All queries read the driver-generated parquet star schema. Loading is a
+plain ``spark.read.parquet`` so Catalyst gets predicate pushdown,
+column pruning and partition pruning for free — at 100 TB these scans
+would be partitioned directories and nothing here changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    from .session import tune
+
+    tune(spark)  # needs nanosAsLong before the parquet footer is read
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long; truncate to micros like DuckDB.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
