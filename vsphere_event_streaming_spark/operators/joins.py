@@ -1,0 +1,92 @@
+"""Join operators (SURVEY §2.3 — all [EXT]; reference has no joins).
+
+Events carry entity references (Vm/Host/... — reference
+README.md:66-72) that a realistic consumer resolves against dimension
+tables; these are the engine's join strategies, chosen for 100 TB:
+
+- small dims → explicit ``broadcast()`` (no shuffle of the fact side);
+- fact-fact → sort-merge with AQE skew splitting (Catalyst default);
+- as-of → expressed as join + per-key window top-1, the shuffle is on
+  the equi key only, never a cross product;
+- range/theta → always anchored on an equi key so Catalyst keeps a
+  hash/SMJ join and evaluates the range as a post-join predicate
+  (a pure theta join would be a broadcast-nested-loop — refuse that
+  at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_dim_join(
+    fact: DataFrame, dim: DataFrame, on: Column | list[str], how: str = "inner"
+) -> DataFrame:
+    """Fact ⋈ broadcast(dim): map-side hash join, zero fact shuffle."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    tiebreakers: list[str] | None = None,
+    how: str = "left",
+    left_key: str | None = None,
+) -> DataFrame:
+    """As-of join: latest ``right`` row at or before each left row's time.
+
+    J6: latest dim state at event time. Implementation: equi-join on
+    the key (shuffle on key only), keep right rows with
+    ``right_time <= left_time``, then per left-row ``row_number`` over
+    (right_time desc, tiebreakers desc) and keep rank 1. For skewed
+    keys AQE splits the join; the window partitions by the left row's
+    identity so it never re-sorts the whole table globally.
+
+    Right columns that clash with left ones must be pre-aliased by the
+    caller. Pass ``left_key`` (a unique left column) when available —
+    it keeps the plan fully deterministic under task retry; the
+    ``monotonically_increasing_id`` fallback is only for keyless sides.
+    """
+    tiebreakers = tiebreakers or []
+    if left_key is not None:
+        lid = left_key
+        l = left
+    else:
+        lid = "__asof_lid"
+        l = left.withColumn(lid, F.monotonically_increasing_id())
+    cond = (F.col(left_on) == F.col(right_on)) & (
+        F.col(right_time) <= F.col(left_time)
+    )
+    joined = l.join(right, cond, how)
+    order = [F.col(right_time).desc_nulls_last()] + [
+        F.col(t).desc_nulls_last() for t in tiebreakers
+    ]
+    w = Window.partitionBy(lid).orderBy(*order)
+    out = (
+        joined.withColumn("__asof_rn", F.row_number().over(w))
+        .filter(F.col("__asof_rn") == 1)
+        .drop("__asof_rn")
+    )
+    return out if left_key is not None else out.drop(lid)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi: Column,
+    lower: Column,
+    upper: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-anchored interval join (J5).
+
+    The equi condition drives the physical join (hash/SMJ); the range
+    bounds are residual predicates. Never pass a bare range without an
+    equi anchor at scale — that forces a nested-loop join.
+    """
+    return left.join(right, equi & lower & upper, how)

@@ -1,1 +1,428 @@
-"""(filled in incrementally)"""
+"""Relational-completeness queries (SURVEY §2.3-2.7 [EXT] tier).
+
+Joins, aggregates, window functions and set operations over the driver
+star schema. All pure DataFrame API — Catalyst picks the physical
+strategy; the code only steers it (explicit ``broadcast`` for dims,
+equi-anchored range joins, decimal casts for order-independent exact
+sums).
+
+Determinism: every double aggregate goes through ``decimal`` so the
+result is identical regardless of partial-aggregation order, then is
+cast back to double for a stable cross-engine comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join, broadcast_dim_join, range_join
+from ..registry import query
+from ..session import tune
+from ..tables import load
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load(spark, sf_dir, name)
+
+
+def _dsum(col, scale: int = 2):
+    """Order-independent exact sum of a fixed-point double column."""
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ======================================================================
+# §2.3 Joins
+# ======================================================================
+
+
+# -- J1: broadcast hash equi-join (fact → small dim) -------------------
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p_brand, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        broadcast_dim_join(li, part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+# -- J2: shuffle/sort-merge equi-join (fact → fact) --------------------
+@query(
+    "q_join_smj",
+    oracle="""
+    SELECT o_orderstatus, l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus, l_returnflag
+    """,
+)
+def q_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+# -- J3: left outer join (nullable dims stay NULL, README.md:66-72) ----
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT o_orderkey, c.c_name
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return broadcast_dim_join(
+        orders, cust, orders.o_custkey == cust.c_custkey, "left"
+    ).select("o_orderkey", "c_name")
+
+
+# -- J4a: left semi join ----------------------------------------------
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# -- J4b: left anti join ----------------------------------------------
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# -- J5: equi-anchored range/interval join -----------------------------
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = range_join(
+        orders,
+        li,
+        equi=li.l_orderkey == orders.o_orderkey,
+        lower=li.l_shipdate >= orders.o_orderdate,
+        upper=li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+# -- J6: as-of join (latest dim state at event time) -------------------
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, o.o_orderkey,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, o_orderkey AS asof_orderkey FROM ranked WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    out = asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        tiebreakers=["o_orderkey"],
+        left_key="event_id",
+    )
+    return out.select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
+
+
+# ======================================================================
+# §2.4 Aggregations
+# ======================================================================
+
+
+# -- A3: grouped hash aggregate ----------------------------------------
+@query(
+    "q_group_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            _dsum("value", 6).alias("sum_value"),
+        )
+    )
+
+
+# -- A4: distinct / count-distinct -------------------------------------
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS users FROM events
+    GROUP BY event_type
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+
+
+# -- A5: rollup / grouping sets ----------------------------------------
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    full = broadcast_dim_join(
+        broadcast_dim_join(cust, nation, cust.c_nationkey == nation.n_nationkey),
+        region,
+        F.col("n_regionkey") == region.r_regionkey,
+    )
+    return full.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("c_acctbal").alias("sum_bal")
+    )
+
+
+# -- A6: chain aggregation (per correlation group, README.md:63) -------
+@query(
+    "q_chain_agg",
+    oracle="""
+    SELECT user_id, count(*) AS n,
+           min(event_id) AS first_event, max(event_id) AS last_event,
+           count(DISTINCT event_type) AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_chain_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            F.countDistinct("event_type").alias("types"),
+        )
+    )
+
+
+# ======================================================================
+# §2.5 Window functions
+# ======================================================================
+
+
+# -- W3: ranking -------------------------------------------------------
+@query(
+    "q_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           row_number() OVER w AS rn,
+           ntile(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# -- W4a: lag/lead inter-event gap -------------------------------------
+@query(
+    "q_lag_gap",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_us,
+           lead(event_id) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_event
+    FROM events
+    """,
+)
+def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+# -- W4b: running aggregate with frame spec ----------------------------
+@query(
+    "q_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS running_n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+# ======================================================================
+# §2.7 Set operations
+# ======================================================================
+
+
+@query(
+    "q_union",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    return clicks.unionByName(errors).distinct()
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT event_id FROM events
+    EXCEPT
+    SELECT event_id FROM events
+    WHERE event_id > (SELECT max(event_id) - 2000 FROM events)
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged-offset diff: Range_before EXCEPT Range_after (SURVEY §2.7)."""
+    from ..log.model import retention_filter
+
+    ev = _t(spark, sf_dir, "events")
+    retained = retention_filter(ev, 1000, "event_id")
+    return ev.select("event_id").exceptAll(retained.select("event_id")).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
