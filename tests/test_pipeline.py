@@ -1,0 +1,146 @@
+"""LLM-pipeline operator tests (dedup / vectors / text / multimodal)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vsphere_event_streaming_spark.functions.dedup import (
+    exact_dedup_keepers,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash16,
+)
+from vsphere_event_streaming_spark.functions.multimodal import (
+    attach_payload,
+    decode_image,
+    extract_metadata,
+)
+from vsphere_event_streaming_spark.functions.text import lang_id, rolling_hash
+from vsphere_event_streaming_spark.functions.vectors import (
+    cosine,
+    deterministic_centroids,
+    ivf_topk,
+    knn_topk,
+)
+from vsphere_event_streaming_spark.tables import load
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different content about spark engines"),
+        (3, "The  quick brown fox jumps over the lazy dog"),  # exact dup of 0 (normalized)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_normalizes(spark):
+    out = exact_dedup_keepers(_docs(spark)).collect()
+    keepers = {r["keeper_id"]: r["copies"] for r in out}
+    assert keepers[0] == 2  # docs 0 and 3 collapse
+    assert keepers[1] == 1 and keepers[2] == 1
+
+
+def test_jaccard_finds_planted_near_dup(spark):
+    pairs = jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in ids and (0, 3) in ids and (1, 3) in ids
+    assert not any(2 in p for p in ids)
+
+
+def test_lsh_candidates_superset_of_true_dups(spark):
+    """LSH recall: every true near-dup pair must be a candidate."""
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(docs).collect()
+    }
+    assert true_pairs, "corpus should contain planted near-dups"
+    missed = true_pairs - cand
+    assert not missed, f"LSH missed true pairs: {missed}"
+
+
+def test_simhash_identical_for_identical_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "delta")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["h"] for r in df.select(
+        "doc_id", simhash16(F.col("text")).alias("h")).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+
+
+def test_rolling_hash_deterministic(spark):
+    df = spark.createDataFrame([("hello world",)], ["s"])
+    h = df.select(rolling_hash(F.col("s")).alias("h")).first()["h"]
+    assert h == 285884129  # cross-checked against DuckDB reimplementation
+
+
+def test_lang_id_tie_break(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog"), (1, "le chat et le chien"),
+         (2, "xyzzy plugh")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["l"] for r in df.select(
+        "doc_id", lang_id(F.col("text")).alias("l")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "fr"
+    assert out[2] == "en"  # all-zero scores → first priority wins
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF(nprobe=3) must recover most of the exact top-10."""
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    qmin = emb.agg(F.min("vec_id").alias("__qid"))
+    qvec = emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid")).select(
+        F.col("embedding").alias("q")
+    )
+    corpus = emb.join(F.broadcast(qmin)).filter(
+        F.col("vec_id") != F.col("__qid")
+    ).drop("__qid")
+    exact = {r["vec_id"] for r in knn_topk(corpus, qvec, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(
+            corpus, deterministic_centroids(emb, 10), qvec, k=10, nprobe=3
+        ).collect()
+    }
+    assert len(exact & approx) >= 5, (exact, approx)
+
+
+def test_cosine_expression_matches_numpy(spark):
+    import numpy as np
+
+    a = [1.0, 2.0, 3.0]
+    b = [-1.0, 0.5, 2.0]
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    na, nb = np.array(a), np.array(b)
+    want = float(na.dot(nb) / (np.linalg.norm(na) * np.linalg.norm(nb)))
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_multimodal_metadata_plumbing(spark):
+    docs = spark.createDataFrame([(7, "Az test")], ["doc_id", "text"])
+    media = attach_payload(docs, "doc_id", "text")
+    row = extract_metadata(media, fake_decode=True).first()
+    assert row["media_id"] == 7
+    assert row["byte_len"] == 7
+    assert row["width"] == (ord("A") % 64) + 1
+    assert row["height"] == (ord("z") % 64) + 1
+    import hashlib
+
+    assert row["sha256"] == hashlib.sha256(b"Az test").hexdigest()
+
+
+def test_decode_image_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG", fake=False)

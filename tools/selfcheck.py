@@ -35,6 +35,60 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def canon_spark_type(t: str) -> str:
+    t = t.lower()
+    if t in ("tinyint", "smallint", "int"):
+        return "i32"
+    if t == "bigint":
+        return "i64"
+    if t == "float":
+        return "f32"
+    if t == "double":
+        return "f64"
+    if t == "string":
+        return "str"
+    if t == "boolean":
+        return "bool"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t == "date":
+        return "date"
+    if t.startswith("decimal"):
+        return "dec"
+    if t == "binary":
+        return "bytes"
+    if t.startswith("array"):
+        return "list"
+    return t
+
+
+def canon_duck_type(t: str) -> str:
+    t = str(t).upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER"):
+        return "i32"
+    if t in ("BIGINT", "HUGEINT", "UBIGINT", "UINTEGER"):
+        return "i64"
+    if t == "FLOAT":
+        return "f32"
+    if t == "DOUBLE":
+        return "f64"
+    if t == "VARCHAR":
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "DATE":
+        return "date"
+    if t.startswith("DECIMAL"):
+        return "dec"
+    if t == "BLOB":
+        return "bytes"
+    if t.endswith("[]") or t.startswith("STRUCT") or t.startswith("LIST"):
+        return "list"
+    return t
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -108,6 +162,21 @@ def main():
             if duck_cols != spark_cols:
                 failed.append(name)
                 print(f"✗ {name}: columns {spark_cols} vs {duck_cols}")
+                continue
+            # dtype parity: the driver's hash may be type-sensitive
+            sp_types = {c: canon_spark_type(t) for c, t in df.dtypes}
+            du_types = {
+                c: canon_duck_type(t)
+                for c, t in zip(res.columns, res.types)
+            }
+            type_mismatch = {
+                c: (sp_types[c], du_types[c])
+                for c in spark_cols
+                if sp_types[c] != du_types[c]
+            }
+            if type_mismatch:
+                failed.append(name)
+                print(f"✗ {name}: dtype mismatch {type_mismatch}")
                 continue
             idx = [duck_cols_raw.index(c) for c in duck_cols]
             duck_rows = [[r[i] for i in idx] for r in res.fetchall()]

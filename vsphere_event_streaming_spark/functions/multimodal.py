@@ -1,0 +1,101 @@
+"""Multimodal columns (SURVEY §2.11 L5).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct (schemas.MEDIA_META). Decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages:
+the Spark-side plumbing (schema, batch iteration, partition-parallel
+execution) is real; the codec itself is stubbed because no image/audio
+libraries ship in this container — ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic metadata extractor (byte-derived) so the pipeline shape
+is testable end-to-end.
+
+At 100 TB: payloads stay in parquet binary columns, scanned with
+column pruning (metadata-only queries never read payload bytes);
+mapInPandas batches bound memory to Arrow batch size × executor cores.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = (
+    "media_id long, byte_len long, sha256 string, width int, height int"
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Test-harness helper: synthesize a binary payload column from a
+    text column (the container has no real media files)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False) -> dict:
+    """Decode an image payload to (width, height).
+
+    STUB: real decoding needs an image library not present in this
+    container. ``fake=True`` derives deterministic pseudo-dimensions
+    from the payload bytes so the distributed plumbing is testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an imaging library; not available here"
+        )
+    if not payload:
+        return {"width": 0, "height": 0}
+    return {
+        "width": int(payload[0] % 64) + 1,
+        "height": int(payload[min(1, len(payload) - 1)] % 64) + 1,
+    }
+
+
+def extract_metadata(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas metadata extraction over (media_id, payload).
+
+    One Arrow batch in, one out; runs on executors, never collects.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode_image(p, fake=fake_decode) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "sha256": [
+                        hashlib.sha256(p).hexdigest() if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                    "width": [d["width"] for d in dims],
+                    "height": [d["height"] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(run, schema=META_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: explodes a per-media frame index
+    using metadata only (no payload read — column pruning keeps the
+    scan narrow). The actual frame decode is the stubbed codec above.
+    """
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    (F.col("meta.duration_ms") / every_ms).cast("int") - 1,
+                    F.lit(0),
+                ),
+            )
+        ).alias("frame_idx"),
+    )

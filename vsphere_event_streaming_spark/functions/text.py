@@ -1,0 +1,119 @@
+"""Text-analysis operators for the training-data pipeline (SURVEY §2.11 L4).
+
+All hot-path computation is JVM-side column expressions (split /
+transform / aggregate / regexp) — no Python in the loop, so these run
+inside whole-stage codegen and scale linearly with executors. The
+rolling hash is plain modular arithmetic (h = h*131 + byte mod 1e9+7)
+so independent engines can reproduce it exactly — the property the
+dedup tier's MinHash builds on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000_007
+HASH_MULT = 131
+
+#: Tiny per-language stopword lists for the n-gram/stopword lang-id
+#: heuristic. Deliberately small: the heuristic must be cheap at scale.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "la", "les", "et", "un"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+#: Priority order used to break score ties deterministically.
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization: letter runs, digit runs, other marks."""
+    return F.regexp_extract_all(
+        text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+    )
+
+
+def rolling_hash(text: Column) -> Column:
+    """Deterministic polynomial rolling hash of a string (fingerprint).
+
+    h_0 = 0; h_i = (h_{i-1} * 131 + ascii(c_i)) mod 1e9+7. Exactly
+    reproducible in any engine with 64-bit integer arithmetic.
+    """
+    return F.aggregate(
+        F.split(text, ""),
+        F.lit(0).cast("long"),
+        lambda h, c: (h * HASH_MULT + F.ascii(c)) % HASH_MOD,
+    )
+
+
+def fingerprint(text: Column, prefix_chars: int = 256) -> Column:
+    """Document fingerprint: rolling hash of the normalized prefix."""
+    return rolling_hash(F.substring(F.lower(F.trim(text)), 1, prefix_chars))
+
+
+def stopword_count(text_words: Column, stopwords: list[str]) -> Column:
+    return F.size(F.filter(text_words, lambda w: F.lower(w).isin(*stopwords)))
+
+
+def lang_scores(text_words: Column) -> dict[str, Column]:
+    return {
+        lang: stopword_count(text_words, sw) for lang, sw in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID with deterministic tie-breaking.
+
+    argmax over per-language stopword hit counts; ties resolve in
+    LANG_PRIORITY order. A heuristic, not a model — the point is the
+    shape: pure column expressions, trivially distributable.
+    """
+    ws = words(text)
+    scores = lang_scores(ws)
+    best = F.greatest(*scores.values())
+    expr = F.lit(LANG_PRIORITY[-1])
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality features (L4)."""
+    ws = words(text)
+    n_tokens = F.size(ws)
+    n_chars = F.length(text)
+    en_stop = stopword_count(ws, LANG_STOPWORDS["en"])
+    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "avg_token_len": (
+            (n_chars - n_tokens + 1).cast("double") / n_tokens.cast("double")
+        ),
+        "punct_ratio": punct.cast("double") / n_chars.cast("double"),
+        "stopword_ratio": en_stop.cast("double") / n_tokens.cast("double"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]-ish: rewards stopword density
+    and moderate length, penalizes punctuation noise."""
+    f = quality_features(text)
+    length_term = F.least(f["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        0.5 * f["stopword_ratio"] + 0.4 * length_term - 0.1 * f["punct_ratio"],
+        6,
+    )

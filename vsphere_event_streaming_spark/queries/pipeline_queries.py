@@ -1,1 +1,457 @@
-"""(filled in incrementally)"""
+"""LLM-data-pipeline declared queries (SURVEY §2.10-2.11 [EXT] tier).
+
+Dedup (exact / Jaccard / MinHash-LSH / SimHash / embedding), vector
+similarity search (brute-force + IVF), text analysis (tokens, lang-id,
+quality, fingerprints) and multimodal metadata — over the driver's
+``documents`` and ``embeddings`` tables.
+
+Oracle construction: the SQL is *generated from the same constants*
+(stopword lists, hash parameters, band layout) as the Spark
+implementation, so the two engines compute the identical arithmetic —
+the hash family is plain modular integer math precisely so this is
+possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.dedup import (
+    MINHASH_PARAMS,
+    MINHASH_PRIME,
+    exact_dedup_keepers,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash16,
+)
+from ..functions.multimodal import attach_payload, extract_metadata
+from ..functions.vectors import (
+    cosine,
+    cosine_pandas,
+    deterministic_centroids,
+    ivf_topk,
+    knn_topk,
+)
+from ..registry import query
+from ..session import tune
+from ..tables import load
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------------
+# DuckDB SQL fragment builders (same constants as the Spark side)
+# ----------------------------------------------------------------------
+
+#: whitespace tokenization, mirroring functions.text.words
+_DUCK_WORDS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _duck_hash(expr: str) -> str:
+    """DuckDB replica of functions.text.rolling_hash (verified equal)."""
+    return (
+        f"list_reduce(list_transform(range(1, length({expr})+1), "
+        f"i -> CAST(ord(substr({expr}, CAST(i AS INTEGER), 1)) AS BIGINT)), "
+        f"(h, c) -> (h*{T.HASH_MULT} + c) % {T.HASH_MOD})"
+    )
+
+
+_DUCK_SHINGLES = f"""
+  w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+  sh AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3 THEN
+             list_distinct(list_transform(range(1, len(ws)-1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+           ELSE [] END AS shingles
+    FROM w
+  )
+"""
+
+_DUCK_DVEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+# ======================================================================
+# L1: exact dedup
+# ======================================================================
+@query(
+    "q_dedup_exact",
+    oracle=r"""
+    SELECT min(doc_id) AS keeper_id, count(*) AS copies
+    FROM documents
+    GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_keepers(_t(spark, sf_dir, "documents"))
+
+
+# ======================================================================
+# L2a: exact n-gram Jaccard near-dup pairs
+# ======================================================================
+@query(
+    "q_dedup_near",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+      FROM sh WHERE len(shingles) > 0
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
+             count(*) AS common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+    WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+          >= 0.5
+    """,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3gram Jaccard ≥ 0.5 via inverted-index blocking —
+    catches the corpus's planted near-duplicates (measured: background
+    pair similarity < 0.1, planted ≥ 0.89)."""
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# ======================================================================
+# L2b: MinHash + LSH candidate pairs
+# ======================================================================
+def _minhash_oracle() -> str:
+    sig_items = ", ".join(
+        f"list_min(list_transform(hashes, h -> ({a}*h + {b}) % {MINHASH_PRIME}))"
+        for a, b in MINHASH_PARAMS
+    )
+    n_bands = len(MINHASH_PARAMS) // 2
+    band_eq = " OR ".join(
+        f"a.sig[{i * 2 + 1}:{i * 2 + 2}] = b.sig[{i * 2 + 1}:{i * 2 + 2}]"
+        for i in range(n_bands)
+    )
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    hs AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> {_duck_hash("s")}) AS hashes
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hs)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {band_eq}
+    """
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 hashes)-LSH(4 bands × 2) candidate pairs. The oracle
+    replays the identical modular arithmetic in SQL; the engine-side
+    band join shuffles constant-size keys per doc (the 100 TB path —
+    the oracle's O(n²) band compare is the *check*, not the plan)."""
+    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ======================================================================
+# L2c: SimHash fingerprints
+# ======================================================================
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {i}) & 1)*2 - 1))"
+        f" > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+    WITH wh AS (
+      SELECT doc_id,
+             list_transform({_DUCK_WORDS}, s -> {_duck_hash("s")}) AS hs
+      FROM documents
+    )
+    SELECT doc_id, ({bit_terms}) AS simhash FROM wh
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document; identical fingerprints ⇒ near-dup
+    candidates (pairing is then a groupBy on the fingerprint)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+# ======================================================================
+# L2d: embedding-cosine near-dup pairs (blocked)
+# ======================================================================
+@query(
+    "q_dedup_embed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_DUCK_DVEC} AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_duck_cosine("a.v", "b.v")}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_duck_cosine("a.v", "b.v")}, 6) >= 0.4
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cluster-label blocking (the IVF-cell analog
+    at scale) then exact cosine within each block — never a full cross
+    join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+# ======================================================================
+# L3: vector similarity search
+# ======================================================================
+_KNN_ORACLE = f"""
+    WITH q AS (
+      SELECT {_DUCK_DVEC} AS qv FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    c AS (
+      SELECT vec_id, {_DUCK_DVEC} AS v FROM embeddings
+      WHERE vec_id != (SELECT min(vec_id) FROM embeddings)
+    )
+    SELECT vec_id, round({_duck_cosine("v", "qv")}, 6) AS score
+    FROM c, q
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+"""
+
+
+@query("q_knn_topk", oracle=_KNN_ORACLE)
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the min-vec_id query vector.
+    TakeOrderedAndProject top-k — no global sort."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qmin = emb.agg(F.min("vec_id").alias("__qid"))
+    qvec = (
+        emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid"))
+        .select(F.col("embedding").alias("q"))
+    )
+    corpus = emb.join(F.broadcast(qmin)).filter(
+        F.col("vec_id") != F.col("__qid")
+    ).drop("__qid")
+    return knn_topk(corpus, qvec, k=10)
+
+
+@query("q_knn_ivf", oracle=None)  # IVF is approximate: rows-only check
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN: 10 deterministic centroids, nprobe=3. At scale
+    the cell assignment is a partition column and probing is partition
+    pruning; recall is validated in tests against q_knn_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qmin = emb.agg(F.min("vec_id").alias("__qid"))
+    qvec = (
+        emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid"))
+        .select(F.col("embedding").alias("q"))
+    )
+    corpus = emb.join(F.broadcast(qmin)).filter(
+        F.col("vec_id") != F.col("__qid")
+    ).drop("__qid")
+    centroids = deterministic_centroids(emb, n=10)
+    return ivf_topk(corpus, centroids, qvec, k=10, nprobe=3)
+
+
+@query(
+    "q_udf_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DUCK_DVEC} AS v FROM embeddings)
+    SELECT a.vec_id, round({_duck_cosine("a.v", "b.v")}, 6) AS cos_next
+    FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def q_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas_udf cosine between consecutive vectors —
+    the vectorized-Python path (SURVEY §2.10)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", F.col("embedding").alias("va"))
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, "vec_id")
+        .select(
+            "vec_id",
+            F.round(cosine_pandas(F.col("va"), F.col("vb")), 6).alias(
+                "cos_next"
+            ),
+        )
+    )
+
+
+# ======================================================================
+# L4: text analysis
+# ======================================================================
+@query(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT w AS token, count(*) AS n
+    FROM documents, unnest({_DUCK_WORDS}) AS t(w)
+    GROUP BY w
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → explode → count: the UDTF-shaped pattern as pure
+    relational ops."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_token_count",
+    oracle=rf"""
+    SELECT doc_id,
+           len({_DUCK_WORDS}) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+             AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+        F.size(T.bpe_ish_tokens(F.col("text"))).cast("bigint").alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def _lang_oracle() -> str:
+    score_cols = ", ".join(
+        "len(list_filter(ws, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+        + f"], lower(x)))) AS s_{lang}"
+        for lang in T.LANG_PRIORITY
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in T.LANG_PRIORITY) + ")"
+    case = " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in T.LANG_PRIORITY[:-1]
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_DUCK_WORDS} AS ws FROM documents),
+    s AS (SELECT doc_id, lang, {score_cols} FROM t)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE {case} ELSE '{T.LANG_PRIORITY[-1]}' END AS predicted_lang
+    FROM s
+    """
+
+
+@query("q_lang_id", oracle=_lang_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+def _quality_oracle() -> str:
+    en = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_WORDS} AS ws FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(ws) AS n_tokens,
+             length(text) AS n_chars,
+             CAST(len(list_filter(ws, x -> list_contains([{en}], lower(x))))
+                  AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS sr,
+             CAST(length(text) -
+                  length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                  AS DOUBLE) / CAST(length(text) AS DOUBLE) AS pr
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(sr, 6) AS stopword_ratio,
+           round(pr, 6) AS punct_ratio,
+           round(0.5*sr + 0.4*least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)
+                 - 0.1*pr, 6) AS quality
+    FROM f
+    """
+
+
+@query("q_quality_score", oracle=_quality_oracle())
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = T.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].cast("bigint").alias("n_tokens"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {_duck_hash("substr(lower(trim(text)), 1, 256)")} AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ======================================================================
+# L5: multimodal metadata (mapInPandas plumbing; codec stubbed)
+# ======================================================================
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256,
+           (ord(substr(text, 1, 1)) % 64) + 1 AS width,
+           (ord(substr(text, 2, 1)) % 64) + 1 AS height
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction through the real mapInPandas
+    plumbing (deterministic fake decoder — see functions.multimodal)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_payload(docs, "doc_id", "text")
+    return extract_metadata(media, fake_decode=True)

@@ -315,8 +315,8 @@ def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
-        F.row_number().over(w).alias("rn"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
 
 

@@ -31,7 +31,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            substr(p_type, 1, 5) AS type_prefix,
            split_part(p_name, ' ', 1) AS first_word,
            concat_ws('|', p_brand, p_type) AS brand_type,
-           length(p_name) AS name_len,
+           CAST(length(p_name) AS BIGINT) AS name_len,
            replace(p_brand, 'Brand#', 'B') AS brand_short,
            ltrim(rtrim(' ' || p_brand || ' ')) AS brand_trim
     FROM part
@@ -45,7 +45,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_type", 1, 5).alias("type_prefix"),
         F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
         F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias(
             "brand_trim"
@@ -89,8 +89,8 @@ def q_time_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            abs(o_totalprice - 100000) AS dist_from_100k,
-           floor(o_totalprice) AS price_floor,
-           ceil(o_totalprice) AS price_ceil,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
            o_orderkey % 7 AS key_mod,
            greatest(o_orderkey % 7, o_orderkey % 5) AS g,
            least(o_orderkey % 7, o_orderkey % 5) AS l,
@@ -187,7 +187,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = F.col("embedding")
     return _t(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.size(emb).alias("dim"),
+        F.size(emb).cast("bigint").alias("dim"),
         F.element_at(emb, 1).cast("double").alias("first_val"),
         F.aggregate(
             F.slice(emb, 1, 8),
