@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is materialized with the `noop` writer — the full plan
+executes (no count-based column pruning shortcuts) and nothing is
+collected to the driver, so timings measure the engine, not the
+harness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vsphere_event_streaming_spark.registry import load_all  # noqa: E402
+from vsphere_event_streaming_spark.session import get_spark  # noqa: E402
+
+#: Headline set: the reference read path (log model + envelope), the
+#: heavy relational operators, and the LLM-pipeline tier.
+HEADLINE = [
+    "q_last_page",
+    "q_offset_assign",
+    "q_envelope",
+    "q_join_broadcast",
+    "q_join_smj",
+    "q_join_asof",
+    "q_group_agg",
+    "q_rollup",
+    "q_running_sum",
+    "q_session_window",
+    "q_text_tokens",
+    "q_dedup_near",
+    "q_dedup_minhash",
+    "q_knn_topk",
+    "q_udf_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = load_all()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Streaming e2e tests: poll source → ingest sink → watch/replay.
+
+Plays the role of the reference's vcsim e2e (main_test.go:30-97): a
+deterministic fake upstream, the real collector pipeline, then
+assertions on the served log.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from vsphere_event_streaming_spark.errors import OutOfRangeError
+from vsphere_event_streaming_spark.log import EventLogService
+from vsphere_event_streaming_spark.sources.poll_source import read_poll_stream
+from vsphere_event_streaming_spark.streaming.ingest import (
+    LOG_SCHEMA_DDL,
+    start_ingest,
+)
+from vsphere_event_streaming_spark.streaming.watch import watch
+from vsphere_event_streaming_spark.streaming.windows import (
+    compact_log,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+def _run_ingest(spark, tmp, n_events, page_size=50, start_key=0, timeout=90):
+    """Run the ingest stream until the sink holds n_events rows."""
+    log_dir = f"{tmp}/log"
+    stream = read_poll_stream(
+        spark, page_size=page_size, start_key=start_key,
+        max_key=start_key + n_events,
+    )
+    q = start_ingest(spark, stream, log_dir, f"{tmp}/ckpt")
+    try:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                cnt = spark.read.schema(LOG_SCHEMA_DDL).parquet(log_dir).count()
+                if cnt >= n_events:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        else:
+            pytest.fail("ingest did not reach expected row count")
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return log_dir
+
+
+def test_ingest_end_to_end(spark, tmp_path):
+    log_dir = _run_ingest(spark, str(tmp_path), 120, page_size=50)
+    log = spark.read.schema(LOG_SCHEMA_DDL).parquet(log_dir)
+    rows = log.orderBy("offset").collect()
+    assert len(rows) == 120
+    # offsets dense, seeded at first key (0), key ≡ offset
+    assert [r["offset"] for r in rows] == list(range(120))
+    assert all(r["key"] == r["offset"] for r in rows)
+    # stored value is a valid CloudEvent envelope
+    ev = json.loads(rows[7]["value"])
+    assert ev["specversion"] == "1.0"
+    assert ev["id"] == "7"
+    assert ev["type"].startswith("vmware.vsphere.")
+    assert ev["eventclass"] in ("event", "eventex", "extendedevent")
+    assert ev["data"]["Key"] == 7
+
+
+def test_ingest_seeds_offsets_from_first_key(spark, tmp_path):
+    # reference: first event Key seeds the start offset (main.go:113-125)
+    log_dir = _run_ingest(
+        spark, str(tmp_path), 60, page_size=25, start_key=500
+    )
+    log = spark.read.schema(LOG_SCHEMA_DDL).parquet(log_dir)
+    row = log.agg(F.min("offset").alias("lo"), F.max("offset").alias("hi")).first()
+    assert (row["lo"], row["hi"]) == (500, 559)
+
+
+def test_ingest_restart_continuity(spark, tmp_path):
+    """Restart with replay overlap: offsets stay dense, keys unique."""
+    tmp = str(tmp_path)
+    _run_ingest(spark, tmp, 100, page_size=50)
+    # second run re-reads keys 0..149 (overlap 0..99 must be dropped)
+    stream = read_poll_stream(spark, page_size=50, start_key=0, max_key=150)
+    q = start_ingest(spark, stream, f"{tmp}/log", f"{tmp}/ckpt2")
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            cnt = spark.read.schema(LOG_SCHEMA_DDL).parquet(f"{tmp}/log").count()
+            if cnt >= 150:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    log = spark.read.schema(LOG_SCHEMA_DDL).parquet(f"{tmp}/log")
+    rows = log.orderBy("offset").collect()
+    assert len(rows) == 150
+    assert [r["offset"] for r in rows] == list(range(150))
+    keys = [r["key"] for r in rows]
+    assert len(set(keys)) == 150  # no duplicate keys despite overlap
+
+
+def test_service_over_streamed_log(spark, tmp_path):
+    log_dir = _run_ingest(spark, str(tmp_path), 120)
+    log = spark.read.schema(LOG_SCHEMA_DDL).parquet(log_dir)
+    svc = EventLogService(log)
+    assert svc.range() == {"earliest": 0, "latest": 119}
+    assert json.loads(svc.get_event(42))["id"] == "42"
+    page = svc.get_events()
+    assert len(page) == 50
+    assert json.loads(page[0])["id"] == "70"
+
+
+def test_watch_replay_from_offset(spark, tmp_path):
+    tmp = str(tmp_path)
+    log_dir = _run_ingest(spark, tmp, 100)
+    got = []
+    stream = watch(spark, log_dir, start_offset=90)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: got.extend(
+                r["offset"] for r in b.select("offset").collect()
+            )
+        )
+        .option("checkpointLocation", f"{tmp}/watch_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert sorted(got) == list(range(90, 100))
+
+
+def test_watch_purged_start_raises(spark, tmp_path):
+    tmp = str(tmp_path)
+    log_dir = _run_ingest(spark, tmp, 100)
+    compact_log(spark, log_dir, max_segment_size=10)  # keep offsets 80..99
+    log = spark.read.schema(LOG_SCHEMA_DDL).parquet(log_dir)
+    row = log.agg(F.min("offset").alias("lo"), F.max("offset").alias("hi")).first()
+    assert (row["lo"], row["hi"]) == (80, 99)
+    with pytest.raises(OutOfRangeError):
+        watch(spark, log_dir, start_offset=0)
+
+
+def test_streaming_dedup_and_tumbling(spark, tmp_path):
+    """Streaming dedup + windowed agg over the poll source."""
+    tmp = str(tmp_path)
+    stream = read_poll_stream(spark, page_size=50, max_key=100)
+    deduped = streaming_dedup(stream, key_col="key", watermark="0 seconds")
+    counts = tumbling_counts(deduped, window="1 minute", watermark=None)
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tumbling_test")
+        .option("checkpointLocation", f"{tmp}/ckpt_t")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if not q.status["isDataAvailable"] and q.recentProgress:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    rows = spark.sql("SELECT * FROM tumbling_test").collect()
+    # events are 1/sec from 2024-01-01; with watermark, closed 1-min
+    # windows hold exactly 60
+    assert all(r["n"] == 60 for r in rows)

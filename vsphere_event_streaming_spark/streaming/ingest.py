@@ -1,0 +1,132 @@
+"""Streaming ingest: poll source → envelope → offset-assigning sink (S2).
+
+Mirrors the reference's collector loop (main.go:86-152): each
+micro-batch (= poll page) is classified, enveloped, JSON-encoded, then
+appended to the log with monotonically continuing offsets.
+
+Offset continuity across restarts is the hard part (SURVEY §7 M3): the
+reference seeds the log once from the first event Key (``once.Do``,
+main.go:116-125) and memlog assigns the rest. Here the sink owns the
+rule:
+
+- first batch ever → start offset = min(key) of the batch (the
+  reference's first-Key seed);
+- every later batch (incl. after restart) → continue from the sink's
+  own max(offset), re-read at batch time — never from driver memory;
+- at-least-once replay overlap (reference README.md:211-216: restart
+  re-reads now−5m) is deduplicated by dropping keys ≤ the sink's
+  max(key): source keys are monotonic, so this is exact (T5/T7).
+
+The sink is an append-only parquet directory = the engine's memlog.
+A 100 TB deployment would partition it by offset range / date and
+compact with the retention job; nothing in the logic changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..log.model import assign_offsets
+
+LOG_SCHEMA_DDL = "offset bigint, key bigint, value string"
+
+
+def envelope_batch(batch: DataFrame, source: str) -> DataFrame:
+    """Poll-page rows → (key, value) CloudEvent JSON records.
+
+    The transform chain of the reference collector (GetDetails
+    classification → ToCloudEvent → json.Marshal, main.go:127-134) as
+    column expressions; serialize-once, the sink stores the bytes.
+    """
+    eventclass = (
+        F.when(F.col("event_type").isin("error"), F.lit("eventex"))
+        .when(
+            F.col("event_type").isin("purchase", "signup"),
+            F.lit("extendedevent"),
+        )
+        .otherwise(F.lit("event"))
+    )
+    return batch.select(
+        F.col("key"),
+        F.to_json(
+            F.struct(
+                F.lit("1.0").alias("specversion"),
+                F.col("key").cast("string").alias("id"),
+                F.lit(source).alias("source"),
+                F.concat(
+                    F.lit("vmware.vsphere."), F.col("event_type"), F.lit(".v0")
+                ).alias("type"),
+                F.lit("application/json").alias("datacontenttype"),
+                F.col("created_time").alias("time"),
+                eventclass.alias("eventclass"),
+                F.struct(
+                    F.col("key").alias("Key"),
+                    F.col("created_time").alias("CreatedTime"),
+                    F.col("user_name").alias("UserName"),
+                    F.col("message").alias("FullFormattedMessage"),
+                ).alias("data"),
+            )
+        ).alias("value"),
+    )
+
+
+def _sink_state(spark: SparkSession, log_dir: str) -> tuple[int, int] | None:
+    """(max_offset, max_key) of the sink, or None if empty/absent."""
+    try:
+        existing = spark.read.schema(LOG_SCHEMA_DDL).parquet(log_dir)
+        row = existing.agg(
+            F.max("offset").alias("mo"), F.max("key").alias("mk")
+        ).first()
+        if row is None or row["mo"] is None:
+            return None
+        return int(row["mo"]), int(row["mk"])
+    except Exception:
+        return None
+
+
+def append_log_batch(
+    batch: DataFrame, batch_id: int, log_dir: str, source: str
+) -> None:
+    """foreachBatch body: envelope, dedup against sink, assign offsets,
+    append."""
+    spark = batch.sparkSession
+    records = envelope_batch(batch, source)
+    state = _sink_state(spark, log_dir)
+    if state is None:
+        seeded = assign_offsets(
+            records, order_by=["key"], seed_col="key", offset_col="offset"
+        )
+    else:
+        max_offset, max_key = state
+        # replay-overlap dedup: keys are monotonic (T5), drop re-reads
+        fresh = records.filter(F.col("key") > F.lit(max_key))
+        seeded = assign_offsets(
+            fresh, order_by=["key"], start=max_offset + 1, offset_col="offset"
+        )
+    seeded.select("offset", "key", "value").write.mode("append").parquet(
+        log_dir
+    )
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_stream: DataFrame,
+    log_dir: str,
+    checkpoint_dir: str,
+    source: str = "https://vcenter.example.com/sdk",
+    trigger_seconds: float | None = None,
+):
+    """Run the standing ingest query (reference's collector goroutine).
+
+    ``trigger_seconds=None`` → process-as-available (tests);
+    1.0 mirrors the reference's 1 s poll ticker.
+    """
+    writer = source_stream.writeStream.foreachBatch(
+        lambda b, i: append_log_batch(b, i, log_dir, source)
+    ).option("checkpointLocation", os.path.join(checkpoint_dir, "ingest"))
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,57 @@
+"""Watch / tail / replay over the log sink (T1-T2).
+
+The reference's ``GET /api/v1/events?watch=true[&offset=N]``
+(server.go:130-209): a chunked stream of records from offset N
+(default "now" = latest+1), historical replay flowing seamlessly into
+live tail in one total order — exactly Kafka-source semantics, here a
+file-source stream over the sink directory.
+
+The purged-start asymmetry (server.go:200-203) is enforced at start:
+a watch from below the retained range raises OutOfRangeError, while
+purged offsets *inside* a page are silently skipped (batch path,
+log.service).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..errors import OutOfRangeError
+from .ingest import LOG_SCHEMA_DDL
+
+
+def watch(
+    spark: SparkSession,
+    log_dir: str,
+    start_offset: int | None = None,
+) -> DataFrame:
+    """Streaming DataFrame of log records with offset >= start.
+
+    ``start_offset=None`` → tail from "now": latest+1 at call time
+    (reference server.go:161-166). Validation of a purged start
+    mirrors the 400 path.
+    """
+    try:
+        existing = spark.read.schema(LOG_SCHEMA_DDL).parquet(log_dir)
+        row = existing.agg(
+            F.min("offset").alias("earliest"), F.max("offset").alias("latest")
+        ).first()
+        earliest = row["earliest"]
+        latest = row["latest"]
+    except Exception:
+        earliest = latest = None
+
+    if start_offset is None:
+        start_offset = (latest + 1) if latest is not None else 0
+    elif earliest is not None and start_offset < earliest:
+        raise OutOfRangeError(f"invalid offset: {start_offset}")
+
+    stream = spark.readStream.schema(LOG_SCHEMA_DDL).parquet(log_dir)
+    return stream.filter(F.col("offset") >= F.lit(int(start_offset)))
+
+
+def watch_ndjson(stream: DataFrame) -> DataFrame:
+    """Project the stream to the NDJSON wire shape (one JSON text per
+    record, server.go:177-181) — the stored value verbatim."""
+    return stream.select(F.col("value"))
