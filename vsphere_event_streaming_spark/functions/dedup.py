@@ -76,21 +76,6 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def shingle_table(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
-) -> DataFrame:
-    """(id, shingle) inverted-index rows + per-doc shingle count."""
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    return sh.select(
-        "id",
-        F.size("shingles").alias("n_shingles"),
-        F.explode("shingles").alias("shingle"),
-    )
-
-
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -98,29 +83,32 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """L2 exact: all pairs (a<b) with shingle-Jaccard ≥ threshold.
+    """L2 exact: all pairs (a<b) with shingle-set Jaccard ≥ threshold.
 
-    Inverted-index self-join: a pair is produced once per *shared*
-    shingle, aggregated to an intersection count, then scored. Pairs
+    Inverted-index self-join over *hashed* shingles: a pair is
+    produced once per shared shingle, aggregated to an intersection
+    count, then scored with a length filter (jac ≥ t ⇒ t·|B| ≤ |A|)
+    applied before the division. Shuffle rows are three int64s; pairs
     sharing nothing never exist in the plan. Skew note: a shingle
     shared by k docs contributes k² pair rows — for web-scale corpora
-    drop ubiquitous shingles first (stop-shingle pruning); the test
-    corpus needs no pruning and the oracle does none.
+    add stop-shingle pruning / ppjoin prefix filtering on top; the
+    oracle replays exactly this algorithm.
     """
-    sh = shingle_table(docs, text_col, id_col, n)
+    sh = shingle_hash_table(docs, text_col, id_col, n)
     a = sh.select(
-        F.col("id").alias("id_a"),
-        F.col("n_shingles").alias("na"),
-        "shingle",
+        F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "sh"
     )
     b = sh.select(
-        F.col("id").alias("id_b"),
-        F.col("n_shingles").alias("nb"),
-        "shingle",
+        F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "sh"
     )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, "sh")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: a necessary condition for jac >= t
+            & (F.col("na") >= threshold * F.col("nb"))
+            & (F.col("nb") >= threshold * F.col("na"))
+        )
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -134,28 +122,74 @@ def jaccard_pairs(
     )
 
 
-def shingle_hash(shingle: Column) -> Column:
-    """Shingle string → int via the engine's rolling hash."""
-    return rolling_hash(shingle)
+#: Multipliers combining three word-hashes into one shingle hash.
+#: Max value: (1e9+7)·(769+257+1) < 1.1e12 — safely inside int64.
+SHINGLE_P1 = 769
+SHINGLE_P2 = 257
 
 
-def minhash_signature(text: Column, n: int = 3) -> Column:
-    """Array of minhash values, one per (a,b) in MINHASH_PARAMS.
+def word_hash_array(text: Column) -> Column:
+    """Per-word rolling hashes (computed once per document)."""
+    return F.transform(words(text), rolling_hash)
 
-    min over shingles of (a * rolling_hash(shingle) + b) mod p — pure
-    integer arithmetic, byte-identical in any engine.
+
+def shingle_hash_arrays(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh_arr, n_sh): distinct shingle-hash array per document.
+
+    Shingle hash = (wh_i·P1 + wh_{i+1}·P2 + wh_{i+2}) mod 1e9+7 over
+    the word-hash array — each word is hashed exactly once and each
+    shingle combines three int64s, instead of re-folding overlapping
+    characters three times. Dedup happens in array form
+    (``array_distinct``) so no extra shuffle is spent on it, and the
+    per-doc set size rides along with each row.
     """
-    hashes = F.transform(word_shingles(text, n), shingle_hash)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
-                )
-            )
-            for a, b in MINHASH_PARAMS
-        ]
+    assert n == 3, "shingle combiner is specialized for n=3"
+    wh = docs.select(
+        F.col(id_col).alias("id"), word_hash_array(F.col(text_col)).alias("wh")
+    ).filter(F.size("wh") >= n)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("wh") - (n - 1)),
+        lambda i: (
+            F.element_at(F.col("wh"), i.cast("int")) * SHINGLE_P1
+            + F.element_at(F.col("wh"), (i + 1).cast("int")) * SHINGLE_P2
+            + F.element_at(F.col("wh"), (i + 2).cast("int"))
+        )
+        % HASH_MOD,
     )
+    return wh.select(
+        "id", F.array_distinct(sh).alias("sh_arr")
+    ).withColumn("n_sh", F.size("sh_arr"))
+
+
+def shingle_hash_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Exploded (id, n_sh, sh) distinct shingle-hash rows — the
+    inverted-index form. Shuffle rows are three int64s; document text
+    never moves after the first projection."""
+    arrs = shingle_hash_arrays(docs, text_col, id_col, n)
+    return arrs.select("id", "n_sh", F.explode("sh_arr").alias("sh"))
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, mh0..mh7): min over shingle hashes of (a·sh + b) mod p.
+
+    A single partial+final hash aggregate over the exploded shingle
+    table — map-side combine keeps shuffle rows at one per (doc,
+    signature), and every hash function is plain codegen arithmetic.
+    """
+    sh = shingle_hash_table(docs, text_col, id_col, n)
+    aggs = [
+        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % MINHASH_PRIME).alias(
+            f"mh{j}"
+        )
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return sh.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -167,39 +201,59 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """L2 approximate: MinHash-LSH candidate pairs (a<b).
 
-    Bands of ``band_size`` signature slots; docs sharing any full band
-    collide. The band join shuffles (band_idx, band_values) keys only
-    — constant bytes per doc, independent of document length.
+    Bands of ``band_size`` signature slots become string bucket keys;
+    docs sharing any full band collide. The band join shuffles
+    (band_key) strings only — constant bytes per doc, independent of
+    document length.
     """
     n_bands = len(MINHASH_PARAMS) // band_size
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n).alias("sig"),
-    ).filter(F.size("sig") > 0)
-    bands = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.slice(F.col("sig"), i * band_size + 1, band_size).alias(
-                            "band_val"
-                        ),
-                    )
-                    for i in range(n_bands)
-                ]
+    sig = minhash_signatures(docs, text_col, id_col, n)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                *[F.col(f"mh{i * band_size + j}") for j in range(band_size)],
             )
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_val")
-    x = bands.select(F.col("id").alias("id_a"), "band_idx", "band_val")
-    y = bands.select(F.col("id").alias("id_b"), "band_idx", "band_val")
+            for i in range(n_bands)
+        ]
+    )
+    bands = sig.select("id", F.explode(band_keys).alias("band_key"))
+    x = bands.select(F.col("id").alias("id_a"), "band_key")
+    y = bands.select(F.col("id").alias("id_b"), "band_key")
     return (
-        x.join(y, ["band_idx", "band_val"])
+        x.join(y, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def simhash_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash): table-form SimHash — explode word hashes once,
+    then 16 conditional sums in a single codegen'd aggregate (the
+    column-expression form below re-evaluates the word-hash array per
+    bit; this form is the scale path). Documents with no words are
+    dropped (hash of nothing)."""
+    wh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_hash_array(F.col(text_col))).alias("h"),
+    )
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    g = wh.groupBy("id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(16):
+        fp = fp + F.when(
+            F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return g.select("id", fp.alias("simhash"))
 
 
 def simhash16(text: Column) -> Column:

@@ -24,7 +24,7 @@ from ..functions.dedup import (
     exact_dedup_keepers,
     jaccard_pairs,
     lsh_candidate_pairs,
-    simhash16,
+    simhash_table,
 )
 from ..functions.multimodal import attach_payload, extract_metadata
 from ..functions.vectors import (
@@ -61,15 +61,23 @@ def _duck_hash(expr: str) -> str:
     )
 
 
-_DUCK_SHINGLES = f"""
+def _duck_shingle_hashes() -> str:
+    """CTEs producing (doc_id, sh_arr): distinct shingle-hash arrays,
+    mirroring functions.dedup.shingle_hash_arrays."""
+    from ..functions.dedup import SHINGLE_P1, SHINGLE_P2
+
+    return f"""
   w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
-  sh AS (
+  wh AS (
+    SELECT doc_id, list_transform(ws, s -> {_duck_hash("s")}) AS wh
+    FROM w WHERE len(ws) >= 3
+  ),
+  sha AS (
     SELECT doc_id,
-           CASE WHEN len(ws) >= 3 THEN
-             list_distinct(list_transform(range(1, len(ws)-1),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-           ELSE [] END AS shingles
-    FROM w
+           list_distinct(list_transform(range(1, len(wh)-1),
+             i -> (wh[i]*{SHINGLE_P1} + wh[i+1]*{SHINGLE_P2} + wh[i+2])
+                  % {T.HASH_MOD})) AS sh_arr
+    FROM wh
   )
 """
 
@@ -104,16 +112,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_near",
     oracle=f"""
-    WITH {_DUCK_SHINGLES},
+    WITH {_duck_shingle_hashes()},
     ex AS (
-      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
-      FROM sh WHERE len(shingles) > 0
+      SELECT doc_id, len(sh_arr) AS n_sh, unnest(sh_arr) AS sh
+      FROM sha WHERE len(sh_arr) > 0
     ),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
              count(*) AS common
-      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
@@ -135,23 +143,31 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L2b: MinHash + LSH candidate pairs
 # ======================================================================
 def _minhash_oracle() -> str:
+    from ..functions.dedup import SHINGLE_P1, SHINGLE_P2
+
     sig_items = ", ".join(
-        f"list_min(list_transform(hashes, h -> ({a}*h + {b}) % {MINHASH_PRIME}))"
-        for a, b in MINHASH_PARAMS
+        f"min(({a}*sh + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
     )
     n_bands = len(MINHASH_PARAMS) // 2
     band_eq = " OR ".join(
-        f"a.sig[{i * 2 + 1}:{i * 2 + 2}] = b.sig[{i * 2 + 1}:{i * 2 + 2}]"
+        f"(a.mh{i * 2} = b.mh{i * 2} AND a.mh{i * 2 + 1} = b.mh{i * 2 + 1})"
         for i in range(n_bands)
     )
     return f"""
-    WITH {_DUCK_SHINGLES},
-    hs AS (
-      SELECT doc_id,
-             list_transform(shingles, s -> {_duck_hash("s")}) AS hashes
-      FROM sh WHERE len(shingles) > 0
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    wh AS (
+      SELECT doc_id, list_transform(ws, s -> {_duck_hash("s")}) AS wh
+      FROM w WHERE len(ws) >= 3
     ),
-    sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hs)
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(wh)-1),
+               i -> (wh[i]*{SHINGLE_P1} + wh[i+1]*{SHINGLE_P2} + wh[i+2])
+                    % {T.HASH_MOD})) AS sh
+      FROM wh
+    ),
+    sig AS (SELECT doc_id, {sig_items} FROM sh GROUP BY doc_id)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE {band_eq}
@@ -191,7 +207,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document; identical fingerprints ⇒ near-dup
     candidates (pairing is then a groupBy on the fingerprint)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    return simhash_table(docs).select(F.col("id").alias("doc_id"), "simhash")
 
 
 # ======================================================================
