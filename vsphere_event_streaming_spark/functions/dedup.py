@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import HASH_MOD, HASH_MULT, rolling_hash, words
+from .text import HASH_MOD, md5_hash, words
 
 #: (a, b) parameters for the minhash family h_i(x) = (a_i*x + b_i) mod p.
 #: Fixed, public constants — determinism across engines and runs.
@@ -129,8 +129,14 @@ SHINGLE_P2 = 257
 
 
 def word_hash_array(text: Column) -> Column:
-    """Per-word rolling hashes (computed once per document)."""
-    return F.transform(words(text), rolling_hash)
+    """Per-word md5-derived hashes (computed once per document).
+
+    Uses :func:`text.md5_hash`, not the per-character rolling hash:
+    the md5/conv built-ins evaluate natively in the JVM, so hashing is
+    O(words) cheap native calls instead of O(chars) interpreted
+    lambda steps — the difference between minutes and seconds per TB.
+    """
+    return F.transform(words(text), md5_hash)
 
 
 def shingle_hash_arrays(
@@ -144,11 +150,30 @@ def shingle_hash_arrays(
     characters three times. Dedup happens in array form
     (``array_distinct``) so no extra shuffle is spent on it, and the
     per-doc set size rides along with each row.
+
+    Plan shape matters more than the arithmetic here:
+
+    - the short-doc filter is expressed on raw ``words(text)`` so the
+      predicate Catalyst pushes below the ``spread`` exchange is a
+      cheap split, never the hash chain;
+    - the result is **persisted**: higher-order-function chains are
+      interpreted (not codegen), so letting Catalyst inline them into
+      downstream Generate-inferred filters (``size(sh_arr) > 0``) or
+      into both sides of a self-join re-evaluates minutes of CPU.
+      The persist is a deliberate pipeline materialization point —
+      every consumer (explode, both self-join sides, minhash aggs)
+      reads the arrays once. At 100 TB this is the same
+      corpus-sized intermediate any MinHash pipeline materializes;
+      MEMORY_AND_DISK spills instead of OOMing.
     """
+    from ..tables import spread
+
     assert n == 3, "shingle combiner is specialized for n=3"
+    # cheap pre-shuffle filter: same cardinality as size(wh) >= n
+    docs = spread(docs).filter(F.size(words(F.col(text_col))) >= n)
     wh = docs.select(
         F.col(id_col).alias("id"), word_hash_array(F.col(text_col)).alias("wh")
-    ).filter(F.size("wh") >= n)
+    )
     sh = F.transform(
         F.sequence(F.lit(1), F.size("wh") - (n - 1)),
         lambda i: (
@@ -158,9 +183,11 @@ def shingle_hash_arrays(
         )
         % HASH_MOD,
     )
-    return wh.select(
-        "id", F.array_distinct(sh).alias("sh_arr")
-    ).withColumn("n_sh", F.size("sh_arr"))
+    return (
+        wh.select("id", F.array_distinct(sh).alias("sh_arr"))
+        .withColumn("n_sh", F.size("sh_arr"))
+        .persist()
+    )
 
 
 def shingle_hash_table(
@@ -207,7 +234,9 @@ def lsh_candidate_pairs(
     document length.
     """
     n_bands = len(MINHASH_PARAMS) // band_size
-    sig = minhash_signatures(docs, text_col, id_col, n)
+    # both join sides read sig: persist so the signature aggregation
+    # (and everything under it) runs once, not once per side
+    sig = minhash_signatures(docs, text_col, id_col, n).persist()
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -237,7 +266,9 @@ def simhash_table(
     column-expression form below re-evaluates the word-hash array per
     bit; this form is the scale path). Documents with no words are
     dropped (hash of nothing)."""
-    wh = docs.select(
+    from ..tables import spread
+
+    wh = spread(docs).select(
         F.col(id_col).alias("id"),
         F.explode(word_hash_array(F.col(text_col))).alias("h"),
     )
@@ -257,13 +288,14 @@ def simhash_table(
 
 
 def simhash16(text: Column) -> Column:
-    """16-bit SimHash fingerprint from word rolling-hashes.
+    """16-bit SimHash fingerprint from word hashes (column-expression
+    form; prefer :func:`simhash_table` in plans).
 
     bit_i = sign of Σ_words (±1 by word-hash bit i); near-identical
     token multisets get identical fingerprints. Kept to 16 bits so the
     oracle arithmetic stays in exact int64 everywhere.
     """
-    hs = F.transform(words(text), rolling_hash)
+    hs = F.transform(words(text), md5_hash)
     bits = [
         F.when(
             F.aggregate(

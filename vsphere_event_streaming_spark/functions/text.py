@@ -59,6 +59,22 @@ def rolling_hash(text: Column) -> Column:
     )
 
 
+def md5_hash(text: Column) -> Column:
+    """Codegen'd 60-bit string hash: first 15 hex chars of md5 → int64,
+    reduced mod 1e9+7.
+
+    The scale-path hash for per-word hashing in the dedup tier:
+    ``md5``/``conv`` are JVM built-ins evaluated natively, ~20× faster
+    than the per-character interpreted fold in :func:`rolling_hash`,
+    and byte-identical across engines (DuckDB:
+    ``('0x'||substr(md5(s),1,15))::BIGINT % 1000000007``).
+    """
+    return (
+        F.conv(F.substring(F.md5(text), 1, 15), 16, 10).cast("long")
+        % HASH_MOD
+    )
+
+
 def fingerprint(text: Column, prefix_chars: int = 256) -> Column:
     """Document fingerprint: rolling hash of the normalized prefix."""
     return rolling_hash(F.substring(F.lower(F.trim(text)), 1, prefix_chars))

@@ -61,6 +61,11 @@ def _duck_hash(expr: str) -> str:
     )
 
 
+def _duck_word_hash(expr: str) -> str:
+    """DuckDB replica of functions.text.md5_hash (verified equal)."""
+    return f"((('0x' || substr(md5({expr}), 1, 15))::BIGINT) % {T.HASH_MOD})"
+
+
 def _duck_shingle_hashes() -> str:
     """CTEs producing (doc_id, sh_arr): distinct shingle-hash arrays,
     mirroring functions.dedup.shingle_hash_arrays."""
@@ -69,7 +74,7 @@ def _duck_shingle_hashes() -> str:
     return f"""
   w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
   wh AS (
-    SELECT doc_id, list_transform(ws, s -> {_duck_hash("s")}) AS wh
+    SELECT doc_id, list_transform(ws, s -> {_duck_word_hash("s")}) AS wh
     FROM w WHERE len(ws) >= 3
   ),
   sha AS (
@@ -157,7 +162,7 @@ def _minhash_oracle() -> str:
     return f"""
     WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
     wh AS (
-      SELECT doc_id, list_transform(ws, s -> {_duck_hash("s")}) AS wh
+      SELECT doc_id, list_transform(ws, s -> {_duck_word_hash("s")}) AS wh
       FROM w WHERE len(ws) >= 3
     ),
     sh AS (
@@ -195,7 +200,7 @@ def _simhash_oracle() -> str:
     return f"""
     WITH wh AS (
       SELECT doc_id,
-             list_transform({_DUCK_WORDS}, s -> {_duck_hash("s")}) AS hs
+             list_transform({_DUCK_WORDS}, s -> {_duck_word_hash("s")}) AS hs
       FROM documents
     )
     SELECT doc_id, ({bit_terms}) AS simhash FROM wh

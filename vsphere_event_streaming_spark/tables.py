@@ -43,6 +43,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen under-partitioned inputs before a compute-bound map stage.
+
+    A parquet file with one row group scans as ONE partition no matter
+    how many cores exist, serializing any expensive per-row transform
+    behind it (hashing, UDFs). This repartitions up to cluster default
+    parallelism — but only when the scan is narrower than that, so at
+    100 TB (thousands of splits) it is a no-op and costs nothing; on
+    small inputs the extra shuffle is trivially cheap by definition.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for spark.sql queries."""
     for name in TABLES:
