@@ -24,6 +24,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events")
 
 
+def _scalar(df: DataFrame):
+    """Execute a 1-row bound query driver-side.
+
+    The explicit form of Catalyst's ScalarSubquery execution: the tiny
+    aggregate (columnar min/max over one column, no shuffle of data
+    rows) runs first, and its result becomes a **literal** in the main
+    query's predicate — so the predicate reaches the parquet scan
+    (PushedFilters) and row-group min/max statistics prune I/O. A
+    broadcast-joined 1-row bound keeps the plan lazy but scans
+    everything; at 100 TB the literal form reads one row group where
+    the join form reads the table.
+    """
+    return df.first()[0]
+
+
 # -- A1: min/max range aggregate (server.go:305-327) -------------------
 @query(
     "q_range",
@@ -50,13 +65,11 @@ def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..log.model import point_lookup
+
     ev = _events(spark, sf_dir)
-    probe = ev.agg((F.min("event_id") + F.lit(10)).alias("__probe"))
-    return (
-        ev.join(F.broadcast(probe))
-        .filter(F.col("event_id") == F.col("__probe"))
-        .drop("__probe")
-    )
+    probe = _scalar(ev.agg(F.min("event_id"))) + 10
+    return point_lookup(ev, probe, "event_id")
 
 
 # -- P5/O1: ordered replay from offset (server.go:151-169) -------------
@@ -68,14 +81,26 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_replay_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..log.model import replay_from
+
     ev = _events(spark, sf_dir)
-    start = ev.agg((F.min("event_id") + F.lit(500)).alias("__start"))
-    return (
-        ev.join(F.broadcast(start))
-        .filter(F.col("event_id") >= F.col("__start"))
-        .drop("__start")
-        .orderBy("event_id")
-    )
+    start = _scalar(ev.agg(F.min("event_id"))) + 500
+    return replay_from(ev, start, "event_id")
+
+
+# -- O1: total-order delivery of the whole log (server.go:226,:171-191)
+@query(
+    "q_ordered_replay",
+    oracle="SELECT * FROM events ORDER BY event_id",
+)
+def q_ordered_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-log ordered read: range-partitioned sort (no single-task
+    order) — each output partition is an ordered offset slice, the
+    partition order is the global order, exactly a Kafka-style
+    consumer's view."""
+    from ..log.model import ordered_replay
+
+    return ordered_replay(_events(spark, sf_dir), "event_id")
 
 
 # -- W2/O2: last page, top-k without a global sort (server.go:211-267) -
@@ -96,9 +121,11 @@ def q_last_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..log.model import retention_filter
-
-    return retention_filter(_events(spark, sf_dir), 1000, "event_id")
+    # two-phase: 1-row max first, then a *literal* lower bound so the
+    # purge predicate prunes parquet row groups (see _scalar)
+    ev = _events(spark, sf_dir)
+    latest = _scalar(ev.agg(F.max("event_id")))
+    return ev.filter(F.col("event_id") > F.lit(int(latest) - 2 * 1000))
 
 
 # -- W1: deterministic monotonic offset assignment (main.go:113-125) ---
@@ -219,15 +246,25 @@ def q_eventclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_time_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time lower-bound ingest filter (main.go:90-92) with pushdown.
+
+    The events ``ts`` is stored as parquet TIMESTAMP(NANOS); filtering
+    on the *converted* timestamp blocks pushdown, so the bound is
+    computed once, translated to raw nanos, and applied to the stored
+    int64 column — ``floor(ns/1000) >= b_us ⟺ ns >= b_us*1000``, so
+    the predicate is exactly equivalent and reaches the scan.
+    """
+    raw = load(spark, sf_dir, "events", raw=True)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        max_ns = _scalar(raw.agg(F.max("ts")))
+        begin_ns = int(max_ns) - 24 * 3600 * 10**9
+        out = raw.filter(F.col("ts") >= F.lit(begin_ns))
+        return out.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     ev = _events(spark, sf_dir)
-    horizon = ev.agg(
-        (F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("__begin")
-    )
-    return (
-        ev.join(F.broadcast(horizon))
-        .filter(F.col("ts") >= F.col("__begin"))
-        .drop("__begin")
-    )
+    begin = _scalar(ev.agg(F.max("ts") - F.expr("INTERVAL 24 HOURS")))
+    return ev.filter(F.col("ts") >= F.lit(begin))
 
 
 # -- S3: page marshal to JSON lines (server.go:254-266) ----------------

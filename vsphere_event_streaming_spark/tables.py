@@ -28,14 +28,24 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, raw: bool = False
+) -> DataFrame:
+    """Load a test table. ``raw=True`` skips the events ``ts``
+    nanos→timestamp conversion, leaving ``ts`` as the stored int64 —
+    predicates against the raw column reach the parquet scan
+    (PushedFilters), which the converted form blocks."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     from .session import tune
 
     tune(spark)  # needs nanosAsLong before the parquet footer is read
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if (
+        not raw
+        and name == "events"
+        and dict(df.dtypes).get("ts") == "bigint"
+    ):
         # TIMESTAMP(NANOS) read as long; truncate to micros like DuckDB.
         from pyspark.sql import functions as F
 
