@@ -147,6 +147,39 @@ def test_watch_purged_start_raises(spark, tmp_path):
         watch(spark, log_dir, start_offset=0)
 
 
+def test_stream_static_enrich(spark, tmp_path):
+    """J7: stream-static broadcast join enriches the live stream."""
+    from vsphere_event_streaming_spark.streaming.enrich import enrich_with_dim
+
+    tmp = str(tmp_path)
+    dim = spark.createDataFrame(
+        [(f"user{i}", "gold" if i % 2 == 0 else "basic") for i in range(8)],
+        "user_name string, tier string",
+    )
+    stream = read_poll_stream(spark, page_size=50, max_key=64)
+    enriched = enrich_with_dim(stream, dim, on="user_name", how="left")
+    got = []
+    q = (
+        enriched.writeStream.foreachBatch(
+            lambda b, i: got.extend(b.select("key", "tier").collect())
+        )
+        .option("checkpointLocation", f"{tmp}/enrich_ckpt")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(got) < 64:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    by_key = {r["key"]: r["tier"] for r in got}
+    assert len(by_key) == 64
+    # user_name = f"user{key % 16}": keys 0..7 resolve, 8..15 stay NULL
+    assert by_key[4] == "gold" and by_key[5] == "basic"
+    assert by_key[12] is None  # left join preserves unresolved refs
+
+
 def test_streaming_dedup_and_tumbling(spark, tmp_path):
     """Streaming dedup + windowed agg over the poll source."""
     tmp = str(tmp_path)
