@@ -1,0 +1,82 @@
+"""Property-based checks (hypothesis) for the log-model invariants.
+
+The reference ships only table-driven goldens (SURVEY §5 "not
+present: property-based"); the engine adds them for the two pieces of
+bespoke logic where an off-by-one would silently corrupt the API
+surface: pagination math and distributed offset assignment.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vsphere_event_streaming_spark.log.model import (
+    PAGE_SIZE,
+    assign_offsets,
+    get_start,
+    last_page,
+)
+
+
+@given(
+    earliest=st.integers(min_value=0, max_value=10**6),
+    span=st.integers(min_value=0, max_value=10**6),
+    page=st.integers(min_value=1, max_value=1000),
+)
+@settings(max_examples=300, deadline=None)
+def test_get_start_properties(earliest, span, page):
+    """start is in range and yields ≤ page records up to latest."""
+    latest = earliest + span
+    start = get_start(earliest, latest, page)
+    assert earliest <= start <= latest
+    n = latest - start + 1
+    assert 1 <= n <= page
+    # exactly page records whenever the log holds at least a full page
+    if latest - earliest + 1 >= page:
+        assert n == page
+
+
+def test_get_start_empty_sentinel():
+    assert get_start(-1, -1, PAGE_SIZE) == -1
+
+
+def test_assign_offsets_matches_sorted_order(spark):
+    """Random (ts, id) rows: offsets are the exact dense global rank.
+
+    One randomized round-trip through the real two-phase
+    range-partitioned implementation (seeded, so reproducible) —
+    covering ties in ts, sparse ids, and partition-boundary keys.
+    """
+    rng = random.Random(20240813)
+    rows = [
+        (rng.randrange(0, 50), i * 7 + rng.randrange(0, 3))
+        for i in range(2000)
+    ]
+    # ensure (ts, id) unique: id component is unique by construction?
+    # i*7 + [0,3) can collide between consecutive i — dedup exactly.
+    seen: set[tuple[int, int]] = set()
+    uniq = [r for r in rows if not (r in seen or seen.add(r))]
+    df = spark.createDataFrame(uniq, "ts long, event_id long")
+    out = assign_offsets(
+        df, order_by=["ts", "event_id"], start=100, num_partitions=8
+    ).collect()
+    expect = sorted(uniq)
+    got = sorted((r["offset"], (r["ts"], r["event_id"])) for r in out)
+    assert [g[0] for g in got] == list(range(100, 100 + len(uniq)))
+    assert [g[1] for g in got] == expect
+
+
+def test_last_page_matches_get_start(spark):
+    """On a dense log (the reference invariant: memlog offsets are
+    contiguous in [earliest, latest]; purges only drop a prefix), the
+    top-k ``last_page`` returns exactly the offsets
+    ``[get_start(earliest, latest, page), latest]``."""
+    offsets = list(range(60, 100))  # dense after a purge at 60
+    df = spark.createDataFrame([(o,) for o in offsets], "offset long")
+    for page in (1, 7, 40, 50):
+        got = [r["offset"] for r in last_page(df, page, "offset").collect()]
+        start = get_start(60, 99, page)
+        assert got == list(range(start, 100))
