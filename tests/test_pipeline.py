@@ -141,6 +141,30 @@ def test_multimodal_metadata_plumbing(spark):
     assert row["sha256"] == hashlib.sha256(b"Az test").hexdigest()
 
 
+def test_multimodal_resize_and_audio_plumbing(spark):
+    from vsphere_event_streaming_spark.functions.multimodal import (
+        audio_features,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "")], ["doc_id", "text"]
+    )
+    media = attach_payload(docs, "doc_id", "text")
+
+    resized = {
+        r["media_id"]: r for r in resize_images(media, 32, 32).collect()
+    }
+    assert resized[1]["width"] == 32 and resized[1]["height"] == 32
+    # fake resize truncates payload proportionally to target width
+    assert bytes(resized[1]["payload"]) == b"abcd"
+
+    feats = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert feats[1]["n_samples"] == 8
+    assert feats[1]["rms"] > 0
+    assert feats[2]["n_samples"] == 0 and feats[2]["rms"] == 0.0
+
+
 def test_decode_image_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG", fake=False)

@@ -82,6 +82,91 @@ def extract_metadata(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=META_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_id long, payload binary, width int, height int"
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """mapInPandas image resize: (media_id, payload) → resized payload
+    + dims. Codec stubbed (see ``decode_image``); the fake path emits a
+    deterministic truncation of the bytes so batch shape, binary
+    round-trip and schema are exercised for real. Arrow moves the
+    payload bytes — no per-row Python pickling.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "image resize requires an imaging library; "
+                    "not available here"
+                )
+            out_payload = [
+                (p[: max(1, len(p) * target_w // max(1, 64))] if p else p)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_samples long, rms double, zero_crossings long"
+)
+
+
+def audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas audio feature extraction (RMS energy, zero-crossing
+    count) over (media_id, payload).
+
+    The PCM decode is stubbed: the fake path interprets the raw bytes
+    as unsigned 8-bit samples (deterministic, library-free) so the
+    numpy-vectorized feature math and the Arrow batch path are real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "audio decoding requires an audio library; "
+                    "not available here"
+                )
+            n, rms, zc = [], [], []
+            for p in pdf["payload"]:
+                if not p:
+                    n.append(0)
+                    rms.append(0.0)
+                    zc.append(0)
+                    continue
+                x = np.frombuffer(p, dtype=np.uint8).astype("float64") - 128.0
+                n.append(len(x))
+                rms.append(float(np.sqrt(np.mean(x * x))))
+                zc.append(int(np.count_nonzero(np.diff(np.sign(x)))))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": n,
+                    "rms": rms,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explodes a per-media frame index
     using metadata only (no payload read — column pruning keeps the
