@@ -170,6 +170,13 @@ def assign_offsets(
     The result is the exact global rank: deterministic for a unique
     order key regardless of sampling-derived partition bounds.
 
+    Consistency invariant: the counts branch and the rank branch hang
+    off the *same* range Exchange, which Spark's exchange reuse
+    (``spark.sql.exchange.reuse``, on by default; verified as
+    ``ReusedExchange`` in the final adaptive plan) materializes once —
+    both sides observe identical partition assignments even though
+    range boundaries come from sampling.
+
     ``start`` sets the first offset explicitly; ``seed_col`` instead
     seeds it with ``min(seed_col)`` (the reference's first-Key rule).
     """
@@ -187,7 +194,10 @@ def assign_offsets(
         ),
     )
 
-    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # counts come from the pre-window side: the range Exchange subtree
+    # is shared (ReusedExchange dedupes the shuffle) and the rank
+    # window is evaluated exactly once, on the output side only
+    counts = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     # Prefix sum over the tiny per-partition count table (≤ num_partitions
     # rows) — the single-partition window here is intentional and free.
     bases = counts.withColumn(
