@@ -287,6 +287,27 @@ def simhash_table(
     return g.select("id", fp.alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Equal-fingerprint SimHash candidate pairs (a<b).
+
+    The fingerprint table is tiny (one int per doc) but its input
+    chain is not — persist it so the self-join's two sides read the
+    aggregate once. The join key is the 16-bit fingerprint: collisions
+    are the candidates; at web scale the same join is done per
+    hamming-ball probe (fingerprint with one band dropped).
+    """
+    st = simhash_table(docs, text_col, id_col).persist()
+    a = st.select(F.col("id").alias("id_a"), "simhash")
+    b = st.select(F.col("id").alias("id_b"), "simhash")
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash")
+    )
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash fingerprint from word hashes (column-expression
     form; prefer :func:`simhash_table` in plans).

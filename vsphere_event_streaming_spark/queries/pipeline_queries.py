@@ -191,20 +191,25 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 # L2c: SimHash fingerprints
 # ======================================================================
-def _simhash_oracle() -> str:
+def _simhash_ctes() -> str:
+    """CTEs ending in s(doc_id, simhash), mirroring simhash_table."""
     bit_terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {i}) & 1)*2 - 1))"
         f" > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
         for i in range(16)
     )
     return f"""
-    WITH wh AS (
+    wh AS (
       SELECT doc_id,
              list_transform({_DUCK_WORDS}, s -> {_duck_word_hash("s")}) AS hs
       FROM documents
-    )
-    SELECT doc_id, ({bit_terms}) AS simhash FROM wh
+    ),
+    s AS (SELECT doc_id, ({bit_terms}) AS simhash FROM wh)
     """
+
+
+def _simhash_oracle() -> str:
+    return f"WITH {_simhash_ctes()} SELECT doc_id, simhash FROM s"
 
 
 @query("q_dedup_simhash", oracle=_simhash_oracle())
@@ -213,6 +218,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (pairing is then a groupBy on the fingerprint)."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_table(docs).select(F.col("id").alias("doc_id"), "simhash")
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_simhash_ctes()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
+    FROM s a JOIN s b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-fingerprint SimHash candidate pairs — the pairing step of
+    the SimHash dedup path (fingerprint self-join on the 16-bit key)."""
+    from ..functions.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"))
 
 
 # ======================================================================
