@@ -116,6 +116,48 @@ def test_ivf_recall_vs_brute_force(spark):
     assert len(exact & approx) >= 5, (exact, approx)
 
 
+def test_ivf_indexed_partition_pruning(spark, tmp_path):
+    """Materialized IVF index: probed search matches the inline form
+    and the scan prunes unprobed cell partitions."""
+    import io
+    from contextlib import redirect_stdout
+
+    from vsphere_event_streaming_spark.functions.vectors import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    qmin = emb.agg(F.min("vec_id").alias("__qid"))
+    qvec = emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid")).select(
+        F.col("embedding").alias("q")
+    )
+    corpus = emb.join(F.broadcast(qmin)).filter(
+        F.col("vec_id") != F.col("__qid")
+    ).drop("__qid")
+    cents = deterministic_centroids(emb, 10)
+
+    idx = f"{tmp_path}/ivf"
+    write_ivf_index(corpus, cents, idx)
+
+    inline = [
+        r["vec_id"]
+        for r in ivf_topk(corpus, cents, qvec, k=10, nprobe=3).collect()
+    ]
+    indexed_df = ivf_topk_indexed(spark, idx, cents, qvec, k=10, nprobe=3)
+    indexed = [r["vec_id"] for r in indexed_df.collect()]
+    assert indexed == inline
+
+    import re
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        indexed_df.explain()
+    assert re.search(
+        r"PartitionFilters: \[centroid_id#\d+ IN \(", buf.getvalue()
+    ), buf.getvalue()
+
+
 def test_cosine_expression_matches_numpy(spark):
     import numpy as np
 

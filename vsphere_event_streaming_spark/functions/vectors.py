@@ -137,6 +137,61 @@ def ivf_topk(
     return knn_topk(candidates, query, k, id_col, vec_col)
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: corpus partitioned by assigned cell.
+
+    This is the 100 TB layout the inline ``ivf_topk`` stands in for:
+    ``partitionBy("centroid_id")`` makes every cell its own directory,
+    so probing reads only nprobe cells via *partition pruning* — the
+    scan never touches the other ~(1 − nprobe/n) of the data.
+    """
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    (
+        assigned.select(id_col, vec_col, "centroid_id")
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against a materialized index (see ``write_ivf_index``).
+
+    Probe cells are chosen driver-side (a ≤n-centroids computation) and
+    applied as a *literal* ``isin`` predicate on the partition column —
+    the plan's PartitionFilters prune unprobed cells before any I/O.
+    """
+    probed = (
+        centroids.join(F.broadcast(query))
+        .select(
+            "centroid_id", cosine(F.col("cvec"), F.col("q")).alias("cscore")
+        )
+        .orderBy(F.col("cscore").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    )
+    cells = [r["centroid_id"] for r in probed]
+    candidates = spark.read.parquet(index_path).filter(
+        F.col("centroid_id").isin(cells)
+    )
+    return knn_topk(candidates, query, k, id_col, vec_col)
+
+
 def deterministic_centroids(
     corpus: DataFrame,
     n: int = 10,
