@@ -88,27 +88,62 @@ def _sink_state(spark: SparkSession, log_dir: str) -> tuple[int, int] | None:
 
 
 def append_log_batch(
-    batch: DataFrame, batch_id: int, log_dir: str, source: str
+    batch: DataFrame,
+    batch_id: int,
+    log_dir: str,
+    source: str,
+    state: dict | None = None,
 ) -> None:
     """foreachBatch body: envelope, dedup against sink, assign offsets,
-    append."""
+    append.
+
+    ``state`` carries (max_offset, max_key) across batches of one run,
+    lazily seeded from the sink on the first batch — the reference's
+    ``once.Do`` log init (main.go:116-125). Without it every batch
+    would re-scan the sink for its max, an O(batches × log) pattern
+    that collapses at scale; with it the sink is read once per run
+    (and after a crash the next run re-seeds from the sink, which is
+    what makes the offsets exactly-once).
+    """
     spark = batch.sparkSession
-    records = envelope_batch(batch, source)
-    state = _sink_state(spark, log_dir)
     if state is None:
-        seeded = assign_offsets(
-            records, order_by=["key"], seed_col="key", offset_col="offset"
-        )
+        state = {}
+    records = envelope_batch(batch, source)
+    if "max_offset" not in state:
+        persisted = _sink_state(spark, log_dir)
+        if persisted is not None:
+            state["max_offset"], state["max_key"] = persisted
+
+    if "max_offset" not in state:
+        # first batch ever: seed offsets from the first event key
+        stats = records.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("key").alias("lo"),
+            F.max("key").alias("hi"),
+        ).first()
+        if not stats["n"]:
+            return
+        start, hi = int(stats["lo"]), int(stats["hi"])
+        fresh = records
     else:
-        max_offset, max_key = state
         # replay-overlap dedup: keys are monotonic (T5), drop re-reads
-        fresh = records.filter(F.col("key") > F.lit(max_key))
-        seeded = assign_offsets(
-            fresh, order_by=["key"], start=max_offset + 1, offset_col="offset"
-        )
+        fresh = records.filter(F.col("key") > F.lit(state["max_key"]))
+        stats = fresh.agg(
+            F.count(F.lit(1)).alias("n"), F.max("key").alias("hi")
+        ).first()
+        if not stats["n"]:
+            return
+        start, hi = state["max_offset"] + 1, int(stats["hi"])
+    n = int(stats["n"])
+
+    seeded = assign_offsets(
+        fresh, order_by=["key"], start=start, offset_col="offset"
+    )
     seeded.select("offset", "key", "value").write.mode("append").parquet(
         log_dir
     )
+    state["max_offset"] = start + n - 1
+    state["max_key"] = hi
 
 
 def start_ingest(
@@ -124,8 +159,9 @@ def start_ingest(
     ``trigger_seconds=None`` → process-as-available (tests);
     1.0 mirrors the reference's 1 s poll ticker.
     """
+    run_state: dict = {}  # per-run offset continuation (see append_log_batch)
     writer = source_stream.writeStream.foreachBatch(
-        lambda b, i: append_log_batch(b, i, log_dir, source)
+        lambda b, i: append_log_batch(b, i, log_dir, source, run_state)
     ).option("checkpointLocation", os.path.join(checkpoint_dir, "ingest"))
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
