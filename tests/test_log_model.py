@@ -134,6 +134,26 @@ def test_service_stream_purged_start_errors(spark):
     assert vals == ["10", "11", "12", "13", "14"]
 
 
+def test_sql_surface_over_views(spark, sf_dir):
+    """The engine surface is also plain SQL: register the star schema
+    as views and answer the reference range query via spark.sql."""
+    from vsphere_event_streaming_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    row = spark.sql(
+        "SELECT min(event_id) AS earliest, max(event_id) AS latest FROM events"
+    ).first()
+    assert row["earliest"] == 0 and row["latest"] > 0
+    joined = spark.sql(
+        """
+        SELECT n_name, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n DESC LIMIT 3
+        """
+    ).collect()
+    assert len(joined) == 3 and all(r["n"] > 0 for r in joined)
+
+
 def test_service_page(spark):
     svc = EventLogService(create_data(spark, 120))
     vals = svc.get_events()
