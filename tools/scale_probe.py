@@ -1,0 +1,126 @@
+"""Scale probe: replicate the test tables 10× in-memory and time the
+scale-critical operators against their 1× time.
+
+Replication = union of key-shifted copies (each copy's text gets a
+copy-tag word so replicas are near-dups, not byte-dups — the worst
+realistic case for dedup: ~45 true near-dup pairs per base doc).
+Nothing is written anywhere; /root/testdata stays untouched.
+
+A healthy engine scales ~linearly in rows (dedup: in candidate
+pairs). Superlinear time here means a plan that will not survive
+100 TB.
+
+Usage: python tools/scale_probe.py [sf_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
+    jaccard_pairs,
+    lsh_candidate_pairs,
+)
+from vsphere_event_streaming_spark.log.model import (  # noqa: E402
+    assign_offsets,
+    last_page,
+)
+from vsphere_event_streaming_spark.session import get_spark  # noqa: E402
+from vsphere_event_streaming_spark.tables import load  # noqa: E402
+
+
+def _replicate_docs(docs, factor: int):
+    n = docs.count()
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copytag{i}")).alias("text"),
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _replicate_events(ev, factor: int):
+    n = ev.count()
+    copies = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * n)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i} DAYS")).alias("ts"),
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _time(fn) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    df = fn()
+    n = df.count() if hasattr(df, "count") else 0
+    return round(time.perf_counter() - t0, 2), n
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs1 = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docsN = _replicate_docs(docs1, factor).persist()
+    docsN.count()
+    ev1 = load(spark, sf_dir, "events").select("event_id", "ts")
+    evN = _replicate_events(ev1, factor).persist()
+    evN.count()
+
+    results = {}
+    for name, one, many in [
+        (
+            "jaccard_pairs",
+            lambda: jaccard_pairs(docs1, 0.5),
+            lambda: jaccard_pairs(docsN, 0.5),
+        ),
+        (
+            "lsh_candidate_pairs",
+            lambda: lsh_candidate_pairs(docs1),
+            lambda: lsh_candidate_pairs(docsN),
+        ),
+        (
+            "assign_offsets",
+            lambda: assign_offsets(ev1, order_by=["ts", "event_id"]),
+            lambda: assign_offsets(evN, order_by=["ts", "event_id"]),
+        ),
+        (
+            "last_page",
+            lambda: last_page(ev1, 50, "event_id"),
+            lambda: last_page(evN, 50, "event_id"),
+        ),
+    ]:
+        t1, n1 = _time(one)
+        tN, nN = _time(many)
+        results[name] = {
+            "t_1x_sec": t1,
+            f"t_{factor}x_sec": tN,
+            "rows_1x": n1,
+            f"rows_{factor}x": nN,
+            "time_ratio": round(tN / t1, 1) if t1 else None,
+        }
+        print(json.dumps({name: results[name]}))
+
+    print(json.dumps({"factor": factor, "sf_dir": sf_dir, "probe": results}))
+
+
+if __name__ == "__main__":
+    main()
