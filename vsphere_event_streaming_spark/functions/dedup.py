@@ -122,6 +122,65 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_pruned(
+    docs: DataFrame,
+    threshold: float,
+    max_doc_freq: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """L2 at web scale: exact Jaccard on the stop-shingle-pruned universe.
+
+    A shingle appearing in k docs contributes k² rows to the inverted-
+    index join — ubiquitous shingles (boilerplate, templates) dominate
+    that Σk² cost while carrying no discriminative signal. This drops
+    shingles with document frequency > ``max_doc_freq`` *globally*
+    (from every doc's set), then computes exact Jaccard over the pruned
+    sets: deterministic, engine-reproducible, and the join cost is
+    capped at ``max_doc_freq²`` rows per surviving shingle.
+
+    Plan: df-count aggregate over the persisted shingle table →
+    broadcast-able frequent-shingle list → anti-join prune → per-doc
+    set-size recount (one groupBy on id) → the same intersection
+    pipeline as :func:`jaccard_pairs`.
+    """
+    sh = shingle_hash_table(docs, text_col, id_col, n)
+    frequent = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("sh")
+    )
+    pruned = sh.join(F.broadcast(frequent), "sh", "left_anti")
+    sizes = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh2"))
+    kept = pruned.select("id", "sh").join(sizes, "id").persist()
+    a = kept.select(
+        F.col("id").alias("id_a"), F.col("n_sh2").alias("na"), "sh"
+    )
+    b = kept.select(
+        F.col("id").alias("id_b"), F.col("n_sh2").alias("nb"), "sh"
+    )
+    inter = (
+        a.join(b, "sh")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("na") >= threshold * F.col("nb"))
+            & (F.col("nb") >= threshold * F.col("na"))
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 #: Multipliers combining three word-hashes into one shingle hash.
 #: Max value: (1e9+7)·(769+257+1) < 1.1e12 — safely inside int64.
 SHINGLE_P1 = 769

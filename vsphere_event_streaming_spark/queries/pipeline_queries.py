@@ -145,6 +145,48 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# L2a': stop-shingle-pruned exact Jaccard (the web-scale variant)
+# ======================================================================
+@query(
+    "q_dedup_near_pruned",
+    oracle=f"""
+    WITH {_duck_shingle_hashes()},
+    ex AS (
+      SELECT doc_id, unnest(sh_arr) AS sh
+      FROM sha WHERE len(sh_arr) > 0
+    ),
+    freq AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) > 5),
+    pr AS (SELECT * FROM ex WHERE sh NOT IN (SELECT sh FROM freq)),
+    sz AS (SELECT doc_id, count(*) AS n2 FROM pr GROUP BY doc_id),
+    px AS (SELECT pr.doc_id, pr.sh, sz.n2 FROM pr JOIN sz USING (doc_id)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.n2) AS na, any_value(b.n2) AS nb,
+             count(*) AS common
+      FROM px a JOIN px b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+    WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+          >= 0.5
+    """,
+)
+def q_dedup_near_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over the stop-shingle-pruned universe (document
+    frequency > 5 dropped globally): caps the inverted-index join at
+    df² rows per shingle — the exact-dedup form that survives web-scale
+    boilerplate."""
+    from ..functions.dedup import jaccard_pairs_pruned
+
+    return jaccard_pairs_pruned(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_doc_freq=5
+    )
+
+
+# ======================================================================
 # L2b: MinHash + LSH candidate pairs
 # ======================================================================
 def _minhash_oracle() -> str:
