@@ -136,6 +136,43 @@ def test_watch_replay_from_offset(spark, tmp_path):
     assert sorted(got) == list(range(90, 100))
 
 
+def test_watch_tail_from_now_sees_only_new_data(spark, tmp_path):
+    """T1 'now' semantics: a watch with no offset starts at latest+1 —
+    it must deliver nothing that existed at call time and everything
+    appended afterwards, in offset order."""
+    tmp = str(tmp_path)
+    log_dir = _run_ingest(spark, tmp, 100)  # offsets 0..99 exist
+
+    got = []
+    stream = watch(spark, log_dir)  # default: tail from latest+1 = 100
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: got.extend(
+                r["offset"] for r in b.select("offset").collect()
+            )
+        )
+        .option("checkpointLocation", f"{tmp}/tail_ckpt")
+        .start()
+    )
+    try:
+        # append 50 more events (keys 100..149) while the tail runs
+        stream2 = read_poll_stream(
+            spark, page_size=50, start_key=100, max_key=150
+        )
+        q2 = start_ingest(spark, stream2, log_dir, f"{tmp}/ckpt_more")
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline and len(got) < 50:
+                time.sleep(0.5)
+        finally:
+            q2.stop()
+            q2.awaitTermination(30)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert sorted(got) == list(range(100, 150))
+
+
 def test_watch_purged_start_raises(spark, tmp_path):
     tmp = str(tmp_path)
     log_dir = _run_ingest(spark, tmp, 100)
