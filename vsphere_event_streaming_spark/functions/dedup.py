@@ -122,6 +122,70 @@ def jaccard_pairs(
     )
 
 
+def char_shingle_hash_arrays(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """(id, sh_arr, n_sh): distinct character-n-gram hash array.
+
+    Character shingles (vs word shingles) are the standard choice for
+    cross-language text and code, where token boundaries are unreliable.
+    Same plan shape as :func:`shingle_hash_arrays`: cheap pre-shuffle
+    length filter, md5 built-in per shingle, persist barrier.
+    """
+    from ..tables import spread
+
+    docs = spread(docs).filter(F.length(F.trim(text_col)) >= n)
+    t = F.lower(F.trim(F.col(text_col)))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+        lambda i: md5_hash(t.substr(i.cast("int"), F.lit(n))),
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("id"), F.array_distinct(sh).alias("sh_arr")
+        )
+        .withColumn("n_sh", F.size("sh_arr"))
+        .persist()
+    )
+
+
+def jaccard_pairs_char(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Character-n-gram Jaccard pairs (a<b) ≥ threshold — the same
+    inverted-index + length-filter pipeline as :func:`jaccard_pairs`
+    over character shingles."""
+    arrs = char_shingle_hash_arrays(docs, text_col, id_col, n)
+    sh = arrs.select("id", "n_sh", F.explode("sh_arr").alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("na") >= threshold * F.col("nb"))
+            & (F.col("nb") >= threshold * F.col("na"))
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard_pairs_pruned(
     docs: DataFrame,
     threshold: float,

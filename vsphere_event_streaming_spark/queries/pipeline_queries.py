@@ -187,6 +187,87 @@ def q_dedup_near_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# L2a'': character-n-gram Jaccard (cross-language/code dedup form)
+# ======================================================================
+@query(
+    "q_dedup_near_char",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lower(trim(text)) AS t FROM documents
+      WHERE length(trim(text)) >= 5
+    ),
+    sha AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(t)-3),
+               i -> {_duck_word_hash("substr(t, CAST(i AS INTEGER), 5)")}
+             )) AS sh_arr
+      FROM t
+    ),
+    ex AS (
+      SELECT doc_id, len(sh_arr) AS n_sh, unnest(sh_arr) AS sh
+      FROM sha WHERE len(sh_arr) > 0
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
+             count(*) AS common
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+    WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+          >= 0.6
+    """,
+)
+def q_dedup_near_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard ≥ 0.6 — token-boundary-free near-dup
+    detection (the standard form for code and cross-language text)."""
+    from ..functions.dedup import jaccard_pairs_char
+
+    return jaccard_pairs_char(
+        _t(spark, sf_dir, "documents"), threshold=0.6, n=5
+    )
+
+
+# ======================================================================
+# L4': word n-gram frequency table
+# ======================================================================
+@query(
+    "q_text_ngrams",
+    oracle=f"""
+    WITH w AS (SELECT {_DUCK_WORDS} AS ws FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM w WHERE len(ws) >= 2
+    )
+    SELECT bigram, count(*) AS n FROM g GROUP BY bigram
+    """,
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequency table: transform+explode+count — the
+    n-gram language-model statistics pass over the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = T.words(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i.cast("int")),
+            F.element_at(ws, (i + 1).cast("int")),
+        ),
+    )
+    return (
+        docs.filter(F.size(T.words(F.col("text"))) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ======================================================================
 # L2b: MinHash + LSH candidate pairs
 # ======================================================================
 def _minhash_oracle() -> str:
