@@ -173,6 +173,59 @@ def test_watch_tail_from_now_sees_only_new_data(spark, tmp_path):
     assert sorted(got) == list(range(100, 150))
 
 
+def test_watch_restart_resumes_from_checkpoint(spark, tmp_path):
+    """A watch restarted with the same checkpoint resumes exactly where
+    it stopped: no replays, no gaps — the reference's resumable-cursor
+    contract (server.go:149-169) via Structured Streaming recovery."""
+    tmp = str(tmp_path)
+    log_dir = _run_ingest(spark, tmp, 100)
+
+    got_first: list[int] = []
+    stream = watch(spark, log_dir, start_offset=0)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: got_first.extend(
+                r["offset"] for r in b.select("offset").collect()
+            )
+        )
+        .option("checkpointLocation", f"{tmp}/resume_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert sorted(got_first) == list(range(100))
+
+    # append 30 more, then restart the SAME checkpointed query
+    stream2 = read_poll_stream(spark, page_size=50, start_key=100, max_key=130)
+    q2 = start_ingest(spark, stream2, log_dir, f"{tmp}/ckpt_more")
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            cnt = spark.read.schema(LOG_SCHEMA_DDL).parquet(log_dir).count()
+            if cnt >= 130:
+                break
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+        q2.awaitTermination(30)
+
+    got_second: list[int] = []
+    stream3 = watch(spark, log_dir, start_offset=0)
+    q3 = (
+        stream3.writeStream.foreachBatch(
+            lambda b, i: got_second.extend(
+                r["offset"] for r in b.select("offset").collect()
+            )
+        )
+        .option("checkpointLocation", f"{tmp}/resume_ckpt")  # same ckpt
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(60)
+    # only the new offsets — nothing re-delivered, nothing skipped
+    assert sorted(got_second) == list(range(100, 130))
+
+
 def test_watch_purged_start_raises(spark, tmp_path):
     tmp = str(tmp_path)
     log_dir = _run_ingest(spark, tmp, 100)

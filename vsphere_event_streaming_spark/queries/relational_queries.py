@@ -242,6 +242,29 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- A4': approximate aggregates (the 100 TB interactive tier) ---------
+@query("q_approx_aggs", oracle=None)  # approximate by design: rows-only
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct and approximate quantiles per
+    event_type — sketch-based single-pass aggregates whose state is
+    constant-size per group regardless of input rows (the only viable
+    distinct/quantile form at 100 TB). Accuracy vs exact is asserted in
+    ``tests/test_approx_aggs.py``; cross-engine value equality is
+    impossible by design (sketches are engine-specific), hence
+    rows-only here.
+    """
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+                "value_quantiles"
+            ),
+        )
+    )
+
+
 # -- A5: rollup / grouping sets ----------------------------------------
 @query(
     "q_rollup",
