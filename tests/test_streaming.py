@@ -237,6 +237,22 @@ def test_watch_purged_start_raises(spark, tmp_path):
         watch(spark, log_dir, start_offset=0)
 
 
+def test_ndjson_client_decode(spark, tmp_path):
+    """S5: the client-side NDJSON consume loop — stored wire lines
+    decode back to typed envelopes with offset ≡ id ≡ Key."""
+    from vsphere_event_streaming_spark.streaming.watch import consume_ndjson
+
+    log_dir = _run_ingest(spark, str(tmp_path), 60)
+    lines = spark.read.schema(LOG_SCHEMA_DDL).parquet(log_dir)
+    events = consume_ndjson(lines).collect()
+    assert len(events) == 60
+    for r in events:
+        assert int(r["id"]) == r["key"]
+        assert r["type"].startswith("vmware.vsphere.")
+        assert r["eventclass"] in ("event", "eventex", "extendedevent")
+        assert r["time"] is not None
+
+
 def test_stream_static_enrich(spark, tmp_path):
     """J7: stream-static broadcast join enriches the live stream."""
     from vsphere_event_streaming_spark.streaming.enrich import enrich_with_dim

@@ -55,3 +55,24 @@ def watch_ndjson(stream: DataFrame) -> DataFrame:
     """Project the stream to the NDJSON wire shape (one JSON text per
     record, server.go:177-181) — the stored value verbatim."""
     return stream.select(F.col("value"))
+
+
+def consume_ndjson(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """The reference CLI client's decode loop (cmd/client/main.go:79-86,
+    S5): NDJSON lines → typed CloudEvent envelopes.
+
+    Works on any DataFrame of JSON-line strings — the batch page read,
+    the watch stream, or a text-file scan of captured output — and
+    returns the envelope fields flattened for consumption.
+    """
+    from ..operators.envelope import decode_envelope_json
+
+    decoded = decode_envelope_json(lines, value_col)
+    return decoded.select(
+        F.col("event.id").alias("id"),
+        F.col("event.type").alias("type"),
+        F.col("event.eventclass").alias("eventclass"),
+        F.col("event.time").alias("time"),
+        F.col("event.data.Key").alias("key"),
+        F.col(value_col).alias("raw"),
+    )
