@@ -41,6 +41,11 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_knn_topk",
     "q_udf_cosine",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q18",
 ]
 
 

@@ -43,6 +43,26 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # offset assignment: windows are partitioned (per-range rank) — the
     # only un-partitioned window is the #partitions-row prefix sum
     "q_offset_assign": [[r"row_number"], []],
+    # TPC-H headliners: pushed date filters, broadcast dims, top-k heap
+    "q_tpch_q1": [
+        [r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", r"HashAggregate"],
+        [],
+    ],
+    "q_tpch_q3": [
+        [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+        [r"\+- Sort \[revenue.*global=true"],
+    ],
+    "q_tpch_q5": [[r"BroadcastHashJoin"], []],
+    "q_tpch_q6": [
+        [r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", r"HashAggregate"],
+        [],
+    ],
+    "q_tpch_q18": [[r"BroadcastHashJoin", r"TakeOrderedAndProject"], []],
+    # scalar subquery executed as literal → pushed to the scan
+    "q_subquery_scalar": [[r"PushedFilters: \[.*GreaterThan\(l_extendedprice"], []],
+    # hash sampling stays JVM-side (no Python eval in the plan)
+    "q_sample": [[r"HashAggregate"], [r"BatchEvalPython", r"ArrowEvalPython"]],
+    "q_pivot": [[r"HashAggregate"], [r"Generate"]],
 }
 
 
@@ -50,6 +70,9 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # simple-mode explain truncates scan metadata (PushedFilters/...) at
+    # 100 chars by default — widen so the audit sees the full filter list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     qs = load_all()
     failed = 0
     for name, (must, must_not) in EXPECT.items():

@@ -1,0 +1,669 @@
+"""Advanced relational surface: remaining join shapes, pivot,
+conditional/ordered-set aggregates, analytic windows, scalar
+subqueries, deterministic sampling, and TPC-H-style headline queries.
+
+These widen SURVEY §2.3-2.8 beyond the first pass in
+``relational_queries.py``: FULL OUTER and CROSS joins, PIVOT,
+FILTER-style conditional aggregation, string_agg/collect_set,
+exact interpolated percentiles, percent_rank/cume_dist frames, the
+scalar-subquery-as-literal pattern, md5-hash deterministic sampling,
+and the classic TPC-H Q1/Q3/Q5/Q6/Q18 shapes over the driver star
+schema (adapted to the available columns — no l_commitdate /
+o_shippriority in the test tables).
+
+Scale posture: every aggregate is partial+final (no
+collect-then-group), every small side is broadcast, dates and
+thresholds are literals so they reach the parquet scan, and sums that
+feed cross-engine comparison go through decimal for order
+independence. The TPC-H shapes are the bench headliners — at 100 TB
+they exercise the scan→broadcast→shuffle-agg→top-k spine the whole
+engine depends on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import tune
+from ..tables import load
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load(spark, sf_dir, name)
+
+
+def _dsum(col, scale: int = 2):
+    """Order-independent exact sum of a fixed-point double column."""
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ======================================================================
+# §2.3 remaining join shapes
+# ======================================================================
+
+
+# -- J3': full outer join ----------------------------------------------
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name, o.n_orders
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+    FULL OUTER JOIN (
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: both unmatched sides survive with NULLs.
+
+    Both inputs are pre-reduced (filter / pre-aggregate) before the
+    join — at scale the full-outer shuffle then moves the small
+    residue, not the fact table.
+    """
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_name")
+    )
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return cust.join(big, cust.c_custkey == big.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_orders",
+    )
+
+
+# -- J: cross join (cartesian of two tiny relations) -------------------
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, o_orderstatus,
+           concat(r_name, '/', o_orderstatus) AS cell
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny relations (grid expansion).
+
+    Both sides are dimension-sized; Spark picks
+    BroadcastNestedLoopJoin. Never valid fact×fact — the engine only
+    exposes it behind pre-reduced inputs.
+    """
+    region = _t(spark, sf_dir, "region").select("r_name")
+    status = (
+        _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    )
+    return region.crossJoin(F.broadcast(status)).select(
+        "r_name",
+        "o_orderstatus",
+        F.concat_ws("/", "r_name", "o_orderstatus").alias("cell"),
+    )
+
+
+# ======================================================================
+# §2.4 aggregation extensions
+# ======================================================================
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# -- A3': pivot (rows → typed columns) ---------------------------------
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT events into one column per event_type.
+
+    The pivot value list is explicit — with it, Spark skips the extra
+    distinct-values job and the output schema is static (mandatory at
+    scale: one pass, partial-aggregated per type).
+    """
+    piv = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot yields NULL for absent (user, type) combos; FILTER-count
+    # yields 0 — normalize to the SQL semantics.
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+# -- A3'': conditional aggregation (FILTER clause) ---------------------
+@query(
+    "q_conditional_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(*) FILTER (WHERE value > 0.9) AS n_high,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE value > 0.9)
+                AS DOUBLE) AS sum_high,
+           CAST(count(*) FILTER (WHERE value > 0.9) AS DOUBLE)
+             / count(*) AS high_share
+    FROM events GROUP BY event_type
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates: one scan, many predicated measures.
+
+    The idiomatic replacement for N self-joins — all measures fold
+    into a single partial+final hash aggregate.
+    """
+    high = F.col("value") > 0.9
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(high, 1)).alias("n_high"),
+            F.sum(F.when(high, F.col("value").cast("decimal(18,6)")))
+            .cast("double")
+            .alias("sum_high"),
+            (
+                F.count(F.when(high, 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("high_share"),
+        )
+    )
+
+
+# -- A: ordered string aggregation (collect_set → string_agg) ----------
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT lang,
+           string_agg(source, ',' ORDER BY source) AS sources,
+           count(*) AS n_sources
+    FROM (SELECT DISTINCT lang, source FROM documents)
+    GROUP BY lang
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: collect_set → sort → join.
+
+    ``collect_set`` order is nondeterministic under parallelism;
+    ``array_sort`` before ``concat_ws`` makes the result stable — the
+    only safe listagg form on a distributed engine.
+    """
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias(
+                "sources"
+            ),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+# -- A: exact interpolated percentiles ---------------------------------
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (SQL PERCENTILE_CONT).
+
+    Exact percentile requires a per-group sort — fine per bounded
+    group; the unbounded-cardinality variant is ``q_approx_aggs``
+    (sketches). Rounded to 6 dp: interpolation arithmetic may differ
+    in the last ulp across engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+# ======================================================================
+# §2.5 analytic-window extensions
+# ======================================================================
+
+
+@query(
+    "q_window_analytics",
+    oracle="""
+    SELECT event_id, event_type,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           first_value(event_id) OVER w AS first_ev,
+           last_value(event_id) OVER (
+             PARTITION BY event_type ORDER BY value, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_ev
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / first_value / last_value frames.
+
+    ``last_value`` needs the explicit UNBOUNDED FOLLOWING frame (the
+    default frame ends at CURRENT ROW — a classic correctness trap in
+    both engines, reproduced identically here).
+    """
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("event_id").over(w).alias("first_ev"),
+        F.last("event_id").over(w_full).alias("last_ev"),
+    )
+
+
+# ======================================================================
+# §2.8 scalar subquery as literal + deterministic sampling
+# ======================================================================
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_extendedprice > (
+      SELECT CAST(avg(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery executed as a bound-then-literal predicate.
+
+    The 1-row aggregate runs first; its value becomes a literal in the
+    main predicate so it reaches the parquet scan as a PushedFilter
+    (row-group min/max pruning). A joined 1-row bound would keep the
+    plan lazy but scan everything. The average itself goes through
+    decimal so it is partial-aggregation-order independent.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    threshold = float(
+        li.agg(
+            F.avg(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+        ).first()[0]
+    )
+    return (
+        li.filter(F.col("l_extendedprice") > F.lit(threshold))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_sample",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || '#'
+                              || l_linenumber::VARCHAR), 1, 15))::BIGINT
+          % 10 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample (seeded on the row's natural key).
+
+    ``TABLESAMPLE``/``df.sample`` are engine- and partitioning-
+    dependent; hashing the natural key is reproducible across engines,
+    scales (a row keeps its sample fate as data grows), and cluster
+    layouts — the only sampling form admissible in a training-data
+    pipeline where reruns must agree. md5 is codegen'd JVM-side; no
+    Python in the path.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    rowkey = F.concat_ws(
+        "#", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    bucket = F.conv(F.substring(F.md5(rowkey), 1, 15), 16, 10).cast(
+        "long"
+    ) % 10
+    return (
+        li.filter(bucket == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+# ======================================================================
+# Embedding centroids (vector agg; feeds IVF training)
+# ======================================================================
+
+
+@query(
+    "q_embed_centroid",
+    oracle="""
+    SELECT label, pos, CAST(sum(v) AS DOUBLE) / count(*) AS centroid
+    FROM (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(27,10)) AS v
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid of the embedding column.
+
+    posexplode → (label, pos) hash aggregate: fully partial-aggregated
+    and shuffle-bounded by labels × dims (not by rows), so it holds at
+    100 TB. This is exactly the k-means update step IVF training uses
+    (``functions/vectors.py``). Float values pass through double →
+    decimal so the sum is order-independent and cross-engine exact.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("v").cast("double").cast("decimal(27,10)").alias("v"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("centroid")
+    )
+
+
+# ======================================================================
+# TPC-H headline shapes (bench spine)
+# ======================================================================
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS avg_qty,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical scan→agg throughput probe.
+
+    One parquet scan with a pushed date filter, 6 measures folded into
+    a single partial+final hash aggregate over a 6-group key space —
+    the shape AQE coalesces to near-zero shuffle. Double products are
+    IEEE-identical cross-engine; sums go through decimal.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    charge = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("decimal(22,6)")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (_dsum("l_quantity") / n).alias("avg_qty"),
+            (_dsum("l_discount", 6) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (adapted: o_orderpriority stands in
+    for the absent o_shippriority column).
+
+    Selective dim filter broadcast into the fact join, pushed date
+    predicates on both scans, then top-10 via TakeOrderedAndProject —
+    no global sort materializes. Tie-break on l_orderkey keeps the
+    LIMIT deterministic cross-engine.
+    """
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: the 6-way join spine.
+
+    Join order is written smallest-out: region→nation→supplier are
+    broadcast stages that never shuffle the facts; only
+    orders⋈lineitem is a real shuffle (on the same key both sides —
+    one exchange each). The c_nationkey = s_nationkey condition rides
+    the supplier broadcast.
+    """
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(supp),
+            li.l_suppkey == supp.s_suppkey,
+        )
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(
+            F.broadcast(cust),
+            (F.col("o_custkey") == cust.c_custkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(22,6)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue: pure pushed-filter scan + global agg.
+
+    All four predicates reach the parquet reader (PushedFilters →
+    row-group stats pruning); the aggregate is a 1-group partial+final
+    — the minimal-I/O probe of the scan path.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(22,6)")
+    return li.agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: agg→HAVING→semi-join→re-agg.
+
+    The HAVING subquery reduces lineitem to a tiny keeper-key set
+    (~1% of orders) that is broadcast left-semi joined back — the
+    facts are filtered before the customer join ever sees them. At
+    100 TB the keeper set stays kilobytes per million orders.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    keepers = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("tq"))
+        .filter(F.col("tq") > 250)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        F.broadcast(keepers),
+        F.col("o_orderkey") == keepers.l_orderkey,
+        "left_semi",
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(_dsum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

@@ -46,6 +46,7 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> dict[str, QueryDef]:
     """Import every query module (side-effect: registration)."""
     from .queries import (  # noqa: F401
+        advanced_queries,
         log_queries,
         pipeline_queries,
         relational_queries,
