@@ -286,6 +286,134 @@ def test_stream_static_enrich(spark, tmp_path):
     assert by_key[12] is None  # left join preserves unresolved refs
 
 
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream join: click → purchase by the same user within 2 min.
+
+    Two live poll streams join on user_name with an event-time range
+    condition; the expected pair set is computed independently from the
+    deterministic generator (same role as the reference's vcsim oracle).
+    """
+    from vsphere_event_streaming_spark.sources.poll_source import (
+        _generate_event,
+    )
+    from vsphere_event_streaming_spark.streaming.enrich import (
+        stream_stream_join,
+    )
+
+    tmp = str(tmp_path)
+    n = 240  # 4 minutes of 1/sec events
+    rows = [_generate_event(k) for k in range(n)]
+    expected = {
+        (l[0], r[0])
+        for l in rows
+        if l[2] == "click"
+        for r in rows
+        if r[2] == "purchase"
+        and r[3] == l[3]
+        and 0 <= (r[1] - l[1]).total_seconds() <= 120
+    }
+    assert expected  # oracle sanity: the window does produce pairs
+
+    clicks = read_poll_stream(spark, page_size=50, max_key=n).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_poll_stream(spark, page_size=50, max_key=n).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_join(
+        clicks, purchases, on="user_name", within="2 minutes"
+    ).select("key", "r_key")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_test")
+        .option("checkpointLocation", f"{tmp}/ckpt_ss")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            got = spark.sql("SELECT key, r_key FROM ss_join_test").collect()
+            if len(got) >= len(expected):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert {(r["key"], r["r_key"]) for r in got} == expected
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionizer: inline close + timeout close.
+
+    File-source stream with controlled event times: user A has two runs
+    separated by > gap (first closes inline when the second run
+    arrives); the sentinel file advances the watermark so the remaining
+    open sessions close via event-time timeout.
+    """
+    import datetime as dt
+
+    from vsphere_event_streaming_spark.streaming.stateful import sessionize
+
+    tmp = str(tmp_path)
+    in_dir, ckpt = f"{tmp}/in", f"{tmp}/ckpt_sess"
+    base = dt.datetime(2024, 1, 1)
+    schema = "user_name string, created_time timestamp"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # batch 1: A run1 (0,10,20), A run2 (100,110) — gap 30 closes run1
+    # inline; B single run (5,15)
+    write_batch(
+        "b1",
+        [("A", base + dt.timedelta(seconds=s)) for s in (0, 10, 20, 100, 110)]
+        + [("B", base + dt.timedelta(seconds=s)) for s in (5, 15)],
+    )
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        sessionize(stream, gap_seconds=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        sentinel_written = False
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM sessions_test WHERE user_name <> 'Z'"
+            ).collect()
+            if len(rows) >= 1 and not sentinel_written:
+                # run1 of A closed inline; advance the watermark far past
+                # every last_seen + gap so B and A-run2 close via timeout
+                write_batch(
+                    "b2", [("Z", base + dt.timedelta(seconds=10_000))]
+                )
+                sentinel_written = True
+            if len(rows) == 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = {
+        (r["user_name"], r["session_start"], r["session_end"], r["n_events"])
+        for r in rows
+    }
+    assert got == {
+        ("A", base, base + dt.timedelta(seconds=20), 3),
+        ("A", base + dt.timedelta(seconds=100),
+         base + dt.timedelta(seconds=110), 2),
+        ("B", base + dt.timedelta(seconds=5),
+         base + dt.timedelta(seconds=15), 2),
+    }
+
+
 def test_streaming_dedup_and_tumbling(spark, tmp_path):
     """Streaming dedup + windowed agg over the poll source."""
     tmp = str(tmp_path)
