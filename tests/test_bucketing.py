@@ -1,0 +1,63 @@
+"""Bucketed co-located join: no Exchange in the plan, same answer."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from vsphere_event_streaming_spark.operators.bucketing import (
+    colocated_join,
+    write_bucketed,
+)
+from vsphere_event_streaming_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(extended=False)
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    li = load(spark, SF_DIR, "lineitem")
+    orders = load(spark, SF_DIR, "orders")
+
+    li_b = write_bucketed(
+        spark, li, "li_bucketed", ["l_orderkey"], 8,
+        path=f"{tmp_path}/li_b",
+    )
+    ord_b = write_bucketed(
+        spark, orders, "ord_bucketed", ["o_orderkey"], 8,
+        path=f"{tmp_path}/ord_b",
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(
+            li_b, ord_b, li_b.l_orderkey == ord_b.o_orderkey
+        )
+        plan = _plan(joined)
+        # co-location: neither side shuffles — the whole point
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+
+        got = joined.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        expect = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")

@@ -63,6 +63,20 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # hash sampling stays JVM-side (no Python eval in the plan)
     "q_sample": [[r"HashAggregate"], [r"BatchEvalPython", r"ArrowEvalPython"]],
     "q_pivot": [[r"HashAggregate"], [r"Generate"]],
+    "q_tpch_q10": [[r"BroadcastHashJoin", r"TakeOrderedAndProject"], []],
+    "q_tpch_q14": [
+        [r"BroadcastHashJoin", r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate"],
+        [],
+    ],
+    # cube = one Expand + one shuffle, not 2^k scans
+    "q_cube": [[r"Expand", r"HashAggregate"], []],
+    "q_sample_stratified": [
+        [r"HashAggregate"],
+        [r"BatchEvalPython", r"ArrowEvalPython"],
+    ],
+    # struct-valued max_by is sort-aggregated, but still partial+final
+    # (one shuffle) and never a window over the whole table
+    "q_minmax_by": [[r"partial_max_by"], [r"Window"]],
 }
 
 

@@ -247,6 +247,114 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- A5': cube + grouping-set identity ---------------------------------
+@query(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping sets in one pass, with GROUPING() flags
+    disambiguating real NULLs from subtotal rows.
+
+    Spark expands the cube map-side (each row feeds every grouping
+    set's partial aggregate) — one shuffle regardless of k.
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice").alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority",
+            "g_status", "g_prio", "n", "sum_price",
+        )
+    )
+
+
+# -- A: arg-min/arg-max (min_by / max_by with deterministic ties) ------
+@query(
+    "q_minmax_by",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rx,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           max(CASE WHEN rx = 1 THEN event_id END) AS best_event,
+           max(CASE WHEN rn = 1 THEN event_id END) AS worst_event,
+           max(CASE WHEN rx = 1 THEN value END) AS max_value
+    FROM ranked GROUP BY event_type
+    """,
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max / arg-min via ``max_by``/``min_by`` over a (value, key)
+    struct — the struct's lexicographic order makes ties deterministic
+    (plain ``max_by(x, value)`` is nondeterministic when values tie,
+    and this table has thousands of ties).
+
+    One hash aggregate; the oracle's window formulation is the
+    semantic spec, the struct form is the shuffle-cheap way to run it.
+    """
+    tie_max = F.struct(F.col("value"), F.col("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.max_by("event_id", tie_max).alias("best_event"),
+            F.min_by("event_id", tie_max).alias("worst_event"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+# -- A: fixed-width histogram ------------------------------------------
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM events GROUP BY bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a bucket-key hash aggregate.
+
+    The scalable histogram form: bucket id is computed row-side (no
+    sort, no pass over sorted data), so the shuffle carries only
+    #buckets groups however large the input.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 25.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
 # ======================================================================
 # §2.5 analytic-window extensions
 # ======================================================================
@@ -369,6 +477,41 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             _dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 20
+          < CASE event_type WHEN 'click' THEN 1 ELSE 4 END
+    GROUP BY event_type
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum rates off one
+    hash (click 5%, everything else 20%).
+
+    The distributed replacement for ``df.sampleBy`` — partitioning-
+    independent and rerun-stable, which matters when a training-data
+    pipeline downsamples dominant classes and must reproduce the
+    exact sample on re-execution.
+    """
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long") % 20
+    rate = F.when(F.col("event_type") == "click", 1).otherwise(4)
+    return (
+        ev.filter(bucket < rate)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value", 6).alias("sum_value"),
         )
     )
 
@@ -666,4 +809,99 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_dsum("l_quantity").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: who returned the most revenue.
+
+    Quarter-bounded orders and the returnflag filter are both pushed to
+    their scans before the fact⋈fact shuffle; customer and nation ride
+    broadcasts; top-20 is a heap, not a sort.
+    """
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cust_n = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(22,6))
+                   ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(22,6))) AS DOUBLE)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: conditional share of revenue.
+
+    Month-bounded scan, part broadcast into the facts, both the
+    conditional and total revenue folded into ONE aggregate — the
+    two-sums-one-pass shape that replaces self-joins.
+    """
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast("decimal(22,6)")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_revenue_pct")
+        )
     )
