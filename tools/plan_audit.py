@@ -77,6 +77,12 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # struct-valued max_by is sort-aggregated, but still partial+final
     # (one shuffle) and never a window over the whole table
     "q_minmax_by": [[r"partial_max_by"], [r"Window"]],
+    "q_grouping_sets": [[r"Expand", r"HashAggregate"], []],
+    # search: term filter runs before aggregation; df side broadcasts
+    "q_search_tfidf": [
+        [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        [r"SortMergeJoin"],
+    ],
 }
 
 

@@ -557,6 +557,165 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# Sessionization (batch gaps-and-islands) + grouping sets + search
+# ======================================================================
+
+
+_SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 h inactivity
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 14400000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gaps-and-islands entirely in window
+    functions (the batch analog of ``streaming/stateful.py::
+    sessionize`` — same 'new session when gap > threshold' semantics,
+    zero Python in the path).
+
+    lag → boundary flag → running sum = session id → hash aggregate.
+    Partitioned by user, so every window is per-key bounded and the
+    job scales with users, not with the single timeline.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flag = F.when(us - F.lag(us).over(w) > _SESSION_GAP_US, 1).otherwise(0)
+    running = (
+        F.sum(flag)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+    )
+    return (
+        ev.select("user_id", "ts", running.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_n,
+           count(*) AS n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): independent
+    per-region and per-nation totals plus the grand total in ONE pass.
+
+    Exercised through the engine's SQL surface (temp views +
+    ``spark.sql``) — the declarative form compiles to the same single
+    Expand + shuffle as the DataFrame cube/rollup.
+    """
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("v_region")
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+               CAST(GROUPING(n_name) AS BIGINT) AS g_n,
+               count(*) AS n
+        FROM v_customer
+        JOIN v_nation ON c_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
+
+
+_SEARCH_TERMS = ["hash", "join", "vector"]
+
+
+@query(
+    "q_search_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('hash', 'join', 'vector') GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok
+      WHERE term IN ('hash', 'join', 'vector') GROUP BY term
+    ), n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id,
+           round(sum(tf * ln(n.n / df)), 6) AS score
+    FROM tf JOIN df USING (term), n
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search: TF-IDF scoring over the documents table.
+
+    tokenize → filter to query terms **before** any aggregation (the
+    scan output is |terms|-bounded, not vocabulary-bounded) → term
+    frequencies and document frequencies as two thin aggregates → a
+    broadcast join (df is |query terms| rows) → per-doc score → top-20
+    heap. N arrives as a literal via the 1-row scalar pre-query.
+    Scores rounded to 6 dp: ln() may differ in the last ulp across
+    libm implementations.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term").isin(_SEARCH_TERMS))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tokens.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))), 6
+            ).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ======================================================================
 # TPC-H headline shapes (bench spine)
 # ======================================================================
 

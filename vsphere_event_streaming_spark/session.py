@@ -24,6 +24,13 @@ _BUILD_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
+    # Split-size rule: size file splits so every core has work. The test
+    # tables are ≤11 MB/file, so the 128 MB default serializes heavy
+    # scans behind 1-3 tasks; 2 MB keeps all local cores busy. This is
+    # harness-session conf only (NOT tune()): a production deployment
+    # reading 100 TB of ≥128 MB row groups wants the default — the rule
+    # is splits ≈ bytes/core, not this literal value.
+    "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
 }
 
 #: Conf that is runtime-settable — applied to *any* session handed to us
