@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from vsphere_event_streaming_spark.operators.bucketing import (
     colocated_join,
     write_bucketed,
+    write_partitioned,
 )
 from vsphere_event_streaming_spark.tables import load
 
@@ -61,3 +62,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """Date-partitioned sink: a day-bounded read prunes at plan time."""
+    ev = load(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = f"{tmp_path}/events_by_day"
+    write_partitioned(ev, path, ["event_date"])
+
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("event_date") == "2024-01-03")
+    plan = _plan(one_day)
+    # the date predicate must be a PartitionFilter (directory pruning),
+    # not a data filter evaluated per row
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1].split(
+        "]", 1
+    )[0]
+
+    expect = ev.filter(F.to_date("ts") == "2024-01-03").count()
+    assert one_day.count() == expect > 0

@@ -69,6 +69,69 @@ def test_assign_offsets_matches_sorted_order(spark):
     assert [g[1] for g in got] == expect
 
 
+def test_sessionize_matches_reference(spark):
+    """Randomized gaps-and-islands: the window-function sessionizer in
+    q_sessionize agrees with an independent single-pass Python
+    reference on random per-user event times (ties included).
+    """
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    gap_s = 100
+    rng = random.Random(20260813)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(12):
+        t = 0
+        for _ in range(rng.randrange(1, 120)):
+            t += rng.choice([1, 5, 50, 99, 100, 101, 500])
+            rows.append((user, base + dt.timedelta(seconds=t), eid))
+            eid += 1
+
+    # independent reference: sort per user, split on gap > gap_s
+    expect = set()
+    by_user: dict[int, list] = {}
+    for u, ts, _ in rows:
+        by_user.setdefault(u, []).append(ts)
+    for u, tss in by_user.items():
+        tss.sort()
+        start = prev = tss[0]
+        n = 1
+        for ts in tss[1:]:
+            if (ts - prev).total_seconds() > gap_s:
+                expect.add((u, start, prev, n))
+                start, n = ts, 0
+            prev = ts
+            n += 1
+        expect.add((u, start, prev, n))
+
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flag = F.when(us - F.lag(us).over(w) > gap_s * 1_000_000, 1).otherwise(0)
+    running = F.sum(flag).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in (
+            df.select("user_id", "ts", running.alias("session_id"))
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_last_page_matches_get_start(spark):
     """On a dense log (the reference invariant: memlog offsets are
     contiguous in [earliest, latest]; purges only drop a prefix), the

@@ -53,6 +53,25 @@ def write_bucketed(
     return spark.table(table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Write a directory-partitioned parquet sink (hive layout).
+
+    The scale form of the engine's log sink: partition the ingest
+    output by a low-cardinality derived key (event date, offset
+    range) so that every time-bounded read — replay-from, retention
+    purge, the reference's now−5m horizon — prunes whole directories
+    at planning time (``PartitionFilters`` in the scan, zero I/O for
+    excluded partitions) instead of relying on row-group statistics.
+    Rule of thumb: partitions of 100 MB-1 GB; never partition by a
+    high-cardinality key (one dir per value kills the file system).
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def colocated_join(
     left: DataFrame,
     right: DataFrame,

@@ -656,6 +656,57 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE, _CHUNK_OVERLAP = 200, 150, 50
+
+
+@query(
+    "q_chunk_text",
+    oracle="""
+    SELECT doc_id,
+           CAST(start / 150 AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start,
+           CAST(len(substr(text, start + 1, 200)) AS BIGINT) AS chunk_chars,
+           md5(substr(text, start + 1, 200)) AS chunk_hash
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(len(text) - 50, 1), 150)) AS start
+      FROM documents
+    )
+    """,
+)
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: overlapping 200-char windows with a
+    150-char stride, entirely JVM-side.
+
+    ``sequence`` builds the start offsets, ``explode`` fans them out,
+    ``substring`` cuts the windows — no Python in the path, and the
+    fan-out factor is (len/stride), so the stage stays a narrow map:
+    chunking 100 TB of documents is shuffle-free. Chunks travel as
+    (start, length, hash) — position + fingerprint — rather than
+    duplicated text; downstream embedding stages read the slice lazily.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    # exclusive upper bound like DuckDB range(): sequence's inclusive
+    # end is bound-1
+    bound = F.greatest(
+        F.length("text") - _CHUNK_OVERLAP, F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), bound - 1, F.lit(_CHUNK_STRIDE))
+    chunk = F.substring(
+        F.col("text"), F.col("start") + 1, _CHUNK_SIZE
+    )
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / _CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.col("start").cast("bigint").alias("start"),
+            F.length(chunk).cast("bigint").alias("chunk_chars"),
+            F.md5(chunk).alias("chunk_hash"),
+        )
+    )
+
+
 _SEARCH_TERMS = ["hash", "join", "vector"]
 
 
