@@ -210,3 +210,27 @@ def test_multimodal_resize_and_audio_plumbing(spark):
 def test_decode_image_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG", fake=False)
+
+
+def test_kmeans_fit_objective_monotone(spark):
+    """Spherical k-means: each Lloyd's iteration improves (or holds)
+    the mean best-centroid cosine, and beats the deterministic seed."""
+    from vsphere_event_streaming_spark.functions.vectors import (
+        deterministic_centroids,
+        kmeans_fit,
+        kmeans_objective,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    seed = deterministic_centroids(emb, 8)
+    obj_seed = kmeans_objective(emb, seed)
+    prev = obj_seed
+    for iters in (1, 2, 3):
+        cents = kmeans_fit(emb, k=8, iters=iters)
+        obj = kmeans_objective(emb, cents)
+        assert obj >= prev - 1e-9
+        prev = obj
+    assert prev > obj_seed  # training actually moved the centroids
+    got = cents.collect()
+    assert len(got) == 8
+    assert all(len(r["cvec"]) == 64 for r in got)

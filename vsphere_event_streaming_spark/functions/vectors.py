@@ -192,6 +192,70 @@ def ivf_topk_indexed(
     return knn_topk(candidates, query, k, id_col, vec_col)
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) for IVF centroid training.
+
+    Per iteration: (1) nearest-centroid assignment — centroid table
+    broadcast, corpus never shuffles; (2) per-cell mean — posexplode →
+    (centroid, dim) partial+final hash aggregate, shuffle bounded by
+    k×d groups, not by rows; (3) L2-normalize the k×d result on the
+    driver (the ONLY driver-side data is the centroid table itself,
+    O(k·d) — the same shape MLlib's KMeans collects per iteration).
+    Assignment by cosine + normalized-mean update = spherical k-means,
+    whose objective (mean max-cosine) is non-decreasing; init is the
+    deterministic seed so runs are reproducible.
+
+    Scale: one broadcast join + one k×d-bounded shuffle per iteration;
+    at 100 TB with k=65k cells the centroid table is ~16 MB — still
+    broadcastable.
+    """
+    import math
+
+    centroids = deterministic_centroids(corpus, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+        cells = (
+            assigned.select(
+                "centroid_id", F.posexplode(vec_col).alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in cells:
+            by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = r["m"]
+        rows = []
+        for cid, dims in sorted(by_cid.items()):
+            vec = [dims[p] for p in range(len(dims))]
+            nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            rows.append((cid, [x / nrm for x in vec]))
+        centroids = corpus.sparkSession.createDataFrame(
+            rows, "centroid_id long, cvec array<double>"
+        )
+    return centroids
+
+
+def kmeans_objective(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean best-centroid cosine — the spherical k-means objective."""
+    return (
+        assign_centroids(corpus, centroids, id_col, vec_col)
+        .agg(F.avg("centroid_score"))
+        .first()[0]
+    )
+
+
 def deterministic_centroids(
     corpus: DataFrame,
     n: int = 10,
