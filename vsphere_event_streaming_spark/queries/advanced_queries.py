@@ -396,9 +396,125 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- W: time-interval RANGE frame --------------------------------------
+@query(
+    "q_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS hour_sum,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS hour_n
+    FROM events
+    """,
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding time-window analytics as a RANGE frame: per event, the
+    trailing-hour sum/count for that user.
+
+    RANGE (value-based) frames differ from ROWS frames exactly when
+    timestamps tie — peers enter the frame together; both engines
+    implement the SQL-standard semantics, so this is also a tie-
+    handling conformance check. Per-user partitions keep the sort
+    bounded per key.
+    """
+    ev = _t(spark, sf_dir, "events")
+    frame = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return ev.selectExpr(
+        "event_id",
+        "user_id",
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) "
+        f"{frame} AS DOUBLE) AS hour_sum",
+        f"count(*) {frame} AS hour_n",
+    )
+
+
 # ======================================================================
 # §2.8 scalar subquery as literal + deterministic sampling
 # ======================================================================
+
+
+@query(
+    "q_regexp_funcs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, 'scan')) AS BIGINT) AS n_scan,
+           CAST(len(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+             AS no_vowel_chars
+    FROM documents
+    """,
+)
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar family: extract / count-matches / global replace.
+
+    Patterns stay in the POSIX-common subset (character classes,
+    literals) where Java and RE2 regex semantics agree. All three run
+    inside whole-stage codegen — regex at 100 TB is fine when it's
+    JVM-side; it's the Python-UDF regex loop that isn't.
+    """
+    ev = _t(spark, sf_dir, "documents")
+    return ev.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_count("text", F.lit("scan")).cast("bigint").alias("n_scan"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast(
+            "bigint"
+        ).alias("no_vowel_chars"),
+    )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM (SELECT DISTINCT p_name FROM part) a
+    JOIN (SELECT DISTINCT p_name FROM part) b
+      ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy name matching: blocked self-join + edit-distance filter.
+
+    The O(n²) quadratic pair space is cut by (1) deduplicating to
+    distinct names first and (2) an equi-join on a blocking key (first
+    token) so only same-block pairs are ever scored — the same
+    block-before-score shape as the near-dup operators
+    (functions/dedup.py); levenshtein runs codegen'd JVM-side.
+    """
+    names = (
+        _t(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    block = F.split(F.col("p_name"), " ").getItem(0)
+    a = names.select(
+        F.col("p_name").alias("name_a"), block.alias("block_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), block.alias("block_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("block_a") == F.col("block_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn(
+            "dist",
+            F.levenshtein("name_a", "name_b").cast("bigint"),
+        )
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+    )
 
 
 @query(
