@@ -1,0 +1,43 @@
+"""Python UDTF surface (SURVEY §2.10).
+
+The reference has no user-extensible function surface; the engine
+exposes Spark 4's Python UDTF as the table-function extension point.
+``ExplodeProps`` is the demonstrator: explode the dynamic ``props``
+JSON payload (the reference's per-type extra event fields, SURVEY
+§1.2 "props JSON string column") into (key, value) rows.
+
+Slow-path warning, by design: a Python UDTF is row-at-a-time Python
+(Arrow-batched here with ``useArrow``), ~10-100× slower than the
+JVM-side equivalent ``explode(from_json(props, 'map<string,string>'))``
+— which is what the engine's own queries use (q_map_funcs,
+q_json_extract). Reach for a UDTF only when the row-expansion logic
+genuinely can't be expressed with built-ins (custom parsers, stateful
+per-row expansion, external-library tokenizers).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType="key string, value string", useArrow=True)
+class ExplodeProps:
+    """props JSON object → one (key, stringified value) row per field."""
+
+    def eval(self, props: str):  # noqa: D102 - UDTF contract
+        if not props:
+            return
+        try:
+            obj = json.loads(props)
+        except ValueError:
+            return
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                yield k, None if v is None else str(v)
+
+
+def register_udtfs(spark) -> None:
+    """Register the UDTF surface for spark.sql LATERAL usage."""
+    spark.udtf.register("explode_props", ExplodeProps)

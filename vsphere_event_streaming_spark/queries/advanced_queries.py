@@ -823,6 +823,41 @@ def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_top_words",
+    oracle="""
+    SELECT w AS token, count(*) AS n
+    FROM documents,
+         unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(w)
+    WHERE w <> ''
+    GROUP BY w
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: exact global top-k terms, two-phase.
+
+    Phase 1 shuffles once on the token for exact counts (partial
+    map-side combine keeps the shuffle vocabulary-bounded); phase 2 is
+    a TakeOrderedAndProject heap — the full sorted term list never
+    materializes. Tie-break on the token keeps top-k stable.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
 _SEARCH_TERMS = ["hash", "join", "vector"]
 
 
@@ -879,6 +914,118 @@ def q_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
+    )
+
+
+# ======================================================================
+# §2.10 Python UDTF surface
+# ======================================================================
+
+
+@query(
+    "q_udtf_props",
+    oracle="""
+    SELECT event_id, k AS key,
+           json_extract_string(props, '$.' || k) AS value
+    FROM (
+      SELECT event_id, props, unnest(json_keys(props)) AS k
+      FROM events
+    )
+    """,
+)
+def q_udtf_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join: explode the dynamic props JSON
+    into rows (the reference's per-type extra fields, SURVEY §1.2).
+
+    This is the extensibility-surface check — Arrow-batched Python
+    table function driven from SQL. The production form of this exact
+    semantics is JVM-side ``explode(from_json(...))`` (q_map_funcs);
+    see functions/udtf_ops.py for when each applies.
+    """
+    from ..functions.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("v_events_udtf")
+    return spark.sql(
+        """
+        SELECT e.event_id, j.key, j.value
+        FROM v_events_udtf e, LATERAL explode_props(e.props) j
+        """
+    )
+
+
+# ======================================================================
+# End-to-end training-data prep (the north-star composition)
+# ======================================================================
+
+
+@query(
+    "q_pipeline_prep",
+    oracle=r"""
+    WITH keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+    ), kept AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN keepers USING (doc_id)
+      WHERE len(d.text) >= 150
+        AND ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 2 = 0
+    ), chunks AS (
+      SELECT doc_id, lang, text,
+             unnest(range(0, greatest(len(text) - 50, 1), 150)) AS start
+      FROM kept
+    )
+    SELECT lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(len(substr(text, start + 1, 200))) AS BIGINT)
+             AS total_chars
+    FROM chunks GROUP BY lang
+    """,
+)
+def q_pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composition in one declarative plan: exact dedup
+    → quality filter → deterministic 50% sample → RAG chunking →
+    per-language corpus stats.
+
+    Every stage reuses an operator that is independently oracled
+    (q_dedup_exact / q_quality_score's length filter / q_sample /
+    q_chunk_text), composed lazily so Catalyst optimizes ACROSS stage
+    boundaries: the length + hash-sample predicates run before the
+    dedup join's shuffle, and only keeper doc_ids move. This is the
+    query shape a 100 TB pre-training corpus prep actually runs.
+    """
+    from ..functions.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    keepers = docs.groupBy(
+        normalize_text(F.col("text")).alias("__norm")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    sample_ok = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 2
+        == 0
+    )
+    kept = (
+        docs.filter((F.length("text") >= 150) & sample_ok)
+        .join(keepers.select("doc_id"), "doc_id", "left_semi")
+    )
+    bound = F.greatest(F.length("text") - _CHUNK_OVERLAP, F.lit(1))
+    starts = F.sequence(F.lit(0), bound - 1, F.lit(_CHUNK_STRIDE))
+    chunk = F.substring(F.col("text"), F.col("start") + 1, _CHUNK_SIZE)
+    return (
+        kept.select(
+            "doc_id", "lang", "text", F.explode(starts).alias("start")
+        )
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.length(chunk)).cast("bigint").alias("total_chars"),
+        )
     )
 
 
