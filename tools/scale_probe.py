@@ -65,6 +65,36 @@ def _replicate_events(ev, factor: int):
     return out
 
 
+def _replicate_lineitem(li, factor: int):
+    shift = li.agg(F.max("l_orderkey")).first()[0] + 1
+    copies = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * shift))
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _tpch_q1_shape(li):
+    dsum = lambda c, s=2: F.sum(  # noqa: E731
+        F.col(c).cast(f"decimal(18,{s})")
+    ).cast("double")
+    return (
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def _time(fn) -> tuple[float, int]:
     t0 = time.perf_counter()
     df = fn()
@@ -84,6 +114,9 @@ def main() -> None:
     ev1 = load(spark, sf_dir, "events").select("event_id", "ts")
     evN = _replicate_events(ev1, factor).persist()
     evN.count()
+    li1 = load(spark, sf_dir, "lineitem")
+    liN = _replicate_lineitem(li1, factor).persist()
+    liN.count()
 
     results = {}
     for name, one, many in [
@@ -106,6 +139,11 @@ def main() -> None:
             "last_page",
             lambda: last_page(ev1, 50, "event_id"),
             lambda: last_page(evN, 50, "event_id"),
+        ),
+        (
+            "tpch_q1_agg",
+            lambda: _tpch_q1_shape(li1),
+            lambda: _tpch_q1_shape(liN),
         ),
     ]:
         t1, n1 = _time(one)
