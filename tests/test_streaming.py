@@ -414,6 +414,60 @@ def test_stateful_sessionize(spark, tmp_path):
     }
 
 
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas state server needs google.protobuf "
+    "(not shipped in this container); applyInPandasWithState covers the "
+    "stateful path in test_stateful_sessionize",
+)
+def test_transform_with_state_running_counts(spark, tmp_path):
+    """State API v2: per-user lifetime counters accumulate across
+    micro-batches and match the generator's key distribution."""
+    from vsphere_event_streaming_spark.streaming.stateful_v2 import (
+        running_user_stats,
+    )
+
+    tmp = str(tmp_path)
+    n = 200  # user_name = f"user{key % 16}" → 8 users x13, 8 x12
+    stream = read_poll_stream(spark, page_size=50, max_key=n)
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_test")
+        .option("checkpointLocation", f"{tmp}/ckpt_tws")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT user_name, max(n_events) AS n, max(max_key) AS mk "
+                "FROM tws_test GROUP BY user_name"
+            ).collect()
+            if sum(r["n"] for r in rows) >= n and len(rows) == 16:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = {r["user_name"]: (r["n"], r["mk"]) for r in rows}
+    expect = {}
+    for u in range(16):
+        keys = [k for k in range(n) if k % 16 == u]
+        expect[f"user{u}"] = (len(keys), max(keys))
+    assert got == expect
+
+
 def test_streaming_dedup_and_tumbling(spark, tmp_path):
     """Streaming dedup + windowed agg over the poll source."""
     tmp = str(tmp_path)
