@@ -84,3 +84,52 @@ def test_partitioned_sink_prunes_partitions(spark, tmp_path):
 
     expect = ev.filter(F.to_date("ts") == "2024-01-03").count()
     assert one_day.count() == expect > 0
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a date-partitioned fact with a filtered dim prunes fact
+    partitions at RUNTIME (DPP): the dim's date set becomes a pruning
+    subquery on the fact's partition column."""
+    ev = load(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = f"{tmp_path}/events_dpp"
+    write_partitioned(ev, path, ["event_date"])
+    fact = spark.read.parquet(path)
+
+    # the dim must (a) carry a real filter and (b) be the broadcast
+    # side — DPP rides the broadcast: its date set becomes the pruning
+    # subquery; without the broadcast the tiny fact would be the build
+    # side and nothing would prune
+    dim = (
+        spark.createDataFrame(
+            [
+                ("2024-01-02", "tuesday"),
+                ("2024-01-05", "friday"),
+                ("2099-01-01", "excluded"),
+            ],
+            "d string, tag string",
+        )
+        .select(F.col("d").cast("date").alias("d"), "tag")
+        .filter(F.col("tag") != "excluded")
+    )
+
+    joined = (
+        fact.join(F.broadcast(dim), fact.event_date == dim.d)
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+
+    got = {r["tag"]: r["n"] for r in joined.collect()}
+    expect = {
+        r["d"]: r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    import datetime as dt
+
+    assert got["tuesday"] == expect[dt.date(2024, 1, 2)]
+    assert got["friday"] == expect[dt.date(2024, 1, 5)]
