@@ -78,6 +78,15 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # (one shuffle) and never a window over the whole table
     "q_minmax_by": [[r"partial_max_by"], [r"Window"]],
     "q_grouping_sets": [[r"Expand", r"HashAggregate"], []],
+    # Q19: per-side residuals reach both scans despite the cross-side OR
+    "q_tpch_q19": [
+        [
+            r"BroadcastHashJoin",
+            r"PushedFilters: \[.*Or\(.*l_quantity",
+        ],
+        [r"SortMergeJoin"],
+    ],
+    "q_tpch_q16": [[r"BroadcastHashJoin", r"HashAggregate"], []],
     # search: term filter runs before aggregation; df side broadcasts
     "q_search_tfidf": [
         [r"BroadcastHashJoin", r"TakeOrderedAndProject"],

@@ -1235,6 +1235,94 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 supplier-diversity report (adapted: l_suppkey plays
+    partsupp's ps_suppkey — the test schema has no partsupp table).
+
+    NOT-filters and the IN-list run on the broadcast (part) side
+    before the join; count(DISTINCT) expands to the standard two-round
+    aggregate (dedup shuffle then count) — both rounds partial+final.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 14, 23, 36, 45, 49))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: disjunctive mixed-side predicates.
+
+    The OR spans both join sides, so it can't be pushed into either
+    scan whole — but its per-side residuals CAN: the part side
+    pre-filters to the union of brands/sizes and the lineitem side to
+    the union of quantity ranges (both engines' optimizers derive
+    these; written explicitly here so the 100 TB scan never reads
+    non-candidate rows), with the exact disjunction evaluated after
+    the broadcast join.
+    """
+    cases = [
+        ("Brand#3", (1, 15), (1, 20)),
+        ("Brand#12", (10, 30), (10, 30)),
+        ("Brand#24", (20, 50), (20, 40)),
+    ]
+    part_pre = None
+    li_pre = None
+    full = None
+    for brand, (s_lo, s_hi), (q_lo, q_hi) in cases:
+        p = (F.col("p_brand") == brand) & F.col("p_size").between(s_lo, s_hi)
+        q = F.col("l_quantity").between(q_lo, q_hi)
+        part_pre = p if part_pre is None else (part_pre | p)
+        li_pre = q if li_pre is None else (li_pre | q)
+        full = (p & q) if full is None else (full | (p & q))
+    part = _t(spark, sf_dir, "part").filter(part_pre)
+    li = _t(spark, sf_dir, "lineitem").filter(li_pre)
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(full)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
     "q_tpch_q18",
     oracle="""
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
