@@ -1235,6 +1235,97 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority check (adapted: 'late' = shipped more
+    than 60 days after order date — the test schema has no
+    commitdate/receiptdate pair).
+
+    EXISTS with a correlated non-equi condition compiles to a left-semi
+    join: the equi part (orderkey) carries the shuffle/broadcast and
+    the date comparison rides as the join residual — no pair blow-up,
+    no distinct needed (semi joins dedup by construction).
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (
+                li.l_shipdate
+                > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 250000)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity shape (adapted: mktsegment
+    stands in for the phone country code): rich customers with no
+    large orders.
+
+    Combines both subquery forms the engine supports: the scalar
+    subquery runs bound-then-literal (predicate reaches the scan) and
+    NOT EXISTS is a left-anti join on the order keys — at scale the
+    anti join's right side is a pre-projected single column.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    threshold = float(
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"))
+        .first()[0]
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select("o_custkey")
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > F.lit(threshold))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+@query(
     "q_tpch_q16",
     oracle="""
     SELECT p_brand, p_type, p_size,
