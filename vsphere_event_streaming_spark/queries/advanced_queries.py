@@ -1465,6 +1465,293 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(vol) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+               AS vol
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: bilateral trade per year.
+
+    The two nation lookups are the SAME tiny table under two aliases —
+    both broadcast; the cross-side nation-pair disjunction is applied
+    after the second broadcast, and the year extraction
+    (`year(l_shipdate)`) feeds the group key without a shuffle of its
+    own.
+    """
+    n1, n2 = "NATION_3", "NATION_7"
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name").isin(n1, n2))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name").isin(n1, n2))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_5' THEN vol
+                         ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+           / CAST(sum(vol) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+               AS vol,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: one supplier nation's slice of a
+    region's import volume, per year.
+
+    The share is two sums in ONE aggregate (conditional + total — the
+    q_tpch_q14 pattern over a 7-table join); every dimension hop is a
+    broadcast, so the only fact shuffle is lineitem⋈orders.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(cust_nations),
+        F.col("c_nationkey") == F.col("cn_key"),
+        "left_semi",
+    ).select("c_custkey")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    zero = F.lit(0).cast("decimal(22,6)")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("nation") == "NATION_5", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order distribution: count-of-counts with
+    zeros preserved.
+
+    The LEFT join keeps order-less customers (count(o_orderkey)=0 —
+    count of a column skips NULLs, exactly the SQL semantics both
+    engines share); the second aggregate is distribution-sized, not
+    customer-sized.
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(22,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: groupwise-max against a derived table.
+
+    The revenue aggregate is computed ONCE and persisted; the max
+    arrives as a literal (bound-then-literal scalar, q_subquery_scalar
+    pattern) so the filter is a cheap scan of the cached aggregate —
+    not a re-aggregation, and not a window over all suppliers.
+    Equality on double is safe: both sides derive from the same exact
+    decimal sum.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(vol).cast("double").alias("total_revenue"))
+        .persist()
+    )
+    best = float(revenue.agg(F.max("total_revenue")).first()[0])
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.filter(F.col("total_revenue") == F.lit(best))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS avg_pk,
+             0.2 * CAST(avg(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS qty_cut
+      FROM lineitem GROUP BY l_partkey
+    ) a ON a.avg_pk = l_partkey
+    WHERE p_brand = 'Brand#5' AND l_quantity < qty_cut
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: a correlated per-group
+    scalar subquery (avg quantity per part) decorrelated into a
+    pre-aggregated broadcast join.
+
+    The per-part averages are part-cardinality-sized → broadcastable;
+    the fact scans once. This is the standard decorrelation Catalyst
+    itself applies to correlated scalar subqueries — written
+    explicitly so the shape is visible and auditable.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cuts = li.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (
+            F.lit(0.2)
+            * F.avg(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+        ).alias("qty_cut")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#5"
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cuts), F.col("l_partkey") == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (_dsum("l_extendedprice") / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+@query(
     "q_tpch_q10",
     oracle="""
     SELECT c_custkey, c_name,
