@@ -234,3 +234,27 @@ def test_kmeans_fit_objective_monotone(spark):
     got = cents.collect()
     assert len(got) == 8
     assert all(len(r["cvec"]) == 64 for r in got)
+
+
+def test_embed_chunks_plumbing(spark):
+    """Chunk → batched fake-embedding inference: schema, determinism,
+    batch shape."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.multimodal import (
+        embed_chunks,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    chunks = docs.select(
+        F.concat_ws("#", "doc_id", F.lit("0")).alias("chunk_key"),
+        F.substring("text", 1, 200).alias("chunk_text"),
+    )
+    out = embed_chunks(chunks, dim=16, batch_size=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    assert all(-1.0 <= v <= 1.0 for r in rows for v in r["embedding"])
+    # deterministic: same text → same vector on a second run
+    again = {r["chunk_key"]: r["embedding"] for r in out.collect()}
+    assert all(again[r["chunk_key"]] == r["embedding"] for r in rows)

@@ -184,3 +184,54 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+EMBED_SCHEMA = "chunk_key string, embedding array<float>"
+
+
+def embed_chunks(
+    chunks: DataFrame,
+    key_col: str = "chunk_key",
+    text_col: str = "chunk_text",
+    dim: int = 16,
+    batch_size: int = 64,
+) -> DataFrame:
+    """mapInPandas embedding-inference stage over text chunks.
+
+    The Spark-side plumbing of a model-inference step (the stage that
+    follows q_chunk_text in a RAG/pre-training pipeline): Arrow moves
+    text batches into Python, the 'model' maps each batch to fixed-dim
+    vectors, vectors return as ``array<float>``. The model itself is a
+    deterministic stub (md5-seeded pseudo-vector per the environment
+    rules — no ML libs in this container): swap ``_embed_batch`` for a
+    real encoder; everything else (schema, batch shape, partition
+    parallelism, memory bounds) is production-real. ``batch_size``
+    sub-batches inside each Arrow batch the way a GPU encoder would.
+    """
+    import hashlib
+
+    def _embed_batch(texts: list[str]) -> list[list[float]]:
+        out = []
+        for t in texts:
+            h = hashlib.md5(t.encode()).digest()
+            out.append(
+                [((h[i % 16] / 255.0) * 2 - 1) for i in range(dim)]
+            )
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_size):
+                part = pdf.iloc[lo : lo + batch_size]
+                yield pd.DataFrame(
+                    {
+                        "chunk_key": part[key_col].values,
+                        "embedding": _embed_batch(
+                            part[text_col].tolist()
+                        ),
+                    }
+                )
+
+    return chunks.select(key_col, text_col).mapInPandas(
+        run, schema=EMBED_SCHEMA
+    )
