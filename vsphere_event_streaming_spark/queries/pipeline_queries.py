@@ -620,3 +620,22 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_payload(docs, "doc_id", "text")
     return extract_metadata(media, fake_decode=True)
+
+
+@query("q_dedup_groups", oracle=None)  # iterative → rows-only (contract)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive dedup GROUPS via distributed
+    connected components (label propagation + pointer jumping,
+    operators/graph.py).
+
+    Iterative fixed-point algorithms are explicitly rows-only in the
+    driver contract; the strong correctness check is the union-find
+    reference comparison in tests/test_graph.py. This is the step that
+    turns pairwise similarity into keep-one-per-group decisions — a
+    corpus dedup is not done until overlapping pairs are unioned.
+    """
+    from ..functions.dedup import jaccard_pairs
+    from ..operators.graph import dedup_groups
+
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup_groups(pairs)
