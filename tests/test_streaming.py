@@ -54,6 +54,52 @@ def _run_ingest(spark, tmp, n_events, page_size=50, start_key=0, timeout=90):
     return log_dir
 
 
+def test_ingest_segment_partitioned_sink(spark, tmp_path):
+    """Opt-in segment layout: offset segments become directories,
+    offset-bounded reads prune partitions, purge = directory drop."""
+    import os
+
+    tmp = str(tmp_path)
+    log_dir = f"{tmp}/log_seg"
+    stream = read_poll_stream(spark, page_size=50, max_key=120)
+    q = start_ingest(
+        spark, stream, log_dir, f"{tmp}/ckpt_seg", segment_size=50
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(log_dir).count() >= 120:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        else:
+            pytest.fail("segmented ingest did not reach expected count")
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    dirs = sorted(
+        d for d in os.listdir(log_dir) if d.startswith("segment=")
+    )
+    assert dirs == ["segment=0", "segment=1", "segment=2"]
+    log = spark.read.parquet(log_dir)
+    assert log.count() == 120
+    # offset-bounded read only touches matching segment dirs
+    import io
+    from contextlib import redirect_stdout
+
+    pruned = log.filter(F.col("segment") == 1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain(extended=False)
+    assert "PartitionFilters" in buf.getvalue()
+    assert [r["offset"] for r in pruned.orderBy("offset").collect()] == list(
+        range(50, 100)
+    )
+
+
 def test_ingest_end_to_end(spark, tmp_path):
     log_dir = _run_ingest(spark, str(tmp_path), 120, page_size=50)
     log = spark.read.schema(LOG_SCHEMA_DDL).parquet(log_dir)

@@ -93,6 +93,7 @@ def append_log_batch(
     log_dir: str,
     source: str,
     state: dict | None = None,
+    segment_size: int | None = None,
 ) -> None:
     """foreachBatch body: envelope, dedup against sink, assign offsets,
     append.
@@ -139,9 +140,19 @@ def append_log_batch(
     seeded = assign_offsets(
         fresh, order_by=["key"], start=start, offset_col="offset"
     )
-    seeded.select("offset", "key", "value").write.mode("append").parquet(
-        log_dir
-    )
+    out = seeded.select("offset", "key", "value")
+    if segment_size is not None:
+        # memlog-segment layout (README.md:177-184): partition the sink
+        # by offset segment so (a) offset-bounded reads prune whole
+        # directories and (b) retention purge = drop the oldest segment
+        # dirs — no rewrite, exactly the reference's 2-segment ring at
+        # file-system granularity
+        out = out.withColumn(
+            "segment", (F.col("offset") / segment_size).cast("bigint")
+        )
+        out.write.mode("append").partitionBy("segment").parquet(log_dir)
+    else:
+        out.write.mode("append").parquet(log_dir)
     state["max_offset"] = start + n - 1
     state["max_key"] = hi
 
@@ -153,15 +164,20 @@ def start_ingest(
     checkpoint_dir: str,
     source: str = "https://vcenter.example.com/sdk",
     trigger_seconds: float | None = None,
+    segment_size: int | None = None,
 ):
     """Run the standing ingest query (reference's collector goroutine).
 
     ``trigger_seconds=None`` → process-as-available (tests);
-    1.0 mirrors the reference's 1 s poll ticker.
+    1.0 mirrors the reference's 1 s poll ticker. ``segment_size``
+    opts into the segment-partitioned sink layout (see
+    ``append_log_batch``).
     """
     run_state: dict = {}  # per-run offset continuation (see append_log_batch)
     writer = source_stream.writeStream.foreachBatch(
-        lambda b, i: append_log_batch(b, i, log_dir, source, run_state)
+        lambda b, i: append_log_batch(
+            b, i, log_dir, source, run_state, segment_size
+        )
     ).option("checkpointLocation", os.path.join(checkpoint_dir, "ingest"))
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
