@@ -46,3 +46,36 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
 
         rank = bisect.bisect_left(vals, g) / n
         assert abs(rank - p) <= 0.01, (p, g, rank)
+
+
+def test_count_min_sketch_bounds(spark):
+    """CMS never underestimates, and overestimates stay within eps*N
+    for the classic parameterization (w=1024 → eps≈e/1024)."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from vsphere_event_streaming_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("t")
+    ).filter(F.col("t") != "")
+    exact = {r["t"]: r["n"] for r in
+             tokens.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_total = sum(exact.values())
+
+    depth, width = 4, 1024
+    sketch = cms_build(tokens, "t", depth=depth, width=width)
+    eps_n = (2.71828 / width) * n_total
+
+    for term, true_n in sorted(
+        exact.items(), key=lambda kv: -kv[1]
+    )[:30]:
+        est = cms_estimate(sketch, term, width)
+        assert est >= true_n  # CMS property: overestimate only
+        assert est <= true_n + eps_n
+    # unseen key estimates are bounded by collision noise, not huge
+    assert cms_estimate(sketch, "zzz_never_seen", width) <= eps_n
