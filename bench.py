@@ -46,6 +46,7 @@ HEADLINE = [
     "q_tpch_q5",
     "q_tpch_q6",
     "q_tpch_q18",
+    "q_pipeline_prep",
 ]
 
 
