@@ -472,6 +472,67 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+           CAST(json_extract(props, '$.missing') AS INTEGER) AS absent
+    FROM events
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` once, then typed ``variant_get`` paths.
+
+    VARIANT stores the parsed binary form, so repeated path accesses
+    skip re-parsing the JSON text (the from_json/get_json_object
+    forms in q_json_extract re-parse per expression) — the right
+    encoding for the reference's dynamic ``props`` payload (SURVEY
+    §1.2) at scan-heavy scale. Missing paths are NULL, matching SQL
+    JSON semantics.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_val"),
+        F.try_variant_get(v, "$.missing", "int").alias("absent"),
+    )
+
+
+@query(
+    "q_try_funcs",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(event_type AS INTEGER) AS bad_cast,
+           TRY_CAST(CAST(user_id AS VARCHAR) AS INTEGER) AS good_cast,
+           CASE WHEN user_id % 7 = 0 THEN NULL
+                ELSE round(value / (user_id % 7), 6) END AS safe_div
+    FROM events
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar family: ``try_cast`` / ``try_divide``.
+
+    Malformed input yields NULL instead of a failed 100 TB job — the
+    engine's equivalent of the reference's 400-not-500 boundary
+    mapping (cmd/server/server.go:285-288): bad records degrade to
+    NULL rows the pipeline can quarantine, never a crashed query.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("TRY_CAST(event_type AS INT)").alias("bad_cast"),
+        F.expr("TRY_CAST(CAST(user_id AS STRING) AS INT)").alias(
+            "good_cast"
+        ),
+        F.round(
+            F.try_divide(F.col("value"), F.col("user_id") % 7), 6
+        ).alias("safe_div"),
+    )
+
+
+@query(
     "q_fuzzy_match",
     oracle="""
     SELECT a.p_name AS name_a, b.p_name AS name_b,
