@@ -733,6 +733,51 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_profile",
+    oracle="""
+    SELECT 'events' AS tbl, count(*) AS n,
+           count(*) - count(props) AS null_props,
+           count(DISTINCT user_id) AS distinct_users,
+           count(DISTINCT event_type) AS distinct_types,
+           CAST(min(ts) AS TIMESTAMP) AS min_ts,
+           CAST(max(ts) AS TIMESTAMP) AS max_ts,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(value), 6) AS mean_value,
+           CAST(min(len(props)) AS BIGINT) AS min_props_len,
+           CAST(max(len(props)) AS BIGINT) AS max_props_len
+    FROM events
+    """,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling in one pass: row count, null counts, distincts,
+    ranges, exact mean — the table-health report a pipeline runs
+    before trusting an input drop.
+
+    All measures fold into ONE aggregate over one scan (no per-column
+    jobs, no ``describe()``-style collect); the two count-distincts
+    expand to the standard expand+two-round plan. The mean goes
+    through decimal so reruns and engines agree exactly.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.lit("events").alias("tbl"),
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("props")).alias("null_props"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.countDistinct("event_type").alias("distinct_types"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value"),
+            6,
+        ).alias("mean_value"),
+        F.min(F.length("props")).cast("bigint").alias("min_props_len"),
+        F.max(F.length("props")).cast("bigint").alias("max_props_len"),
+    )
+
+
 # ======================================================================
 # Sessionization (batch gaps-and-islands) + grouping sets + search
 # ======================================================================
