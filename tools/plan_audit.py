@@ -87,6 +87,25 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"SortMergeJoin"],
     ],
     "q_tpch_q16": [[r"BroadcastHashJoin", r"HashAggregate"], []],
+    # north-star composition + text tier stay JVM-side end to end
+    "q_pipeline_prep": [
+        [r"HashAggregate", r"Generate"],
+        [r"BatchEvalPython", r"ArrowEvalPython"],
+    ],
+    "q_chunk_text": [
+        [r"Generate"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"Exchange"],
+    ],
+    "q_top_words": [[r"TakeOrderedAndProject", r"HashAggregate"], []],
+    "q_sessionize": [
+        [r"Window", r"HashAggregate"],
+        [r"BatchEvalPython", r"ArrowEvalPython"],
+    ],
+    "q_variant_json": [
+        [r"Project"],
+        [r"BatchEvalPython", r"ArrowEvalPython"],
+    ],
+    "q_embed_centroid": [[r"Generate", r"HashAggregate"], []],
     # search: term filter runs before aggregation; df side broadcasts
     "q_search_tfidf": [
         [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
