@@ -37,8 +37,10 @@ def asof_join(
     tiebreakers: list[str] | None = None,
     how: str = "left",
     left_key: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: latest ``right`` row at or before each left row's time.
+    """As-of join: nearest ``right`` row at-or-before (``backward``,
+    the default) or at-or-after (``forward``) each left row's time.
 
     J6: latest dim state at event time. Implementation: equi-join on
     the key (shuffle on key only), keep right rows with
@@ -59,13 +61,20 @@ def asof_join(
     else:
         lid = "__asof_lid"
         l = left.withColumn(lid, F.monotonically_increasing_id())
-    cond = (F.col(left_on) == F.col(right_on)) & (
-        F.col(right_time) <= F.col(left_time)
-    )
+    if direction == "backward":
+        time_cond = F.col(right_time) <= F.col(left_time)
+        order = [F.col(right_time).desc_nulls_last()] + [
+            F.col(t).desc_nulls_last() for t in tiebreakers
+        ]
+    elif direction == "forward":
+        time_cond = F.col(right_time) >= F.col(left_time)
+        order = [F.col(right_time).asc_nulls_last()] + [
+            F.col(t).asc_nulls_last() for t in tiebreakers
+        ]
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown direction {direction!r}")
+    cond = (F.col(left_on) == F.col(right_on)) & time_cond
     joined = l.join(right, cond, how)
-    order = [F.col(right_time).desc_nulls_last()] + [
-        F.col(t).desc_nulls_last() for t in tiebreakers
-    ]
     w = Window.partitionBy(lid).orderBy(*order)
     out = (
         joined.withColumn("__asof_rn", F.row_number().over(w))

@@ -198,6 +198,45 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
 
 
+# -- J6': forward as-of join (next dim state after event time) ---------
+@query(
+    "q_join_asof_fwd",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, o.o_orderkey,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate ASC, o.o_orderkey ASC
+             ) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+    )
+    SELECT event_id, o_orderkey AS next_orderkey FROM ranked WHERE rn = 1
+    """,
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: the FIRST order at-or-after each event (the
+    'what happened next' direction — attribution, next-action
+    analysis). Same key-partitioned shuffle as the backward form with
+    the time condition and rank order flipped.
+    """
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    out = asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        tiebreakers=["o_orderkey"],
+        left_key="event_id",
+        direction="forward",
+    )
+    return out.select("event_id", F.col("o_orderkey").alias("next_orderkey"))
+
+
 # ======================================================================
 # §2.4 Aggregations
 # ======================================================================
