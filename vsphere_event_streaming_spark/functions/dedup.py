@@ -51,14 +51,21 @@ def normalize_text(text: Column) -> Column:
 def exact_dedup_keepers(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """L1: one keeper (min id) per normalized-text group."""
+    """L1: one keeper (min id) per normalized-text group.
+
+    The group key is ``md5(normalized_text)``, not the text: identical
+    groups (collision odds ~n²/2¹²⁸ — nil at any corpus size), but the
+    shuffle carries 16-byte keys instead of whole documents. At 100 TB
+    this is the difference between shuffling the corpus and shuffling
+    ~2% of it.
+    """
     return (
-        df.groupBy(normalize_text(F.col(text_col)).alias("__norm"))
+        df.groupBy(F.md5(normalize_text(F.col(text_col))).alias("__nh"))
         .agg(
             F.min(id_col).alias("keeper_id"),
             F.count(F.lit(1)).alias("copies"),
         )
-        .drop("__norm")
+        .drop("__nh")
         .select("keeper_id", "copies")
     )
 

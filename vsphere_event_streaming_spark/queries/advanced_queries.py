@@ -1105,8 +1105,10 @@ def q_pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import normalize_text
 
     docs = _t(spark, sf_dir, "documents")
+    # group by md5 of the normalized text: identical groups, 16-byte
+    # shuffle keys instead of whole documents (see exact_dedup_keepers)
     keepers = docs.groupBy(
-        normalize_text(F.col("text")).alias("__norm")
+        F.md5(normalize_text(F.col("text"))).alias("__nh")
     ).agg(F.min("doc_id").alias("doc_id"))
     sample_ok = (
         F.conv(
