@@ -878,6 +878,62 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_cogroup_recon",
+    oracle="""
+    SELECT coalesce(e.user_id, o.o_custkey) AS user_id,
+           coalesce(e.n_events, 0) AS n_events,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(e.n_events, 0) - coalesce(o.n_orders, 0) AS gap
+    FROM (SELECT user_id, count(*) AS n_events FROM events
+          GROUP BY user_id) e
+    FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+                     WHERE o_custkey <= 200 GROUP BY o_custkey) o
+      ON e.user_id = o.o_custkey
+    """,
+)
+def q_cogroup_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key reconciliation through ``cogroup`` + ``applyInPandas``:
+    both sides of a key arrive in ONE Python function call as two
+    pandas frames (SURVEY §2.10's two-input UDTF analog).
+
+    The declarative equivalent (full outer join of two aggregates) is
+    what the oracle runs — and what production should prefer; cogroup
+    is the escape hatch for per-key logic joins can't express
+    (sequence alignment, per-key reconciliation loops, custom merges).
+    Both sides shuffle once on the key; Python sees one key's rows at
+    a time, never the corpus.
+    """
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select(F.col("o_custkey").alias("user_id"))
+    )
+
+    def recon(key: tuple, left: pd.DataFrame, right: pd.DataFrame):
+        n_e, n_o = len(left), len(right)
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_e],
+                "n_orders": [n_o],
+                "gap": [n_e - n_o],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            recon,
+            "user_id bigint, n_events bigint, n_orders bigint, gap bigint",
+        )
+    )
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE, _CHUNK_OVERLAP = 200, 150, 50
 
 
