@@ -99,6 +99,26 @@ def test_ingest_segment_partitioned_sink(spark, tmp_path):
         range(50, 100)
     )
 
+    # the watch/replay path reads the segmented layout unchanged
+    # (partition column rides along; framing and order preserved)
+    got = []
+    wq = (
+        watch(spark, log_dir, start_offset=0)
+        .writeStream.foreachBatch(
+            lambda b, i: got.extend(r["offset"] for r in b.collect())
+        )
+        .option("checkpointLocation", f"{tmp}/wckpt_seg")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline and len(got) < 120:
+            time.sleep(0.5)
+    finally:
+        wq.stop()
+        wq.awaitTermination(30)
+    assert sorted(got) == list(range(120))
+
 
 def test_ingest_end_to_end(spark, tmp_path):
     log_dir = _run_ingest(spark, str(tmp_path), 120, page_size=50)
