@@ -74,8 +74,8 @@ def test_count_min_sketch_bounds(spark):
     for term, true_n in sorted(
         exact.items(), key=lambda kv: -kv[1]
     )[:30]:
-        est = cms_estimate(sketch, term, width)
+        est = cms_estimate(sketch, term)
         assert est >= true_n  # CMS property: overestimate only
         assert est <= true_n + eps_n
     # unseen key estimates are bounded by collision noise, not huge
-    assert cms_estimate(sketch, "zzz_never_seen", width) <= eps_n
+    assert cms_estimate(sketch, "zzz_never_seen") <= eps_n

@@ -534,6 +534,60 @@ def test_transform_with_state_running_counts(spark, tmp_path):
     assert got == expect
 
 
+def test_stateful_sessionize_late_and_null_events(spark, tmp_path):
+    """Robustness: null event times are dropped; an allowed-late event
+    merges into the open session (expands it) instead of moving the
+    end backward or splitting."""
+    import datetime as dt
+
+    from vsphere_event_streaming_spark.streaming.stateful import sessionize
+
+    tmp = str(tmp_path)
+    in_dir, ckpt = f"{tmp}/in", f"{tmp}/ckpt_late"
+    base = dt.datetime(2024, 1, 1)
+    schema = "user_name string, created_time timestamp"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    write_batch([("A", base + dt.timedelta(seconds=100)), ("A", None)])
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        sessionize(stream, gap_seconds=30, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_late_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        time.sleep(3)  # batch 1 processed
+        # allowed-late event (watermark is 10 min): merges into [50,100]
+        write_batch([("A", base + dt.timedelta(seconds=50))])
+        time.sleep(3)
+        # sentinel far in the future closes A via event-time timeout
+        write_batch([("Z", base + dt.timedelta(seconds=100_000))])
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM sessions_late_test WHERE user_name = 'A'"
+            ).collect()
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["session_start"] == base + dt.timedelta(seconds=50)
+    assert r["session_end"] == base + dt.timedelta(seconds=100)
+    assert r["n_events"] == 2  # the null-time record was dropped
+
+
 def test_streaming_dedup_and_tumbling(spark, tmp_path):
     """Streaming dedup + windowed agg over the poll source."""
     tmp = str(tmp_path)

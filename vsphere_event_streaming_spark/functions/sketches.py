@@ -42,9 +42,18 @@ def cms_build(
 ) -> list[list[int]]:
     """Aggregate a column into a d×w count-min sketch (driver-side
     list of lists — the sketch IS small by construction).
+
+    Key encoding contract: the column is hashed through Spark's
+    cast-to-string; query keys passed to ``cms_estimate`` must be the
+    SAME string rendering. Use a string column (or pre-cast with the
+    formatting you will query with) for non-trivial types — Spark's
+    rendering of doubles/booleans differs from Python's ``str()``.
+    Null keys are excluded: they can never be queried, and counting
+    them would both inflate colliding cells and silently widen the
+    εN error bound.
     """
     key = F.col(key_col).cast("string")
-    cells = df.select(
+    cells = df.filter(key.isNotNull()).select(
         F.posexplode(
             F.array(*[_bucket(key, r, width) for r in range(depth)])
         ).alias("row", "bucket")
@@ -60,13 +69,16 @@ def cms_build(
     return sketch
 
 
-def cms_estimate(
-    sketch: list[list[int]], key: str, width: int | None = None
-) -> int:
-    """Point frequency estimate: min over the d hashed cells."""
+def cms_estimate(sketch: list[list[int]], key: str) -> int:
+    """Point frequency estimate: min over the d hashed cells.
+
+    Width is derived from the sketch itself — passing a mismatched
+    width would silently hash into the wrong cells (including
+    underestimates), so it is not a parameter.
+    """
     import hashlib
 
-    width = width or len(sketch[0])
+    width = len(sketch[0])
     est = None
     for r in range(len(sketch)):
         salted = f"{key}#{r}".encode()

@@ -70,11 +70,18 @@ def connected_components(
             .groupBy("vertex")
             .agg(F.min("component").alias("nbr_min"))
         )
-        stepped = labels.join(cand, "vertex", "left").select(
-            "vertex",
-            F.least("component", F.coalesce("nbr_min", "component")).alias(
-                "component"
-            ),
+        stepped = (
+            labels.join(cand, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    "component", F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            # materialize before the self-join below references it
+            # twice — otherwise the propagate join executes once per
+            # side, doubling per-round cost
+            .localCheckpoint(eager=True)
         )
         # (2) pointer jump: adopt the label of my label (path doubling)
         lab2 = stepped.select(
@@ -100,6 +107,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — with pointer jumping "
+            f"this covers diameters up to ~2^{max_iter}; raise max_iter "
+            "only if the graph is genuinely that stretched"
+        )
     return labels
 
 

@@ -31,6 +31,7 @@ def sessionize(
     ts_col: str = "created_time",
     gap_seconds: int = 30,
     watermark: str = "0 seconds",
+    key_type: str = "string",
 ) -> DataFrame:
     """Emit one row per closed session: (key, start, end, n_events).
 
@@ -41,9 +42,23 @@ def sessionize(
     no new event → the state store wakes the key and the session is
     flushed). The timeout path is what bounds state: idle keys leave
     the store instead of accumulating forever.
+
+    Semantics and preconditions:
+    - Null event times are dropped (a record with no time can't join a
+      session; the watermark filter lets NULLs through, so the drop
+      happens here).
+    - Out-of-order events within the allowed lateness merge into the
+      open session (start/end expand to cover them); a late event can
+      NOT reopen a session already emitted by the inline close — with
+      the default ``watermark='0 seconds'`` (in-order input) closes are
+      exact; with real lateness, prefer a watermark ≥ the expected
+      disorder and accept that an inline-closed session is final.
+    - The session timezone must be UTC (the engine pins it —
+      session.tune); event-time epochs are computed treating naive
+      timestamps as UTC, matching the JVM watermark clock only then.
     """
     out_schema = (
-        f"{key_col} string, session_start timestamp, "
+        f"{key_col} {key_type}, session_start timestamp, "
         "session_end timestamp, n_events bigint"
     )
     state_schema = "session_start timestamp, session_end timestamp, n bigint"
@@ -54,6 +69,15 @@ def sessionize(
         state: GroupState,
     ) -> Iterator[Any]:
         import pandas as pd
+
+        def epoch_ms(t) -> int:
+            # naive timestamps are UTC by engine contract (tune() pins
+            # the session tz); state-restored datetimes go through the
+            # same conversion so both code paths agree
+            ts_ = pd.Timestamp(t)
+            if ts_.tzinfo is None:
+                ts_ = ts_.tz_localize("UTC")
+            return int(ts_.timestamp() * 1000)
 
         def out(s, e, n):
             return pd.DataFrame(
@@ -73,6 +97,7 @@ def sessionize(
 
         ts = (
             pd.concat([pdf[ts_col] for pdf in pdfs])
+            .dropna()  # timeless records can't join a session
             .sort_values()
             .reset_index(drop=True)
         )
@@ -80,19 +105,22 @@ def sessionize(
             s, e, n = state.get
         else:
             s, e, n = None, None, 0
+        if len(ts) == 0 and e is None:
+            return
         for t in ts:
             if e is not None and (t - e).total_seconds() > gap_seconds:
                 yield out(s, e, n)
-                s, n = t, 0
+                s, e, n = t, None, 0
             if s is None:
                 s = t
-            e = t
+            # late in-order-violating events merge into the open
+            # session: expand, never move the end backward
+            s = min(s, t)
+            e = t if e is None else max(e, t)
             n += 1
         state.update((s, e, n))
         # wake this key once the watermark passes end-of-session + gap
-        state.setTimeoutTimestamp(
-            int(e.timestamp() * 1000) + gap_seconds * 1000
-        )
+        state.setTimeoutTimestamp(epoch_ms(e) + gap_seconds * 1000)
 
     return (
         stream.withWatermark(ts_col, watermark)
