@@ -258,3 +258,55 @@ def test_embed_chunks_plumbing(spark):
     # deterministic: same text → same vector on a second run
     again = {r["chunk_key"]: r["embedding"] for r in out.collect()}
     assert all(again[r["chunk_key"]] == r["embedding"] for r in rows)
+
+
+def test_frame_sample_plan_interval_edges(spark):
+    """One frame per STARTED interval; zero-duration media emit none."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.multimodal import (
+        frame_sample_plan,
+    )
+
+    media = spark.createDataFrame(
+        [(1, 2500), (2, 2000), (3, 0), (4, 999)], "media_id long, d long"
+    ).select(
+        "media_id", F.struct(F.col("d").alias("duration_ms")).alias("meta")
+    )
+    got = {
+        r["media_id"]: r["n"]
+        for r in frame_sample_plan(media, every_ms=1000)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # 2500ms → frames at 0,1000,2000; 2000ms → 0,1000; 0ms → none;
+    # 999ms → the single frame at 0
+    assert got == {1: 3, 2: 2, 4: 1}
+
+
+def test_udtf_props_json_value_fidelity(spark):
+    """UDTF stringification matches JSON semantics (true, compact
+    nested objects), not Python repr."""
+    from vsphere_event_streaming_spark.functions.udtf_ops import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, '{"flag": true, "nested": {"b": 1}, "s": "x", "n": 87}')],
+        "event_id long, props string",
+    ).createOrReplaceTempView("v_udtf_fidelity")
+    got = {
+        r["key"]: r["value"]
+        for r in spark.sql(
+            "SELECT j.key, j.value FROM v_udtf_fidelity e, "
+            "LATERAL explode_props(e.props) j"
+        ).collect()
+    }
+    assert got == {
+        "flag": "true",
+        "nested": '{"b":1}',
+        "s": "x",
+        "n": "87",
+    }

@@ -105,8 +105,10 @@ def resize_images(
                     "image resize requires an imaging library; "
                     "not available here"
                 )
+            # fake resize: keep target_w/64ths of the payload (64 is
+            # the fake codec's max width, decode_image above)
             out_payload = [
-                (p[: max(1, len(p) * target_w // max(1, 64))] if p else p)
+                (p[: max(1, len(p) * target_w // 64)] if p else p)
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
@@ -154,7 +156,13 @@ def audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                 x = np.frombuffer(p, dtype=np.uint8).astype("float64") - 128.0
                 n.append(len(x))
                 rms.append(float(np.sqrt(np.mean(x * x))))
-                zc.append(int(np.count_nonzero(np.diff(np.sign(x)))))
+                # true sign transitions only: zero samples are not
+                # crossings (naive diff(sign) counts +1,0,+1 as two)
+                s = np.sign(x)
+                s = s[s != 0]
+                zc.append(
+                    int(np.count_nonzero(s[1:] != s[:-1])) if len(s) else 0
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -172,17 +180,12 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     using metadata only (no payload read — column pruning keeps the
     scan narrow). The actual frame decode is the stubbed codec above.
     """
-    return media.select(
+    # one frame per started interval: ceil(duration/every) frames at
+    # t = 0, every, ... < duration; zero/negative duration → no frames
+    n_frames = F.ceil(F.col("meta.duration_ms") / every_ms).cast("int")
+    return media.filter(n_frames > 0).select(
         "media_id",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(
-                    (F.col("meta.duration_ms") / every_ms).cast("int") - 1,
-                    F.lit(0),
-                ),
-            )
-        ).alias("frame_idx"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     )
 
 
@@ -208,12 +211,12 @@ def embed_chunks(
     parallelism, memory bounds) is production-real. ``batch_size``
     sub-batches inside each Arrow batch the way a GPU encoder would.
     """
-    import hashlib
-
     def _embed_batch(texts: list[str]) -> list[list[float]]:
         out = []
         for t in texts:
-            h = hashlib.md5(t.encode()).digest()
+            # null text embeds as empty (a real encoder would do the
+            # same or filter upstream; crashing the job is never right)
+            h = hashlib.md5(("" if t is None else t).encode()).digest()
             out.append(
                 [((h[i % 16] / 255.0) * 2 - 1) for i in range(dim)]
             )

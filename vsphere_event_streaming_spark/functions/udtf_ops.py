@@ -35,7 +35,16 @@ class ExplodeProps:
             return
         if isinstance(obj, dict):
             for k, v in obj.items():
-                yield k, None if v is None else str(v)
+                # JSON-faithful stringification: bools as true/false,
+                # nested values as compact JSON (Python str() would
+                # emit True / single-quoted dicts, diverging from the
+                # documented from_json/json_extract_string parity)
+                if v is None:
+                    yield k, None
+                elif isinstance(v, str):
+                    yield k, v
+                else:
+                    yield k, json.dumps(v, separators=(",", ":"))
 
 
 def register_udtfs(spark) -> None:
