@@ -44,8 +44,13 @@ MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
 
 
 def normalize_text(text: Column) -> Column:
-    """Canonical form for exact dedup: lowercase, collapse whitespace."""
-    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    """Canonical form for exact dedup: lowercase, collapse whitespace.
+
+    The whitespace class is explicit — Java regex ``\\s`` includes
+    vertical tab (\\x0B) while RE2 (the DuckDB oracle) does not; the
+    explicit class means both engines normalize identically.
+    """
+    return F.lower(F.trim(F.regexp_replace(text, "[ \\t\\n\\r\\f\\x0B]+", " ")))
 
 
 def exact_dedup_keepers(

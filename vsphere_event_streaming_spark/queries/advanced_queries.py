@@ -88,7 +88,7 @@ def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_cross",
     oracle="""
     SELECT r_name, o_orderstatus,
-           concat(r_name, '/', o_orderstatus) AS cell
+           concat_ws('/', r_name, o_orderstatus) AS cell
     FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
     """,
 )
@@ -197,7 +197,8 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            string_agg(source, ',' ORDER BY source) AS sources,
            count(*) AS n_sources
-    FROM (SELECT DISTINCT lang, source FROM documents)
+    FROM (SELECT DISTINCT lang, source FROM documents
+          WHERE source IS NOT NULL)
     GROUP BY lang
     """,
 )
@@ -210,6 +211,10 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return (
         _t(spark, sf_dir, "documents")
+        # explicit null-source exclusion: collect_set/countDistinct
+        # silently drop NULLs but SQL count(*) over a DISTINCT set
+        # would count them — filter so both engines see the same rows
+        .filter(F.col("source").isNotNull())
         .groupBy("lang")
         .agg(
             F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias(
@@ -294,7 +299,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY value DESC, event_id DESC) AS rx,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY value ASC, event_id ASC) AS rn
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
            max(CASE WHEN rx = 1 THEN event_id END) AS best_event,
@@ -315,6 +320,10 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie_max = F.struct(F.col("value"), F.col("event_id"))
     return (
         _t(spark, sf_dir, "events")
+        # null values are not valid arg-min/max operands; Spark's
+        # struct comparison would sort them FIRST while SQL ORDER BY
+        # defaults to NULLS LAST — excluding them aligns both engines
+        .filter(F.col("value").isNotNull())
         .groupBy("event_type")
         .agg(
             F.max_by("event_id", tie_max).alias("best_event"),
@@ -332,7 +341,8 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(min(value), 6) AS lo,
            round(max(value), 6) AS hi
-    FROM events GROUP BY bucket
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY bucket
     """,
 )
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,7 +354,10 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.groupBy(
+        # NaN/NULL quarantined: Spark would fold NaN into a bucket via
+        # the cast while the SQL cast errors — exclude in both engines
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy(
             F.floor(F.col("value") / 25.0).cast("bigint").alias("bucket")
         )
         .agg(
@@ -382,7 +395,12 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     default frame ends at CURRENT ROW — a classic correctness trap in
     both engines, reproduced identically here).
     """
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # explicit NULLS LAST: Spark's ascending default is nulls-FIRST,
+    # SQL window ORDER BY defaults to nulls-LAST — one null value would
+    # otherwise shift every rank in the partition
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     w_full = w.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -586,7 +604,8 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS sum_price
     FROM lineitem
     WHERE l_extendedprice > (
-      SELECT CAST(avg(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(l_extendedprice)
       FROM lineitem)
     GROUP BY l_returnflag
     """,
@@ -601,13 +620,23 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal so it is partial-aggregation-order independent.
     """
     li = _t(spark, sf_dir, "lineitem")
-    threshold = float(
-        li.agg(
-            F.avg(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+    # exact decimal sum then ONE double division: Spark's avg(decimal)
+    # rounds to 6 dp (decimal(22,6)) while DuckDB's is full-precision —
+    # sum/count is bit-identical in both engines
+    row = li.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
                 "double"
             )
-        ).first()[0]
-    )
+            / F.count("l_extendedprice")
+        ).alias("t")
+    ).first()
+    if row[0] is None:  # empty input: oracle's scalar is NULL → 0 rows
+        return li.filter(F.lit(False)).groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_extendedprice").alias("sum_price"),
+        )
+    threshold = float(row[0])
     return (
         li.filter(F.col("l_extendedprice") > F.lit(threshold))
         .groupBy("l_returnflag")
@@ -886,9 +915,10 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(o.n_orders, 0) AS n_orders,
            coalesce(e.n_events, 0) - coalesce(o.n_orders, 0) AS gap
     FROM (SELECT user_id, count(*) AS n_events FROM events
-          GROUP BY user_id) e
+          WHERE user_id IS NOT NULL GROUP BY user_id) e
     FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
-                     WHERE o_custkey <= 200 GROUP BY o_custkey) o
+                     WHERE o_custkey <= 200 AND o_custkey IS NOT NULL
+                     GROUP BY o_custkey) o
       ON e.user_id = o.o_custkey
     """,
 )
@@ -906,10 +936,17 @@ def q_cogroup_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    ev = _t(spark, sf_dir, "events").select("user_id")
+    # null keys out: cogroup would pair NULL with NULL as one group,
+    # a FULL OUTER JOIN never matches NULL = NULL — with nulls excluded
+    # both formulations agree
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
     orders = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") <= 200)
+        .filter(F.col("o_custkey").isNotNull() & (F.col("o_custkey") <= 200))
         .select(F.col("o_custkey").alias("user_id"))
     )
 
@@ -1088,7 +1125,7 @@ def q_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udtf_props",
     oracle="""
     SELECT event_id, k AS key,
-           json_extract_string(props, '$.' || k) AS value
+           json_extract_string(props, '$."' || k || '"') AS value
     FROM (
       SELECT event_id, props, unnest(json_keys(props)) AS k
       FROM events
@@ -1127,7 +1164,7 @@ def q_udtf_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keepers AS (
       SELECT min(doc_id) AS doc_id
       FROM documents
-      GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+      GROUP BY lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))
     ), kept AS (
       SELECT d.doc_id, d.lang, d.text
       FROM documents d JOIN keepers USING (doc_id)
@@ -1449,7 +1486,8 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS totacctbal
     FROM customer c
     WHERE c_acctbal > (
-        SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(c_acctbal)
         FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
@@ -1468,11 +1506,26 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti join's right side is a pre-projected single column.
     """
     cust = _t(spark, sf_dir, "customer")
-    threshold = float(
+    # exact sum / count (not avg(decimal), which rounds to 6 dp); see
+    # q_subquery_scalar
+    row = (
         cust.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"))
-        .first()[0]
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count("c_acctbal")
+            ).alias("t")
+        )
+        .first()
     )
+    if row[0] is None:
+        return cust.filter(F.lit(False)).groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum("c_acctbal").alias("totacctbal"),
+        )
+    threshold = float(row[0])
     orders = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 250000)
@@ -1860,8 +1913,15 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(vol).cast("double").alias("total_revenue"))
         .persist()
     )
-    best = float(revenue.agg(F.max("total_revenue")).first()[0])
+    best_row = revenue.agg(F.max("total_revenue")).first()
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    if best_row[0] is None:  # empty quarter: oracle returns 0 rows
+        return (
+            revenue.filter(F.lit(False))
+            .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue")
+        )
+    best = float(best_row[0])
     return (
         revenue.filter(F.col("total_revenue") == F.lit(best))
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
@@ -1878,8 +1938,8 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part ON p_partkey = l_partkey
     JOIN (
       SELECT l_partkey AS avg_pk,
-             0.2 * CAST(avg(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-               AS qty_cut
+             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(l_quantity)) AS qty_cut
       FROM lineitem GROUP BY l_partkey
     ) a ON a.avg_pk = l_partkey
     WHERE p_brand = 'Brand#5' AND l_quantity < qty_cut
@@ -1899,7 +1959,12 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = li.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
         (
             F.lit(0.2)
-            * F.avg(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count("l_quantity")
+            )
         ).alias("qty_cut")
     )
     part = _t(spark, sf_dir, "part").filter(

@@ -104,7 +104,7 @@ def _duck_cosine(a: str, b: str) -> str:
     oracle=r"""
     SELECT min(doc_id) AS keeper_id, count(*) AS copies
     FROM documents
-    GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+    GROUP BY lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
