@@ -185,13 +185,15 @@ def assign_offsets(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     num_partitions = max(1, min(num_partitions, 10000))
 
-    ranged = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_by])
+    # explicit NULLS LAST: Spark's ascending default is nulls-first,
+    # SQL ORDER BY defaults to nulls-last — a NULL order key would
+    # otherwise shift every assigned offset relative to the oracle
+    order_cols = [F.col(c).asc_nulls_last() for c in order_by]
+    ranged = df.repartitionByRange(num_partitions, *order_cols)
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     local = with_pid.withColumn(
         "__rank",
-        F.row_number().over(
-            Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_by])
-        ),
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*order_cols)),
     )
 
     # counts come from the pre-window side: the range Exchange subtree

@@ -36,7 +36,8 @@ def _scalar(df: DataFrame):
     everything; at 100 TB the literal form reads one row group where
     the join form reads the table.
     """
-    return df.first()[0]
+    row = df.first()
+    return None if row is None else row[0]
 
 
 # -- A1: min/max range aggregate (server.go:305-327) -------------------
@@ -68,7 +69,10 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..log.model import point_lookup
 
     ev = _events(spark, sf_dir)
-    probe = _scalar(ev.agg(F.min("event_id"))) + 10
+    lo = _scalar(ev.agg(F.min("event_id")))
+    # empty log: comparing to a NULL literal yields 0 rows, matching
+    # the oracle's NULL scalar subquery
+    probe = None if lo is None else lo + 10
     return point_lookup(ev, probe, "event_id")
 
 
@@ -84,7 +88,8 @@ def q_replay_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..log.model import replay_from
 
     ev = _events(spark, sf_dir)
-    start = _scalar(ev.agg(F.min("event_id"))) + 500
+    lo = _scalar(ev.agg(F.min("event_id")))
+    start = None if lo is None else lo + 500
     return replay_from(ev, start, "event_id")
 
 
@@ -125,7 +130,8 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # purge predicate prunes parquet row groups (see _scalar)
     ev = _events(spark, sf_dir)
     latest = _scalar(ev.agg(F.max("event_id")))
-    return ev.filter(F.col("event_id") > F.lit(int(latest) - 2 * 1000))
+    cutoff = None if latest is None else int(latest) - 2 * 1000
+    return ev.filter(F.col("event_id") > F.lit(cutoff))
 
 
 # -- W1: deterministic monotonic offset assignment (main.go:113-125) ---
@@ -257,7 +263,13 @@ def q_time_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load(spark, sf_dir, "events", raw=True)
     if dict(raw.dtypes).get("ts") == "bigint":
         max_ns = _scalar(raw.agg(F.max("ts")))
-        begin_ns = int(max_ns) - 24 * 3600 * 10**9
+        if max_ns is None:  # empty log → 0 rows, like the oracle
+            begin_ns = None
+        else:
+            # truncate to micros first: the oracle computes its bound
+            # from micro-truncated timestamps, so an untruncated bound
+            # would be up to 999 ns stricter
+            begin_ns = (int(max_ns) // 1000) * 1000 - 24 * 3600 * 10**9
         out = raw.filter(F.col("ts") >= F.lit(begin_ns))
         return out.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))

@@ -372,7 +372,8 @@ def q_chain_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
+        F.col("c_acctbal").desc_nulls_last(),
+        F.col("c_custkey").asc_nulls_last(),
     )
     return _t(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -397,7 +398,9 @@ def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     us = F.unix_micros(F.col("ts"))
     return _t(spark, sf_dir, "events").select(
         "event_id",
@@ -423,7 +426,9 @@ def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(
+            F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return _t(spark, sf_dir, "events").select(

@@ -46,7 +46,9 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.length("p_name").cast("bigint").alias("name_len"),
-        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.replace(
+            F.col("p_brand"), F.lit("Brand#"), F.lit("B")
+        ).alias("brand_short"),
         F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias(
             "brand_trim"
         ),
@@ -185,15 +187,22 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = F.col("embedding")
+    # list_sum parity: DuckDB skips NULL elements and returns NULL for
+    # an empty (or all-NULL) list; a plain fold would 0.0 the empty
+    # case and NULL-poison on any NULL element. try_element_at: ANSI
+    # element_at would *throw* on an empty array where SQL yields NULL.
+    head = F.filter(F.slice(emb, 1, 8), lambda x: x.isNotNull())
+    head_sum = F.when(
+        F.size(head) > 0,
+        F.aggregate(
+            head, F.lit(0.0).cast("double"), lambda a, x: a + x.cast("double")
+        ),
+    )
     return _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.size(emb).cast("bigint").alias("dim"),
-        F.element_at(emb, 1).cast("double").alias("first_val"),
-        F.aggregate(
-            F.slice(emb, 1, 8),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x.cast("double"),
-        ).alias("head_sum"),
+        F.try_element_at(emb, F.lit(1)).cast("double").alias("first_val"),
+        head_sum.alias("head_sum"),
         F.array_max(emb).cast("double").alias("max_val"),
     )
 
@@ -233,7 +242,10 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,
-           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                           '^-?[0-9]+$')
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k_num,
            json_extract_string(props, '$.missing') AS missing
     FROM events
     """,
