@@ -32,7 +32,11 @@ LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
 
 def words(text: Column) -> Column:
     """Whitespace tokenization with empty-token removal."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    # explicit whitespace class: Java \s includes \x0B, RE2 does not —
+    # oracles must tokenize identically
+    return F.filter(
+        F.split(F.trim(text), "[ \\t\\n\\r\\f\\x0B]+"), lambda w: w != ""
+    )
 
 
 def token_count(text: Column) -> Column:
@@ -42,7 +46,9 @@ def token_count(text: Column) -> Column:
 def bpe_ish_tokens(text: Column) -> Column:
     """BPE-ish regex tokenization: letter runs, digit runs, other marks."""
     return F.regexp_extract_all(
-        text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+        text,
+        F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f\\x0B]"),
+        F.lit(0),
     )
 
 
@@ -112,7 +118,9 @@ def quality_features(text: Column) -> dict[str, Column]:
     n_tokens = F.size(ws)
     n_chars = F.length(text)
     en_stop = stopword_count(ws, LANG_STOPWORDS["en"])
-    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    punct = n_chars - F.length(
+        F.regexp_replace(text, "[^\\w \\t\\n\\r\\f\\x0B]", "")
+    )
     return {
         "n_tokens": n_tokens,
         "n_chars": n_chars,

@@ -49,16 +49,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 #: whitespace tokenization, mirroring functions.text.words
-_DUCK_WORDS = r"string_split_regex(trim(text), '\s+')"
+#: tokenizer replica: explicit whitespace class (matches words() —
+#: Java \s includes \x0B, RE2 does not) and empty tokens filtered the
+#: way words() filters them (split of '' yields [''] in both engines)
+_DUCK_WORDS = (
+    r"list_filter(string_split_regex(trim(text), "
+    r"'[ \t\n\r\f\x0B]+'), w -> w <> '')"
+)
 
 
 def _duck_hash(expr: str) -> str:
-    """DuckDB replica of functions.text.rolling_hash (verified equal)."""
-    return (
+    """DuckDB replica of functions.text.rolling_hash (verified equal).
+
+    Empty input is guarded: DuckDB's list_reduce errors on an empty
+    list where Spark's fold returns the init value 0.
+    """
+    reduce = (
         f"list_reduce(list_transform(range(1, length({expr})+1), "
         f"i -> CAST(ord(substr({expr}, CAST(i AS INTEGER), 1)) AS BIGINT)), "
         f"(h, c) -> (h*{T.HASH_MULT} + c) % {T.HASH_MOD})"
     )
+    return f"CASE WHEN length({expr}) = 0 THEN 0 ELSE {reduce} END"
 
 
 def _duck_word_hash(expr: str) -> str:
@@ -135,6 +146,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
           >= 0.5
+      AND na >= 0.5 * nb AND nb >= 0.5 * na
     """,
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,6 +184,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
           >= 0.5
+      AND na >= 0.5 * nb AND nb >= 0.5 * na
     """,
 )
 def q_dedup_near_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,6 +233,7 @@ def q_dedup_near_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
           >= 0.6
+      AND na >= 0.6 * nb AND nb >= 0.6 * na
     """,
 )
 def q_dedup_near_char(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,7 +624,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            sha256(text) AS sha256,
            (ord(substr(text, 1, 1)) % 64) + 1 AS width,
-           (ord(substr(text, 2, 1)) % 64) + 1 AS height
+           (ord(substr(text, least(2, length(text)), 1)) % 64) + 1 AS height
     FROM documents
     """,
 )

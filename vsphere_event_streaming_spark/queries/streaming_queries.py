@@ -32,10 +32,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tumbling_agg",
     oracle=f"""
-    SELECT (epoch_us(ts) // {6 * _HOUR_US}) * {6 * _HOUR_US} AS window_start_us,
+    SELECT CAST(floor(epoch_us(ts) / {6 * _HOUR_US}.0) AS BIGINT)
+             * {6 * _HOUR_US} AS window_start_us,
            count(*) AS n,
            count(DISTINCT user_id) AS users
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -60,8 +61,9 @@ def q_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sliding_agg",
     oracle=f"""
     WITH b AS (
-      SELECT (epoch_us(ts) // {6 * _HOUR_US}) * {6 * _HOUR_US} AS b0, *
-      FROM events
+      SELECT CAST(floor(epoch_us(ts) / {6 * _HOUR_US}.0) AS BIGINT)
+               * {6 * _HOUR_US} AS b0, *
+      FROM events WHERE ts IS NOT NULL
     ),
     x AS (
       SELECT unnest([b0, b0 - {6 * _HOUR_US}]) AS window_start_us, event_id
@@ -92,7 +94,7 @@ def q_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, epoch_us(ts) AS us,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
                AS prev_us
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     marked AS (
       SELECT *, CASE WHEN prev_us IS NULL

@@ -15,6 +15,10 @@ from pyspark.sql import SparkSession
 
 #: Conf that can only be set at session build time.
 _BUILD_CONF = {
+    # ANSI off: SQL-compat NULL (not an error) for division by zero
+    # and out-of-range element_at — matching the DuckDB oracle's
+    # semantics; all intentional strictness uses try_* explicitly
+    "spark.sql.ansi.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -36,6 +40,10 @@ _BUILD_CONF = {
 #: Conf that is runtime-settable — applied to *any* session handed to us
 #: (the correctness driver builds its own session).
 _RUNTIME_CONF = {
+    # ANSI off: SQL-compat NULL (not an error) for division by zero
+    # and out-of-range element_at — matching the DuckDB oracle's
+    # semantics; all intentional strictness uses try_* explicitly
+    "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     # The driver test tables store `events.ts` as parquet TIMESTAMP(NANOS),
     # which vanilla Spark refuses; read nanos as long and convert in the
