@@ -116,6 +116,32 @@ def test_service_boundaries(spark):
         svc.get_event("abc")
 
 
+def test_service_offset_parse_is_atoi_strict(spark):
+    """Go's strconv.Atoi rejects what Python's int() accepts: padded
+    whitespace, underscores, unicode digits — all 400 in the
+    reference (server.go:272-276), so all InvalidOffsetError here."""
+    svc = EventLogService(create_data(spark, 15, start=10))
+    for bad in (" 5 ", "1_0", "５", "+ 5", "", None, 5.0, True):
+        with pytest.raises(InvalidOffsetError):
+            svc.get_event(bad)
+    assert svc.get_event("11") == "1"  # plain digits still parse
+    with pytest.raises(OutOfRangeError):
+        svc.get_event("-1")  # parses fine, then fails the range check
+    with pytest.raises(InvalidOffsetError):
+        svc.replay("abc")
+
+
+def test_service_replay_minus_one_is_now_sentinel(spark):
+    """offset=-1 ≡ absent → tail from latest+1 (server.go:149-166):
+    the replay slice over a static log is empty, exactly like
+    replay(None); any other negative offset is out of range."""
+    svc = EventLogService(create_data(spark, 15, start=10))
+    assert svc.replay(-1).count() == 0
+    assert svc.replay(None).count() == 0
+    with pytest.raises(OutOfRangeError):
+        svc.replay(-2)
+
+
 def test_service_empty_log(spark):
     svc = EventLogService(create_data(spark, 0))
     assert svc.range() is None  # HTTP 204

@@ -10,12 +10,24 @@ Behavioral quirks reproduced on purpose (SURVEY §6.3-6.4):
 - purged offsets *inside* a page are silently skipped, but a replay
   *started* at a purged offset raises ``OutOfRangeError``
   (server.go:235-237 vs :200-203);
-- point lookup returns the stored value verbatim (server.go:294-295);
-  page reads return decoded envelopes.
+- point lookup returns the stored value verbatim (server.go:294-295).
+  The reference's page path re-marshals decoded events while point
+  lookups return raw bytes — field order can differ between the two.
+  Per the documented quirk decision (README §Reference-quirk 4) the
+  engine stores ONE canonical ``to_json`` serialization at the sink
+  and every read path returns those stored bytes verbatim, so both
+  endpoints agree byte-for-byte.
+- ``last_page`` assumes the reference's contiguity invariant: memlog
+  offsets are dense in [earliest, latest] and purges only drop a
+  prefix (enforced by the sink; asserted by
+  test_last_page_matches_get_start). A mid-log hole — impossible
+  through this engine's write path — would backfill the page with
+  older offsets where the reference would return a shorter page.
 """
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -47,12 +59,24 @@ class EventLogService:
             return None  # reference: HTTP 204 on empty log
         return {"earliest": int(row["earliest"]), "latest": int(row["latest"])}
 
+    @staticmethod
+    def _parse_offset(offset: int | str) -> int:
+        """strconv.Atoi-strict offset parse (server.go:272-276).
+
+        Python's int() accepts underscores, surrounding whitespace and
+        unicode digits that Go's Atoi rejects with a 400 — only ASCII
+        [-]digits pass here.
+        """
+        if isinstance(offset, bool) or not (
+            isinstance(offset, int)
+            or (isinstance(offset, str) and re.fullmatch(r"-?[0-9]+", offset))
+        ):
+            raise InvalidOffsetError(f"invalid offset: {offset!r}")
+        return int(offset)
+
     # -- GET /api/v1/events/:id (server.go:269-302) --------------------
     def get_event(self, offset: int | str) -> Any:
-        try:
-            off = int(offset)
-        except (TypeError, ValueError) as exc:  # non-numeric id → 400
-            raise InvalidOffsetError(f"invalid offset: {offset!r}") from exc
+        off = self._parse_offset(offset)
         rng = self.range()
         if rng is None or off > rng["latest"]:
             raise FutureOffsetError(f"future offset: {off}")
@@ -83,7 +107,12 @@ class EventLogService:
         stream-path asymmetry (server.go:200-203).
         """
         rng = self.range()
-        if start is None:
+        if start is not None:
+            start = self._parse_offset(start)
+        if start is None or start == -1:
+            # -1 is the reference's internal 'absent' sentinel: an
+            # explicit -1 is indistinguishable from no offset and tails
+            # from now (server.go:149-166)
             start = (rng["latest"] + 1) if rng else 0
         if rng is not None and start < rng["earliest"]:
             raise OutOfRangeError(f"invalid offset: {start}")

@@ -74,17 +74,28 @@ def envelope_batch(batch: DataFrame, source: str) -> DataFrame:
 
 
 def _sink_state(spark: SparkSession, log_dir: str) -> tuple[int, int] | None:
-    """(max_offset, max_key) of the sink, or None if empty/absent."""
+    """(max_offset, max_key) of the sink, or None if empty/absent.
+
+    Only a genuinely missing sink path maps to None (first run ever).
+    Any OTHER read failure propagates: treating a transient error as
+    'empty sink' would silently re-seed offsets over existing data —
+    duplicate offsets and an un-deduplicated replay overlap are worse
+    than a crashed batch, which checkpoint recovery simply retries.
+    """
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.schema(LOG_SCHEMA_DDL).parquet(log_dir)
         row = existing.agg(
             F.max("offset").alias("mo"), F.max("key").alias("mk")
         ).first()
-        if row is None or row["mo"] is None:
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
             return None
-        return int(row["mo"]), int(row["mk"])
-    except Exception:
+        raise
+    if row is None or row["mo"] is None:
         return None
+    return int(row["mo"]), int(row["mk"])
 
 
 def append_log_batch(
@@ -109,7 +120,12 @@ def append_log_batch(
     spark = batch.sparkSession
     if state is None:
         state = {}
-    records = envelope_batch(batch, source)
+    # keyless records are rejected up front: the reference's vSphere
+    # event Key is non-null by protocol (main.go:113); a NULL key would
+    # crash first-batch seeding and silently bypass the replay dedup
+    records = envelope_batch(
+        batch.filter(F.col("key").isNotNull()), source
+    )
     if "max_offset" not in state:
         persisted = _sink_state(spark, log_dir)
         if persisted is not None:

@@ -32,6 +32,8 @@ def watch(
     (reference server.go:161-166). Validation of a purged start
     mirrors the 400 path.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.schema(LOG_SCHEMA_DDL).parquet(log_dir)
         row = existing.agg(
@@ -39,10 +41,18 @@ def watch(
         ).first()
         earliest = row["earliest"]
         latest = row["latest"]
-    except Exception:
+    except AnalysisException as exc:
+        # ONLY a missing sink means 'empty log'; any other failure
+        # propagates — otherwise a transient read error would turn a
+        # tail-from-now into a full-history replay and skip the
+        # purged-start validation below
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
         earliest = latest = None
 
-    if start_offset is None:
+    if start_offset is None or start_offset == -1:
+        # -1 is the reference's 'absent' sentinel → tail from now
+        # (server.go:149-166)
         start_offset = (latest + 1) if latest is not None else 0
     elif earliest is not None and start_offset < earliest:
         raise OutOfRangeError(f"invalid offset: {start_offset}")
