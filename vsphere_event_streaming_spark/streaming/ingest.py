@@ -41,14 +41,8 @@ def envelope_batch(batch: DataFrame, source: str) -> DataFrame:
     classification → ToCloudEvent → json.Marshal, main.go:127-134) as
     column expressions; serialize-once, the sink stores the bytes.
     """
-    eventclass = (
-        F.when(F.col("event_type").isin("error"), F.lit("eventex"))
-        .when(
-            F.col("event_type").isin("purchase", "signup"),
-            F.lit("extendedevent"),
-        )
-        .otherwise(F.lit("event"))
-    )
+    from ..operators.envelope import event_class, type_name
+
     return batch.select(
         F.col("key"),
         F.to_json(
@@ -56,12 +50,10 @@ def envelope_batch(batch: DataFrame, source: str) -> DataFrame:
                 F.lit("1.0").alias("specversion"),
                 F.col("key").cast("string").alias("id"),
                 F.lit(source).alias("source"),
-                F.concat(
-                    F.lit("vmware.vsphere."), F.col("event_type"), F.lit(".v0")
-                ).alias("type"),
+                type_name(F.col("event_type")).alias("type"),
                 F.lit("application/json").alias("datacontenttype"),
                 F.col("created_time").alias("time"),
-                eventclass.alias("eventclass"),
+                event_class(F.col("event_type")).alias("eventclass"),
                 F.struct(
                     F.col("key").alias("Key"),
                     F.col("created_time").alias("CreatedTime"),
