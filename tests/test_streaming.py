@@ -28,7 +28,7 @@ from vsphere_event_streaming_spark.streaming.windows import (
 )
 
 
-def _run_ingest(spark, tmp, n_events, page_size=50, start_key=0, timeout=90):
+def _run_ingest(spark, tmp, n_events, page_size=50, start_key=0, timeout=180):
     """Run the ingest stream until the sink holds n_events rows."""
     log_dir = f"{tmp}/log"
     stream = read_poll_stream(
@@ -66,7 +66,7 @@ def test_ingest_segment_partitioned_sink(spark, tmp_path):
         spark, stream, log_dir, f"{tmp}/ckpt_seg", segment_size=50
     )
     try:
-        deadline = time.time() + 90
+        deadline = time.time() + 180
         while time.time() < deadline:
             try:
                 if spark.read.parquet(log_dir).count() >= 120:
@@ -111,7 +111,7 @@ def test_ingest_segment_partitioned_sink(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 45
+        deadline = time.time() + 120
         while time.time() < deadline and len(got) < 120:
             time.sleep(0.5)
     finally:
@@ -155,7 +155,7 @@ def test_ingest_restart_continuity(spark, tmp_path):
     stream = read_poll_stream(spark, page_size=50, start_key=0, max_key=150)
     q = start_ingest(spark, stream, f"{tmp}/log", f"{tmp}/ckpt2")
     try:
-        deadline = time.time() + 90
+        deadline = time.time() + 180
         while time.time() < deadline:
             cnt = spark.read.schema(LOG_SCHEMA_DDL).parquet(f"{tmp}/log").count()
             if cnt >= 150:
@@ -227,7 +227,7 @@ def test_watch_tail_from_now_sees_only_new_data(spark, tmp_path):
         )
         q2 = start_ingest(spark, stream2, log_dir, f"{tmp}/ckpt_more")
         try:
-            deadline = time.time() + 90
+            deadline = time.time() + 180
             while time.time() < deadline and len(got) < 50:
                 time.sleep(0.5)
         finally:
@@ -265,7 +265,7 @@ def test_watch_restart_resumes_from_checkpoint(spark, tmp_path):
     stream2 = read_poll_stream(spark, page_size=50, start_key=100, max_key=130)
     q2 = start_ingest(spark, stream2, log_dir, f"{tmp}/ckpt_more")
     try:
-        deadline = time.time() + 90
+        deadline = time.time() + 180
         while time.time() < deadline:
             cnt = spark.read.schema(LOG_SCHEMA_DDL).parquet(log_dir).count()
             if cnt >= 130:
@@ -339,7 +339,7 @@ def test_stream_static_enrich(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 60
+        deadline = time.time() + 150
         while time.time() < deadline and len(got) < 64:
             time.sleep(0.5)
     finally:
@@ -397,7 +397,7 @@ def test_stream_stream_join(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 90
+        deadline = time.time() + 180
         while time.time() < deadline:
             got = spark.sql("SELECT key, r_key FROM ss_join_test").collect()
             if len(got) >= len(expected):
@@ -448,7 +448,7 @@ def test_stateful_sessionize(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 60
+        deadline = time.time() + 150
         sentinel_written = False
         while time.time() < deadline:
             rows = spark.sql(
@@ -514,7 +514,7 @@ def test_transform_with_state_running_counts(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 90
+        deadline = time.time() + 180
         while time.time() < deadline:
             rows = spark.sql(
                 "SELECT user_name, max(n_events) AS n, max(max_key) AS mk "
@@ -569,7 +569,7 @@ def test_stateful_sessionize_late_and_null_events(spark, tmp_path):
         time.sleep(3)
         # sentinel far in the future closes A via event-time timeout
         write_batch([("Z", base + dt.timedelta(seconds=100_000))])
-        deadline = time.time() + 60
+        deadline = time.time() + 150
         rows = []
         while time.time() < deadline:
             rows = spark.sql(
@@ -602,7 +602,7 @@ def test_streaming_dedup_and_tumbling(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 60
+        deadline = time.time() + 150
         while time.time() < deadline:
             if not q.status["isDataAvailable"] and q.recentProgress:
                 break
