@@ -335,33 +335,35 @@ def shingle_hash_table(
     return arrs.select("id", "n_sh", F.explode("sh_arr").alias("sh"))
 
 
-def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
-) -> DataFrame:
-    """(id, mh0..mh7): min over shingle hashes of (a·sh + b) mod p.
-
-    A single partial+final hash aggregate over the exploded shingle
-    table — map-side combine keeps shuffle rows at one per (doc,
-    signature), and every hash function is plain codegen arithmetic.
-    """
-    sh = shingle_hash_table(docs, text_col, id_col, n)
-    aggs = [
+def _minhash_aggs() -> list[Column]:
+    """min over shingle hashes of (a·sh + b) mod p, one per family slot."""
+    return [
         F.min((F.lit(a) * F.col("sh") + F.lit(b)) % MINHASH_PRIME).alias(
             f"mh{j}"
         )
         for j, (a, b) in enumerate(MINHASH_PARAMS)
     ]
-    return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    band_size: int = 2,
+def _signatures_from(sh: DataFrame) -> DataFrame:
+    """(id, mh0..mh7) from an exploded (id, sh) shingle-hash table.
+
+    A single partial+final hash aggregate — map-side combine keeps
+    shuffle rows at one per (doc, signature), and every hash function
+    is plain codegen arithmetic.
+    """
+    return sh.groupBy("id").agg(*_minhash_aggs())
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """L2 approximate: MinHash-LSH candidate pairs (a<b).
+    """(id, mh0..mh7): min over shingle hashes of (a·sh + b) mod p."""
+    return _signatures_from(shingle_hash_table(docs, text_col, id_col, n))
+
+
+def _band_collision_pairs(sig: DataFrame, band_size: int) -> DataFrame:
+    """Distinct (id_a < id_b) pairs whose signatures share a full band.
 
     Bands of ``band_size`` signature slots become string bucket keys;
     docs sharing any full band collide. The band join shuffles
@@ -369,9 +371,6 @@ def lsh_candidate_pairs(
     document length.
     """
     n_bands = len(MINHASH_PARAMS) // band_size
-    # both join sides read sig: persist so the signature aggregation
-    # (and everything under it) runs once, not once per side
-    sig = minhash_signatures(docs, text_col, id_col, n).persist()
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -390,6 +389,73 @@ def lsh_candidate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    band_size: int = 2,
+) -> DataFrame:
+    """L2 approximate: MinHash-LSH candidate pairs (a<b)."""
+    # both join sides read sig: persist so the signature aggregation
+    # (and everything under it) runs once, not once per side
+    sig = minhash_signatures(docs, text_col, id_col, n).persist()
+    return _band_collision_pairs(sig, band_size)
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    band_size: int = 2,
+) -> DataFrame:
+    """L2 canonical near-dup at 100 TB: LSH candidates → exact Jaccard
+    re-score of *candidates only*.
+
+    This is the pipeline a web-scale dedup actually runs: the band
+    join bounds candidate generation at constant bytes per doc (never
+    the Σk² inverted-index blow-up of :func:`jaccard_pairs`), and the
+    exact re-score touches only the candidate pairs — shingle arrays
+    move once per surviving candidate, not once per shared shingle.
+
+    One shingle table feeds both stages: ``shingle_hash_arrays`` is
+    persisted, the signature aggregate reads its exploded form, and
+    the re-score join reads the array form. Output matches
+    :func:`jaccard_pairs` semantics restricted to LSH-found pairs
+    (recall is the banding probability; planted near-dups at j≥0.89
+    collide with p > 0.999).
+    """
+    arrs = shingle_hash_arrays(docs, text_col, id_col, n)
+    sh = arrs.select("id", F.explode("sh_arr").alias("sh"))
+    sig = _signatures_from(sh).persist()
+    cands = _band_collision_pairs(sig, band_size)
+    a = arrs.select(
+        F.col("id").alias("id_a"),
+        F.col("sh_arr").alias("sa"),
+        F.col("n_sh").alias("na"),
+    )
+    b = arrs.select(
+        F.col("id").alias("id_b"),
+        F.col("sh_arr").alias("sb"),
+        F.col("n_sh").alias("nb"),
+    )
+    scored = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    ).cast("double")
+    return (
+        scored.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

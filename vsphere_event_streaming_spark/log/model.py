@@ -59,18 +59,30 @@ def log_range(df: DataFrame, offset_col: str = "offset") -> DataFrame:
     )
 
 
-def point_lookup(df: DataFrame, offset: int, offset_col: str = "offset") -> DataFrame:
+def point_lookup(
+    df: DataFrame, offset: int | None, offset_col: str = "offset"
+) -> DataFrame:
     """Exact-match read — reference ``log.Read`` (server.go:269-302).
 
     The equality predicate is pushed into the source scan; with
     min/max row-group statistics a 100 TB log touches one row group.
+    A ``None`` probe (empty log: no offset to look up) compares against
+    a NULL literal and yields 0 rows, matching the SQL oracle.
     """
-    return df.filter(F.col(offset_col) == F.lit(int(offset)))
+    probe = F.lit(None).cast("long") if offset is None else F.lit(int(offset))
+    return df.filter(F.col(offset_col) == probe)
 
 
-def replay_from(df: DataFrame, start: int, offset_col: str = "offset") -> DataFrame:
-    """Ordered replay from a lower-bound offset (server.go:151-169)."""
-    return df.filter(F.col(offset_col) >= F.lit(int(start))).orderBy(offset_col)
+def replay_from(
+    df: DataFrame, start: int | None, offset_col: str = "offset"
+) -> DataFrame:
+    """Ordered replay from a lower-bound offset (server.go:151-169).
+
+    ``None`` start (empty log) yields 0 rows via a NULL lower bound —
+    same empty-input semantics as the oracle.
+    """
+    lo = F.lit(None).cast("long") if start is None else F.lit(int(start))
+    return df.filter(F.col(offset_col) >= lo).orderBy(offset_col)
 
 
 def ordered_replay(df: DataFrame, offset_col: str = "offset") -> DataFrame:

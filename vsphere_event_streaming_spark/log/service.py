@@ -78,6 +78,11 @@ class EventLogService:
     def get_event(self, offset: int | str) -> Any:
         off = self._parse_offset(offset)
         rng = self.range()
+        # negative offsets are below any log start (memlog offsets are
+        # non-negative) → ErrOutOfRange even on an empty log, matching
+        # memlog's classification; both map to HTTP 400 upstream
+        if off < 0:
+            raise OutOfRangeError(f"invalid offset: {off}")
         if rng is None or off > rng["latest"]:
             raise FutureOffsetError(f"future offset: {off}")
         if off < rng["earliest"]:

@@ -39,9 +39,11 @@ def salted_agg(
 
     ``aggs`` maps output column → (input column, fn) with fn in
     {count, sum, min, max} — the decomposable aggregates whose partial
-    results merge exactly (count merges with sum). Phase 1 groups by
-    (keys + salt) so a hot key spreads over ``buckets`` reducers;
-    phase 2 merges the ≤buckets partials per key.
+    results merge exactly (count merges with sum). ``count`` follows
+    SQL semantics: ``count('*')`` is the row count, ``count(col)``
+    counts non-null values of ``col``. Phase 1 groups by (keys + salt)
+    so a hot key spreads over ``buckets`` reducers; phase 2 merges the
+    ≤buckets partials per key.
 
     Note Spark's hash aggregate already does map-side partial
     aggregation, which handles *moderate* skew; this operator is for
@@ -58,7 +60,9 @@ def salted_agg(
     phase1 = salted.groupBy(*keys, "__salt").agg(
         *[
             (
-                F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)
+                F.count(F.lit(1))
+                if fn == "count" and col == "*"
+                else getattr(F, fn)(col)
             ).alias(name)
             for name, (col, fn) in aggs.items()
         ]
@@ -86,7 +90,18 @@ def salted_join(
     broadcastable side — replication is its cost). The join key
     becomes (key, salt), so one hot key spreads across ``buckets``
     reducers instead of one.
+
+    Only fact-preserving join types are allowed: a dim-preserving join
+    (right/full) would emit every unmatched dim row once *per salt
+    replica* — ``buckets``× duplicated outer rows.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would "
+            f"duplicate unmatched dim rows {buckets}x (dim is replicated "
+            "per salt)"
+        )
     fact_salt_from = fact_salt_from or [c for c in fact.columns if c != on]
     f = with_salt(fact, fact_salt_from, buckets)
     d = dim.withColumn(

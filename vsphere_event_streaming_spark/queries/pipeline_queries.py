@@ -152,7 +152,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3gram Jaccard ≥ 0.5 via inverted-index blocking —
     catches the corpus's planted near-duplicates (measured: background
-    pair similarity < 0.1, planted ≥ 0.89)."""
+    pair similarity < 0.1, planted ≥ 0.89).
+
+    Oracle-tier baseline: the inverted-index join cost tracks Σk² over
+    shingle document frequency, so this is the ground-truth check, not
+    the 100 TB plan — ``q_dedup_lsh_verified`` is the canonical
+    near-dup pipeline at scale."""
     return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
@@ -314,6 +319,56 @@ def _minhash_oracle() -> str:
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE {band_eq}
     """
+
+
+def _lsh_verified_oracle(threshold: float) -> str:
+    """LSH candidates → exact Jaccard re-score, replayed in DuckDB with
+    the identical modular arithmetic (same CTE chain as the minhash
+    oracle, extended with an array-intersection re-score)."""
+    from ..functions.dedup import SHINGLE_P1, SHINGLE_P2
+
+    sig_items = ", ".join(
+        f"min(({a}*sh + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    n_bands = len(MINHASH_PARAMS) // 2
+    band_eq = " OR ".join(
+        f"(a.mh{i * 2} = b.mh{i * 2} AND a.mh{i * 2 + 1} = b.mh{i * 2 + 1})"
+        for i in range(n_bands)
+    )
+    jac = "CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)"
+    return f"""
+    WITH {_duck_shingle_hashes()},
+    sh AS (SELECT doc_id, unnest(sh_arr) AS sh FROM sha),
+    sig AS (SELECT doc_id, {sig_items} FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {band_eq}
+    ),
+    sc AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(x.sh_arr, y.sh_arr)) AS common,
+             len(x.sh_arr) AS na, len(y.sh_arr) AS nb
+      FROM cand c
+      JOIN sha x ON x.doc_id = c.id_a
+      JOIN sha y ON y.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, round({jac}, 6) AS jaccard
+    FROM sc
+    WHERE round({jac}, 6) >= {threshold}
+    """
+
+
+@query("q_dedup_lsh_verified", oracle=_lsh_verified_oracle(0.5))
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical 100 TB near-dup pipeline: MinHash-LSH candidate
+    generation (constant-size band keys per doc) → exact Jaccard
+    re-score of candidates only. ``q_dedup_near`` is the exact-oracle
+    baseline; this is the plan you run at scale."""
+    from ..functions.dedup import lsh_verified_pairs
+
+    return lsh_verified_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
 @query("q_dedup_minhash", oracle=_minhash_oracle())
