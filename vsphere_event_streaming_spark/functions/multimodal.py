@@ -2,13 +2,17 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct (schemas.MEDIA_META). Decode / feature-extract /
-resize / frame-sample run as Arrow-batched ``mapInPandas`` stages:
-the Spark-side plumbing (schema, batch iteration, partition-parallel
-execution) is real; the codec itself is stubbed because no image/audio
-libraries ship in this container — ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic metadata extractor (byte-derived) so the pipeline shape
-is testable end-to-end.
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
+
+Decoding is REAL for the formats :mod:`codecs` implements library-free
+(PNG full pixel decode incl. all five unfilter types, JPEG header,
+PCM WAV) — ``decode_image`` / ``resize_images`` / ``audio_features``
+dispatch on magic bytes. The deterministic ``fake=True`` path remains
+for synthetic payloads that are not real media bytes (the container
+ships no media *files*, so tests/queries synthesize real PNG/WAV bytes
+with the same codecs). Formats beyond the pure-Python boundary (JPEG
+pixel decode, compressed audio, video containers) raise — an honest
+capability edge, never a guess.
 
 At 100 TB: payloads stay in parquet binary columns, scanned with
 column pruning (metadata-only queries never read payload bytes);
@@ -20,9 +24,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import codecs
 
 META_SCHEMA = (
     "media_id long, byte_len long, sha256 string, width int, height int"
@@ -39,22 +46,87 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """Decode an image payload to (width, height).
+    """Decode an image payload's header to (width, height, ...).
 
-    STUB: real decoding needs an image library not present in this
-    container. ``fake=True`` derives deterministic pseudo-dimensions
-    from the payload bytes so the distributed plumbing is testable.
+    The real path sniffs magic bytes and parses PNG IHDR / JPEG SOFn
+    (:mod:`codecs`); unknown formats raise ``ValueError``. ``fake=True``
+    instead derives deterministic pseudo-dimensions from the payload
+    bytes — for synthetic non-media payloads in plumbing tests.
     """
     if not fake:
-        raise NotImplementedError(
-            "image decoding requires an imaging library; not available here"
-        )
+        return codecs.sniff_image(payload)
     if not payload:
         return {"width": 0, "height": 0}
     return {
         "width": int(payload[0] % 64) + 1,
         "height": int(payload[min(1, len(payload) - 1)] % 64) + 1,
     }
+
+
+def synth_png_payloads(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(media_id, payload): a REAL PNG per row, deterministically
+    derived from the text — dims ``(len%64+1, (len*7)%64+1)``, solid
+    gray fill ``(len*13)%256``. The encoder rotates scanline filters,
+    so decoding these payloads exercises every PNG unfilter path.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                t = t if isinstance(t, str) else ""
+                w = len(t) % 64 + 1
+                h = (len(t) * 7) % 64 + 1
+                v = (len(t) * 13) % 256
+                payloads.append(
+                    codecs.encode_png(np.full((h, w), v, dtype=np.uint8))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+IMAGE_META_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "bit_depth int, channels int, avg_pixel double"
+)
+
+
+def extract_image_meta(media: DataFrame) -> DataFrame:
+    """REAL image decode over (media_id, payload) via mapInPandas:
+    header fields from the chunk/marker walk plus ``avg_pixel`` from
+    the fully unfiltered pixel array — the value only a correct
+    inflate+unfilter produces.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "format", "width", "height",
+                "bit_depth", "channels", "avg_pixel",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                hdr = codecs.sniff_image(bytes(p))
+                rows["media_id"].append(mid)
+                rows["format"].append(hdr["format"])
+                rows["width"].append(hdr["width"])
+                rows["height"].append(hdr["height"])
+                rows["bit_depth"].append(hdr["bit_depth"])
+                rows["channels"].append(hdr["channels"])
+                rows["avg_pixel"].append(
+                    float(np.mean(codecs.decode_png(bytes(p))))
+                    if hdr["format"] == "png"
+                    else None
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
 def extract_metadata(media: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -92,25 +164,38 @@ def resize_images(
     fake_decode: bool = True,
 ) -> DataFrame:
     """mapInPandas image resize: (media_id, payload) → resized payload
-    + dims. Codec stubbed (see ``decode_image``); the fake path emits a
-    deterministic truncation of the bytes so batch shape, binary
-    round-trip and schema are exercised for real. Arrow moves the
-    payload bytes — no per-row Python pickling.
+    + dims. PNG payloads resize for REAL: full decode → nearest-
+    neighbor resample → re-encode (:mod:`codecs`). The fake path emits
+    a deterministic truncation of non-media bytes so plumbing stays
+    testable; other real formats raise. Arrow moves the payload bytes —
+    no per-row Python pickling.
     """
+
+    def _resize_png(p: bytes) -> bytes:
+        px = codecs.decode_png(p)
+        h, w = px.shape[:2]
+        yi = np.arange(target_h) * h // target_h
+        xi = np.arange(target_w) * w // target_w
+        return codecs.encode_png(px[yi][:, xi])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError(
-                    "image resize requires an imaging library; "
-                    "not available here"
-                )
-            # fake resize: keep target_w/64ths of the payload (64 is
-            # the fake codec's max width, decode_image above)
-            out_payload = [
-                (p[: max(1, len(p) * target_w // 64)] if p else p)
-                for p in pdf["payload"]
-            ]
+            out_payload = []
+            for p in pdf["payload"]:
+                p = bytes(p) if p is not None else None
+                if p and p.startswith(codecs.PNG_MAGIC):
+                    out_payload.append(_resize_png(p))
+                elif fake_decode:
+                    # fake resize: keep target_w/64ths of the payload
+                    # (64 = the fake codec's max width, decode_image)
+                    out_payload.append(
+                        p[: max(1, len(p) * target_w // 64)] if p else p
+                    )
+                else:
+                    raise NotImplementedError(
+                        "real resize supports PNG only; other codecs "
+                        "need an imaging library"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -132,20 +217,14 @@ def audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """mapInPandas audio feature extraction (RMS energy, zero-crossing
     count) over (media_id, payload).
 
-    The PCM decode is stubbed: the fake path interprets the raw bytes
-    as unsigned 8-bit samples (deterministic, library-free) so the
-    numpy-vectorized feature math and the Arrow batch path are real.
+    RIFF/WAVE payloads decode for REAL (PCM 8/16-bit, :mod:`codecs`);
+    the fake path interprets non-media bytes as unsigned 8-bit samples
+    so plumbing stays testable without media files. Either way the
+    numpy-vectorized feature math and Arrow batch path are identical.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError(
-                    "audio decoding requires an audio library; "
-                    "not available here"
-                )
             n, rms, zc = [], [], []
             for p in pdf["payload"]:
                 if not p:
@@ -153,7 +232,19 @@ def audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                     rms.append(0.0)
                     zc.append(0)
                     continue
-                x = np.frombuffer(p, dtype=np.uint8).astype("float64") - 128.0
+                p = bytes(p)
+                if p[:4] == b"RIFF":
+                    _hdr, x = codecs.decode_wav(p)
+                    x = x.reshape(-1)  # features over interleaved chans
+                elif fake_decode:
+                    x = (
+                        np.frombuffer(p, dtype=np.uint8).astype("float64")
+                        - 128.0
+                    )
+                else:
+                    raise NotImplementedError(
+                        "real audio decode supports PCM WAV only"
+                    )
                 n.append(len(x))
                 rms.append(float(np.sqrt(np.mean(x * x))))
                 # true sign transitions only: zero samples are not

@@ -691,6 +691,40 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_metadata(media, fake_decode=True)
 
 
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'png' AS format,
+           CAST(length(coalesce(text, '')) % 64 + 1 AS INTEGER) AS width,
+           CAST((length(coalesce(text, '')) * 7) % 64 + 1 AS INTEGER)
+             AS height,
+           CAST(8 AS INTEGER) AS bit_depth,
+           CAST(1 AS INTEGER) AS channels,
+           CAST((length(coalesce(text, '')) * 13) % 256 AS DOUBLE)
+             AS avg_pixel
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 with a REAL codec: synthesize a real PNG per document
+    (dims/fill deterministically derived from the text, scanline
+    filters rotating over all five types), then decode it for real —
+    chunk walk, IHDR parse, zlib inflate, full unfilter — via
+    mapInPandas. The oracle predicts the roundtrip (header fields and
+    the solid-fill pixel mean) from the text alone, so a wrong
+    encoder OR decoder fails the compare. No imaging library involved
+    (functions/codecs.py is stdlib+numpy).
+    """
+    from ..functions.multimodal import extract_image_meta, synth_png_payloads
+    from ..tables import spread
+
+    # single-row-group parquet scans as ONE partition; the Python
+    # codec stage needs the cores
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return extract_image_meta(synth_png_payloads(docs, "doc_id", "text"))
+
+
 @query("q_dedup_groups", oracle=None)  # iterative → rows-only (contract)
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → transitive dedup GROUPS via distributed

@@ -104,9 +104,10 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_simhash",
     "q_knn_topk",
     "q_text_tokens",
-    "q_multimodal_meta",
+    "q_multimodal_decode",
     "q_tumbling_agg",
     # next-most-valuable if the window extends past 50
+    "q_multimodal_meta",
     "q_sliding_agg",
     "q_session_window",
     "q_udtf_props",
