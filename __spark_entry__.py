@@ -42,8 +42,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: qd.fn for name, qd in load_all().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered by registry PRIORITY: if a correctness check truncates to
+    the first N entries, the canonical query for every §2 operator
+    line is checked before any redundant variant or TPC-H shape.
+    """
+    qs = {name: qd.fn for name, qd in load_all().items()}
+    # stderr breadcrumb so artifact readers can detect a truncated
+    # correctness window (r1: 50 of 108 recorded) from counts alone
+    print(f"[spark-graft] registered queries: {len(qs)}", file=sys.stderr)
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:

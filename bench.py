@@ -47,6 +47,16 @@ HEADLINE = [
     "q_tpch_q6",
     "q_tpch_q18",
     "q_pipeline_prep",
+    # r2 additions (superset keeps r1 per-query comparability): the
+    # scale-path dedup/ANN variants and wider TPC-H join shapes
+    "q_dedup_lsh_verified",
+    "q_dedup_near_pruned",
+    "q_dedup_simhash",
+    "q_knn_ivf",
+    "q_multimodal_decode",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q13",
 ]
 
 
@@ -71,6 +81,9 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # measure queries in isolation: persisted intermediates (dedup
+        # shingle tables etc.) must not occupy memory for later queries
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

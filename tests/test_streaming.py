@@ -489,18 +489,26 @@ def _has_protobuf() -> bool:
         return False
 
 
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithStateInPandas state server needs google.protobuf "
-    "(not shipped in this container); applyInPandasWithState covers the "
-    "stateful path in test_stateful_sessionize",
-)
-def test_transform_with_state_running_counts(spark, tmp_path):
-    """State API v2: per-user lifetime counters accumulate across
-    micro-batches and match the generator's key distribution."""
-    from vsphere_event_streaming_spark.streaming.stateful_v2 import (
-        running_user_stats,
-    )
+@pytest.mark.parametrize("api", ["v1", "v2"])
+def test_running_user_stats_accumulates(spark, tmp_path, api):
+    """Per-user lifetime counters accumulate across micro-batches and
+    match the generator's key distribution. Runs on both stateful
+    APIs: v1 (applyInPandasWithState, dependency-free) always; v2
+    (transformWithStateInPandas) when google.protobuf is present."""
+    if api == "v2":
+        if not _has_protobuf():
+            pytest.skip(
+                "transformWithStateInPandas state server needs "
+                "google.protobuf (not shipped in this container); "
+                "the v1 parametrization covers the semantics"
+            )
+        from vsphere_event_streaming_spark.streaming.stateful_v2 import (
+            running_user_stats,
+        )
+    else:
+        from vsphere_event_streaming_spark.streaming.stateful import (
+            running_user_stats,
+        )
 
     tmp = str(tmp_path)
     n = 200  # user_name = f"user{key % 16}" → 8 users x13, 8 x12
@@ -509,7 +517,7 @@ def test_transform_with_state_running_counts(spark, tmp_path):
         running_user_stats(stream)
         .writeStream.outputMode("update")
         .format("memory")
-        .queryName("tws_test")
+        .queryName(f"tws_test_{api}")
         .option("checkpointLocation", f"{tmp}/ckpt_tws")
         .start()
     )
@@ -518,7 +526,7 @@ def test_transform_with_state_running_counts(spark, tmp_path):
         while time.time() < deadline:
             rows = spark.sql(
                 "SELECT user_name, max(n_events) AS n, max(max_key) AS mk "
-                "FROM tws_test GROUP BY user_name"
+                f"FROM tws_test_{api} GROUP BY user_name"
             ).collect()
             if sum(r["n"] for r in rows) >= n and len(rows) == 16:
                 break
@@ -614,3 +622,57 @@ def test_streaming_dedup_and_tumbling(spark, tmp_path):
     # events are 1/sec from 2024-01-01; with watermark, closed 1-min
     # windows hold exactly 60
     assert all(r["n"] == 60 for r in rows)
+
+
+def test_poll_source_upstream_adapter_contract():
+    """The SOAP-client seam: everything the stream reader requires of
+    its upstream page function, so a real vCenter ``ReadNextEvents``
+    adapter (reference main.go:107-125) can replace ``_generate_page``
+    without touching PollStreamReader.
+
+    Contract: (1) a page is bounded by the requested key span and the
+    reference page size; (2) keys are strictly monotonic within and
+    across consecutive pages (the vSphere event Key cursor); (3) the
+    same span replays identically (at-least-once restart recovery
+    depends on it); (4) each record matches the declared schema arity
+    and types, with a timezone-aware created_time.
+    """
+    import datetime as dt
+
+    from vsphere_event_streaming_spark.sources.poll_source import (
+        DEFAULT_PAGE_SIZE,
+        SCHEMA_DDL,
+        PollStreamReader,
+        _generate_page,
+    )
+
+    # (1) reader caps each poll at page_size over the upstream span
+    reader = PollStreamReader({"page_size": str(DEFAULT_PAGE_SIZE)})
+    it, end = reader.read({"key": 100})
+    page = list(it)
+    assert len(page) == DEFAULT_PAGE_SIZE == 50
+    assert end == {"key": 150}
+
+    # (2) strict key monotonicity within and across pages
+    it2, end2 = reader.read(end)
+    keys = [r[0] for r in page] + [r[0] for r in it2]
+    assert keys == list(range(100, 100 + len(keys)))
+
+    # (3) replay determinism: the same span yields identical records
+    assert list(reader.readBetweenOffsets({"key": 100}, {"key": 150})) == page
+    assert list(_generate_page(100, 150)) == page
+
+    # (4) record shape matches the declared source schema
+    n_fields = len(SCHEMA_DDL.split(","))
+    for rec in page:
+        assert len(rec) == n_fields
+        key, ts, etype, user, msg = rec
+        assert isinstance(key, int)
+        assert isinstance(ts, dt.datetime) and ts.tzinfo is not None
+        assert isinstance(etype, str) and isinstance(user, str)
+        assert isinstance(msg, str)
+
+    # empty span (caught-up poll) returns no rows and does not advance
+    empty_reader = PollStreamReader({"page_size": "50", "max_key": "100"})
+    it3, end3 = empty_reader.read({"key": 100})
+    assert list(it3) == [] and end3 == {"key": 100}

@@ -210,31 +210,43 @@ def assign_offsets(
 
     # counts come from the pre-window side: the range Exchange subtree
     # is shared (ReusedExchange dedupes the shuffle) and the rank
-    # window is evaluated exactly once, on the output side only
-    counts = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # window is evaluated exactly once, on the output side only.
+    # The seed (min of seed_col) rides along as a per-partition min —
+    # one aggregate branch and ONE broadcast join serve both the
+    # prefix-sum bases and the start offset (no separate seed scan).
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    if seed_col is not None:
+        aggs.append(F.min(seed_col).alias("__pmin"))
+    counts = with_pid.groupBy("__pid").agg(*aggs)
     # Prefix sum over the tiny per-partition count table (≤ num_partitions
-    # rows) — the single-partition window here is intentional and free.
+    # rows) — the single-partition windows here are intentional and free.
+    tiny = Window.orderBy("__pid")
     bases = counts.withColumn(
         "__base",
         F.coalesce(
             F.sum("__cnt").over(
-                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                tiny.rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ),
-    ).select("__pid", "__base")
-
-    out = local.join(F.broadcast(bases), "__pid")
-
+    )
     if seed_col is not None:
-        seed = df.agg(F.min(seed_col).alias("__seed"))
-        out = out.join(F.broadcast(seed))
         first = F.col("__seed")
+        bases = bases.withColumn(
+            "__seed",
+            F.min("__pmin").over(
+                tiny.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        ).select("__pid", "__base", "__seed")
     else:
         first = F.lit(int(start) if start is not None else 0)
+        bases = bases.select("__pid", "__base")
 
+    out = local.join(F.broadcast(bases), "__pid")
     out = out.withColumn(
         offset_col,
         (F.col("__base") + F.col("__rank") - F.lit(1) + first).cast("long"),
     )
-    return out.drop("__pid", "__rank", "__base", "__seed")
+    return out.drop("__pid", "__rank", "__base", "__pmin", "__seed")

@@ -100,17 +100,17 @@ PRIORITY: tuple[str, ...] = (
     "q_udf_cosine",
     "q_dedup_exact",
     "q_dedup_lsh_verified",
-    "q_dedup_minhash",
     "q_dedup_simhash",
     "q_knn_topk",
     "q_text_tokens",
     "q_multimodal_decode",
+    "q_udtf_props",
     "q_tumbling_agg",
     # next-most-valuable if the window extends past 50
     "q_multimodal_meta",
     "q_sliding_agg",
     "q_session_window",
-    "q_udtf_props",
+    "q_dedup_minhash",
     "q_cogroup_recon",
     "q_lang_id",
     "q_quality_score",

@@ -133,3 +133,46 @@ def sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def running_user_stats(
+    stream: DataFrame, key_col: str = "user_name", val_col: str = "key"
+) -> DataFrame:
+    """Per-key lifetime event count + max value seen, emitted per batch.
+
+    The dependency-free twin of ``stateful_v2.running_user_stats``
+    (same output schema and semantics): the v2 state-server path needs
+    ``google.protobuf`` at runtime, so this ``applyInPandasWithState``
+    form is the one guaranteed to run anywhere pyspark runs — and the
+    executed evidence for the per-entity-accumulator semantics class.
+
+    State is one 2-long row per key — O(distinct keys) regardless of
+    stream length; each micro-batch touches only the keys it contains.
+    """
+    out_schema = f"{key_col} string, n_events bigint, max_key bigint"
+    state_schema = "n bigint, mk bigint"
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[Any],
+        state: GroupState,
+    ) -> Iterator[Any]:
+        import pandas as pd
+
+        n, mk = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mk = max(mk, int(pdf[val_col].max()))
+        state.update((n, mk))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "max_key": [mk]}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
