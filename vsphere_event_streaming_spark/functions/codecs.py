@@ -160,20 +160,29 @@ def decode_png(payload: bytes) -> np.ndarray:
             row = line
         elif ft == 2:  # Up
             row = (line + prev) % 256
-        elif ft in (1, 3, 4):
-            # Sub/Average/Paeth depend on the reconstructed left pixel:
+        elif ft == 1:
+            # Sub is a per-channel prefix sum in disguise:
+            # recon(x) = Σ line values left of x (same channel) mod 256
+            row = (
+                np.cumsum(line.reshape(-1, bpp), axis=0) % 256
+            ).reshape(stride)
+        elif ft in (3, 4):
+            # Average/Paeth depend on the reconstructed left pixel:
             # sequential within the row (rows of a 100 TB corpus decode
-            # in parallel across executors; within-row is cache-local)
-            row = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                up = prev[x]
-                ul = prev[x - bpp] if x >= bpp else 0
-                if ft == 1:
-                    pred = left
-                elif ft == 3:
-                    pred = (left + up) // 2
-                else:
+            # in parallel across executors; within-row is cache-local).
+            # Plain-int lists: per-element numpy indexing is ~5× slower.
+            ln = line.tolist()
+            pv = prev.tolist()
+            rw = [0] * stride
+            if ft == 3:
+                for x in range(stride):
+                    left = rw[x - bpp] if x >= bpp else 0
+                    rw[x] = (ln[x] + ((left + pv[x]) >> 1)) & 255
+            else:
+                for x in range(stride):
+                    left = rw[x - bpp] if x >= bpp else 0
+                    up = pv[x]
+                    ul = pv[x - bpp] if x >= bpp else 0
                     pa = abs(up - ul)
                     pb = abs(left - ul)
                     pc = abs(left + up - 2 * ul)
@@ -182,7 +191,8 @@ def decode_png(payload: bytes) -> np.ndarray:
                         if pa <= pb and pa <= pc
                         else (up if pb <= pc else ul)
                     )
-                row[x] = (line[x] + pred) % 256
+                    rw[x] = (ln[x] + pred) & 255
+            row = np.asarray(rw, dtype=np.int64)
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = row.astype(np.uint8)
@@ -191,20 +201,36 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def jpeg_header(payload: bytes) -> dict:
-    """JPEG dimensions/channels from the SOFn marker (spec ITU T.81)."""
+    """JPEG dimensions/channels from the SOFn marker (spec ITU T.81).
+
+    Scans marker *segments* only: 0xFF fill bytes between segments are
+    skipped (T.81 B.1.1.2), the scan stops at SOS/EOI (what follows SOS
+    is entropy-coded data, not segments), and every truncation raises
+    ``ValueError`` — never a leaked ``struct.error``.
+    """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
-    pos = 2
-    while pos + 4 <= len(payload):
+    pos, n = 2, len(payload)
+    while pos + 1 < n:
         if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker scan desynchronized")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before the real marker
             pos += 1
             continue
-        marker = payload[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            pos += 2
+            pos += 2  # standalone markers carry no length field
             continue
+        if marker in (0xDA, 0xD9):  # SOS / EOI: no SOF was seen
+            break
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG segment header")
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            raise ValueError("truncated JPEG segment")
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len < 8:
+                raise ValueError("truncated JPEG SOF segment")
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, pos + 4)
             return {
                 "format": "jpeg",

@@ -136,7 +136,13 @@ def load_all() -> dict[str, QueryDef]:
 
     Returns the registry re-ordered so PRIORITY names come first (in
     PRIORITY order), then everything else in registration order.
+
+    A PRIORITY name that is no longer registered degrades gracefully —
+    warn and skip, never fail every consumer over a rename. The pinned
+    window itself is enforced by ``tests/test_registry.py`` instead.
     """
+    import warnings
+
     from .queries import (  # noqa: F401
         advanced_queries,
         log_queries,
@@ -148,7 +154,11 @@ def load_all() -> dict[str, QueryDef]:
 
     missing = [n for n in PRIORITY if n not in QUERIES]
     if missing:
-        raise RuntimeError(f"PRIORITY names not registered: {missing}")
-    ordered = {n: QUERIES[n] for n in PRIORITY}
+        warnings.warn(
+            f"PRIORITY names not registered (skipped): {missing}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    ordered = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
     ordered.update((n, qd) for n, qd in QUERIES.items() if n not in ordered)
     return ordered

@@ -49,6 +49,12 @@ _RUNTIME_CONF = {
     # which vanilla Spark refuses; read nanos as long and convert in the
     # loader (tables.load) — matches DuckDB's truncate-to-micros read.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Driver parquet timestamps carry no isAdjustedToUTC flag; Spark 3.4+
+    # would infer TIMESTAMP_NTZ, which unix_micros/window arithmetic
+    # rejects and which blocks pushdown once cast. Read them as session-tz
+    # TIMESTAMP instead — the session tz is pinned UTC, so wall-clock
+    # values are identical and scan-level predicate pushdown is preserved.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

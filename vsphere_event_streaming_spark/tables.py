@@ -50,6 +50,18 @@ def load(
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not raw:
+        # Fallback when inferTimestampNTZ=false didn't take (conf locked
+        # by host): cast NTZ → session-tz TIMESTAMP. UTC session ⇒ same
+        # wall-clock values; costs pushdown on the cast column, which is
+        # why the session-conf path above is preferred.
+        ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+        if ntz:
+            from pyspark.sql import functions as F
+
+            df = df.withColumns(
+                {c: F.col(c).cast("timestamp") for c in ntz}
+            )
     return df
 
 
