@@ -94,6 +94,23 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Codegen warmup, same rationale: whole-stage codegen compiles one
+    # generated class per unique plan shape (~0.5-1.5 s per query,
+    # cached by source text). Run every headline query once at the
+    # smallest SF untimed — identical plan shapes hit the compile
+    # cache, so the measured runs time execution at the benchmark SF,
+    # not janino. Warm-engine / cold-data: nothing row-level is cached
+    # (different files + clearCache between runs).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.realpath(
+        warm_dir
+    ) != os.path.realpath(sf_dir):
+        for name in HEADLINE:
+            queries[name].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name].fn(spark, sf_dir)

@@ -40,9 +40,19 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # aggregation is partial+final hash agg
     "q_group_agg": [[r"HashAggregate"], []],
     "q_range": [[r"HashAggregate"], []],
-    # offset assignment: windows are partitioned (per-range rank) — the
-    # only un-partitioned window is the #partitions-row prefix sum
-    "q_offset_assign": [[r"row_number"], []],
+    # offset assignment: ONE range shuffle + in-partition sort; the
+    # local rank comes from monotonically_increasing_id arithmetic, so
+    # there must be no second data-sized exchange (hashpartitioning of
+    # the full rows on __pid was the old 2x-cost shape) and no
+    # row_number window over the data (the only window left is the
+    # #partitions-row prefix sum on the broadcast side)
+    "q_offset_assign": [
+        [r"rangepartitioning\(ts", r"monotonically_increasing_id"],
+        # no row_number window over the data, and no full-data re-sort
+        # clustered on __pid (the tiny 32-row agg exchange on the
+        # broadcast side is fine — it is aggregated, not data-sized)
+        [r"row_number", r"Sort \[__pid#\d+ ASC NULLS FIRST, ts"],
+    ],
     # TPC-H headliners: pushed date filters, broadcast dims, top-k heap
     "q_tpch_q1": [
         [r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", r"HashAggregate"],

@@ -169,18 +169,29 @@ def assign_offsets(
     event's vSphere ``Key`` seeds the start offset so event IDs ≡ log
     offsets (cmd/server/main.go:113-125, README.md:31-33).
 
-    NOT ``monotonically_increasing_id`` (not dense, partition-layout
-    dependent) and NOT a global single-partition window. Two-phase
-    scalable rank:
+    NOT a raw ``monotonically_increasing_id`` (not dense, and
+    meaningless on an unpinned partition layout) and NOT a global
+    single-partition window. Two-phase scalable rank, ONE shuffle:
 
     1. range-shuffle on the order key (``repartitionByRange``) so the
-       key order equals the partition order;
-    2. ``row_number`` *within* each partition;
+       key order equals the partition order, then sort *within* each
+       partition — no second exchange;
+    2. local rank from ``monotonically_increasing_id`` over the pinned
+       layout: the id is documented as partition id in the upper 31
+       bits, per-task row counter in the lower 33, so
+       ``pid = id >> 33`` and ``rank = (id & (2^33-1)) + 1`` are plain
+       codegen arithmetic. (A ``row_number() OVER (PARTITION BY
+       spark_partition_id())`` window computes the same thing but
+       Catalyst cannot prove the data is already clustered by
+       partition id, so it inserts a second full Exchange + Sort —
+       measured 2× the query cost.)
     3. broadcast-join per-partition row counts turned into prefix-sum
        bases (a #partitions-sized side computed with a tiny window).
 
     The result is the exact global rank: deterministic for a unique
     order key regardless of sampling-derived partition bounds.
+    Requires < 2^33 rows per partition (a per-partition spill limit
+    far beyond any sane partition sizing).
 
     Consistency invariant: the counts branch and the rank branch hang
     off the *same* range Exchange, which Spark's exchange reuse
@@ -202,22 +213,28 @@ def assign_offsets(
     # otherwise shift every assigned offset relative to the oracle
     order_cols = [F.col(c).asc_nulls_last() for c in order_by]
     ranged = df.repartitionByRange(num_partitions, *order_cols)
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    local = with_pid.withColumn(
-        "__rank",
-        F.row_number().over(Window.partitionBy("__pid").orderBy(*order_cols)),
+    mask = F.lit((1 << 33) - 1)
+    local = (
+        ranged.sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33).cast("int"))
+        .withColumn("__rank", (F.col("__mid").bitwiseAND(mask) + 1))
     )
 
-    # counts come from the pre-window side: the range Exchange subtree
-    # is shared (ReusedExchange dedupes the shuffle) and the rank
-    # window is evaluated exactly once, on the output side only.
+    # counts hang off the shared range Exchange (ReusedExchange dedupes
+    # the shuffle) and skip the sort entirely — a count per partition
+    # does not care about row order.
     # The seed (min of seed_col) rides along as a per-partition min —
     # one aggregate branch and ONE broadcast join serve both the
     # prefix-sum bases and the start offset (no separate seed scan).
     aggs = [F.count(F.lit(1)).alias("__cnt")]
     if seed_col is not None:
         aggs.append(F.min(seed_col).alias("__pmin"))
-    counts = with_pid.groupBy("__pid").agg(*aggs)
+    counts = (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(*aggs)
+    )
     # Prefix sum over the tiny per-partition count table (≤ num_partitions
     # rows) — the single-partition windows here are intentional and free.
     tiny = Window.orderBy("__pid")
@@ -249,4 +266,4 @@ def assign_offsets(
         offset_col,
         (F.col("__base") + F.col("__rank") - F.lit(1) + first).cast("long"),
     )
-    return out.drop("__pid", "__rank", "__base", "__pmin", "__seed")
+    return out.drop("__mid", "__pid", "__rank", "__base", "__pmin", "__seed")
