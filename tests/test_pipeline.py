@@ -379,3 +379,18 @@ def test_udtf_props_json_value_fidelity(spark):
         "s": "x",
         "n": "87",
     }
+
+
+def test_release_cached_unpersists_dedup_intermediates(spark):
+    from vsphere_event_streaming_spark.functions import dedup
+
+    dedup.release_cached()  # start clean
+    pairs = dedup.lsh_verified_pairs(_docs(spark), threshold=0.5)
+    pairs.collect()
+    jvm_sc = spark.sparkContext._jsc.sc()
+    assert not jvm_sc.getPersistentRDDs().isEmpty()
+    released = dedup.release_cached()
+    assert released >= 2  # shingle arrays + signatures at minimum
+    assert jvm_sc.getPersistentRDDs().isEmpty()
+    # idempotent and safe to call with nothing cached
+    assert dedup.release_cached() == 0

@@ -11,8 +11,13 @@ from vsphere_event_streaming_spark.operators.skew import (
 
 
 def _skewed_df(spark):
-    # one pathologically hot key (90%) + a long tail
-    rows = [("hot", i, float(i % 7)) for i in range(9000)]
+    # one pathologically hot key (90%) + a long tail; every 10th v is
+    # NULL so SQL count semantics are observable: count(v) must count
+    # non-nulls while count(*) counts rows
+    rows = [
+        ("hot", None if i % 10 == 0 else i, float(i % 7))
+        for i in range(9000)
+    ]
     rows += [(f"k{i % 50}", i, float(i % 11)) for i in range(1000)]
     return spark.createDataFrame(rows, "key string, v long, x double")
 
@@ -20,26 +25,34 @@ def _skewed_df(spark):
 def test_salted_agg_matches_plain(spark):
     df = _skewed_df(spark)
     plain = {
-        r["key"]: (r["n"], r["sv"], r["mx"])
+        r["key"]: (r["n_rows"], r["n_v"], r["sv"], r["mx"])
         for r in df.groupBy("key")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v").alias("n_v"),
             F.sum("v").alias("sv"),
             F.max("x").alias("mx"),
         )
         .collect()
     }
     salted = {
-        r["key"]: (r["n"], r["sv"], r["mx"])
+        r["key"]: (r["n_rows"], r["n_v"], r["sv"], r["mx"])
         for r in salted_agg(
             df,
             keys=["key"],
-            aggs={"n": ("v", "count"), "sv": ("v", "sum"), "mx": ("x", "max")},
-            salt_from=["v"],
+            aggs={
+                "n_rows": ("*", "count"),
+                "n_v": ("v", "count"),
+                "sv": ("v", "sum"),
+                "mx": ("x", "max"),
+            },
+            salt_from=["x"],
             buckets=16,
         ).collect()
     }
     assert salted == plain
+    # the fixture actually exercises the distinction
+    assert plain["hot"][0] == 9000 and plain["hot"][1] == 8100
 
 
 def test_salted_join_matches_plain(spark):
@@ -48,14 +61,16 @@ def test_salted_join_matches_plain(spark):
         [("hot", "H")] + [(f"k{i}", f"D{i}") for i in range(50)],
         "key string, label string",
     )
-    plain = sorted(
-        (r["key"], r["v"], r["label"])
-        for r in fact.join(dim, "key").collect()
-    )
-    salted = sorted(
-        (r["key"], r["v"], r["label"])
-        for r in salted_join(fact, dim, on="key", buckets=8).collect()
-    )
+
+    def norm(rows):
+        # v is nullable in the fixture: sort with an explicit None key
+        return sorted(
+            ((r["key"], r["v"], r["label"]) for r in rows),
+            key=lambda t: (t[0], t[1] is None, t[1] or 0, t[2]),
+        )
+
+    plain = norm(fact.join(dim, "key").collect())
+    salted = norm(salted_join(fact, dim, on="key", buckets=8).collect())
     assert salted == plain
     # left join preserves unmatched fact rows
     fact2 = fact.union(

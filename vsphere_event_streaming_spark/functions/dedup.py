@@ -28,6 +28,39 @@ from pyspark.sql import functions as F
 
 from .text import HASH_MOD, md5_hash, words
 
+#: Corpus-sized intermediates this module persists (shingle arrays,
+#: minhash signatures, simhash tables). Persisting is deliberate —
+#: higher-order-function chains are interpreted and must not be
+#: re-evaluated per consumer — but library callers need a release
+#: path that does not nuke the whole Spark cache the way
+#: ``spark.catalog.clearCache()`` does. Strong references on purpose:
+#: the persisted frames are locals inside the operator functions, so
+#: anything weaker is collected the moment they return while the
+#: executor-side cache lives on — exactly the leak this list exists
+#: to free.
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist() + register with :func:`release_cached`."""
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every intermediate this module has persisted.
+
+    Call after the consuming action (pairs collected / written) to
+    return executor memory without touching other tables the
+    application may have cached. Returns the number released.
+    """
+    released = 0
+    while _CACHED:
+        _CACHED.pop().unpersist()
+        released += 1
+    return released
+
 #: (a, b) parameters for the minhash family h_i(x) = (a_i*x + b_i) mod p.
 #: Fixed, public constants — determinism across engines and runs.
 MINHASH_PARAMS = [
@@ -155,12 +188,10 @@ def char_shingle_hash_arrays(
         F.sequence(F.lit(1), F.length(t) - (n - 1)),
         lambda i: md5_hash(t.substr(i.cast("int"), F.lit(n))),
     )
-    return (
+    return _persist(
         docs.select(
             F.col(id_col).alias("id"), F.array_distinct(sh).alias("sh_arr")
-        )
-        .withColumn("n_sh", F.size("sh_arr"))
-        .persist()
+        ).withColumn("n_sh", F.size("sh_arr"))
     )
 
 
@@ -216,26 +247,51 @@ def jaccard_pairs_pruned(
     sets: deterministic, engine-reproducible, and the join cost is
     capped at ``max_doc_freq²`` rows per surviving shingle.
 
-    Plan: df-count aggregate over the persisted shingle table →
-    broadcast-able frequent-shingle list → anti-join prune → per-doc
-    set-size recount (one groupBy on id) → the same intersection
-    pipeline as :func:`jaccard_pairs`.
+    Plan — one pass over the persisted shingle arrays feeds both
+    stages, and the prune happens in ARRAY form so no per-occurrence
+    shuffles are spent on it:
+
+    1. df-count aggregate over the exploded persisted arrays → the
+       frequent-shingle list, collapsed to ONE array row. The list is
+       the head of the Zipf curve (df > max_doc_freq), so it is small
+       by construction — the same memory envelope a broadcast
+       anti-join hash table would need.
+    2. 1-row broadcast nested-loop join attaches that list to every
+       doc; ``array_except`` prunes each doc's shingle set in place,
+       yielding the pruned set AND its size (``size(arr)``) with zero
+       shuffle — this replaces the old anti-join + per-doc recount
+       groupBy + doc-sized re-join (two shuffles and an
+       occurrence-sized persist).
+    3. The compact (id, pruned_arr, n_sh2) table persists (doc-sized
+       rows), explodes into both self-join sides, and runs the same
+       capped intersection pipeline as :func:`jaccard_pairs`.
     """
-    sh = shingle_hash_table(docs, text_col, id_col, n)
-    frequent = (
+    arrs = shingle_hash_arrays(docs, text_col, id_col, n)
+    sh = arrs.select("id", F.explode("sh_arr").alias("sh"))
+    freq_row = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_doc_freq)
-        .select("sh")
+        .agg(F.collect_set("sh").alias("freq"))
     )
-    pruned = sh.join(F.broadcast(frequent), "sh", "left_anti")
-    sizes = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh2"))
-    kept = pruned.select("id", "sh").join(sizes, "id").persist()
+    kept = (
+        arrs.join(F.broadcast(freq_row))
+        .select(
+            "id", F.array_except("sh_arr", "freq").alias("arr2")
+        )
+        .withColumn("n_sh2", F.size("arr2"))
+        .filter(F.col("n_sh2") > 0)
+    )
+    kept = _persist(kept)
     a = kept.select(
-        F.col("id").alias("id_a"), F.col("n_sh2").alias("na"), "sh"
+        F.col("id").alias("id_a"),
+        F.col("n_sh2").alias("na"),
+        F.explode("arr2").alias("sh"),
     )
     b = kept.select(
-        F.col("id").alias("id_b"), F.col("n_sh2").alias("nb"), "sh"
+        F.col("id").alias("id_b"),
+        F.col("n_sh2").alias("nb"),
+        F.explode("arr2").alias("sh"),
     )
     inter = (
         a.join(b, "sh")
@@ -318,10 +374,10 @@ def shingle_hash_arrays(
         )
         % HASH_MOD,
     )
-    return (
-        wh.select("id", F.array_distinct(sh).alias("sh_arr"))
-        .withColumn("n_sh", F.size("sh_arr"))
-        .persist()
+    return _persist(
+        wh.select("id", F.array_distinct(sh).alias("sh_arr")).withColumn(
+            "n_sh", F.size("sh_arr")
+        )
     )
 
 
@@ -402,7 +458,7 @@ def lsh_candidate_pairs(
     """L2 approximate: MinHash-LSH candidate pairs (a<b)."""
     # both join sides read sig: persist so the signature aggregation
     # (and everything under it) runs once, not once per side
-    sig = minhash_signatures(docs, text_col, id_col, n).persist()
+    sig = _persist(minhash_signatures(docs, text_col, id_col, n))
     return _band_collision_pairs(sig, band_size)
 
 
@@ -432,7 +488,7 @@ def lsh_verified_pairs(
     """
     arrs = shingle_hash_arrays(docs, text_col, id_col, n)
     sh = arrs.select("id", F.explode("sh_arr").alias("sh"))
-    sig = _signatures_from(sh).persist()
+    sig = _persist(_signatures_from(sh))
     cands = _band_collision_pairs(sig, band_size)
     a = arrs.select(
         F.col("id").alias("id_a"),
@@ -499,7 +555,7 @@ def simhash_pairs(
     are the candidates; at web scale the same join is done per
     hamming-ball probe (fingerprint with one band dropped).
     """
-    st = simhash_table(docs, text_col, id_col).persist()
+    st = _persist(simhash_table(docs, text_col, id_col))
     a = st.select(F.col("id").alias("id_a"), "simhash")
     b = st.select(F.col("id").alias("id_b"), "simhash")
     return (
