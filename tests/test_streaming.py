@@ -480,36 +480,15 @@ def test_stateful_sessionize(spark, tmp_path):
     }
 
 
-def _has_protobuf() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-@pytest.mark.parametrize("api", ["v1", "v2"])
-def test_running_user_stats_accumulates(spark, tmp_path, api):
+def test_running_user_stats_accumulates(spark, tmp_path):
     """Per-user lifetime counters accumulate across micro-batches and
-    match the generator's key distribution. Runs on both stateful
-    APIs: v1 (applyInPandasWithState, dependency-free) always; v2
-    (transformWithStateInPandas) when google.protobuf is present."""
-    if api == "v2":
-        if not _has_protobuf():
-            pytest.skip(
-                "transformWithStateInPandas state server needs "
-                "google.protobuf (not shipped in this container); "
-                "the v1 parametrization covers the semantics"
-            )
-        from vsphere_event_streaming_spark.streaming.stateful_v2 import (
-            running_user_stats,
-        )
-    else:
-        from vsphere_event_streaming_spark.streaming.stateful import (
-            running_user_stats,
-        )
+    match the generator's key distribution (applyInPandasWithState —
+    the stateful API that runs without the protobuf state server)."""
+    from vsphere_event_streaming_spark.streaming.stateful import (
+        running_user_stats,
+    )
 
+    api = "v1"
     tmp = str(tmp_path)
     n = 200  # user_name = f"user{key % 16}" → 8 users x13, 8 x12
     stream = read_poll_stream(spark, page_size=50, max_key=n)

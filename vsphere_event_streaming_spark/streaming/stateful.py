@@ -140,11 +140,14 @@ def running_user_stats(
 ) -> DataFrame:
     """Per-key lifetime event count + max value seen, emitted per batch.
 
-    The dependency-free twin of ``stateful_v2.running_user_stats``
-    (same output schema and semantics): the v2 state-server path needs
-    ``google.protobuf`` at runtime, so this ``applyInPandasWithState``
-    form is the one guaranteed to run anywhere pyspark runs — and the
-    executed evidence for the per-entity-accumulator semantics class.
+    API note: Spark 4's forward path for custom stateful operators is
+    ``transformWithStateInPandas`` (typed ValueState/ListState/MapState
+    handles, TTL, timers); a ``StatefulProcessor`` port of this
+    operator is mechanical (``init`` → getValueState,
+    ``handleInputRows`` → the same fold). Its state server requires
+    ``google.protobuf`` at runtime, which this environment does not
+    ship, so the repo carries only this ``applyInPandasWithState``
+    form — the one that runs (and is tested) anywhere pyspark runs.
 
     State is one 2-long row per key — O(distinct keys) regardless of
     stream length; each micro-batch touches only the keys it contains.
