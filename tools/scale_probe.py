@@ -25,7 +25,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
     jaccard_pairs,
+    jaccard_pairs_pruned,
     lsh_candidate_pairs,
+    lsh_verified_pairs,
+    release_cached,
 )
 from vsphere_event_streaming_spark.log.model import (  # noqa: E402
     assign_offsets,
@@ -131,6 +134,19 @@ def main() -> None:
             lambda: lsh_candidate_pairs(docsN),
         ),
         (
+            # the canonical 100 TB near-dup pipeline: LSH candidates →
+            # exact re-score of candidates only
+            "lsh_verified_pairs",
+            lambda: lsh_verified_pairs(docs1, threshold=0.5),
+            lambda: lsh_verified_pairs(docsN, threshold=0.5),
+        ),
+        (
+            # stop-shingle-pruned exact Jaccard (df-capped join)
+            "jaccard_pairs_pruned",
+            lambda: jaccard_pairs_pruned(docs1, 0.5, max_doc_freq=100),
+            lambda: jaccard_pairs_pruned(docsN, 0.5, max_doc_freq=100),
+        ),
+        (
             "assign_offsets",
             lambda: assign_offsets(ev1, order_by=["ts", "event_id"]),
             lambda: assign_offsets(evN, order_by=["ts", "event_id"]),
@@ -147,7 +163,9 @@ def main() -> None:
         ),
     ]:
         t1, n1 = _time(one)
+        release_cached()  # dedup intermediates must not subsidize the Nx run
         tN, nN = _time(many)
+        release_cached()
         results[name] = {
             "t_1x_sec": t1,
             f"t_{factor}x_sec": tN,
