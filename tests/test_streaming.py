@@ -655,3 +655,129 @@ def test_poll_source_upstream_adapter_contract():
     empty_reader = PollStreamReader({"page_size": "50", "max_key": "100"})
     it3, end3 = empty_reader.read({"key": 100})
     assert list(it3) == [] and end3 == {"key": 100}
+
+
+def _canned_soap_transport():
+    """Transport stub replaying the VIM operations the adapter issues.
+
+    The wire is this sandbox's documented boundary (no network): the
+    canned XML mirrors the public vim25 response shapes, so everything
+    above the socket — envelope building, fault detection, collector
+    bootstrap, page conversion, key ordering, page cap — runs for real.
+    """
+    state = {"next_key": 1000, "logins": 0}
+
+    def send(url: str, body: bytes) -> bytes:
+        b = body.decode()
+        rv = ""
+        if "RetrieveServiceContent" in b:
+            rv = (
+                "<returnval>"
+                "<sessionManager type='SessionManager'>SessionManager"
+                "</sessionManager>"
+                "<eventManager type='EventManager'>EventManager"
+                "</eventManager>"
+                "<rootFolder type='Folder'>group-d1</rootFolder>"
+                "</returnval>"
+            )
+        elif "Login" in b:
+            state["logins"] += 1
+            rv = "<returnval/>"
+        elif "CreateCollectorForEvents" in b:
+            assert "<vim25:beginTime>" in b  # stream-begin filter set
+            rv = "<returnval type='EventHistoryCollector'>sess-hc1</returnval>"
+        elif "ReadNextEvents" in b:
+            assert "sess-hc1" in b
+            import re as _re
+
+            n = int(_re.search(r"<vim25:maxCount>(\d+)", b).group(1))
+            evs = []
+            for _ in range(n):
+                k = state["next_key"]
+                state["next_key"] += 1
+                evs.append(
+                    "<returnval xsi:type='vim25:VmPoweredOnEvent'>"
+                    f"<key>{k}</key>"
+                    f"<createdTime>2024-01-01T00:{k % 60:02d}:00Z"
+                    "</createdTime>"
+                    f"<userName>user{k % 16}</userName>"
+                    "<fullFormattedMessage>VM powered on"
+                    "</fullFormattedMessage></returnval>"
+                )
+            rv = "".join(evs)
+        return (
+            "<soapenv:Envelope "
+            "xmlns:soapenv='http://schemas.xmlsoap.org/soap/envelope/' "
+            "xmlns:xsi='http://www.w3.org/2001/XMLSchema-instance' "
+            f"xmlns='urn:vim25'><soapenv:Body>{rv}"
+            "</soapenv:Body></soapenv:Envelope>"
+        ).encode()
+
+    return send, state
+
+
+def test_soap_adapter_contract():
+    """The real-SOAP twin of the upstream adapter contract: page cap,
+    strict key monotonicity across polls, schema-arity records with
+    tz-aware timestamps — through actual VIM envelope construction and
+    response parsing (transport canned; see _canned_soap_transport)."""
+    import datetime as dt
+
+    from vsphere_event_streaming_spark.sources.poll_source import SCHEMA_DDL
+    from vsphere_event_streaming_spark.sources.soap_client import (
+        SoapConfig,
+        VSphereSoapEventSource,
+    )
+
+    send, state = _canned_soap_transport()
+    src = VSphereSoapEventSource(
+        SoapConfig(url="https://vc.example/sdk", username="u", password="p"),
+        transport=send,
+    )
+    # (1) page cap: the reference page size bounds any request
+    page, last = src.read_page(page_size=500)
+    assert len(page) == 50 and last == page[-1][0]
+    assert state["logins"] == 1  # collector bootstrap happened once
+    # (2) strict monotonicity within and across pages
+    page2, last2 = src.read_page(page_size=50)
+    keys = [r[0] for r in page] + [r[0] for r in page2]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+    assert state["logins"] == 1  # collector reused, not re-created
+    # (4) record shape matches the declared source schema
+    n_fields = len(SCHEMA_DDL.split(","))
+    for rec in page:
+        assert len(rec) == n_fields
+        key, ts, etype, user, msg = rec
+        assert isinstance(key, int)
+        assert isinstance(ts, dt.datetime) and ts.tzinfo is not None
+        assert etype == "VmPoweredOnEvent"
+        assert user.startswith("user") and isinstance(msg, str)
+
+
+def test_soap_adapter_offline_and_env_errors():
+    """Offline behavior is a clean ConnectionError naming the URL;
+    missing env is a clean ValueError naming the contract."""
+    import pytest as _pytest
+
+    from vsphere_event_streaming_spark.sources.soap_client import (
+        SoapConfig,
+        VSphereSoapEventSource,
+    )
+
+    with _pytest.raises(ValueError, match="VCENTER_URL"):
+        SoapConfig.from_env(environ={})
+    with _pytest.raises(ValueError, match="suffix"):
+        SoapConfig.from_env(
+            environ={
+                "VCENTER_URL": "https://vc.example",
+                "VCENTER_SECRET_PATH": "/nonexistent",
+                "VCENTER_STREAM_BEGIN": "bogus",
+            }
+        )
+    src = VSphereSoapEventSource(
+        SoapConfig(
+            url="https://127.0.0.1:1/sdk", username="u", password="p"
+        )
+    )
+    with _pytest.raises(ConnectionError, match="127.0.0.1"):
+        src.read_page()

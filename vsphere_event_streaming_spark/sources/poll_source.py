@@ -12,8 +12,12 @@ The upstream here is a deterministic synthetic generator playing the
 role of vcsim (the simulated vCenter the reference's e2e tests use,
 main_test.go:30-97) — the Spark-side machinery (offset management,
 micro-batch planning, restart replay) is the real component under
-test. A production vCenter client would only replace
-``_generate_page``'s body with a SOAP ``ReadNextEvents`` call.
+test. A production vCenter client only replaces ``_generate_page``'s
+body with a SOAP ``ReadNextEvents`` call — ``sources/soap_client.py``
+implements exactly that adapter (VIM SOAP over stdlib HTTP,
+constructed from the reference's documented VCENTER_* environment),
+contract-tested through a canned transport because this sandbox has
+no network.
 
 Scale: one poll source instance feeds the driver; fan-out happens at
 the sink (partitioned append). Poll sources are inherently
