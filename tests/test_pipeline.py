@@ -394,3 +394,106 @@ def test_release_cached_unpersists_dedup_intermediates(spark):
     assert jvm_sc.getPersistentRDDs().isEmpty()
     # idempotent and safe to call with nothing cached
     assert dedup.release_cached() == 0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = [
+        (0, "contact bob@example.com or 555-123-4567 now"),
+        (1, "server at 10.0.0.1 and 192.168.1.254, mail a.b+c@x.io"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.zz w@v.uk one phone 111.222.3333"),
+    ]
+    from vsphere_event_streaming_spark.functions.text import (
+        pii_counts,
+        pii_redact,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    c = pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            c["email"].alias("e"),
+            c["phone"].alias("p"),
+            c["ipv4"].alias("i"),
+            pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[0]["e"], out[0]["p"], out[0]["i"]) == (1, 1, 0)
+    assert out[0]["red"] == "contact <EMAIL> or <PHONE> now"
+    assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (1, 0, 2)
+    assert (out[2]["e"], out[2]["p"], out[2]["i"]) == (0, 0, 0)
+    assert (out[3]["e"], out[3]["p"], out[3]["i"]) == (2, 1, 0)
+
+
+def test_repetition_profile_degenerate_vs_normal(spark):
+    from vsphere_event_streaming_spark.functions.text import (
+        repetition_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam"),          # degenerate
+            (1, "five totally different words here"),  # healthy
+            (2, ""),                                   # empty: dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in repetition_profile(df).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_words"] == 5 and out[0]["n_distinct"] == 1
+    assert out[0]["max_freq_ratio"] == 1.0 and out[0]["distinct_ratio"] == 0.2
+    assert out[1]["distinct_ratio"] == 1.0 and out[1]["max_freq_ratio"] == 0.2
+
+
+def test_contamination_flags_holdout_overlap(spark):
+    from vsphere_event_streaming_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),   # benchmark member
+            (1, "alpha beta gamma delta epsilon"),   # full copy -> 1.0
+            (2, "alpha beta gamma zeta eta theta"),  # partial overlap
+            (3, "totally unrelated content words here"),  # clean
+        ],
+        ["doc_id", "text"],
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {
+        r["id"]: r
+        for r in dedup.contamination_report(docs, bench, 0.5).collect()
+    }
+    dedup.release_cached()
+    assert out[1]["overlap"] == 1.0 and out[1]["contaminated"] == 1
+    assert out[3]["n_hits"] == 0 and out[3]["contaminated"] == 0
+    # doc 2 shares exactly the 'alpha beta gamma' shingle of its 4
+    assert out[2]["n_sh"] == 4 and out[2]["n_hits"] == 1
+    assert out[2]["contaminated"] == 0
+
+
+def test_hyperplane_sig_deterministic_and_bounded(spark):
+    from vsphere_event_streaming_spark.functions.vectors import (
+        hyperplane_sig,
+        hyperplane_topk,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    sigs = emb.select(
+        "vec_id", hyperplane_sig(F.col("embedding"), 6).alias("s")
+    )
+    rows = sigs.collect()
+    assert all(0 <= r["s"] < 64 for r in rows)
+    # deterministic across evaluations
+    again = {r["vec_id"]: r["s"] for r in sigs.collect()}
+    assert {r["vec_id"]: r["s"] for r in rows} == again
+    # in-bucket top-k scores equal brute-force scores for those ids
+    q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    corpus = emb.filter(
+        F.col("vec_id") > emb.agg(F.min("vec_id")).first()[0]
+    )
+    got = hyperplane_topk(corpus, q, k=5, n_bits=6).collect()
+    assert len(got) >= 1
+    brute = {r["vec_id"]: r["score"] for r in knn_topk(corpus, q, k=500).collect()}
+    for r in got:
+        assert abs(brute[r["vec_id"]] - r["score"]) < 1e-9

@@ -591,3 +591,54 @@ def simhash16(text: Column) -> Column:
     for b in bits[1:]:
         total = total + b
     return total
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: per-doc fraction of word-n-gram
+    shingles that appear anywhere in ``benchmark``.
+
+    The standard pre-training hygiene step — training text overlapping
+    an eval set inflates benchmark scores, so docs with shingle
+    overlap ≥ ``threshold`` get flagged for exclusion.
+
+    Plan: both corpora reduce to shingle-hash form (persisted arrays,
+    same machinery as dedup); the benchmark side collapses to its
+    distinct shingle set; a LEFT SEMI join + per-doc count scores
+    overlap. At 100 TB the corpus side dominates and carries only
+    (id, sh) int64 rows into the join; the benchmark set is eval-sized
+    (millions of shingles, not billions) — AQE broadcasts it when it
+    fits, and the shuffle semi-join remains the general path when it
+    does not.
+    """
+    arrs = shingle_hash_arrays(docs, text_col, id_col, n)
+    bench_sh = (
+        shingle_hash_arrays(benchmark, text_col, id_col, n)
+        .select(F.explode("sh_arr").alias("sh"))
+        .distinct()
+    )
+    sh = arrs.select("id", F.explode("sh_arr").alias("sh"))
+    hits = (
+        sh.join(bench_sh, "sh", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    overlap = F.col("n_hits") / F.col("n_sh")
+    return (
+        arrs.select("id", "n_sh")
+        .join(hits, "id", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .select(
+            "id",
+            "n_sh",
+            "n_hits",
+            F.round(overlap, 6).alias("overlap"),
+            (overlap >= threshold).cast("int").alias("contaminated"),
+        )
+    )

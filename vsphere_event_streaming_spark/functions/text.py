@@ -141,3 +141,71 @@ def quality_score(text: Column) -> Column:
         0.5 * f["stopword_ratio"] + 0.4 * length_term - 0.1 * f["punct_ratio"],
         6,
     )
+
+
+#: PII patterns shared verbatim with the DuckDB oracle — kept inside
+#: the Java-regex ∩ RE2 common subset (no lookaround, no backrefs) so
+#: both engines match identically. Training-data scrubbing is a
+#: standard pre-training step; these are the three classic easy hits.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}[-.]\d{3}[-.]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (codegen regexp, no UDF)."""
+    return {
+        name: F.regexp_count(text, F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII match with a typed tag, in fixed category
+    order (email → phone → ipv4; order matters where patterns could
+    overlap, so the oracle applies the same sequence)."""
+    out = text
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def repetition_profile(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_words, n_distinct, distinct_ratio, max_freq_ratio):
+    word-repetition quality signals — degenerate machine-generated or
+    boilerplate text shows low distinct_ratio / high max_freq_ratio.
+
+    One explode → (id, word)-count → per-doc aggregate chain: the
+    doc-level totals (Σcnt, #distinct, max cnt) all derive from the
+    word-count table, so no second pass over the text and no join.
+    Shuffle rows are (id, word-hash)-sized; documents never move.
+    """
+    wc = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(words(F.col(text_col))).alias("w"),
+        )
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        wc.groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("max_freq"),
+        )
+        .select(
+            "id",
+            "n_words",
+            "n_distinct",
+            F.round(
+                F.col("n_distinct") / F.col("n_words"), 6
+            ).alias("distinct_ratio"),
+            F.round(F.col("max_freq") / F.col("n_words"), 6).alias(
+                "max_freq_ratio"
+            ),
+        )
+    )

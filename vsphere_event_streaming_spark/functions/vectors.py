@@ -274,3 +274,79 @@ def deterministic_centroids(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
         )
     )
+
+
+#: Deterministic pseudo-random hyperplane family for sign-LSH — plain
+#: modular arithmetic (like MINHASH_PARAMS) so the DuckDB oracle can
+#: replay the identical planes: plane(j, i) ∈ (-0.5, 0.5).
+HYPER_P1 = 2_654_435_761
+HYPER_P2 = 40_503
+HYPER_MOD = 1_000_003
+
+
+def _plane(j: int, i: Column) -> Column:
+    """plane[j][i] = ((j·P1 + i·P2 + 1) mod M)/M − 0.5, exact in
+    double (every intermediate < 2^63; the quotient has ≤20 bits)."""
+    h = (F.lit(j) * F.lit(HYPER_P1) + i * F.lit(HYPER_P2) + 1) % F.lit(
+        HYPER_MOD
+    )
+    return h.cast("double") / F.lit(float(HYPER_MOD)) - F.lit(0.5)
+
+
+def hyperplane_sig(vec: Column, n_bits: int = 6) -> Column:
+    """Sign-LSH bucket id: bit j = [plane_j · vec > 0].
+
+    Each dot product is the same deterministic left-to-right double
+    fold as :func:`dot` (index order), so an engine replaying the
+    arithmetic — Spark or the DuckDB oracle — lands every vector in
+    the identical bucket. Constant output bytes per vector; the
+    bucket id is a shuffle/partition key at scale.
+    """
+    def dot_j(j: int) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            F.lit(0.0).cast("double"),
+            lambda acc, i: acc
+            + F.element_at(vec, (i + 1).cast("int")).cast("double")
+            * _plane(j, i),
+        )
+
+    sig = F.lit(0)
+    for j in range(n_bits):
+        sig = sig + F.when(dot_j(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def hyperplane_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH ANN: exact cosine top-k *within the query's bucket*.
+
+    The bucket equi-join replaces IVF's centroid pruning with a
+    data-independent hash — no training pass, fully deterministic, so
+    unlike IVF this approximate index is oracle-checkable end-to-end.
+    At scale the corpus is bucketed/partitioned by sig once and each
+    query touches one partition (+ Hamming-neighbor probes for higher
+    recall, the standard extension).
+    """
+    qsig = query.select(
+        F.col("q").alias("__q"),
+        hyperplane_sig(F.col("q"), n_bits).alias("__sig"),
+    )
+    csig = corpus.select(
+        id_col, vec_col, hyperplane_sig(F.col(vec_col), n_bits).alias("__sig")
+    )
+    return (
+        csig.join(F.broadcast(qsig), "__sig")
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

@@ -742,3 +742,172 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
     return dedup_groups(pairs)
+
+
+# ======================================================================
+# L4+: training-data hygiene — contamination, PII scrub, repetition
+# ======================================================================
+def _contamination_oracle() -> str:
+    """Replays contamination_report: benchmark = doc_id % 50 == 0."""
+    return f"""
+    WITH {_duck_shingle_hashes()},
+    bench AS (
+      SELECT DISTINCT s AS sh
+      FROM sha, unnest(sh_arr) AS t(s)
+      WHERE doc_id % 50 = 0
+    ),
+    ex AS (SELECT doc_id, s AS sh FROM sha, unnest(sh_arr) AS t(s)),
+    hits AS (
+      SELECT ex.doc_id, count(*) AS n_hits
+      FROM ex JOIN bench USING (sh)
+      GROUP BY ex.doc_id
+    )
+    SELECT sha.doc_id,
+           CAST(len(sh_arr) AS BIGINT) AS n_sh,
+           coalesce(hits.n_hits, 0) AS n_hits,
+           round(coalesce(hits.n_hits, 0)::DOUBLE / len(sh_arr), 6)
+             AS overlap,
+           CAST(coalesce(hits.n_hits, 0)::DOUBLE / len(sh_arr) >= 0.5
+             AS INTEGER) AS contaminated
+    FROM sha LEFT JOIN hits USING (doc_id)
+    """
+
+
+@query("q_contamination", oracle=_contamination_oracle())
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: per-doc word-3-gram overlap with
+    a deterministic holdout 'benchmark' slice (doc_id % 50 == 0) —
+    the pre-training hygiene step that keeps eval text out of the
+    training corpus. Semi-join on int64 shingle hashes; the benchmark
+    shingle set is eval-sized (AQE broadcasts when it fits)."""
+    from ..functions.dedup import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    rep = contamination_report(docs, bench, threshold=0.5)
+    return rep.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_sh").cast("bigint").alias("n_sh"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        "overlap",
+        "contaminated",
+    )
+
+
+def _pii_oracle() -> str:
+    from ..functions.text import PII_PATTERNS
+
+    e, p, i = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["phone"],
+        PII_PATTERNS["ipv4"],
+    )
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g'), "
+        f"'{i}', '<IPV4>', 'g')"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ips,
+           md5({redacted}) AS clean_hash
+    FROM documents
+    """
+
+
+@query("q_pii_scrub", oracle=_pii_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: per-category match counts + md5 of the redacted
+    text (email → phone → ipv4, fixed order). Pure codegen regexp —
+    the patterns live in the Java-regex ∩ RE2 subset so the oracle
+    matches them byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = T.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["email"].cast("bigint").alias("n_emails"),
+        counts["phone"].cast("bigint").alias("n_phones"),
+        counts["ipv4"].cast("bigint").alias("n_ips"),
+        F.md5(T.pii_redact(F.col("text"))).alias("clean_hash"),
+    )
+
+
+@query(
+    "q_quality_repetition",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    ex AS (SELECT doc_id, wd FROM w, unnest(ws) AS t(wd)),
+    wc AS (SELECT doc_id, wd, count(*) AS cnt FROM ex GROUP BY doc_id, wd)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           count(*) AS n_distinct,
+           round(count(*)::DOUBLE / sum(cnt), 6) AS distinct_ratio,
+           round(max(cnt)::DOUBLE / sum(cnt), 6) AS max_freq_ratio
+    FROM wc GROUP BY doc_id
+    """,
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-repetition quality signals (degenerate/boilerplate text
+    detection): distinct ratio and top-word frequency share, from one
+    explode → (doc, word) count → per-doc aggregate chain — no join,
+    no second pass over the text."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.repetition_profile(docs).withColumnRenamed("id", "doc_id")
+
+
+def _hyperplane_oracle(n_bits: int = 6) -> str:
+    from ..functions.vectors import HYPER_MOD, HYPER_P1, HYPER_P2
+
+    def dotj(j: int) -> str:
+        plane = (
+            f"((({j}*{HYPER_P1} + (i-1)*{HYPER_P2} + 1) % {HYPER_MOD})"
+            f"::DOUBLE / {HYPER_MOD} - 0.5)"
+        )
+        return (
+            f"list_reduce(list_transform(range(1, len(v)+1), "
+            f"i -> v[i] * {plane}), (a, b) -> a + b)"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dotj(j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, {_DUCK_DVEC} AS v FROM embeddings),
+    s AS (SELECT vec_id, v, CAST({sig} AS INTEGER) AS sig FROM e),
+    q AS (
+      SELECT v AS qv, sig AS qsig FROM s
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    c AS (
+      SELECT vec_id, v, sig FROM s
+      WHERE vec_id != (SELECT min(vec_id) FROM embeddings)
+    )
+    SELECT vec_id, round({_duck_cosine("v", "qv")}, 6) AS score
+    FROM c, q WHERE c.sig = q.qsig
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("q_knn_hyperplane", oracle=_hyperplane_oracle())
+def q_knn_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN: deterministic hyperplane bucket join + exact
+    cosine top-10 inside the query's bucket. Unlike IVF (rows-only,
+    trained centroids) the hash is pure arithmetic, so this
+    approximate index is oracle-checked end-to-end — every bucket
+    assignment and score must match the SQL replay exactly."""
+    from ..functions.vectors import hyperplane_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qmin = emb.agg(F.min("vec_id").alias("__qid"))
+    qvec = (
+        emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid"))
+        .select(F.col("embedding").alias("q"))
+    )
+    corpus = emb.join(F.broadcast(qmin)).filter(
+        F.col("vec_id") != F.col("__qid")
+    ).drop("__qid")
+    return hyperplane_topk(corpus, qvec, k=10, n_bits=6)
