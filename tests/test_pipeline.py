@@ -497,3 +497,45 @@ def test_hyperplane_sig_deterministic_and_bounded(spark):
     brute = {r["vec_id"]: r["score"] for r in knn_topk(corpus, q, k=500).collect()}
     for r in got:
         assert abs(brute[r["vec_id"]] - r["score"]) < 1e-9
+
+
+def test_jpeg_header_marker_scan_edges():
+    """The T.81 marker-scan edges: fill bytes, standalone markers,
+    SOS/EOI termination, and every truncation class -> ValueError
+    (never a leaked struct.error)."""
+    import struct
+
+    import pytest as _pytest
+
+    from vsphere_event_streaming_spark.functions.codecs import jpeg_header
+
+    def seg(marker, body=b""):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 30, 40, 3))
+    # fill bytes + a standalone RSTn before the SOF must be skipped
+    ok = b"\xff\xd8" + b"\xff" + seg(0xE0, b"JFIF") + b"\xff\xd0" + sof
+    hdr = jpeg_header(ok)
+    assert (hdr["width"], hdr["height"], hdr["channels"]) == (40, 30, 3)
+    assert hdr["bit_depth"] == 8
+
+    # SOS before any SOF: clean failure, entropy data never parsed
+    sos_first = b"\xff\xd8" + seg(0xDA, b"\x01") + b"\x12\x34\x56"
+    with _pytest.raises(ValueError, match="missing SOF"):
+        jpeg_header(sos_first)
+    # EOI with no SOF
+    with _pytest.raises(ValueError, match="missing SOF"):
+        jpeg_header(b"\xff\xd8\xff\xd9")
+
+    # truncation classes all raise ValueError, not struct.error
+    for bad in (
+        b"\xff\xd8\xff",                      # lone marker byte
+        b"\xff\xd8\xff\xe0",                  # segment header cut
+        b"\xff\xd8\xff\xe0\x00",              # length field cut
+        b"\xff\xd8" + seg(0xE0, b"x" * 10)[:-5],  # body cut
+        b"\xff\xd8\xff\xc0\x00\x04\x08",      # SOF too short
+        b"\xff\xd8\x00\x12",                  # desynchronized scan
+        b"hello",                             # not a JPEG at all
+    ):
+        with _pytest.raises(ValueError):
+            jpeg_header(bad)
