@@ -57,6 +57,12 @@ HEADLINE = [
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q13",
+    # r3 additions: training-data hygiene tier + the oracle-checkable
+    # ANN variant
+    "q_contamination",
+    "q_pii_scrub",
+    "q_quality_repetition",
+    "q_knn_hyperplane",
 ]
 
 

@@ -121,6 +121,27 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
         [r"SortMergeJoin"],
     ],
+    # contamination: benchmark membership is a LEFT SEMI join on int64
+    # shingle hashes — never a cartesian/pair-producing join
+    "q_contamination": [
+        [r"LeftSemi", r"HashAggregate"],
+        [r"CartesianProduct"],
+    ],
+    # sign-LSH ANN: bucket equi-join + top-k heap, no global sort
+    "q_knn_hyperplane": [
+        [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+        [r"\+- Sort \[score.*global=true"],
+    ],
+    # PII scrub is one codegen projection over the scan — no Python
+    "q_pii_scrub": [
+        [r"\*\(\d+\) Project"],
+        [r"BatchEvalPython", r"ArrowEvalPython"],
+    ],
+    # repetition profile: two-level hash aggregate chain, no join
+    "q_quality_repetition": [
+        [r"HashAggregate"],
+        [r"Join", r"CartesianProduct"],
+    ],
 }
 
 
