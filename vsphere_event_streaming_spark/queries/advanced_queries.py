@@ -1264,9 +1264,20 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single partial+final hash aggregate over a 6-group key space —
     the shape AQE coalesces to near-zero shuffle. Double products are
     IEEE-identical cross-engine; sums go through decimal.
+
+    ``spread`` matters here specifically: the partial aggregate (six
+    decimal casts per row — the expensive part) runs in the scan
+    stage, and the single-row-group test parquet scans as ONE task.
+    Widening first moves the decimal work onto every core; on a real
+    multi-row-group layout it is a no-op.
     """
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    from ..tables import spread
+
+    li = spread(
+        _t(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate")
+            <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+        )
     )
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(22,6)"
