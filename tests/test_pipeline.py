@@ -384,14 +384,16 @@ def test_udtf_props_json_value_fidelity(spark):
 def test_release_cached_unpersists_dedup_intermediates(spark):
     from vsphere_event_streaming_spark.functions import dedup
 
-    dedup.release_cached()  # start clean
+    dedup.release_cached()  # start clean (dedup-module persists only)
+    jvm_sc = spark.sparkContext._jsc.sc()
+    before = jvm_sc.getPersistentRDDs().size()
     pairs = dedup.lsh_verified_pairs(_docs(spark), threshold=0.5)
     pairs.collect()
-    jvm_sc = spark.sparkContext._jsc.sc()
-    assert not jvm_sc.getPersistentRDDs().isEmpty()
+    assert jvm_sc.getPersistentRDDs().size() > before
     released = dedup.release_cached()
     assert released >= 2  # shingle arrays + signatures at minimum
-    assert jvm_sc.getPersistentRDDs().isEmpty()
+    # back to the pre-call footprint: other tests' caches untouched
+    assert jvm_sc.getPersistentRDDs().size() == before
     # idempotent and safe to call with nothing cached
     assert dedup.release_cached() == 0
 
