@@ -142,6 +142,16 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"Join", r"CartesianProduct"],
     ],
+    # BM25: df side broadcasts, top-k compiles to a heap
+    "q_search_bm25": [
+        [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        [r"CartesianProduct"],
+    ],
+    # PMI: within-doc self-join only (key = doc_id), top-k heap
+    "q_word_pmi": [
+        [r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ],
 }
 
 

@@ -2084,3 +2084,163 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@query(
+    "q_search_bm25",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('hash', 'join', 'vector') GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok
+      WHERE term IN ('hash', 'join', 'vector') GROUP BY term
+    ), lens AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(text), '[^a-z]+')) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT count(*) AS n, (SELECT avg(dl) FROM lens) AS avgdl
+      FROM documents
+    )
+    SELECT tf.doc_id,
+           round(sum(
+             ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl))
+           ), 6) AS score
+    FROM tf
+    JOIN df USING (term)
+    JOIN lens ON lens.doc_id = tf.doc_id, stats
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id
+    LIMIT 20
+    """,
+)
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search, BM25 scoring (k1=1.2, b=0.75) — TF-IDF's
+    production successor: term-frequency saturation plus document-
+    length normalization.
+
+    Same scale posture as q_search_tfidf: terms filter BEFORE any
+    aggregation, df broadcast (|query terms| rows), top-20 heap. The
+    length normalizer is ``size(split(...))`` — a per-row expression,
+    no second explode — and N/avgdl arrive as literals from the tiny
+    pre-aggregation (driver-side like tfidf's N; both are one scalar
+    per corpus, computed once and reused across queries in practice).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), "[^a-z]+")
+    lens = docs.select("doc_id", F.size(toks).alias("dl"))
+    stat = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = float(stat["n"]), float(stat["avgdl"])
+    tokens = docs.select(
+        "doc_id", F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(_SEARCH_TERMS))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tokens.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    sat = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * sat), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q_word_pmi",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents
+      ) WHERE length(term) >= 2
+    ), dfw AS (
+      SELECT term, count(*) AS df FROM w GROUP BY term
+      HAVING count(*) BETWEEN 5 AND 200
+    ), kept AS (
+      SELECT w.doc_id, w.term, dfw.df FROM w JOIN dfw USING (term)
+    ), co AS (
+      SELECT a.term AS wa, b.term AS wb,
+             max(a.df) AS dfa, max(b.df) AS dfb, count(*) AS cooc
+      FROM kept a JOIN kept b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    ), n AS (SELECT count(*) AS n FROM documents)
+    SELECT wa, wb, cooc,
+           round(ln(cooc::DOUBLE * n.n / (dfa * dfb)), 6) AS pmi
+    FROM co, n
+    WHERE cooc >= 5
+    ORDER BY pmi DESC, wa, wb
+    LIMIT 50
+    """,
+)
+def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: pointwise mutual information over
+    within-document word co-occurrence — the classic corpus-analysis
+    pass for multi-word expressions.
+
+    Scale posture: document frequency pruning (5 ≤ df ≤ 200) BEFORE
+    the within-doc self-join caps the per-doc pair blow-up the same
+    way stop-shingle pruning caps Jaccard (Σk² over kept words only);
+    the join key is doc_id so pairs never cross documents; top-50 is
+    a heap, not a global sort.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    w = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") >= 2)
+        .distinct()
+    )
+    dfw = (
+        w.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(5, 200))
+    )
+    kept = w.join(F.broadcast(dfw), "term")
+    a = kept.select("doc_id", F.col("term").alias("wa"), F.col("df").alias("dfa"))
+    b = kept.select("doc_id", F.col("term").alias("wb"), F.col("df").alias("dfb"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(
+            F.max("dfa").alias("dfa"),
+            F.max("dfb").alias("dfb"),
+            F.count(F.lit(1)).alias("cooc"),
+        )
+        .filter(F.col("cooc") >= 5)
+    )
+    pmi = F.log(
+        F.col("cooc").cast("double") * F.lit(n_docs)
+        / (F.col("dfa") * F.col("dfb"))
+    )
+    return (
+        co.select("wa", "wb", "cooc", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "wa", "wb")
+        .limit(50)
+    )
