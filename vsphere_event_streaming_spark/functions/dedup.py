@@ -262,14 +262,13 @@ def jaccard_pairs_pruned(
        shuffle — this replaces the old anti-join + per-doc recount
        groupBy + doc-sized re-join (two shuffles and an
        occurrence-sized persist).
-    3. The compact (id, pruned_arr, n_sh2) table explodes into both
-       self-join sides and runs the same capped intersection pipeline
-       as :func:`jaccard_pairs`. No second persist: the only shared
-       expensive subtree (the shingle arrays) is already persisted
-       inside :func:`shingle_hash_arrays`; ``array_except`` over it is
-       codegen and cheaper to evaluate once per join side than to
-       materialize — measured, not assumed (the extra persist cost
-       ~0.4 s at sf0.1 and saved nothing).
+    3. The compact (id, pruned_arr, n_sh2) table persists (doc-sized
+       rows — far slimmer than the old occurrence-sized persist),
+       explodes into both self-join sides, and runs the same capped
+       intersection pipeline as :func:`jaccard_pairs`. The persist is
+       measured, not assumed: without it each join side re-runs the
+       freq-list aggregation and ``array_except`` (interleaved A/B at
+       sf0.1: median 1.9 s vs 1.4 s with the persist).
     """
     arrs = shingle_hash_arrays(docs, text_col, id_col, n)
     sh = arrs.select("id", F.explode("sh_arr").alias("sh"))
@@ -287,6 +286,7 @@ def jaccard_pairs_pruned(
         .withColumn("n_sh2", F.size("arr2"))
         .filter(F.col("n_sh2") > 0)
     )
+    kept = _persist(kept)
     a = kept.select(
         F.col("id").alias("id_a"),
         F.col("n_sh2").alias("na"),
