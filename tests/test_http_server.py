@@ -10,6 +10,7 @@ import urllib.error
 import urllib.request
 
 import pytest
+from pyspark.sql import functions as F
 
 from vsphere_event_streaming_spark.log import EventLogService
 from vsphere_event_streaming_spark.log.http_server import serve
@@ -79,3 +80,38 @@ def test_http_empty_log_204(spark):
             assert status == 204
     finally:
         srv.stop()
+
+
+def test_http_client_to_typed_envelopes(spark):
+    """Full client loop: ingest-shaped log → HTTP watch wire → line
+    scanner → typed CloudEvent envelopes (the reference's client
+    pipeline, cmd/client/main.go:40-86, over a real socket)."""
+    from vsphere_event_streaming_spark.sources.poll_source import (
+        SCHEMA_DDL,
+        _generate_page,
+    )
+    from vsphere_event_streaming_spark.streaming.ingest import envelope_batch
+    from vsphere_event_streaming_spark.streaming.watch import (
+        consume_ndjson,
+        http_watch_lines,
+    )
+
+    events = spark.createDataFrame(list(_generate_page(0, 60)), SCHEMA_DDL)
+    log = envelope_batch(events, "test://vc").select(
+        F.col("key").alias("offset"), F.col("value")
+    )
+    srv = serve(EventLogService(log))
+    try:
+        lines = http_watch_lines(srv.address, offset=40, max_seconds=1)
+    finally:
+        srv.stop()
+    assert len(lines) == 20
+    typed = consume_ndjson(
+        spark.createDataFrame([(line,) for line in lines], "value string")
+    ).collect()
+    assert [r["key"] for r in typed] == list(range(40, 60))
+    assert all(r["type"].startswith("vmware.vsphere.") for r in typed)
+    assert all(
+        r["eventclass"] in ("event", "eventex", "extendedevent")
+        for r in typed
+    )

@@ -86,3 +86,39 @@ def consume_ndjson(lines: DataFrame, value_col: str = "value") -> DataFrame:
         F.col("event.data.Key").alias("key"),
         F.col(value_col).alias("raw"),
     )
+
+
+def http_watch_lines(
+    url: str,
+    offset: int | None = None,
+    max_seconds: float | None = None,
+    timeout: float = 30.0,
+) -> list[str]:
+    """The reference CLI client's fetch loop (cmd/client/main.go:40-86,
+    S5): GET ``?watch=true[&offset=N]`` and scan the chunked response
+    line by line. Returns the NDJSON lines; feed them to
+    :func:`consume_ndjson` (via ``spark.createDataFrame``) for typed
+    envelopes — the same split the reference has between its scanner
+    loop and its (log-only) decode.
+
+    Driver-side by design: the client is a consumer endpoint like the
+    reference's CLI, not a distributed read path — the distributed
+    path is the ``watch()`` stream over the sink.
+    """
+    import urllib.request
+    from urllib.parse import urlencode
+
+    q = {"watch": "true"}
+    if offset is not None:
+        q["offset"] = str(offset)
+    if max_seconds is not None:
+        q["max_seconds"] = str(max_seconds)
+    full = f"{url.rstrip('/')}/api/v1/events?{urlencode(q)}"
+    with urllib.request.urlopen(full, timeout=timeout) as resp:
+        if resp.status > 299:  # main.go:75-77
+            raise RuntimeError(f"could not read event stream: {resp.status}")
+        return [
+            line.decode().rstrip("\n")
+            for line in resp
+            if line.strip()
+        ]
