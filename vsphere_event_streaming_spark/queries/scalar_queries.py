@@ -257,3 +257,37 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").try_cast("bigint").alias("k_num"),
         F.get_json_object("props", "$.missing").alias("missing"),
     )
+
+
+# -- bitwise family (offset/segment arithmetic is bit math at scale:
+#    partition ids, hash buckets, simhash fingerprints)
+@query(
+    "q_bitwise_funcs",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 15 AS with_flags,
+           xor(event_id, 6148914691236517205) AS toggled,
+           event_id << 3 AS shifted_up,
+           event_id >> 2 AS shifted_down,
+           CAST(bit_count(event_id) AS BIGINT) AS popcount,
+           ~event_id AS complement
+    FROM events
+    """,
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family: and/or/xor/shifts/popcount/complement —
+    the arithmetic under hash bucketing, simhash and salted keys. All
+    codegen; one projection over the scan."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(15)).alias("with_flags"),
+        eid.bitwiseXOR(F.lit(6148914691236517205)).alias("toggled"),
+        F.shiftleft(eid, 3).alias("shifted_up"),
+        F.shiftright(eid, 2).alias("shifted_down"),
+        F.bit_count(eid).cast("bigint").alias("popcount"),
+        F.bitwise_not(eid).alias("complement"),
+    )
