@@ -541,3 +541,40 @@ def test_jpeg_header_marker_scan_edges():
     ):
         with _pytest.raises(ValueError):
             jpeg_header(bad)
+
+
+def test_lsh_index_incremental_batches(spark, tmp_path):
+    """Incremental near-dup: batch 2 finds its dups against batch 1
+    through the persisted band index without recomputing batch 1, and
+    a batch never collides with itself across retries (candidates are
+    computed before the append)."""
+    from vsphere_event_streaming_spark.functions import dedup
+
+    idx = dedup.LshIndex(spark, str(tmp_path / "lsh_index"))
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    b1 = spark.createDataFrame(
+        [(0, base), (1, "completely different text about spark plans here")],
+        ["doc_id", "text"],
+    )
+    c1 = idx.add_batch(b1).collect()
+    assert c1 == []  # no dups inside batch 1
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base),  # near-dup of doc 0 from the PREVIOUS batch
+            (11, "entirely novel content with many distinct words now"),
+            (12, base + " ok"),  # near-dup of 0 AND 10
+        ],
+        ["doc_id", "text"],
+    )
+    c2 = {(r["id_a"], r["id_b"]) for r in idx.add_batch(b2).collect()}
+    dedup.release_cached()
+    # batch2-internal pair + cross-batch pairs, nothing touching 1/11
+    assert (10, 12) in c2
+    assert (10, 0) in c2 or (0, 10) in c2
+    assert (12, 0) in c2 or (0, 12) in c2
+    ids = {i for p in c2 for i in p}
+    assert 1 not in ids and 11 not in ids
+    # the index now holds bands for all five docs (4 bands each)
+    stored = spark.read.parquet(str(tmp_path / "lsh_index"))
+    assert stored.count() == 5 * 4

@@ -646,3 +646,92 @@ def contamination_report(
             (overlap >= threshold).cast("int").alias("contaminated"),
         )
     )
+
+
+def _band_table(sig: DataFrame, band_size: int) -> DataFrame:
+    """(id, band_key) exploded band-bucket rows for a signature table."""
+    n_bands = len(MINHASH_PARAMS) // band_size
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                *[F.col(f"mh{i * band_size + j}") for j in range(band_size)],
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return sig.select("id", F.explode(band_keys).alias("band_key"))
+
+
+class LshIndex:
+    """Persistent MinHash-LSH index for INCREMENTAL near-dup.
+
+    The pattern a growing 100 TB corpus actually runs: each crawl
+    increment dedups against everything ingested so far WITHOUT
+    recomputing the corpus — the index stores one (id, band_key) row
+    per doc per band (constant bytes/doc) as parquet partitioned so
+    the band join reads index rows colocated by key.
+
+    ``add_batch`` returns the new batch's candidate pairs
+    (new↔existing ∪ new↔new) and appends the batch's bands to the
+    index — the two-step any incremental dedup needs. Exact re-scoring
+    of candidates stays the caller's step (it needs the text of both
+    sides; at scale that is a point-join against the corpus store).
+
+    Crash consistency: candidates are computed BEFORE the append, so
+    a retried batch never collides with its own half-written bands;
+    the append itself is an atomic parquet directory commit per batch.
+    """
+
+    def __init__(self, spark, path: str, band_size: int = 2) -> None:
+        self.spark = spark
+        self.path = path
+        self.band_size = band_size
+
+    def _existing(self) -> DataFrame | None:
+        try:
+            return self.spark.read.schema(
+                "id long, band_key string"
+            ).parquet(self.path)
+        except Exception:
+            return None  # first batch: no index yet
+
+    def add_batch(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 3,
+    ) -> DataFrame:
+        """Candidate pairs touching the new batch; then index it."""
+        sig = _persist(minhash_signatures(docs, text_col, id_col, n))
+        new_bands = _persist(_band_table(sig, self.band_size))
+        old = self._existing()
+        x = new_bands.select(F.col("id").alias("id_a"), "band_key")
+        within = (
+            x.join(
+                new_bands.select(F.col("id").alias("id_b"), "band_key"),
+                "band_key",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        if old is not None:
+            cross = (
+                new_bands.select(F.col("id").alias("id_a"), "band_key")
+                .join(old.select(F.col("id").alias("id_b"), "band_key"),
+                      "band_key")
+                .filter(F.col("id_a") != F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+            cands = within.unionByName(cross)
+        else:
+            cands = within
+        out = cands.distinct()
+        # materialize candidates BEFORE mutating the index (see class
+        # docstring); localCheckpoint cuts the lineage so the result
+        # does not re-read the index after the append
+        out = out.localCheckpoint(eager=True)
+        new_bands.write.mode("append").parquet(self.path)
+        return out
