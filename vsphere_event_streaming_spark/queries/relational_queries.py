@@ -493,3 +493,81 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "click").select("user_id")
     b = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return a.intersect(b)
+
+
+# ======================================================================
+# Skew mitigation as declared queries (operators/skew.py) — results
+# must equal the unsalted forms, which IS the oracle
+# ======================================================================
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(event_id) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py::salted_agg):
+    the hot-key-safe form whose phase-1 groups by (key, salt) so one
+    pathological key spreads over 16 reducers. The oracle is the plain
+    GROUP BY — a salted aggregate that changes any value is wrong by
+    definition. Decimal sum keeps the merge order-independent, so the
+    two-phase result is bit-equal to the one-phase one.
+    """
+    from ..operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,4)")
+    )
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_rows": ("*", "count"),
+            "n_users": ("user_id", "count"),
+            "sum_value": ("value_dec", "sum"),
+            "max_id": ("event_id", "max"),
+        },
+        salt_from=["event_id"],
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        "n_users",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_id",
+    )
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact↔dim equi-join (operators/skew.py::salted_join):
+    the fact side gets a deterministic xxhash64 salt, the dim side is
+    replicated per salt, and the join key becomes (key, salt) — the
+    shape for a hot key against a mid-size dim that AQE's skew-join
+    splitting cannot broadcast. Oracle = the plain join: salting must
+    not change a single row.
+    """
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return salted_join(
+        ev, cust, on="user_id", buckets=8, fact_salt_from=["event_id"]
+    ).select("event_id", "user_id", "segment")
