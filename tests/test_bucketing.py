@@ -133,3 +133,59 @@ def test_dynamic_partition_pruning(spark, tmp_path):
 
     assert got["tuesday"] == expect[dt.date(2024, 1, 2)]
     assert got["friday"] == expect[dt.date(2024, 1, 5)]
+
+
+def test_zorder_tightens_both_dimensions(spark, tmp_path):
+    """Z-ordered files must have tight min/max envelopes in BOTH
+    columns — the property parquet scan-time skipping prunes on. A
+    single-column sort gives tight spans only in its leading column;
+    Morton clustering bounds the average per-file span in each
+    dimension to a small fraction of the global span."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.operators.zorder import (
+        write_zordered,
+    )
+
+    n = 200_000
+    # two independent uniform dimensions — the worst case for a
+    # single-column sort, the motivating case for z-order
+    df = spark.range(n).select(
+        (F.xxhash64("id") % 100000).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 100000).alias("y"),
+    )
+    zdir = f"{tmp_path}/zordered"
+    write_zordered(df, zdir, "x", "y", num_files=16)
+
+    def spans(path, col):
+        out = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            out.append(hi - lo)
+        return out
+
+    global_span = 200000.0  # x, y ∈ (-100000, 100000)
+    for col in ("x", "y"):
+        avg_span = sum(spans(zdir, col)) / len(spans(zdir, col))
+        # 16 z-ordered files ≈ 4x4 grid → per-file span ≈ 1/4 of the
+        # global span per dimension (allow 2x slack for curve seams)
+        assert avg_span < 0.5 * global_span, (col, avg_span)
+
+    # round-trip: clustering must not change the data
+    back = spark.read.parquet(zdir)
+    assert back.count() == n
+    assert back.agg(F.sum("x"), F.sum("y")).first() == df.agg(
+        F.sum("x"), F.sum("y")
+    ).first()
