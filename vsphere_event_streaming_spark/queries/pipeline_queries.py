@@ -911,3 +911,97 @@ def q_knn_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") != F.col("__qid")
     ).drop("__qid")
     return hyperplane_topk(corpus, qvec, k=10, n_bits=6)
+
+
+def _pipeline_guarded_oracle() -> str:
+    from ..functions.text import PII_PATTERNS
+
+    pii_zero = " + ".join(
+        f"len(regexp_extract_all(d.text, '{p}'))"
+        for p in PII_PATTERNS.values()
+    )
+    return f"""
+    WITH {_duck_shingle_hashes()},
+    bench AS (
+      SELECT DISTINCT s AS sh
+      FROM sha, unnest(sh_arr) AS t(s)
+      WHERE doc_id % 50 = 0
+    ),
+    ex AS (SELECT doc_id, s AS sh FROM sha, unnest(sh_arr) AS t(s)),
+    hits AS (
+      SELECT ex.doc_id, count(*) AS n_hits
+      FROM ex JOIN bench USING (sh)
+      GROUP BY ex.doc_id
+    ),
+    contaminated AS (
+      SELECT sha.doc_id
+      FROM sha LEFT JOIN hits USING (doc_id)
+      WHERE coalesce(hits.n_hits, 0)::DOUBLE / len(sh_arr) >= 0.5
+    ),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      GROUP BY lower(trim(regexp_replace(text,
+               '[ \t\n\r\f\x0B]+', ' ', 'g')))
+    ),
+    rep AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+             max(cnt)::DOUBLE / sum(cnt) AS mfr
+      FROM (
+        SELECT doc_id, wd, count(*) AS cnt
+        FROM (SELECT doc_id, unnest({_DUCK_WORDS}) AS wd FROM documents)
+        GROUP BY doc_id, wd
+      ) GROUP BY doc_id
+    )
+    SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(rep.n_words) AS BIGINT) AS total_tokens
+    FROM documents d
+    JOIN keepers USING (doc_id)
+    JOIN rep USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND rep.mfr <= 0.2
+      AND {pii_zero} = 0
+    GROUP BY d.lang
+    """
+
+
+@query("q_pipeline_guarded", oracle=_pipeline_guarded_oracle())
+def q_pipeline_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hygiene-tier composition in ONE declarative plan: benchmark
+    contamination gate (anti-join on flagged ids) → exact-dedup keeper
+    semi-join → repetition-quality gate → PII-free gate → per-language
+    corpus stats. Every stage reuses an independently-oracled operator
+    (q_contamination / q_dedup_exact / q_quality_repetition /
+    q_pii_scrub); composing them lazily lets Catalyst plan the gates
+    as joins over 8-16-byte keys — document text is read once and
+    never shuffled.
+    """
+    from ..functions.dedup import contamination_report, exact_dedup_keepers
+    from ..functions.text import pii_counts, repetition_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    contaminated = (
+        contamination_report(docs, bench, threshold=0.5)
+        .filter(F.col("contaminated") == 1)
+        .select(F.col("id").alias("doc_id"))
+    )
+    keepers = exact_dedup_keepers(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    rep = repetition_profile(docs).select(
+        F.col("id").alias("doc_id"), "n_words", "max_freq_ratio"
+    )
+    counts = pii_counts(F.col("text"))
+    pii_total = counts["email"] + counts["phone"] + counts["ipv4"]
+    return (
+        docs.filter(pii_total == 0)
+        .join(keepers, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(rep, "doc_id")
+        .filter(F.col("max_freq_ratio") <= 0.2)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_tokens"),
+        )
+    )
