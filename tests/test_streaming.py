@@ -781,3 +781,35 @@ def test_soap_adapter_offline_and_env_errors():
     )
     with _pytest.raises(ConnectionError, match="127.0.0.1"):
         src.read_page()
+
+
+def test_ingest_record_size_ceiling(spark, tmp_path):
+    """memlog's LOG_MAX_RECORD_SIZE_BYTES surface: an oversized
+    enveloped record fails the batch with RecordTooLargeError BEFORE
+    anything is appended (the reference's write error aborts the
+    collector, main.go:140-143); a generous ceiling passes the same
+    batch untouched."""
+    from vsphere_event_streaming_spark.errors import RecordTooLargeError
+    from vsphere_event_streaming_spark.sources.poll_source import (
+        SCHEMA_DDL,
+        _generate_page,
+    )
+    from vsphere_event_streaming_spark.streaming.ingest import (
+        append_log_batch,
+    )
+
+    batch = spark.createDataFrame(list(_generate_page(0, 10)), SCHEMA_DDL)
+    log_dir = f"{tmp_path}/log_ceiling"
+
+    with pytest.raises(RecordTooLargeError, match="max_record_size=64"):
+        append_log_batch(
+            batch, 0, log_dir, "test://vc", {}, max_record_size=64
+        )
+    import os
+
+    assert not os.path.exists(log_dir)  # failed batch wrote nothing
+
+    append_log_batch(
+        batch, 0, log_dir, "test://vc", {}, max_record_size=524288
+    )
+    assert spark.read.parquet(log_dir).count() == 10

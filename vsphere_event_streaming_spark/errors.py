@@ -22,3 +22,10 @@ class FutureOffsetError(LogError):
 
 class InvalidOffsetError(LogError):
     """Unparseable offset (non-numeric id → HTTP 400, server.go:272-276)."""
+
+
+class RecordTooLargeError(LogError):
+    """A record exceeds the log's max record size — memlog's
+    ErrRecordDataSizeExceeded surface (the reference configures it via
+    LOG_MAX_RECORD_SIZE_BYTES, server.go:46, and a write error aborts
+    the collector loop, main.go:140-143)."""

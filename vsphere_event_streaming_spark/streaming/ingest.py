@@ -97,9 +97,18 @@ def append_log_batch(
     source: str,
     state: dict | None = None,
     segment_size: int | None = None,
+    max_record_size: int | None = None,
 ) -> None:
     """foreachBatch body: envelope, dedup against sink, assign offsets,
     append.
+
+    ``max_record_size`` enforces memlog's record-size ceiling
+    (LOG_MAX_RECORD_SIZE_BYTES, default 524288 — server.go:46): an
+    oversized enveloped record raises ``RecordTooLargeError`` and
+    fails the batch, matching the reference where a write error aborts
+    the collector loop (main.go:140-143). The check is one cheap
+    limit(1) probe over the page-sized batch, before anything is
+    appended — a failed batch writes nothing.
 
     ``state`` carries (max_offset, max_key) across batches of one run,
     lazily seeded from the sink on the first batch — the reference's
@@ -118,6 +127,18 @@ def append_log_batch(
     records = envelope_batch(
         batch.filter(F.col("key").isNotNull()), source
     )
+    if max_record_size is not None:
+        too_big = records.filter(
+            F.octet_length("value") > max_record_size
+        ).limit(1)
+        bad = too_big.collect()
+        if bad:
+            from ..errors import RecordTooLargeError
+
+            raise RecordTooLargeError(
+                f"record for key {bad[0]['key']} exceeds "
+                f"max_record_size={max_record_size} bytes"
+            )
     if "max_offset" not in state:
         persisted = _sink_state(spark, log_dir)
         if persisted is not None:
@@ -173,18 +194,20 @@ def start_ingest(
     source: str = "https://vcenter.example.com/sdk",
     trigger_seconds: float | None = None,
     segment_size: int | None = None,
+    max_record_size: int | None = None,
 ):
     """Run the standing ingest query (reference's collector goroutine).
 
     ``trigger_seconds=None`` → process-as-available (tests);
     1.0 mirrors the reference's 1 s poll ticker. ``segment_size``
-    opts into the segment-partitioned sink layout (see
+    opts into the segment-partitioned sink layout and
+    ``max_record_size`` into memlog's record-size ceiling (see
     ``append_log_batch``).
     """
     run_state: dict = {}  # per-run offset continuation (see append_log_batch)
     writer = source_stream.writeStream.foreachBatch(
         lambda b, i: append_log_batch(
-            b, i, log_dir, source, run_state, segment_size
+            b, i, log_dir, source, run_state, segment_size, max_record_size
         )
     ).option("checkpointLocation", os.path.join(checkpoint_dir, "ingest"))
     if trigger_seconds is not None:
