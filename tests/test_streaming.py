@@ -813,3 +813,44 @@ def test_ingest_record_size_ceiling(spark, tmp_path):
         batch, 0, log_dir, "test://vc", {}, max_record_size=524288
     )
     assert spark.read.parquet(log_dir).count() == 10
+
+
+def test_purge_segments_is_directory_drop(spark, tmp_path):
+    """Retention on the segment-partitioned sink = dropping the oldest
+    segment dirs (the reference's active+history ring, README.md:
+    177-184): offsets below the ring survive nowhere, newer segments
+    are untouched, and a replay started inside the purged range raises
+    the same OutOfRangeError as the unpartitioned path."""
+    import os
+
+    from vsphere_event_streaming_spark.streaming.windows import (
+        purge_segments,
+    )
+
+    tmp = str(tmp_path)
+    log_dir = f"{tmp}/log_ring"
+    stream = read_poll_stream(spark, page_size=50, max_key=200)
+    q = start_ingest(spark, stream, log_dir, f"{tmp}/ckpt_ring",
+                     segment_size=50)
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(log_dir).count() >= 200:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    assert purge_segments(spark, log_dir, keep_segments=2) == [0, 1]
+    segs = sorted(d for d in os.listdir(log_dir) if d.startswith("segment="))
+    assert segs == ["segment=2", "segment=3"]
+    log = spark.read.parquet(log_dir)
+    assert log.agg(F.min("offset"), F.max("offset")).first() == (100, 199)
+
+    svc = EventLogService(log.select("offset", "value"))
+    with pytest.raises(OutOfRangeError):
+        svc.replay(10)

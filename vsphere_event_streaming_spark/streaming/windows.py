@@ -79,3 +79,33 @@ def compact_log(
     shutil.rmtree(log_dir)
     shutil.move(tmp, log_dir)
     return n
+
+
+def purge_segments(
+    spark, log_dir: str, keep_segments: int = 2
+) -> list[int]:
+    """The reference's ACTUAL retention mechanic at file-system
+    granularity: memlog keeps an active + a history segment and purges
+    the older one when the active fills (README.md:177-184). On the
+    segment-partitioned sink (``start_ingest(segment_size=...)``),
+    purge = drop the oldest ``segment=N`` directories — metadata-only,
+    no rewrite, unlike :func:`compact_log`'s filter-and-rewrite on the
+    unpartitioned layout.
+
+    Returns the purged segment numbers (ascending). At 100 TB this is
+    the only retention form that works: deleting directories is O(1)
+    per segment regardless of data volume.
+    """
+    import os
+    import re
+    import shutil
+
+    segs = sorted(
+        int(m.group(1))
+        for d in os.listdir(log_dir)
+        if (m := re.fullmatch(r"segment=(\d+)", d))
+    )
+    doomed = segs[:-keep_segments] if keep_segments > 0 else segs
+    for s in doomed:
+        shutil.rmtree(os.path.join(log_dir, f"segment={s}"))
+    return doomed
