@@ -58,11 +58,12 @@ HEADLINE = [
     "q_tpch_q8",
     "q_tpch_q13",
     # r3 additions: training-data hygiene tier + the oracle-checkable
-    # ANN variant
+    # ANN variant + the one-plan hygiene-guarded corpus prep
     "q_contamination",
     "q_pii_scrub",
     "q_quality_repetition",
     "q_knn_hyperplane",
+    "q_pipeline_guarded",
 ]
 
 
