@@ -115,3 +115,31 @@ def test_http_client_to_typed_envelopes(spark):
         r["eventclass"] in ("event", "eventex", "extendedevent")
         for r in typed
     )
+
+
+def test_http_stop_with_live_undeadlined_watcher(spark):
+    """stop() must return promptly even while a watch client with no
+    deadline is mid-tail (handler threads are daemonized; server close
+    does not block on them)."""
+    import threading
+    import time
+
+    rows = [(i, json.dumps({"id": str(i)})) for i in range(5)]
+    log = spark.createDataFrame(rows, "offset long, value string")
+    srv = serve(EventLogService(log))
+
+    def tail():
+        try:
+            # tails from latest+1 → blocks polling for new data forever
+            urllib.request.urlopen(
+                srv.address + "/api/v1/events?watch=true", timeout=60
+            ).read()
+        except Exception:
+            pass  # connection torn down by server shutdown
+
+    t = threading.Thread(target=tail, daemon=True)
+    t.start()
+    time.sleep(1.0)  # let the watcher enter its poll loop
+    t0 = time.time()
+    srv.stop()
+    assert time.time() - t0 < 10, "stop() hung on a live watcher"

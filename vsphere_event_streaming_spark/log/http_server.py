@@ -45,6 +45,14 @@ from ..errors import (
 from .service import EventLogService
 
 
+class _Server(ThreadingHTTPServer):
+    # a watch client with no deadline holds its handler thread in the
+    # poll loop forever; without these, server_close() would block on
+    # that thread and stop() would hang
+    daemon_threads = True
+    block_on_close = False
+
+
 class EventLogHTTPServer:
     """Serve an :class:`EventLogService` over HTTP on localhost."""
 
@@ -58,7 +66,7 @@ class EventLogHTTPServer:
         self.service = service
         self.watch_poll_sec = watch_poll_sec
         handler = self._make_handler()
-        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._httpd = _Server((host, port), handler)
         self._thread: threading.Thread | None = None
 
     # -- lifecycle ------------------------------------------------------
