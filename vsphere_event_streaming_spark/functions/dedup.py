@@ -690,12 +690,15 @@ class LshIndex:
         self.band_size = band_size
 
     def _existing(self) -> DataFrame | None:
-        try:
-            return self.spark.read.schema(
-                "id long, band_key string"
-            ).parquet(self.path)
-        except Exception:
+        import os
+
+        # explicit existence check — a corrupt/unreadable index must
+        # raise loudly, never silently degrade to batch-local dedup
+        if not os.path.isdir(self.path):
             return None  # first batch: no index yet
+        return self.spark.read.schema(
+            "id long, band_key string"
+        ).parquet(self.path)
 
     def add_batch(
         self,

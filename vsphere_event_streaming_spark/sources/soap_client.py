@@ -151,7 +151,7 @@ class VSphereSoapEventSource:
             )
         return root
 
-    def _login_and_create_collector(self, page_size: int) -> str:
+    def _login_and_create_collector(self) -> str:
         # RetrieveServiceContent → session manager + event manager ids
         sc = self._call(
             '<vim25:RetrieveServiceContent><vim25:_this type="ServiceInstance">'
@@ -222,7 +222,7 @@ class VSphereSoapEventSource:
         (the reference's page, main.go:107)."""
         page_size = max(1, min(int(page_size), 50))
         if self._collector is None:
-            self._collector = self._login_and_create_collector(page_size)
+            self._collector = self._login_and_create_collector()
         resp = self._call(
             '<vim25:ReadNextEvents><vim25:_this type="EventHistoryCollector">'
             f"{self._collector}</vim25:_this>"
