@@ -143,3 +143,72 @@ def test_http_stop_with_live_undeadlined_watcher(spark):
     t0 = time.time()
     srv.stop()
     assert time.time() - t0 < 10, "stop() hung on a live watcher"
+
+
+def test_full_reference_pipeline_e2e(spark, tmp_path):
+    """The reference's whole system in one flow: synthetic vCenter
+    pages → streaming ingest with offset seeding and the record-size
+    ceiling → segment-partitioned log sink → HTTP API over the sink →
+    CLI-client fetch loop → typed CloudEvent decode. A reference user
+    switching engines runs exactly this path."""
+    import time
+
+    from vsphere_event_streaming_spark.sources.poll_source import (
+        read_poll_stream,
+    )
+    from vsphere_event_streaming_spark.streaming.ingest import (
+        LOG_SCHEMA_DDL,
+        start_ingest,
+    )
+    from vsphere_event_streaming_spark.streaming.watch import (
+        consume_ndjson,
+        http_watch_lines,
+    )
+
+    tmp = str(tmp_path)
+    log_dir = f"{tmp}/log"
+    stream = read_poll_stream(spark, page_size=50, max_key=120)
+    q = start_ingest(
+        spark,
+        stream,
+        log_dir,
+        f"{tmp}/ckpt",
+        segment_size=50,
+        max_record_size=524288,
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            try:
+                if (
+                    spark.read.schema(LOG_SCHEMA_DDL)
+                    .parquet(log_dir)
+                    .count()
+                    >= 120
+                ):
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        else:
+            pytest.fail("ingest did not complete")
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    log = spark.read.schema(LOG_SCHEMA_DDL).parquet(log_dir)
+    srv = serve(EventLogService(log.select("offset", "value")))
+    try:
+        # range over the served log
+        status, body = _get(srv.address + "/api/v1/range")
+        assert json.loads(body) == {"earliest": 0, "latest": 119}
+        # client fetch loop from offset 100, typed decode
+        lines = http_watch_lines(srv.address, offset=100, max_seconds=1)
+    finally:
+        srv.stop()
+    typed = consume_ndjson(
+        spark.createDataFrame([(line,) for line in lines], "value string")
+    ).collect()
+    assert [r["key"] for r in typed] == list(range(100, 120))
+    assert all(r["type"].startswith("vmware.vsphere.") for r in typed)
+    assert all(r["id"] == str(r["key"]) for r in typed)  # id ≡ offset
