@@ -578,3 +578,32 @@ def test_lsh_index_incremental_batches(spark, tmp_path):
     # the index now holds bands for all five docs (4 bands each)
     stored = spark.read.parquet(str(tmp_path / "lsh_index"))
     assert stored.count() == 5 * 4
+
+
+def test_png_roundtrip_hypothesis_randomized():
+    """Property: encode→decode is the identity for ANY uint8 image in
+    the supported shapes (grayscale/RGB/RGBA, 1..40 px sides) — the
+    fixed-rotation test pins the filter schedule; this pins arbitrary
+    content against it."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vsphere_event_streaming_spark.functions import codecs
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        ch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(h, w, ch, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        px = rng.integers(0, 256, shape, dtype=np.uint8).astype(np.uint8)
+        back = codecs.decode_png(codecs.encode_png(px))
+        assert back.shape == px.shape
+        assert (back == px).all()
+
+    roundtrip()

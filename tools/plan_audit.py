@@ -152,6 +152,22 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"TakeOrderedAndProject"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ],
+    # salted aggregate: phase-1 groups by (key, salt) — both grouping
+    # shapes must appear; the salt is xxhash64, never rand()
+    "q_salted_agg": [
+        [r"hashpartitioning\(event_type#\d+, __salt", r"xxhash64"],
+        [r"\brand\("],
+    ],
+    # salted join: dim replicated per salt (explode), fact salted
+    "q_salted_join": [
+        [r"Generate explode", r"xxhash64"],
+        [r"CartesianProduct", r"\brand\("],
+    ],
+    # guarded pipeline: gates plan as semi/anti joins, no cartesian
+    "q_pipeline_guarded": [
+        [r"LeftSemi", r"LeftAnti"],
+        [r"CartesianProduct"],
+    ],
 }
 
 
