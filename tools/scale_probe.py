@@ -24,6 +24,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
+    contamination_report,
     jaccard_pairs,
     jaccard_pairs_pruned,
     lsh_candidate_pairs,
@@ -145,6 +146,16 @@ def main() -> None:
             "jaccard_pairs_pruned",
             lambda: jaccard_pairs_pruned(docs1, 0.5, max_doc_freq=100),
             lambda: jaccard_pairs_pruned(docsN, 0.5, max_doc_freq=100),
+        ),
+        (
+            # benchmark-contamination semi-join (hygiene tier)
+            "contamination_report",
+            lambda: contamination_report(
+                docs1, docs1.filter(F.col("doc_id") % 50 == 0), 0.5
+            ),
+            lambda: contamination_report(
+                docsN, docsN.filter(F.col("doc_id") % 50 == 0), 0.5
+            ),
         ),
         (
             "assign_offsets",
