@@ -350,3 +350,48 @@ def hyperplane_topk(
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
+
+
+def hyperplane_topk_probed(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH ANN with Hamming-1 multiprobe — the standard recall
+    extension: the query also probes every bucket whose signature
+    differs in exactly one bit (n_bits+1 probes total), trading a
+    bounded constant factor of candidates for recall that survives
+    borderline hyperplane votes.
+
+    Scale shape unchanged from :func:`hyperplane_topk`: the probe set
+    explodes from the 1-row query side, so the corpus still sees one
+    broadcast equi-join on its (single) bucket key — at 100 TB the
+    corpus stays partitioned by sig and each query touches
+    ``n_bits + 1`` partitions.
+    """
+    probes = F.array(
+        F.col("__sig"),
+        *[F.col("__sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)],
+    )
+    qsig = (
+        query.select(
+            F.col("q").alias("__q"),
+            hyperplane_sig(F.col("q"), n_bits).alias("__sig"),
+        )
+        .select("__q", F.explode(probes).alias("__sig"))
+    )
+    csig = corpus.select(
+        id_col, vec_col, hyperplane_sig(F.col(vec_col), n_bits).alias("__sig")
+    )
+    return (
+        csig.join(F.broadcast(qsig), "__sig")
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

@@ -1005,3 +1005,60 @@ def q_pipeline_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+def _hyperplane_probed_oracle(n_bits: int = 6) -> str:
+    from ..functions.vectors import HYPER_MOD, HYPER_P1, HYPER_P2
+
+    def dotj(j: int) -> str:
+        plane = (
+            f"((({j}*{HYPER_P1} + (i-1)*{HYPER_P2} + 1) % {HYPER_MOD})"
+            f"::DOUBLE / {HYPER_MOD} - 0.5)"
+        )
+        return (
+            f"list_reduce(list_transform(range(1, len(v)+1), "
+            f"i -> v[i] * {plane}), (a, b) -> a + b)"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dotj(j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, {_DUCK_DVEC} AS v FROM embeddings),
+    s AS (SELECT vec_id, v, CAST({sig} AS INTEGER) AS sig FROM e),
+    q AS (
+      SELECT v AS qv, sig AS qsig FROM s
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    c AS (
+      SELECT vec_id, v, sig FROM s
+      WHERE vec_id != (SELECT min(vec_id) FROM embeddings)
+    )
+    SELECT vec_id, round({_duck_cosine("v", "qv")}, 6) AS score
+    FROM c, q WHERE bit_count(xor(c.sig, q.qsig)) <= 1
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("q_knn_hyperplane_probed", oracle=_hyperplane_probed_oracle())
+def q_knn_hyperplane_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with Hamming-1 multiprobe: exact-bucket plus every
+    one-bit-neighbor bucket (n_bits+1 probes exploded from the 1-row
+    query side — the corpus join key stays single-bucket). The probe
+    set {sig} ∪ {sig⊕2^j} is exactly bit_count(xor) ≤ 1, which is how
+    the oracle states it. Recall strictly dominates q_knn_hyperplane
+    at a bounded constant candidate cost."""
+    from ..functions.vectors import hyperplane_topk_probed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qmin = emb.agg(F.min("vec_id").alias("__qid"))
+    qvec = (
+        emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid"))
+        .select(F.col("embedding").alias("q"))
+    )
+    corpus = emb.join(F.broadcast(qmin)).filter(
+        F.col("vec_id") != F.col("__qid")
+    ).drop("__qid")
+    return hyperplane_topk_probed(corpus, qvec, k=10, n_bits=6)
