@@ -189,3 +189,25 @@ def test_zorder_tightens_both_dimensions(spark, tmp_path):
     assert back.agg(F.sum("x"), F.sum("y")).first() == df.agg(
         F.sum("x"), F.sum("y")
     ).first()
+
+
+def test_zorder_empty_and_all_null_inputs_raise_cleanly(spark):
+    """z_value on an empty frame or an all-NULL cluster column has no
+    min/max to normalize — must be a clear ValueError, not a TypeError
+    from None arithmetic."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.operators.zorder import z_value
+
+    empty = spark.range(0).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    with pytest.raises(ValueError, match="empty"):
+        z_value(empty, "x", "y")
+
+    all_null = spark.range(10).select(
+        F.lit(None).cast("long").alias("x"), F.col("id").alias("y")
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        z_value(all_null, "x", "y")

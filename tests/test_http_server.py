@@ -117,6 +117,76 @@ def test_http_client_to_typed_envelopes(spark):
     )
 
 
+def test_http_watch_force_disconnect_at_stream_timeout(spark):
+    """A watch client with NO params is force-disconnected at the
+    server's stream timeout (the reference's streamTimeout=5min,
+    server.go:27) — the chunked stream terminates cleanly instead of
+    pinning a handler thread forever."""
+    import time
+
+    from vsphere_event_streaming_spark.log.http_server import (
+        EventLogHTTPServer,
+    )
+
+    rows = [(i, json.dumps({"id": str(i)})) for i in range(5)]
+    log = spark.createDataFrame(rows, "offset long, value string")
+    srv = EventLogHTTPServer(
+        EventLogService(log), stream_timeout_sec=2.0
+    ).start()
+    try:
+        t0 = time.time()
+        # tails from latest+1 (no data ever arrives); without the
+        # server-side deadline this read would block until the client
+        # timeout, not return cleanly
+        with urllib.request.urlopen(
+            srv.address + "/api/v1/events?watch=true", timeout=30
+        ) as r:
+            body = r.read()  # returns when the server ends the stream
+        elapsed = time.time() - t0
+    finally:
+        srv.stop()
+    assert body == b""  # clean chunked termination, no partial junk
+    assert 1.5 <= elapsed < 15, f"disconnect at {elapsed:.1f}s, wanted ~2s"
+
+
+def test_http_watch_client_deadline_cannot_extend_server_ceiling(spark):
+    """max_seconds may shorten the stream but never outlive the
+    server's force-disconnect ceiling."""
+    import time
+
+    from vsphere_event_streaming_spark.log.http_server import (
+        EventLogHTTPServer,
+    )
+
+    log = spark.createDataFrame(
+        [(0, json.dumps({"id": "0"}))], "offset long, value string"
+    )
+    srv = EventLogHTTPServer(
+        EventLogService(log), stream_timeout_sec=2.0
+    ).start()
+    try:
+        t0 = time.time()
+        with urllib.request.urlopen(
+            srv.address + "/api/v1/events?watch=true&max_seconds=120",
+            timeout=30,
+        ) as r:
+            r.read()
+        elapsed = time.time() - t0
+    finally:
+        srv.stop()
+    assert elapsed < 15, f"server ceiling ignored: stream ran {elapsed:.1f}s"
+
+
+@pytest.mark.parametrize("bad", ["abc", "nan", "inf", "-1"])
+def test_http_watch_malformed_max_seconds_is_clean_400(log_server, bad):
+    """Malformed max_seconds must be rejected BEFORE the 200 status
+    line — previously float() raised after chunked headers were
+    written, pushing a second '500' response into the open stream."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(log_server + f"/api/v1/events?watch=true&max_seconds={bad}")
+    assert e.value.code == 400
+
+
 def test_http_stop_with_live_undeadlined_watcher(spark):
     """stop() must return promptly even while a watch client with no
     deadline is mid-tail (handler threads are daemonized; server close
@@ -212,3 +282,15 @@ def test_full_reference_pipeline_e2e(spark, tmp_path):
     assert [r["key"] for r in typed] == list(range(100, 120))
     assert all(r["type"].startswith("vmware.vsphere.") for r in typed)
     assert all(r["id"] == str(r["key"]) for r in typed)  # id ≡ offset
+
+
+def test_http_watch_lines_maps_http_error_to_runtime_error(log_server):
+    """The client helper's documented error contract (main.go:75-77):
+    a >=400 watch response surfaces as RuntimeError('could not read
+    event stream: <code>'), not a raw urllib HTTPError."""
+    from vsphere_event_streaming_spark.streaming.watch import (
+        http_watch_lines,
+    )
+
+    with pytest.raises(RuntimeError, match="could not read event stream: 400"):
+        http_watch_lines(log_server, offset=3, max_seconds=1)

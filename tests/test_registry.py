@@ -23,16 +23,19 @@ DRIVER_WINDOW = 50
 #: each of these inside the window covers every SQL-expressible line.
 #: Independent literal (NOT derived from PRIORITY) so reordering
 #: PRIORITY can't silently redefine what counts as canonical.
+#:
+#: r4 rotation (VERDICT_r3 #1): 54 canonical lines > 50 slots, so the
+#: window rotates.  In: the 7 never-driver-checked lines (bitwise,
+#: L6-L11).  Out (3 prior driver-green rows each, still selfchecked at
+#: positions 51+): q_typename, q_eventclass, q_json_extract,
+#: q_math_funcs, q_running_sum, q_grouping_sets, q_dedup_simhash.
 CANONICAL = (
-    # reference core (P1-P8, S3, S6, A1-A2, W1-W2, O1-O3)
+    # reference core (P1, P4-P7, S3, S6, A1-A2, W1-W2, O1-O3)
     "q_envelope",
-    "q_typename",
-    "q_eventclass",
     "q_point_lookup",
     "q_replay_from",
     "q_time_window_filter",
     "q_range_bounds",
-    "q_json_extract",
     "q_page_json",
     "q_decode_roundtrip",
     "q_range",
@@ -53,18 +56,16 @@ CANONICAL = (
     "q_group_agg",
     "q_count_distinct",
     "q_rollup",
-    "q_grouping_sets",
     "q_chain_agg",
     "q_rank",
     "q_lag_gap",
-    "q_running_sum",
     # set ops + scalar families (§2.7, §2.8)
     "q_union",
     "q_intersect",
     "q_except",
     "q_string_funcs",
     "q_time_funcs",
-    "q_math_funcs",
+    "q_bitwise_funcs",
     "q_casts",
     "q_null_funcs",
     "q_array_funcs",
@@ -73,12 +74,31 @@ CANONICAL = (
     "q_udf_cosine",
     "q_dedup_exact",
     "q_dedup_lsh_verified",
-    "q_dedup_simhash",
     "q_knn_topk",
     "q_text_tokens",
     "q_multimodal_decode",
     "q_udtf_props",
     "q_tumbling_agg",
+    # hygiene / search tier (L6-L11)
+    "q_contamination",
+    "q_pii_scrub",
+    "q_quality_repetition",
+    "q_knn_hyperplane",
+    "q_search_bm25",
+    "q_word_pmi",
+)
+
+#: Queries rotated out of the window in r4 — must still be registered
+#: and oracled (selfcheck covers them) even though the driver window
+#: no longer records them.
+ROTATED_OUT_R4 = (
+    "q_typename",
+    "q_eventclass",
+    "q_json_extract",
+    "q_math_funcs",
+    "q_running_sum",
+    "q_grouping_sets",
+    "q_dedup_simhash",
 )
 
 
@@ -115,6 +135,21 @@ def test_canonicals_all_have_oracles():
     qs = load_all()
     no_oracle = [n for n in CANONICAL if qs[n].oracle is None]
     assert not no_oracle, f"canonical queries without oracle SQL: {no_oracle}"
+
+
+def test_rotated_out_queries_stay_registered_and_oracled():
+    """Rotation must not drop coverage: every query rotated out of the
+    driver window stays registered with its oracle, immediately after
+    the window so selfcheck (and any wider future window) still runs
+    a full value compare."""
+    qs = load_all()
+    idx = {n: i for i, n in enumerate(PRIORITY)}
+    for n in ROTATED_OUT_R4:
+        assert n in qs, f"rotated-out query {n} lost its registration"
+        assert qs[n].oracle is not None, f"rotated-out query {n} lost its oracle"
+        assert DRIVER_WINDOW <= idx[n] < DRIVER_WINDOW + len(ROTATED_OUT_R4) + 2, (
+            f"rotated-out query {n} should sit just past the window, at {idx[n]}"
+        )
 
 
 def test_unknown_priority_name_warns_not_raises(monkeypatch):

@@ -754,6 +754,39 @@ def test_soap_adapter_contract():
         assert user.startswith("user") and isinstance(msg, str)
 
 
+def test_soap_login_escapes_xml_special_chars():
+    """Credentials (and server-returned ids) are XML-escaped into SOAP
+    bodies: a password containing & < > ' " must neither break the
+    envelope nor inject markup."""
+    import xml.etree.ElementTree as ET
+
+    from vsphere_event_streaming_spark.sources.soap_client import (
+        SoapConfig,
+        VSphereSoapEventSource,
+    )
+
+    inner_send, _ = _canned_soap_transport()
+    bodies: list[str] = []
+
+    def send(url: str, body: bytes) -> bytes:
+        bodies.append(body.decode())
+        return inner_send(url, body)
+
+    nasty = "p&ss<w>o'r\"d"
+    src = VSphereSoapEventSource(
+        SoapConfig(
+            url="https://vc.example/sdk", username="u&er", password=nasty
+        ),
+        transport=send,
+    )
+    src.read_page(page_size=1)
+    login = next(b for b in bodies if "Login" in b)
+    assert nasty not in login  # raw specials never hit the wire
+    assert "p&amp;ss&lt;w&gt;o'r\"d" in login
+    assert "u&amp;er" in login
+    ET.fromstring(login)  # request stays well-formed XML
+
+
 def test_soap_adapter_offline_and_env_errors():
     """Offline behavior is a clean ConnectionError naming the URL;
     missing env is a clean ValueError naming the contract."""

@@ -181,6 +181,11 @@ def main():
             idx = [duck_cols_raw.index(c) for c in duck_cols]
             duck_rows = [[r[i] for i in idx] for r in res.fetchall()]
             err = compare(spark_rows, duck_rows, spark_cols)
+            if err is None and not spark_rows:
+                # A 0-row agreement proves only schema shape — any
+                # implementation returning an empty frame passes.  No
+                # oracled query may be vacuous (VERDICT_r3: q_word_pmi).
+                err = "VACUOUS: oracled query returned 0 rows"
             if err:
                 failed.append(name)
                 print(f"✗ {name}: {err}")

@@ -62,9 +62,17 @@ class EventLogHTTPServer:
         host: str = "127.0.0.1",
         port: int = 0,
         watch_poll_sec: float = 0.2,
+        stream_timeout_sec: float = 300.0,
     ) -> None:
+        #: Hard ceiling on any watch stream's lifetime, mirroring the
+        #: reference's ``streamTimeout = 5 * time.Minute``
+        #: (server.go:27): every stream is force-disconnected at the
+        #: deadline even if the client never asked for one, so an
+        #: abandoned keep-alive client cannot pin a handler thread and
+        #: a per-poll Spark job indefinitely.
         self.service = service
         self.watch_poll_sec = watch_poll_sec
+        self.stream_timeout_sec = stream_timeout_sec
         handler = self._make_handler()
         self._httpd = _Server((host, port), handler)
         self._thread: threading.Thread | None = None
@@ -165,8 +173,23 @@ class EventLogHTTPServer:
                 self._json(200, body)
 
             def _watch(self, q: dict):
+                import math as _math
+                import time as _time
+
                 svc = server.service
                 raw = q.get("offset", [None])[0]
+                # Validate EVERYTHING before the 200 status line goes
+                # out — a parse error after chunked headers are written
+                # would corrupt the open stream with a second response.
+                deadline_q = q.get("max_seconds", [None])[0]
+                max_seconds: float | None = None
+                if deadline_q is not None:
+                    try:
+                        max_seconds = float(deadline_q)
+                    except ValueError:
+                        return self._text(400, "invalid max_seconds")
+                    if not _math.isfinite(max_seconds) or max_seconds < 0:
+                        return self._text(400, "invalid max_seconds")
                 try:
                     replay = svc.replay(raw)
                 except InvalidOffsetError:
@@ -174,6 +197,10 @@ class EventLogHTTPServer:
                 except OutOfRangeError as e:  # purged start → 400
                     return self._text(400, f"invalid offset: {e}")
                 del replay  # validation only; reads go through pages
+                try:
+                    requested = None if raw is None else int(raw)
+                except ValueError:
+                    return self._text(400, "invalid offset")
 
                 self.send_response(200)
                 # server.go:145-147
@@ -183,16 +210,17 @@ class EventLogHTTPServer:
                 self.end_headers()
 
                 rng = svc.range()
-                if raw is None or int(raw) == -1:
+                if requested is None or requested == -1:
                     cursor = (rng["latest"] + 1) if rng else 0
                 else:
-                    cursor = int(raw)
-                deadline_q = q.get("max_seconds", [None])[0]
-                import time as _time
-
-                stop_at = (
-                    _time.time() + float(deadline_q) if deadline_q else None
-                )
+                    cursor = requested
+                # Every stream gets the server's force-disconnect
+                # ceiling (server.go:27); a client max_seconds may only
+                # shorten it, never extend it.
+                budget = server.stream_timeout_sec
+                if max_seconds is not None:
+                    budget = min(budget, max_seconds)
+                stop_at = _time.time() + budget
                 try:
                     while True:
                         page = (
@@ -210,7 +238,7 @@ class EventLogHTTPServer:
                             )
                             self.wfile.flush()
                             cursor = int(r[svc.offset_col]) + 1
-                        if stop_at is not None and _time.time() >= stop_at:
+                        if _time.time() >= stop_at:
                             break
                         _time.sleep(server.watch_poll_sec)
                     self.wfile.write(b"0\r\n\r\n")
@@ -221,7 +249,12 @@ class EventLogHTTPServer:
 
 
 def serve(
-    service: EventLogService, host: str = "127.0.0.1", port: int = 0
+    service: EventLogService,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    stream_timeout_sec: float = 300.0,
 ) -> EventLogHTTPServer:
     """Start a listener; returns the running server (``.address``)."""
-    return EventLogHTTPServer(service, host, port).start()
+    return EventLogHTTPServer(
+        service, host, port, stream_timeout_sec=stream_timeout_sec
+    ).start()

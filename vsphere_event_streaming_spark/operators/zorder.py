@@ -46,6 +46,11 @@ def z_value(
         F.min(col_b).alias("bmin"),
         F.max(col_b).alias("bmax"),
     ).first()
+    if stats is None or any(stats[k] is None for k in range(4)):
+        raise ValueError(
+            f"z_value({col_a!r}, {col_b!r}): cannot normalize an empty "
+            "DataFrame or an all-NULL cluster column (min/max undefined)"
+        )
     cells = float(1 << bits)
 
     def bucket(c: str, lo, hi) -> Column:

@@ -2175,7 +2175,8 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE length(term) >= 2
     ), dfw AS (
       SELECT term, count(*) AS df FROM w GROUP BY term
-      HAVING count(*) BETWEEN 5 AND 200
+      HAVING count(*) >= 2
+         AND count(*) <= 0.85 * (SELECT count(*) FROM documents)
     ), kept AS (
       SELECT w.doc_id, w.term, dfw.df FROM w JOIN dfw USING (term)
     ), co AS (
@@ -2188,7 +2189,7 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT wa, wb, cooc,
            round(ln(cooc::DOUBLE * n.n / (dfa * dfb)), 6) AS pmi
     FROM co, n
-    WHERE cooc >= 5
+    WHERE cooc >= 2
     ORDER BY pmi DESC, wa, wb
     LIMIT 50
     """,
@@ -2198,11 +2199,18 @@ def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-document word co-occurrence — the classic corpus-analysis
     pass for multi-word expressions.
 
-    Scale posture: document frequency pruning (5 ≤ df ≤ 200) BEFORE
-    the within-doc self-join caps the per-doc pair blow-up the same
-    way stop-shingle pruning caps Jaccard (Σk² over kept words only);
-    the join key is doc_id so pairs never cross documents; top-50 is
-    a heap, not a global sort.
+    Scale posture: document-frequency pruning BEFORE the within-doc
+    self-join caps the per-doc pair blow-up the same way stop-shingle
+    pruning caps Jaccard (Σk² over kept words only); the join key is
+    doc_id so pairs never cross documents; top-50 is a heap, not a
+    global sort.
+
+    The df window is scale-relative (2 ≤ df ≤ 0.85·N): an absolute
+    window (r3 used 5..200) goes vacuous as the corpus grows — every
+    term's df scales with N, so a fixed upper bound eventually rejects
+    the whole vocabulary (VERDICT_r3: 0 rows at sf0.01 AND sf0.1).
+    Tying the stop-word bound to corpus size keeps the check exercising
+    real PMI arithmetic at every sf.
     """
     docs = _t(spark, sf_dir, "documents")
     n_docs = float(docs.count())
@@ -2219,7 +2227,9 @@ def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfw = (
         w.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df").between(5, 200))
+        .filter(
+            (F.col("df") >= 2) & (F.col("df") <= F.lit(0.85) * F.lit(n_docs))
+        )
     )
     kept = w.join(F.broadcast(dfw), "term")
     a = kept.select("doc_id", F.col("term").alias("wa"), F.col("df").alias("dfa"))
@@ -2233,7 +2243,7 @@ def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dfb").alias("dfb"),
             F.count(F.lit(1)).alias("cooc"),
         )
-        .filter(F.col("cooc") >= 5)
+        .filter(F.col("cooc") >= 2)
     )
     pmi = F.log(
         F.col("cooc").cast("double") * F.lit(n_docs)

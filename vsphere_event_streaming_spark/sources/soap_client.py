@@ -34,6 +34,7 @@ import urllib.error
 import urllib.request
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
+from xml.sax.saxutils import escape as _xml_escape
 from typing import Callable
 
 #: vim25 namespace of the public VMware Infrastructure Management API.
@@ -163,11 +164,17 @@ class VSphereSoapEventSource:
             if el.tag.split("}")[-1]
             in ("sessionManager", "eventManager", "rootFolder")
         }
+        # Every interpolated value is XML-escaped: a password (or a
+        # hostile server-returned MoRef id) containing & < > ' " would
+        # otherwise produce malformed XML / XML injection in the
+        # Login request.
         self._call(
             f'<vim25:Login><vim25:_this type="SessionManager">'
-            f"{ids['sessionManager']}</vim25:_this>"
-            f"<vim25:userName>{self.config.username}</vim25:userName>"
-            f"<vim25:password>{self.config.password}</vim25:password>"
+            f"{_xml_escape(ids['sessionManager'])}</vim25:_this>"
+            f"<vim25:userName>{_xml_escape(self.config.username)}"
+            "</vim25:userName>"
+            f"<vim25:password>{_xml_escape(self.config.password)}"
+            "</vim25:password>"
             "</vim25:Login>"
         )
         begin = (
@@ -175,7 +182,7 @@ class VSphereSoapEventSource:
         ).strftime("%Y-%m-%dT%H:%M:%SZ")
         resp = self._call(
             f'<vim25:CreateCollectorForEvents><vim25:_this type="EventManager">'
-            f"{ids['eventManager']}</vim25:_this>"
+            f"{_xml_escape(ids['eventManager'])}</vim25:_this>"
             "<vim25:filter><vim25:time>"
             f"<vim25:beginTime>{begin}</vim25:beginTime>"
             "</vim25:time></vim25:filter>"
@@ -225,7 +232,7 @@ class VSphereSoapEventSource:
             self._collector = self._login_and_create_collector()
         resp = self._call(
             '<vim25:ReadNextEvents><vim25:_this type="EventHistoryCollector">'
-            f"{self._collector}</vim25:_this>"
+            f"{_xml_escape(self._collector)}</vim25:_this>"
             f"<vim25:maxCount>{page_size}</vim25:maxCount>"
             "</vim25:ReadNextEvents>"
         )

@@ -105,6 +105,7 @@ def http_watch_lines(
     reference's CLI, not a distributed read path — the distributed
     path is the ``watch()`` stream over the sink.
     """
+    import urllib.error
     import urllib.request
     from urllib.parse import urlencode
 
@@ -114,9 +115,15 @@ def http_watch_lines(
     if max_seconds is not None:
         q["max_seconds"] = str(max_seconds)
     full = f"{url.rstrip('/')}/api/v1/events?{urlencode(q)}"
-    with urllib.request.urlopen(full, timeout=timeout) as resp:
-        if resp.status > 299:  # main.go:75-77
-            raise RuntimeError(f"could not read event stream: {resp.status}")
+    try:
+        resp_ctx = urllib.request.urlopen(full, timeout=timeout)
+    except urllib.error.HTTPError as e:
+        # urlopen raises (rather than returning a >=400 response), so
+        # the documented client error surfaces here (main.go:75-77)
+        raise RuntimeError(
+            f"could not read event stream: {e.code}"
+        ) from e
+    with resp_ctx as resp:
         return [
             line.decode().rstrip("\n")
             for line in resp
