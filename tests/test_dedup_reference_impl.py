@@ -88,3 +88,45 @@ def test_minhash_signatures_match_pure_python(spark):
         for j, (a, b) in enumerate(MINHASH_PARAMS):
             expect = min((a * s + b) % MINHASH_PRIME for s in sh)
             assert got[i][f"mh{j}"] == expect, (i, j)
+
+
+def test_simhash_hamming_probe_invariants(spark):
+    """Hamming-probe pairing: (1) k=0 reduces exactly to the
+    equal-fingerprint pairs; (2) k=1 is a superset of k=0 and every
+    extra pair differs in exactly one fingerprint bit; (3) pigeonhole
+    completeness — a brute-force scan of all fingerprint pairs finds
+    no Hamming<=1 pair the banded probes missed."""
+    from vsphere_event_streaming_spark.functions.dedup import (
+        simhash_pairs,
+        simhash_pairs_hamming,
+        simhash_table,
+    )
+
+    docs = spark.createDataFrame(_corpus(60), "doc_id long, text string")
+
+    eq_pairs = {
+        (r["id_a"], r["id_b"]) for r in simhash_pairs(docs).collect()
+    }
+    k0 = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs_hamming(docs, max_hamming=0).collect()
+    }
+    assert k0 == eq_pairs
+
+    h1 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs_hamming(docs, max_hamming=1).collect()
+    }
+    assert eq_pairs <= set(h1)
+    assert all(
+        d == (0 if p in eq_pairs else 1) for p, d in h1.items()
+    )
+
+    fps = {r["id"]: r["simhash"] for r in simhash_table(docs).collect()}
+    brute = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 1
+    }
+    assert set(h1) == brute

@@ -569,6 +569,72 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_hamming(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 1,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``max_hamming``
+    (a<b), via the table-split probe trick.
+
+    Pigeonhole: split the 16-bit fingerprint into ``max_hamming + 1``
+    bands — two fingerprints that differ in ≤ ``max_hamming`` bits
+    must agree EXACTLY on at least one band. Each doc explodes into
+    ``max_hamming + 1`` (band_idx, band_val) probe rows; candidates
+    are an equi-join on that probe key (the same shuffle shape as
+    MinHash-LSH banding: constant bytes per doc, never all-pairs);
+    the exact ``bit_count(xor) <= k`` verify then removes pigeonhole
+    false positives. ``simhash_pairs`` is the k=0 special case.
+    """
+    if not 0 <= max_hamming < 16:
+        raise ValueError(f"max_hamming must be in [0, 16): {max_hamming}")
+    n_bands = max_hamming + 1
+    width = 16 // n_bands  # last band absorbs the remainder bits
+    st = _persist(simhash_table(docs, text_col, id_col))
+
+    def probe_rows(side: str) -> DataFrame:
+        bands = []
+        for i in range(n_bands):
+            shift = i * width
+            mask = (
+                (1 << width) - 1 if i < n_bands - 1 else (1 << (16 - shift)) - 1
+            )
+            bands.append(
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright("simhash", shift)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+            )
+        return st.select(
+            F.col("id").alias(f"id_{side}"),
+            F.col("simhash").alias(f"fp_{side}"),
+            F.explode(F.array(*bands)).alias("probe"),
+        ).select(
+            f"id_{side}",
+            f"fp_{side}",
+            F.col("probe.band_idx").alias("band_idx"),
+            F.col("probe.band_val").alias("band_val"),
+        )
+
+    a, b = probe_rows("a"), probe_rows("b")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash fingerprint from word hashes (column-expression
     form; prefer :func:`simhash_table` in plans).

@@ -428,6 +428,38 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "q_dedup_simhash_hamming",
+    oracle=f"""
+    WITH {_simhash_ctes()},
+    probes AS (
+      SELECT doc_id, simhash, 0 AS band_idx, simhash >> 8 AS band_val
+      FROM s
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS band_idx, simhash & 255 AS band_val
+      FROM s
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM probes a JOIN probes b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """,
+)
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs within Hamming distance 1 — the table-split probe
+    pairing (two 8-bit bands; a 1-bit difference leaves one band equal)
+    that catches near-dups equal-fingerprint pairing misses, at the
+    same banded equi-join shape. The oracle restates
+    ``bit_count(xor) <= 1`` through the identical banded equality."""
+    from ..functions.dedup import simhash_pairs_hamming
+
+    return simhash_pairs_hamming(
+        _t(spark, sf_dir, "documents"), max_hamming=1
+    )
+
+
 # ======================================================================
 # L2d: embedding-cosine near-dup pairs (blocked)
 # ======================================================================
