@@ -568,16 +568,51 @@ def test_lsh_index_incremental_batches(spark, tmp_path):
         ["doc_id", "text"],
     )
     c2 = {(r["id_a"], r["id_b"]) for r in idx.add_batch(b2).collect()}
-    dedup.release_cached()
-    # batch2-internal pair + cross-batch pairs, nothing touching 1/11
+    # batch2-internal pair + cross-batch pairs, nothing touching 1/11;
+    # all pairs canonicalized id_a < id_b (cross pairs included)
+    assert all(a < b for a, b in c2)
     assert (10, 12) in c2
-    assert (10, 0) in c2 or (0, 10) in c2
-    assert (12, 0) in c2 or (0, 12) in c2
+    assert (0, 10) in c2 and (0, 12) in c2
     ids = {i for p in c2 for i in p}
     assert 1 not in ids and 11 not in ids
     # the index now holds bands for all five docs (4 bands each)
     stored = spark.read.parquet(str(tmp_path / "lsh_index"))
     assert stored.count() == 5 * 4
+
+
+def test_lsh_index_retry_is_idempotent(spark, tmp_path):
+    """A retried batch (same batch_id) overwrites its own partition:
+    index row count and candidate pairs are unchanged, and later
+    batches see no duplicate band rows."""
+    from vsphere_event_streaming_spark.functions import dedup
+
+    path = str(tmp_path / "lsh_index")
+    idx = dedup.LshIndex(spark, path)
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    b1 = spark.createDataFrame(
+        [(0, base), (1, "some unrelated filler text with other words")],
+        ["doc_id", "text"],
+    )
+    idx.add_batch(b1, batch_id="crawl-001")
+    n1 = spark.read.parquet(path).count()
+
+    # retry the same batch under the same id — must not grow the index
+    c_retry = idx.add_batch(b1, batch_id="crawl-001")
+    assert spark.read.parquet(path).count() == n1
+    # retried candidates must not pair the batch against its own
+    # previously-written bands (0,0)/(1,1) self-pairs or dup pairs
+    assert {(r["id_a"], r["id_b"]) for r in c_retry.collect()} == set()
+
+    # a later batch still sees exactly one copy of batch 1's bands
+    b2 = spark.createDataFrame([(10, base)], ["doc_id", "text"])
+    c2 = [
+        (r["id_a"], r["id_b"])
+        for r in idx.add_batch(b2, batch_id="crawl-002").collect()
+    ]
+    assert c2 == [(0, 10)]  # once, canonicalized — not once per dup row
+
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        idx.add_batch(b2, batch_id="../escape")
 
 
 def test_png_roundtrip_hypothesis_randomized():

@@ -736,18 +736,24 @@ class LshIndex:
     The pattern a growing 100 TB corpus actually runs: each crawl
     increment dedups against everything ingested so far WITHOUT
     recomputing the corpus — the index stores one (id, band_key) row
-    per doc per band (constant bytes/doc) as parquet partitioned so
-    the band join reads index rows colocated by key.
+    per doc per band (constant bytes/doc) as parquet, one
+    ``batch_id=<id>`` partition directory per ingested batch (the band
+    join shuffles on band_key either way; the batch partitioning is
+    what makes re-ingest idempotent, not a join-locality claim).
 
     ``add_batch`` returns the new batch's candidate pairs
-    (new↔existing ∪ new↔new) and appends the batch's bands to the
-    index — the two-step any incremental dedup needs. Exact re-scoring
-    of candidates stays the caller's step (it needs the text of both
-    sides; at scale that is a point-join against the corpus store).
+    (new↔existing ∪ new↔new, canonicalized id_a < id_b) and writes the
+    batch's bands to the index — the two-step any incremental dedup
+    needs. Exact re-scoring of candidates stays the caller's step (it
+    needs the text of both sides; at scale that is a point-join
+    against the corpus store).
 
-    Crash consistency: candidates are computed BEFORE the append, so
-    a retried batch never collides with its own half-written bands;
-    the append itself is an atomic parquet directory commit per batch.
+    Crash consistency + idempotency: candidates are computed BEFORE
+    the write, so a retried batch never collides with its own
+    half-written bands; the write OVERWRITES the batch's own partition
+    directory, so retrying a batch (same ``batch_id``) leaves the
+    index row count unchanged instead of appending duplicate band rows
+    that would inflate every later band join.
     """
 
     def __init__(self, spark, path: str, band_size: int = 2) -> None:
@@ -766,41 +772,79 @@ class LshIndex:
             "id long, band_key string"
         ).parquet(self.path)
 
+    @staticmethod
+    def _partition_dir(batch_id: str) -> str:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", batch_id):
+            raise ValueError(
+                f"batch_id must be a filesystem-safe token: {batch_id!r}"
+            )
+        return f"batch_id={batch_id}"
+
     def add_batch(
         self,
         docs: DataFrame,
         text_col: str = "text",
         id_col: str = "doc_id",
         n: int = 3,
+        batch_id: str | None = None,
     ) -> DataFrame:
-        """Candidate pairs touching the new batch; then index it."""
-        sig = _persist(minhash_signatures(docs, text_col, id_col, n))
-        new_bands = _persist(_band_table(sig, self.band_size))
-        old = self._existing()
-        x = new_bands.select(F.col("id").alias("id_a"), "band_key")
-        within = (
-            x.join(
-                new_bands.select(F.col("id").alias("id_b"), "band_key"),
-                "band_key",
-            )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        if old is not None:
-            cross = (
-                new_bands.select(F.col("id").alias("id_a"), "band_key")
-                .join(old.select(F.col("id").alias("id_b"), "band_key"),
-                      "band_key")
-                .filter(F.col("id_a") != F.col("id_b"))
+        """Candidate pairs touching the new batch; then index it.
+
+        ``batch_id`` names the batch's index partition. Pass the
+        SAME id on retry and the write is idempotent (the partition is
+        overwritten, not appended). ``None`` generates a fresh unique
+        id — safe for distinct batches, but a retry under a new id
+        would duplicate band rows, so checkpoint-driven pipelines
+        should always pass their stable batch identifier.
+        """
+        import uuid
+
+        if batch_id is None:
+            batch_id = uuid.uuid4().hex
+        part_dir = f"{self.path}/{self._partition_dir(batch_id)}"
+        sig = minhash_signatures(docs, text_col, id_col, n).persist()
+        new_bands = _band_table(sig, self.band_size).persist()
+        try:
+            old = self._existing()
+            x = new_bands.select(F.col("id").alias("id_a"), "band_key")
+            within = (
+                x.join(
+                    new_bands.select(F.col("id").alias("id_b"), "band_key"),
+                    "band_key",
+                )
+                .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b")
             )
-            cands = within.unionByName(cross)
-        else:
-            cands = within
-        out = cands.distinct()
-        # materialize candidates BEFORE mutating the index (see class
-        # docstring); localCheckpoint cuts the lineage so the result
-        # does not re-read the index after the append
-        out = out.localCheckpoint(eager=True)
-        new_bands.write.mode("append").parquet(self.path)
+            if old is not None:
+                # an old batch can hold the same doc id (re-ingest):
+                # drop self-pairs, then canonicalize a<b so cross and
+                # within pairs dedupe against each other in distinct()
+                cross = (
+                    new_bands.select(F.col("id").alias("id_x"), "band_key")
+                    .join(
+                        old.select(F.col("id").alias("id_y"), "band_key"),
+                        "band_key",
+                    )
+                    .filter(F.col("id_x") != F.col("id_y"))
+                    .select(
+                        F.least("id_x", "id_y").alias("id_a"),
+                        F.greatest("id_x", "id_y").alias("id_b"),
+                    )
+                )
+                cands = within.unionByName(cross)
+            else:
+                cands = within
+            # materialize candidates BEFORE mutating the index (see
+            # class docstring); localCheckpoint cuts the lineage so the
+            # result neither re-reads the index after the write nor
+            # holds the about-to-be-released persists
+            out = cands.distinct().localCheckpoint(eager=True)
+            # idempotent: a retry of this batch replaces its own
+            # partition; other batches' partitions are untouched
+            new_bands.write.mode("overwrite").parquet(part_dir)
+        finally:
+            new_bands.unpersist()
+            sig.unpersist()
         return out
