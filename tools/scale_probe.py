@@ -25,11 +25,19 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
     contamination_report,
+    exact_dedup_keepers,
     jaccard_pairs,
     jaccard_pairs_pruned,
     lsh_candidate_pairs,
     lsh_verified_pairs,
     release_cached,
+)
+from vsphere_event_streaming_spark.functions.text import (  # noqa: E402
+    pii_counts,
+    repetition_profile,
+)
+from vsphere_event_streaming_spark.functions.vectors import (  # noqa: E402
+    hyperplane_topk_probed,
 )
 from vsphere_event_streaming_spark.log.model import (  # noqa: E402
     assign_offsets,
@@ -39,12 +47,13 @@ from vsphere_event_streaming_spark.session import get_spark  # noqa: E402
 from vsphere_event_streaming_spark.tables import load  # noqa: E402
 
 
-def _replicate_docs(docs, factor: int):
+def _replicate_docs(docs, factor: int, extra_cols: tuple[str, ...] = ()):
     n = docs.count()
     copies = [
         docs.select(
             (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
             F.concat(F.col("text"), F.lit(f" copytag{i}")).alias("text"),
+            *extra_cols,
         )
         for i in range(factor)
     ]
@@ -52,6 +61,70 @@ def _replicate_docs(docs, factor: int):
     for c in copies[1:]:
         out = out.unionByName(c)
     return out
+
+
+def _replicate_embeddings(emb, factor: int):
+    """Key-shifted replicas with IDENTICAL vectors: every replica
+    lands in its original's LSH bucket, so bucket populations grow by
+    the full factor — the worst case for the bucket equi-join."""
+    n = emb.count()
+    copies = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+            "embedding",
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _hyperplane_probed_shape(emb):
+    """q_knn_hyperplane_probed's plan shape (query = min vec_id)."""
+    qmin = emb.agg(F.min("vec_id").alias("__qid"))
+    qvec = emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid")).select(
+        F.col("embedding").alias("q")
+    )
+    corpus = (
+        emb.join(F.broadcast(qmin))
+        .filter(F.col("vec_id") != F.col("__qid"))
+        .drop("__qid")
+    )
+    return hyperplane_topk_probed(corpus, qvec, k=10, n_bits=6)
+
+
+def _guarded_shape(docs):
+    """q_pipeline_guarded's composed hygiene plan, parameterized on
+    the document table (contamination anti-join → exact-dedup keeper
+    semi-join → repetition gate → PII gate → per-lang stats)."""
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    contaminated = (
+        contamination_report(docs, bench, threshold=0.5)
+        .filter(F.col("contaminated") == 1)
+        .select(F.col("id").alias("doc_id"))
+    )
+    keepers = exact_dedup_keepers(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    rep = repetition_profile(docs).select(
+        F.col("id").alias("doc_id"), "n_words", "max_freq_ratio"
+    )
+    counts = pii_counts(F.col("text"))
+    pii_total = counts["email"] + counts["phone"] + counts["ipv4"]
+    return (
+        docs.filter(pii_total == 0)
+        .join(keepers, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(rep, "doc_id")
+        .filter(F.col("max_freq_ratio") <= 0.2)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_tokens"),
+        )
+    )
 
 
 def _replicate_events(ev, factor: int):
@@ -121,6 +194,14 @@ def main() -> None:
     li1 = load(spark, sf_dir, "lineitem")
     liN = _replicate_lineitem(li1, factor).persist()
     liN.count()
+    emb1 = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    embN = _replicate_embeddings(emb1, factor).persist()
+    embN.count()
+    docs1g = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    docsNg = _replicate_docs(docs1g, factor, extra_cols=("lang",)).persist()
+    docsNg.count()
 
     results = {}
     for name, one, many in [
@@ -156,6 +237,19 @@ def main() -> None:
             lambda: contamination_report(
                 docsN, docsN.filter(F.col("doc_id") % 50 == 0), 0.5
             ),
+        ),
+        (
+            # sign-LSH ANN with Hamming-1 multiprobe (replicas share
+            # buckets → bucket populations grow by the full factor)
+            "hyperplane_topk_probed",
+            lambda: _hyperplane_probed_shape(emb1),
+            lambda: _hyperplane_probed_shape(embN),
+        ),
+        (
+            # the composed hygiene pipeline (one Catalyst plan)
+            "pipeline_guarded",
+            lambda: _guarded_shape(docs1g),
+            lambda: _guarded_shape(docsNg),
         ),
         (
             "assign_offsets",

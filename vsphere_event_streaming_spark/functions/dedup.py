@@ -269,6 +269,20 @@ def jaccard_pairs_pruned(
        measured, not assumed: without it each join side re-runs the
        freq-list aggregation and ``array_except`` (interleaved A/B at
        sf0.1: median 1.9 s vs 1.4 s with the persist).
+
+    Measured negative result (recorded so it is not re-tried blind):
+    ppjoin-style prefix filtering — explode only the first
+    ``n − ⌈t·n⌉ + 1`` elements of each globally-sorted set into the
+    candidate join (exactness-preserving: two sets at Jaccard ≥ t
+    share their smallest common element inside both prefixes), then
+    re-score candidates via ``array_intersect`` on the full arrays —
+    was implemented and interleaved-A/B'd at sf0.1: 1.37 s → 2.93 s
+    at 1× and 9.4 s → 13.2 s at 10× replicas, strictly slower. These
+    docs are short (≤ ~30 words), so halving the exploded rows saves
+    less than the added ``array_sort``, the candidate ``distinct``
+    shuffle, and two array-payload re-score joins cost. Revisit only
+    for corpora with hundreds of shingles per doc, where the prefix
+    ratio actually bites.
     """
     arrs = shingle_hash_arrays(docs, text_col, id_col, n)
     sh = arrs.select("id", F.explode("sh_arr").alias("sh"))
