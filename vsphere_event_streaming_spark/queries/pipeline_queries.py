@@ -1094,3 +1094,88 @@ def q_knn_hyperplane_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") != F.col("__qid")
     ).drop("__qid")
     return hyperplane_topk_probed(corpus, qvec, k=10, n_bits=6)
+
+
+# ======================================================================
+# L13/L14: dataset mixing + sequence packing
+# ======================================================================
+#: Per-language mixture weights for the dataset-mix query (keep
+#: probability per stratum). q_sample_stratified (events table,
+#: advanced_queries) pins the aggregate form of hash sampling; this
+#: one is the corpus-mixing form — doc-level output, literal weights.
+MIX_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1}
+MIX_SEED = "v1"
+PACK_BUDGET_TOKENS = 256
+
+
+def _dataset_mix_oracle() -> str:
+    from ..functions.sampling import SAMPLE_MOD
+
+    case = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * SAMPLE_MOD))}"
+        for s, r in MIX_RATES.items()
+    )
+    bucket = (
+        f"((('0x' || substr(md5('{MIX_SEED}:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 15))::BIGINT % {T.HASH_MOD}) % {SAMPLE_MOD})"
+    )
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {bucket} < CASE lang {case} ELSE 0 END
+    """
+
+
+@query("q_dataset_mix", oracle=_dataset_mix_oracle())
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing by per-language mixture weights: keep a doc iff
+    its seed-prefixed md5 bucket falls under its language's rate.
+    Content-keyed (never ``rand()``), so retries, re-partitioning, and
+    the DuckDB oracle all make identical keep decisions; one codegen'd
+    filter, no shuffle. Doc-level output — the oracle checks every
+    individual keep decision, not just per-stratum counts."""
+    from ..functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, MIX_RATES, seed=MIX_SEED
+    ).select("doc_id", "lang")
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id, CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT lang,
+           CAST(floor((cum - n_tokens)::DOUBLE / {PACK_BUDGET_TOKENS})
+                AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           sum(n_tokens) AS pack_tokens
+    FROM c
+    GROUP BY lang, pack_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: per-language document
+    stream cut every PACK_BUDGET_TOKENS tokens; a doc's pack is where
+    its first token lands. Windows run per language partition (at
+    100 TB: per shard) so packing never funnels the corpus through a
+    single global sort."""
+    from ..functions.sampling import pack_sequences
+
+    packed = pack_sequences(
+        _t(spark, sf_dir, "documents"), PACK_BUDGET_TOKENS
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
