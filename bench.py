@@ -64,6 +64,11 @@ HEADLINE = [
     "q_quality_repetition",
     "q_knn_hyperplane",
     "q_pipeline_guarded",
+    # r4 additions: Hamming-probe SimHash pairing, dataset mixing,
+    # sequence packing
+    "q_dedup_simhash_hamming",
+    "q_dataset_mix",
+    "q_pack_sequences",
 ]
 
 
