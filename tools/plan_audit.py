@@ -168,6 +168,30 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"LeftSemi", r"LeftAnti"],
         [r"CartesianProduct"],
     ],
+    # Hamming-probe SimHash pairing: banded equi-join (probe rows via
+    # explode), never a cartesian or nested-loop pair scan
+    "q_dedup_simhash_hamming": [
+        [r"Generate explode", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ],
+    # dataset mixing: ONE codegen'd filter — no shuffle, no join, no
+    # Python; md5 keep-decision evaluates JVM-side
+    "q_dataset_mix": [
+        [r"\*\(\d+\) Filter", r"\bmd5\("],
+        [
+            r"Exchange",
+            r"Join",
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"\brand\(",
+        ],
+    ],
+    # sequence packing: per-stratum window (hashpartitioning on lang),
+    # NEVER a single-partition global window
+    "q_pack_sequences": [
+        [r"Window", r"hashpartitioning\(lang"],
+        [r"SinglePartition", r"BatchEvalPython", r"ArrowEvalPython"],
+    ],
 }
 
 
