@@ -395,6 +395,7 @@ def _simhash_ctes() -> str:
       SELECT doc_id,
              list_transform({_DUCK_WORDS}, s -> {_duck_word_hash("s")}) AS hs
       FROM documents
+      WHERE len({_DUCK_WORDS}) >= 1
     ),
     s AS (SELECT doc_id, ({bit_terms}) AS simhash FROM wh)
     """
