@@ -65,10 +65,11 @@ HEADLINE = [
     "q_knn_hyperplane",
     "q_pipeline_guarded",
     # r4 additions: Hamming-probe SimHash pairing, dataset mixing,
-    # sequence packing
+    # sequence packing, scalar-quantized ANN
     "q_dedup_simhash_hamming",
     "q_dataset_mix",
     "q_pack_sequences",
+    "q_knn_sq",
 ]
 
 

@@ -642,3 +642,70 @@ def test_png_roundtrip_hypothesis_randomized():
         assert (back == px).all()
 
     roundtrip()
+
+
+def test_sq_codes_adc_mechanics_and_recall(spark):
+    """Scalar quantization recomputed independently in Python: every
+    4-bit code is the clamped grid cell for its value, the ADC
+    distance is the sum of per-dim distances to dequantized values,
+    and ADC top-10 recovers most of the exact L2 top-10 (measured
+    8/10 on this corpus; floor at 6)."""
+    from vsphere_event_streaming_spark.functions.vectors import (
+        SQ_LEVELS,
+        sq_adc_topk,
+        sq_codes,
+        sq_range,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    lo, hi = sq_range(emb)
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    assert lo == min(x for v in vecs.values() for x in v)
+    assert hi == max(x for v in vecs.values() for x in v)
+
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in emb.select(
+            "vec_id", sq_codes(F.col("embedding"), lo, hi).alias("codes")
+        ).collect()
+    }
+
+    def py_code(x):
+        return max(0, min(SQ_LEVELS - 1, int(((x - lo) / (hi - lo)) * SQ_LEVELS)))
+
+    for vid, v in vecs.items():
+        assert got[vid] == [py_code(x) for x in v], vid
+
+    qmin = emb.agg(F.min("vec_id").alias("__qid"))
+    qvec = emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid")).select(
+        F.col("embedding").alias("q")
+    )
+    corpus = emb.join(F.broadcast(qmin)).filter(
+        F.col("vec_id") != F.col("__qid")
+    ).drop("__qid")
+    adc = sq_adc_topk(corpus, qvec, lo, hi, k=10).collect()
+
+    qid = min(vecs)
+    q = vecs[qid]
+    step = (hi - lo) / SQ_LEVELS
+
+    def py_adc(v):
+        return sum(
+            (a - (lo + (py_code(b) + 0.5) * step)) ** 2 for a, b in zip(q, v)
+        )
+
+    for r in adc:
+        assert abs(r["adc_dist"] - py_adc(vecs[r["vec_id"]])) < 1e-5
+
+    exact = sorted(
+        (vid for vid in vecs if vid != qid),
+        key=lambda vid: (
+            sum((a - b) ** 2 for a, b in zip(vecs[vid], q)),
+            vid,
+        ),
+    )[:10]
+    overlap = {r["vec_id"] for r in adc} & set(exact)
+    assert len(overlap) >= 6, (sorted(exact), [r["vec_id"] for r in adc])

@@ -192,6 +192,16 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"hashpartitioning\(lang"],
         [r"SinglePartition", r"BatchEvalPython", r"ArrowEvalPython"],
     ],
+    # scalar quantization: codes are one JVM-side projection
+    "q_vector_sq": [
+        [r"Project"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"Join"],
+    ],
+    # quantized ANN: top-k heap over the broadcast-query scoring scan
+    "q_knn_sq": [
+        [r"TakeOrderedAndProject", r"BroadcastNestedLoopJoin"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"SortMergeJoin"],
+    ],
 }
 
 
