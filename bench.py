@@ -70,6 +70,11 @@ HEADLINE = [
     "q_dataset_mix",
     "q_pack_sequences",
     "q_knn_sq",
+    # r4 additions (2): segment-level boilerplate scrub, bigram-LM
+    # quality scoring, bucketed semantic dedup
+    "q_boilerplate_scrub",
+    "q_quality_lm",
+    "q_dedup_semantic",
 ]
 
 

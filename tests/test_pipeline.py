@@ -709,3 +709,96 @@ def test_sq_codes_adc_mechanics_and_recall(spark):
     )[:10]
     overlap = {r["vec_id"] for r in adc} & set(exact)
     assert len(overlap) >= 6, (sorted(exact), [r["vec_id"] for r in adc])
+
+
+# ----------------------------------------------------------------------
+# L16: boilerplate scrub
+# ----------------------------------------------------------------------
+def test_segment_texts_windows_and_empty(spark):
+    from vsphere_event_streaming_spark.functions.text import (
+        segment_texts,
+        words,
+    )
+
+    df = spark.createDataFrame(
+        [("a b c d e f g h i j",), ("",)], ["text"]
+    ).select(segment_texts(words(F.col("text")), 4).alias("segs"))
+    out = [r["segs"] for r in df.collect()]
+    assert out[0] == ["a b c d", "e f g h", "i j"]
+    assert out[1] == []
+
+
+def test_boilerplate_scrub_drops_shared_segment(spark, tmp_path):
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        q_boilerplate_scrub,
+    )
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (0, shared + " tail0 only"),
+        (1, shared + " tail1 text"),
+        (2, "unique content nine ten eleven twelve thirteen x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in q_boilerplate_scrub(spark, str(tmp_path)).collect()
+    }
+    # the shared 8-word prefix segment is boilerplate (df=2); each
+    # doc's 2nd segment (its distinct tail) survives
+    assert out[0]["n_dropped"] == 1 and out[0]["clean_text"] == "tail0 only"
+    assert out[1]["n_dropped"] == 1 and out[1]["clean_text"] == "tail1 text"
+    assert out[2]["n_dropped"] == 0
+    assert out[2]["clean_text"].startswith("unique content")
+
+
+# ----------------------------------------------------------------------
+# L17: bigram-LM quality score
+# ----------------------------------------------------------------------
+def test_quality_lm_hand_computed(spark, tmp_path):
+    import math
+
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        q_quality_lm,
+    )
+
+    rows = [(0, "a b a b"), (1, "c d")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r for r in q_quality_lm(spark, str(tmp_path)).collect()
+    }
+    # corpus: bigrams d0 = (a,b),(b,a),(a,b); d1 = (c,d)
+    # uni c1 over bigram-left: a=2, b=1, c=1; bi: (a,b)=2,(b,a)=1,(c,d)=1
+    # V = 4 distinct words, alpha = 0.5
+    exp0 = (
+        2 * math.log((2 + 0.5) / (2 + 0.5 * 4))
+        + math.log((1 + 0.5) / (1 + 0.5 * 4))
+    ) / 3
+    exp1 = math.log((1 + 0.5) / (1 + 0.5 * 4))
+    assert out[0]["n_bigrams"] == 3 and out[1]["n_bigrams"] == 1
+    assert abs(out[0]["avg_logp"] - exp0) < 1e-6
+    assert abs(out[1]["avg_logp"] - exp1) < 1e-6
+
+
+# ----------------------------------------------------------------------
+# L18: semantic dedup
+# ----------------------------------------------------------------------
+def test_semantic_dedup_min_id_dominance(spark):
+    from vsphere_event_streaming_spark.functions.vectors import (
+        semantic_dedup,
+    )
+
+    v = [1.0, 0.5, -0.25, 0.75]
+    neg = [-x for x in v]
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, neg)], ["vec_id", "embedding"]
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(df, n_bits=4).collect()}
+    # identical vectors share a bucket, cos=1 -> larger id dropped;
+    # the negated vector flips every hyperplane vote -> other bucket
+    assert out[1]["kept"] is True
+    assert out[2]["kept"] is False
+    assert out[3]["kept"] is True
+    assert out[1]["sig"] == out[2]["sig"] != out[3]["sig"]

@@ -202,6 +202,37 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"TakeOrderedAndProject", r"BroadcastNestedLoopJoin"],
         [r"BatchEvalPython", r"ArrowEvalPython", r"SortMergeJoin"],
     ],
+    # boilerplate scrub: df count + flag join run on md5 segment
+    # hashes (never strings); segmentation is array arithmetic feeding
+    # one Generate — all JVM-side
+    "q_boilerplate_scrub": [
+        [r"Generate", r"HashAggregate", r"\bmd5\("],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+    ],
+    # bigram LM: count tables are hash aggregates; scoring joins
+    # per-doc DISTINCT bigrams (equi-join), never the token stream via
+    # a pair-producing join
+    "q_quality_lm": [
+        [r"HashAggregate", r"Generate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+        ],
+    ],
+    # semantic dedup: bucket self-join is an equi-join on sig — any
+    # pair enumeration outside a bucket would plan as a cartesian or
+    # nested loop, which must not appear
+    "q_dedup_semantic": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+        ],
+    ],
 }
 
 

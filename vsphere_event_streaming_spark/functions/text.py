@@ -86,6 +86,26 @@ def fingerprint(text: Column, prefix_chars: int = 256) -> Column:
     return rolling_hash(F.substring(F.lower(F.trim(text)), 1, prefix_chars))
 
 
+def segment_texts(ws: Column, seg_words: int) -> Column:
+    """Fixed-width word-window segmentation: the token array cut into
+    consecutive non-overlapping ``seg_words``-word chunks, each joined
+    back to a string.
+
+    The segment unit for cross-document boilerplate removal (the
+    line-dedup idea from RefinedWeb-style pipelines, restated over a
+    corpus whose documents carry no newlines). Pure array arithmetic —
+    no explode, no shuffle — so segmentation itself is free; only the
+    df-count over segment hashes aggregates.
+    """
+    n_segs = F.ceil(F.size(ws) / F.lit(float(seg_words))).cast("long")
+    return F.when(F.size(ws) > 0, F.transform(
+        F.sequence(F.lit(0).cast("long"), n_segs - 1),
+        lambda k: F.concat_ws(
+            " ", F.slice(ws, (k * seg_words + 1).cast("int"), seg_words)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
 def stopword_count(text_words: Column, stopwords: list[str]) -> Column:
     return F.size(F.filter(text_words, lambda w: F.lower(w).isin(*stopwords)))
 
