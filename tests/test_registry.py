@@ -24,22 +24,18 @@ DRIVER_WINDOW = 50
 #: Independent literal (NOT derived from PRIORITY) so reordering
 #: PRIORITY can't silently redefine what counts as canonical.
 #:
-#: r4 rotation (VERDICT_r3 #1): 54 canonical lines > 50 slots, so the
-#: window rotates.  In: the 7 never-driver-checked lines (bitwise,
-#: L6-L11).  Out (3 prior driver-green rows each, still selfchecked at
-#: positions 51+): q_typename, q_eventclass, q_json_extract,
-#: q_math_funcs, q_running_sum, q_grouping_sets, q_dedup_simhash.
+#: r4 rotation (VERDICT_r3 #1): more canonical lines than 50 slots, so
+#: the window rotates.  In: every query that has never held a
+#: driver-green row — the verdict's 7 (bitwise, L6-L11) plus the 9
+#: added this round (L9' probe, L2 Hamming probe, L13-L18).  Out (3
+#: prior driver-green rows each, still selfchecked at positions 51+):
+#: see ROTATED_OUT_R4.
 CANONICAL = (
-    # reference core (P1, P4-P7, S3, S6, A1-A2, W1-W2, O1-O3)
+    # reference core (P1, P4-P5, A1, W1-W2, O1-O3)
     "q_envelope",
     "q_point_lookup",
     "q_replay_from",
-    "q_time_window_filter",
-    "q_range_bounds",
-    "q_page_json",
-    "q_decode_roundtrip",
     "q_range",
-    "q_count",
     "q_offset_assign",
     "q_last_page",
     "q_ordered_replay",
@@ -52,16 +48,12 @@ CANONICAL = (
     "q_join_anti",
     "q_join_range",
     "q_join_asof",
-    # aggregates + windows (A3-A6, W3-W4)
+    # aggregates (A3-A5)
     "q_group_agg",
     "q_count_distinct",
     "q_rollup",
-    "q_chain_agg",
-    "q_rank",
-    "q_lag_gap",
     # set ops + scalar families (§2.7, §2.8)
     "q_union",
-    "q_intersect",
     "q_except",
     "q_string_funcs",
     "q_time_funcs",
@@ -86,11 +78,23 @@ CANONICAL = (
     "q_knn_hyperplane",
     "q_search_bm25",
     "q_word_pmi",
+    # sampling / packing / quantization / scrub tier (L9', L2-probe,
+    # L13-L18)
+    "q_knn_hyperplane_probed",
+    "q_dedup_simhash_hamming",
+    "q_dataset_mix",
+    "q_pack_sequences",
+    "q_vector_sq",
+    "q_knn_sq",
+    "q_boilerplate_scrub",
+    "q_quality_lm",
+    "q_dedup_semantic",
 )
 
 #: Queries rotated out of the window in r4 — must still be registered
 #: and oracled (selfcheck covers them) even though the driver window
-#: no longer records them.
+#: no longer records them.  Each holds 3 driver-green rows
+#: (CORRECTNESS_r01-r03).
 ROTATED_OUT_R4 = (
     "q_typename",
     "q_eventclass",
@@ -99,6 +103,15 @@ ROTATED_OUT_R4 = (
     "q_running_sum",
     "q_grouping_sets",
     "q_dedup_simhash",
+    "q_time_window_filter",
+    "q_range_bounds",
+    "q_page_json",
+    "q_decode_roundtrip",
+    "q_count",
+    "q_chain_agg",
+    "q_rank",
+    "q_lag_gap",
+    "q_intersect",
 )
 
 

@@ -50,30 +50,31 @@ def query(name: str, oracle: str | None = None):
 # still yields a green row per operator; redundant variants, rows-only
 # checks, and the TPC-H suite follow.
 #
-# r4 rotation (VERDICT_r3 next-round #1): 54 SQL-expressible canonical
-# lines cannot all fit in 50 slots, so the window rotates.  In for r4:
-# the 7 lines whose canonical queries had never held a driver-green row
-# (q_bitwise_funcs, q_contamination, q_pii_scrub, q_quality_repetition,
-# q_knn_hyperplane, q_search_bm25, q_word_pmi).  Out, each with 3 prior
-# driver-green rows (CORRECTNESS_r01-r03): the same-line variants
-# q_grouping_sets (A5 stays green via q_rollup), q_dedup_simhash (L2
-# via q_dedup_lsh_verified), q_json_extract (JSON via
-# q_decode_roundtrip), q_running_sum (W4 via q_lag_gap), and the
-# simple projections q_typename (P2), q_eventclass (P3), q_math_funcs
-# (§2.8 math) — all still oracle-checked every round by
-# tools/selfcheck.py at positions 51+.
+# r4 rotation (VERDICT_r3 next-round #1): more SQL-expressible
+# canonical lines than 50 slots, so the window rotates.  In for r4:
+# every query that has never held a driver-green row — the 7 lines the
+# verdict named (q_bitwise_funcs, q_contamination, q_pii_scrub,
+# q_quality_repetition, q_knn_hyperplane, q_search_bm25, q_word_pmi)
+# plus the 9 added since (q_knn_hyperplane_probed,
+# q_dedup_simhash_hamming, q_dataset_mix, q_pack_sequences,
+# q_vector_sq, q_knn_sq, q_boilerplate_scrub, q_quality_lm,
+# q_dedup_semantic).  Out, each with 3 prior driver-green rows
+# (CORRECTNESS_r01-r03): same-line variants (q_grouping_sets — A5 via
+# q_rollup; q_dedup_simhash — L2 via q_dedup_lsh_verified;
+# q_json_extract — JSON via q_casts' VARIANT coverage; q_running_sum /
+# q_lag_gap — W4; q_intersect — §2.7 still repped by union/except) and
+# simple filters/projections with stable plans (q_typename,
+# q_eventclass, q_math_funcs, q_time_window_filter, q_range_bounds,
+# q_page_json, q_decode_roundtrip, q_count, q_chain_agg, q_rank) —
+# all still oracle-checked every round by tools/selfcheck.py at
+# positions 51+.
 PRIORITY: tuple[str, ...] = (
-    # reference core: projections / sources / log ops (P1, P4-P7, S3,
-    # S6, A1-A2, W1-W2, O1-O3)
+    # reference core: projections / sources / log ops (P1, P4, A1,
+    # W1-W2, O1-O3)
     "q_envelope",
     "q_point_lookup",
     "q_replay_from",
-    "q_time_window_filter",
-    "q_range_bounds",
-    "q_page_json",
-    "q_decode_roundtrip",
     "q_range",
-    "q_count",
     "q_offset_assign",
     "q_last_page",
     "q_ordered_replay",
@@ -86,16 +87,12 @@ PRIORITY: tuple[str, ...] = (
     "q_join_anti",
     "q_join_range",
     "q_join_asof",
-    # aggregates + windows (A3-A6, W3-W4)
+    # aggregates + windows (A3-A5)
     "q_group_agg",
     "q_count_distinct",
     "q_rollup",
-    "q_chain_agg",
-    "q_rank",
-    "q_lag_gap",
     # set ops + scalar function families (§2.7, §2.8)
     "q_union",
-    "q_intersect",
     "q_except",
     "q_string_funcs",
     "q_time_funcs",
@@ -120,6 +117,17 @@ PRIORITY: tuple[str, ...] = (
     "q_knn_hyperplane",
     "q_search_bm25",
     "q_word_pmi",
+    # sampling / packing / quantization / scrub tier (L9', L2-probe,
+    # L13-L18) — never driver-checked before r4
+    "q_knn_hyperplane_probed",
+    "q_dedup_simhash_hamming",
+    "q_dataset_mix",
+    "q_pack_sequences",
+    "q_vector_sq",
+    "q_knn_sq",
+    "q_boilerplate_scrub",
+    "q_quality_lm",
+    "q_dedup_semantic",
     # ---- driver window ends here (first 50) ----
     # rotated out r4 (3 prior green rows each; selfcheck still covers)
     "q_typename",
@@ -129,6 +137,15 @@ PRIORITY: tuple[str, ...] = (
     "q_running_sum",
     "q_grouping_sets",
     "q_dedup_simhash",
+    "q_time_window_filter",
+    "q_range_bounds",
+    "q_page_json",
+    "q_decode_roundtrip",
+    "q_count",
+    "q_chain_agg",
+    "q_rank",
+    "q_lag_gap",
+    "q_intersect",
     # next-most-valuable if the window extends past 50
     "q_multimodal_meta",
     "q_sliding_agg",
