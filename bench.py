@@ -75,6 +75,9 @@ HEADLINE = [
     "q_boilerplate_scrub",
     "q_quality_lm",
     "q_dedup_semantic",
+    # r4 additions (3): repeated-span detection, DSIR importance
+    "q_repeated_spans",
+    "q_importance_weight",
 ]
 
 

@@ -802,3 +802,54 @@ def test_semantic_dedup_min_id_dominance(spark):
     assert out[2]["kept"] is False
     assert out[3]["kept"] is True
     assert out[1]["sig"] == out[2]["sig"] != out[3]["sig"]
+
+
+# ----------------------------------------------------------------------
+# L19: repeated spans
+# ----------------------------------------------------------------------
+def test_repeated_spans_exact_boundaries(spark):
+    from vsphere_event_streaming_spark.functions.dedup import (
+        repeated_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (0, "a0 a1 " + shared + " b0 b1"),
+        (1, "c0 " + shared + " d0 d1 d2"),
+        (2, "e0 e1 e2 e3 e4 e5 e6 e7 e8 e9"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = repeated_spans(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the 10 shared words start at word 2 in doc 0, word 1 in doc 1
+    assert (r["id_a"], r["id_b"]) == (0, 1)
+    assert (r["start_a"], r["start_b"], r["len_words"]) == (2, 1, 10)
+
+
+# ----------------------------------------------------------------------
+# L20: DSIR importance weight
+# ----------------------------------------------------------------------
+def test_importance_weight_hand_computed(spark, tmp_path):
+    import math
+
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        q_importance_weight,
+    )
+
+    rows = [(0, "a a b", "src0"), (1, "a c", "other")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in q_importance_weight(spark, str(tmp_path)).collect()
+    }
+    # nt=3 (src0 tokens), nr=5, V=3; ct: a=2,b=1; cr: a=3,b=1,c=1
+    lr_a = math.log(2.5 / 4.5) - math.log(3.5 / 6.5)
+    lr_b = math.log(1.5 / 4.5) - math.log(1.5 / 6.5)
+    lr_c = math.log(0.5 / 4.5) - math.log(1.5 / 6.5)
+    assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 2
+    assert abs(out[0]["logw"] - (2 * lr_a + lr_b) / 3) < 1e-6
+    assert abs(out[1]["logw"] - (lr_a + lr_c) / 2) < 1e-6
+    # the all-target-vocabulary doc weights toward the target
+    assert out[0]["logw"] > out[1]["logw"]

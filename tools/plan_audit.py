@@ -233,6 +233,28 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"BroadcastNestedLoopJoin",
         ],
     ],
+    # repeated spans: gram-hash equi-join + (pair, diagonal) islands
+    # window — never a pair-producing nested loop, and the window must
+    # partition on the pair keys, not run single-partition
+    "q_repeated_spans": [
+        [r"Window", r"hashpartitioning\(id_a"],
+        [
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+            r"SinglePartition.*Window",
+        ],
+    ],
+    # importance weight: count tables are hash aggregates; scoring
+    # joins per-doc distinct words (equi-join), all JVM-side
+    "q_importance_weight": [
+        [r"HashAggregate", r"Generate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+        ],
+    ],
 }
 
 

@@ -862,3 +862,96 @@ class LshIndex:
             new_bands.unpersist()
             sig.unpersist()
         return out
+
+
+# ----------------------------------------------------------------------
+# L19: repeated-span detection (exact substring dedup)
+# ----------------------------------------------------------------------
+#: Positional-shingle width for span detection, the df cap that
+#: bounds pair fan-out, and the minimum reported span length.
+SPAN_K = 5
+SPAN_MAX_DF = 20
+SPAN_MIN_WORDS = 8
+
+
+def repeated_spans(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    max_df: int = SPAN_MAX_DF,
+    min_span: int = SPAN_MIN_WORDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal repeated word spans across document pairs — the exact
+    substring-level dedup of Lee et al.'s "Deduplicating Training
+    Data" (there with a suffix array; here restated relationally so a
+    SQL oracle replays it):
+
+    1. positional k-word shingles: (doc, pos, gram_hash), overlapping;
+    2. drop grams in > max_df distinct docs (caps pair fan-out at
+       Sum(occ^2) per surviving gram — the stop-shingle rule);
+    3. equi-join on gram hash with id_a < id_b -> match points
+       (pos_a, pos_b);
+    4. merge match points on the same diagonal (pos_a - pos_b) with
+       consecutive pos_a into maximal spans via the islands trick
+       (pos_a - row_number() is constant within a run);
+    5. report spans of >= min_span words.
+
+    Returns (id_a, id_b, start_a, start_b, len_words).
+
+    Scale shape: grams travel as 60-bit md5 hashes, never strings;
+    the islands window partitions by (pair, diagonal) — millions of
+    tiny partitions, no skew. At 100 TB step 3's self-join is the
+    budget owner; the df cap bounds it, and a production run would
+    further restrict the left side to LSH candidate pairs (the
+    composition `lsh_candidate_pairs` already provides).
+    """
+    ws = words(F.col(text_col))
+    grams = (
+        docs.filter(F.size(ws) >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - (k - 1)),
+                    lambda i: md5_hash(
+                        F.concat_ws(" ", F.slice(ws, i.cast("int"), k))
+                    ),
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    rare = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("gh")
+    )
+    capped = grams.join(rare, "gh")
+    a = capped.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "gh"
+    )
+    b = capped.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "gh"
+    )
+    m = a.join(b, "gh").filter(F.col("id_a") < F.col("id_b"))
+    from pyspark.sql import Window
+
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    isl = m.select("id_a", "id_b", "pos_a", "pos_b", diag).withColumn(
+        "grp",
+        F.col("pos_a")
+        - F.row_number().over(
+            Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+        ),
+    )
+    return (
+        isl.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("long").alias("start_a"),
+            F.min("pos_b").cast("long").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("len_words"),
+        )
+        .filter(F.col("len_words") >= min_span)
+        .select("id_a", "id_b", "start_a", "start_b", "len_words")
+    )

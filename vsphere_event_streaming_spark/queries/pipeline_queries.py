@@ -1539,3 +1539,151 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import spread
 
     return semantic_dedup(spread(_t(spark, sf_dir, "embeddings")))
+
+
+# ======================================================================
+# L19: repeated-span detection (exact substring dedup)
+# ======================================================================
+def _repeated_spans_oracle() -> str:
+    from ..functions.dedup import SPAN_K, SPAN_MAX_DF, SPAN_MIN_WORDS
+
+    k = SPAN_K
+    gram = f"array_to_string(ws[i:i+{k - 1}], ' ')"
+    return f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, i - 1 AS pos, {_duck_word_hash(gram)} AS gh
+      FROM (
+        SELECT doc_id, ws, unnest(range(1, len(ws) - {k} + 2)) AS i
+        FROM w WHERE len(ws) >= {k}
+      )
+    ),
+    rare AS (
+      SELECT gh FROM sh GROUP BY gh
+      HAVING count(DISTINCT doc_id) <= {SPAN_MAX_DF}
+    ),
+    capped AS (SELECT sh.* FROM sh JOIN rare USING (gh)),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM capped a JOIN capped b
+        ON a.gh = b.gh AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT id_a, id_b, pos_a, pos_b,
+             pos_a - row_number() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+             ) AS grp
+      FROM m
+    )
+    SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+           count(*) + {k} - 1 AS len_words
+    FROM isl GROUP BY id_a, id_b, pos_a - pos_b, grp
+    HAVING count(*) + {k} - 1 >= {SPAN_MIN_WORDS}
+    """
+
+
+@query("q_repeated_spans", oracle=_repeated_spans_oracle())
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated word spans (>= 8 words) across document
+    pairs: the substring-level exact dedup of Lee et al.'s
+    suffix-array recipe, restated as positional-shingle equi-join +
+    diagonal islands merge so every reported span is replayed exactly
+    by the oracle. Downstream, spans are what you cut (unlike doc
+    dedup, which drops whole documents)."""
+    from ..functions.dedup import repeated_spans
+    from ..tables import spread
+
+    return repeated_spans(spread(_t(spark, sf_dir, "documents")))
+
+
+# ======================================================================
+# L20: importance weighting for data selection (DSIR shape)
+# ======================================================================
+#: Target domain for importance weighting (a source acting as the
+#: curated corpus) and the smoothing constant shared by both models.
+DSIR_TARGET_SOURCE = "src0"
+DSIR_ALPHA = 0.5
+
+
+def _importance_oracle() -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source, {_DUCK_WORDS} AS ws FROM documents
+    ),
+    tok AS (SELECT doc_id, source, unnest(ws) AS word FROM w),
+    tgt AS (
+      SELECT word AS tw, count(*) AS ct FROM tok
+      WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY word
+    ),
+    raw AS (SELECT word AS rw, count(*) AS cr FROM tok GROUP BY word),
+    sc AS (
+      SELECT
+        (SELECT count(*) FROM tok
+         WHERE source = '{DSIR_TARGET_SOURCE}') AS nt,
+        (SELECT count(*) FROM tok) AS nr,
+        (SELECT count(DISTINCT word) FROM tok) AS v
+    ),
+    d AS (
+      SELECT doc_id, word, count(*) AS k FROM tok GROUP BY doc_id, word
+    ),
+    j AS (
+      SELECT doc_id, k,
+             ln((coalesce(ct, 0) + {DSIR_ALPHA}) / (nt + {DSIR_ALPHA}*v))
+             - ln((cr + {DSIR_ALPHA}) / (nr + {DSIR_ALPHA}*v)) AS lr
+      FROM d LEFT JOIN tgt ON word = tw JOIN raw ON word = rw, sc
+    )
+    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+           round(sum(k * lr) / sum(k), 6) AS logw
+    FROM j GROUP BY doc_id
+    """
+
+
+@query("q_importance_weight", oracle=_importance_oracle())
+def q_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight for data selection: per-doc
+    average log-ratio of a target-domain unigram model (docs from one
+    curated source) vs the raw-corpus model, both add-alpha smoothed
+    over the shared vocabulary. Downstream, resampling keeps docs
+    with the highest weights — the published recipe's hashed-n-gram
+    estimator restated exactly so the oracle replays every weight.
+
+    Scale shape mirrors q_quality_lm: two hash-aggregate count
+    tables, scoring joins per-doc *distinct* words (one row per doc
+    per word, vocabulary-bounded fan-out on frequent words), and the
+    three corpus scalars (target tokens, raw tokens, vocabulary) are
+    driver values — the BM25 N/avgdl pattern."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(T.words(F.col("text"))).alias("word")
+    )
+    nt, nr, v = (
+        tok.agg(
+            F.sum(
+                F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
+            ),
+            F.count(F.lit(1)),
+            F.count_distinct("word"),
+        ).collect()[0]
+    )
+    tgt = (
+        tok.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cr"))
+    d = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("k"))
+    a = F.lit(DSIR_ALPHA)
+    lr = (
+        F.log((F.coalesce(F.col("ct"), F.lit(0)) + a) / F.lit(nt + DSIR_ALPHA * v))
+        - F.log((F.col("cr") + a) / F.lit(nr + DSIR_ALPHA * v))
+    )
+    return (
+        d.join(raw, "word")
+        .join(tgt, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.round(F.sum(F.col("k") * lr) / F.sum("k"), 6).alias("logw"),
+        )
+    )
