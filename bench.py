@@ -75,9 +75,11 @@ HEADLINE = [
     "q_boilerplate_scrub",
     "q_quality_lm",
     "q_dedup_semantic",
-    # r4 additions (3): repeated-span detection, DSIR importance
+    # r4 additions (3): repeated-span detection, DSIR importance,
+    # and the one-plan composed selection pipeline
     "q_repeated_spans",
     "q_importance_weight",
+    "q_pipeline_select",
 ]
 
 

@@ -255,6 +255,19 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"BroadcastNestedLoopJoin",
         ],
     ],
+    # composed selection: both score tiers + the mixing filter plan as
+    # equi-joins/filters inside one plan — no Python, no pair scans,
+    # and the mixing gate's md5 decision evaluates JVM-side
+    "q_pipeline_select": [
+        [r"HashAggregate", r"\bmd5\("],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+            r"\brand\(",
+        ],
+    ],
 }
 
 

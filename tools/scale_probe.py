@@ -32,12 +32,19 @@ from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
     lsh_verified_pairs,
     release_cached,
 )
+from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
+    repeated_spans,
+)
 from vsphere_event_streaming_spark.functions.text import (  # noqa: E402
+    bigram_lm_scores,
+    boilerplate_scrub,
+    importance_weights,
     pii_counts,
     repetition_profile,
 )
 from vsphere_event_streaming_spark.functions.vectors import (  # noqa: E402
     hyperplane_topk_probed,
+    semantic_dedup,
 )
 from vsphere_event_streaming_spark.log.model import (  # noqa: E402
     assign_offsets,
@@ -250,6 +257,50 @@ def main() -> None:
             "pipeline_guarded",
             lambda: _guarded_shape(docs1g),
             lambda: _guarded_shape(docsNg),
+        ),
+        (
+            # segment-level boilerplate scrub: replicas share every
+            # segment, so the boiler set saturates — worst case for
+            # the flag join
+            "boilerplate_scrub",
+            lambda: boilerplate_scrub(docs1),
+            lambda: boilerplate_scrub(docsN),
+        ),
+        (
+            # bigram-LM scoring: count-table joins over per-doc
+            # distinct bigrams
+            "bigram_lm_scores",
+            lambda: bigram_lm_scores(docs1),
+            lambda: bigram_lm_scores(docsN),
+        ),
+        (
+            # DSIR importance weights (lang-keyed target here: the
+            # replica frame carries lang, not source)
+            "importance_weights",
+            lambda: importance_weights(
+                docs1g, "en", source_col="lang"
+            ),
+            lambda: importance_weights(
+                docsNg, "en", source_col="lang"
+            ),
+        ),
+        (
+            # repeated spans: replicas are near-dups sharing their
+            # full text, so true span count grows ~quadratically in
+            # replicas (45 pair-combinations per base doc) — time
+            # must track output pairs, not explode past them
+            "repeated_spans",
+            lambda: repeated_spans(docs1),
+            lambda: repeated_spans(docsN),
+        ),
+        (
+            # semantic dedup: identical replica vectors share buckets,
+            # so within-bucket pairs grow by factor^2 — the documented
+            # bound (raise n_bits with corpus size); time must track
+            # the pair count
+            "semantic_dedup",
+            lambda: semantic_dedup(emb1),
+            lambda: semantic_dedup(embN),
         ),
         (
             "assign_offsets",

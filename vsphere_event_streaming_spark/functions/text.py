@@ -229,3 +229,139 @@ def repetition_profile(df, text_col: str = "text", id_col: str = "doc_id"):
             ),
         )
     )
+
+
+def boilerplate_scrub(
+    docs,
+    seg_words: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Cross-document boilerplate removal over fixed word segments.
+
+    A segment appearing verbatim in >= min_df distinct documents is
+    template noise and is cut from every doc; cleaned text is
+    reassembled in segment order. See q_boilerplate_scrub for the
+    oracle and the measured plan trade-offs.
+    """
+    segs = docs.select(
+        id_col,
+        F.posexplode(
+            segment_texts(words(F.col(text_col)), seg_words)
+        ).alias("seg_idx", "seg_text"),
+    ).withColumn("seg_hash", md5_hash(F.col("seg_text")))
+    freq = (
+        segs.groupBy("seg_hash")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("seg_hash", F.lit(True).alias("__boiler"))
+    )
+    flagged = segs.join(freq, "seg_hash", "left").withColumn(
+        "__boiler", F.coalesce(F.col("__boiler"), F.lit(False))
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                ~F.col("__boiler"),
+                F.struct(F.col("seg_idx"), F.col("seg_text")),
+            )
+        )
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("__boiler"), 1).otherwise(0)).alias("n_dropped"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda x: x["seg_text"])
+        ).alias("clean_text"),
+    )
+
+
+def bigram_lm_scores(
+    docs,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-doc average log-probability under a corpus-trained
+    add-alpha bigram model (the CCNet perplexity-filter shape). See
+    q_quality_lm for the oracle and scale notes."""
+    w = docs.select(id_col, words(F.col(text_col)).alias("ws"))
+    vsz = (
+        w.select(F.explode("ws").alias("word"))
+        .agg(F.count_distinct("word"))
+        .collect()[0][0]
+    )
+    bg_arr = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("ws"), i.cast("int")).alias("w1"),
+            F.element_at(F.col("ws"), (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    bg = (
+        w.filter(F.size("ws") >= 2)
+        .select(id_col, F.explode(bg_arr).alias("b"))
+        .select(id_col, "b.w1", "b.w2")
+    )
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    d = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    lp = F.log(
+        (F.col("c12") + F.lit(alpha))
+        / (F.col("c1") + F.lit(alpha) * F.lit(float(vsz)))
+    )
+    return (
+        d.join(bi, ["w1", "w2"])
+        .join(uni, ["w1"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.round(F.sum(F.col("k") * lp) / F.sum("k"), 6).alias(
+                "avg_logp"
+            ),
+        )
+    )
+
+
+def importance_weights(
+    docs,
+    target_source: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """DSIR-style per-doc importance weight: average log-ratio of a
+    target-domain unigram model vs the raw-corpus model. See
+    q_importance_weight for the oracle and scale notes."""
+    tok = docs.select(
+        id_col, source_col, F.explode(words(F.col(text_col))).alias("word")
+    )
+    nt, nr, v = tok.agg(
+        F.sum(
+            F.when(F.col(source_col) == target_source, 1).otherwise(0)
+        ),
+        F.count(F.lit(1)),
+        F.count_distinct("word"),
+    ).collect()[0]
+    tgt = (
+        tok.filter(F.col(source_col) == target_source)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cr"))
+    d = tok.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("k"))
+    a = F.lit(alpha)
+    lr = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + a) / F.lit(nt + alpha * v)
+    ) - F.log((F.col("cr") + a) / F.lit(nr + alpha * v))
+    return (
+        d.join(raw, "word")
+        .join(tgt, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.round(F.sum(F.col("k") * lr) / F.sum("k"), 6).alias("logw"),
+        )
+    )

@@ -1354,39 +1354,7 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the interpreted segment lambdas parallelize (1.92 s -> 0.99 s at
     # sf0.1; no-op at real scale)
     docs = spread(_t(spark, sf_dir, "documents"))
-    segs = (
-        docs.select(
-            "doc_id",
-            F.posexplode(
-                T.segment_texts(T.words(F.col("text")), SEG_WORDS)
-            ).alias("seg_idx", "seg_text"),
-        )
-        .withColumn("seg_hash", T.md5_hash(F.col("seg_text")))
-    )
-    freq = (
-        segs.groupBy("seg_hash")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= BOILER_MIN_DF)
-        .select("seg_hash", F.lit(True).alias("__boiler"))
-    )
-    flagged = segs.join(freq, "seg_hash", "left").withColumn(
-        "__boiler", F.coalesce(F.col("__boiler"), F.lit(False))
-    )
-    kept = F.array_sort(
-        F.collect_list(
-            F.when(
-                ~F.col("__boiler"),
-                F.struct(F.col("seg_idx"), F.col("seg_text")),
-            )
-        )
-    )
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_segs"),
-        F.sum(F.when(F.col("__boiler"), 1).otherwise(0)).alias("n_dropped"),
-        F.concat_ws(
-            " ", F.transform(kept, lambda x: x["seg_text"])
-        ).alias("clean_text"),
-    )
+    return T.boilerplate_scrub(docs, SEG_WORDS, BOILER_MIN_DF)
 
 
 # ======================================================================
@@ -1446,43 +1414,7 @@ def q_quality_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     join row per document, bounded by vocabulary, not corpus length.
     The vocabulary size V is a driver scalar (the BM25 N/avgdl
     pattern)."""
-    docs = _t(spark, sf_dir, "documents")
-    w = docs.select("doc_id", T.words(F.col("text")).alias("ws"))
-    vsz = (
-        w.select(F.explode("ws").alias("word"))
-        .agg(F.count_distinct("word"))
-        .collect()[0][0]
-    )
-    bg_arr = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - 1),
-        lambda i: F.struct(
-            F.element_at(F.col("ws"), i.cast("int")).alias("w1"),
-            F.element_at(F.col("ws"), (i + 1).cast("int")).alias("w2"),
-        ),
-    )
-    bg = (
-        w.filter(F.size("ws") >= 2)
-        .select("doc_id", F.explode(bg_arr).alias("b"))
-        .select("doc_id", "b.w1", "b.w2")
-    )
-    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    d = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
-    lp = F.log(
-        (F.col("c12") + F.lit(LM_ALPHA))
-        / (F.col("c1") + F.lit(LM_ALPHA) * F.lit(float(vsz)))
-    )
-    return (
-        d.join(bi, ["w1", "w2"])
-        .join(uni, ["w1"])
-        .groupBy("doc_id")
-        .agg(
-            F.sum("k").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("k") * lp) / F.sum("k"), 6
-            ).alias("avg_logp"),
-        )
-    )
+    return T.bigram_lm_scores(_t(spark, sf_dir, "documents"), LM_ALPHA)
 
 
 # ======================================================================
@@ -1653,37 +1585,132 @@ def q_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     per word, vocabulary-bounded fan-out on frequent words), and the
     three corpus scalars (target tokens, raw tokens, vocabulary) are
     driver values — the BM25 N/avgdl pattern."""
+    return T.importance_weights(
+        _t(spark, sf_dir, "documents"), DSIR_TARGET_SOURCE, DSIR_ALPHA
+    )
+
+
+# ======================================================================
+# L21: composed corpus-selection pipeline (one Catalyst plan)
+# ======================================================================
+#: Selection thresholds for the composed pipeline. Both sit >= 4e-7
+#: from the nearest observed doc score at both test scale factors
+#: (verified when tuned), so the cross-engine filter cannot flip; the
+#: comparisons additionally run on the round-6 scores both engines
+#: emit. Selected: 140/500 docs at sf0.01, 1545/5000 at sf0.1 before
+#: the mixing gate — non-vacuous by construction.
+SELECT_MIN_LOGP = -3.4
+SELECT_MIN_LOGW = -0.005
+
+
+def _pipeline_select_oracle() -> str:
+    from ..functions.sampling import SAMPLE_MOD
+
+    case = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * SAMPLE_MOD))}"
+        for s, r in MIX_RATES.items()
+    )
+    bucket = (
+        f"((('0x' || substr(md5('{MIX_SEED}:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 15))::BIGINT % {T.HASH_MOD}) % {SAMPLE_MOD})"
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang, source, {_DUCK_WORDS} AS ws FROM documents
+    ),
+    bga AS (
+      SELECT doc_id,
+             list_transform(range(1, len(ws)), i -> [ws[i], ws[i+1]]) AS bgs
+      FROM w WHERE len(ws) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, pair[1] AS w1, pair[2] AS w2
+      FROM (SELECT doc_id, unnest(bgs) AS pair FROM bga)
+    ),
+    uni AS (SELECT w1 AS uw, count(*) AS c1 FROM bg GROUP BY w1),
+    bi AS (
+      SELECT w1 AS bw1, w2 AS bw2, count(*) AS c12 FROM bg GROUP BY w1, w2
+    ),
+    v AS (
+      SELECT count(DISTINCT word) AS vsz
+      FROM (SELECT unnest(ws) AS word FROM w)
+    ),
+    d AS (
+      SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY doc_id, w1, w2
+    ),
+    lm AS (
+      SELECT doc_id,
+             round(sum(k * ln((c12 + {LM_ALPHA}) / (c1 + {LM_ALPHA} * vsz)))
+                   / sum(k), 6) AS avg_logp
+      FROM d JOIN bi ON w1 = bw1 AND w2 = bw2 JOIN uni ON w1 = uw, v
+      GROUP BY doc_id
+    ),
+    tok AS (SELECT doc_id, source, unnest(ws) AS word FROM w),
+    tgt AS (
+      SELECT word AS tw, count(*) AS ct FROM tok
+      WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY word
+    ),
+    raw AS (SELECT word AS rw, count(*) AS cr FROM tok GROUP BY word),
+    sc AS (
+      SELECT
+        (SELECT count(*) FROM tok
+         WHERE source = '{DSIR_TARGET_SOURCE}') AS nt,
+        (SELECT count(*) FROM tok) AS nr,
+        (SELECT count(DISTINCT word) FROM tok) AS v2
+    ),
+    dd AS (
+      SELECT doc_id, word, count(*) AS k FROM tok GROUP BY doc_id, word
+    ),
+    iw AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+             round(sum(k * (
+               ln((coalesce(ct, 0) + {DSIR_ALPHA}) / (nt + {DSIR_ALPHA}*v2))
+               - ln((cr + {DSIR_ALPHA}) / (nr + {DSIR_ALPHA}*v2))
+             )) / sum(k), 6) AS logw
+      FROM dd LEFT JOIN tgt ON word = tw JOIN raw ON word = rw, sc
+      GROUP BY doc_id
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM documents
+    JOIN lm USING (doc_id) JOIN iw USING (doc_id)
+    WHERE avg_logp >= {SELECT_MIN_LOGP}
+      AND logw >= {SELECT_MIN_LOGW}
+      AND {bucket} < CASE lang {case} ELSE 0 END
+    GROUP BY lang
+    """
+
+
+@query("q_pipeline_select", oracle=_pipeline_select_oracle())
+def q_pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-selection pipeline as ONE Catalyst plan:
+    bigram-LM quality floor (L17) AND DSIR importance floor (L20) AND
+    the content-keyed mixing gate (L13), aggregated to per-language
+    selected-doc and token counts. The r3 hygiene composition
+    (q_pipeline_guarded) gates on *integrity*; this one gates on
+    *scoring* — together they are the full data-selection recipe a
+    pre-training pipeline runs.
+
+    Scale shape: both score tiers join per-doc distinct grams against
+    broadcastable count tables, the mixing gate is a codegen filter,
+    and the final aggregate is per-language — the text is read once
+    per scoring model and never shuffled whole."""
+    from ..functions.sampling import stratified_sample
+
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "source", F.explode(T.words(F.col("text"))).alias("word")
-    )
-    nt, nr, v = (
-        tok.agg(
-            F.sum(
-                F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
-            ),
-            F.count(F.lit(1)),
-            F.count_distinct("word"),
-        ).collect()[0]
-    )
-    tgt = (
-        tok.filter(F.col("source") == DSIR_TARGET_SOURCE)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    raw = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cr"))
-    d = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("k"))
-    a = F.lit(DSIR_ALPHA)
-    lr = (
-        F.log((F.coalesce(F.col("ct"), F.lit(0)) + a) / F.lit(nt + DSIR_ALPHA * v))
-        - F.log((F.col("cr") + a) / F.lit(nr + DSIR_ALPHA * v))
-    )
-    return (
-        d.join(raw, "word")
-        .join(tgt, "word", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("k").alias("n_tokens"),
-            F.round(F.sum(F.col("k") * lr) / F.sum("k"), 6).alias("logw"),
+    lm = T.bigram_lm_scores(docs, LM_ALPHA).select("doc_id", "avg_logp")
+    iw = T.importance_weights(docs, DSIR_TARGET_SOURCE, DSIR_ALPHA)
+    selected = (
+        stratified_sample(docs, MIX_RATES, seed=MIX_SEED)
+        .select("doc_id", "lang")
+        .join(lm, "doc_id")
+        .join(iw, "doc_id")
+        .filter(
+            (F.col("avg_logp") >= F.lit(SELECT_MIN_LOGP))
+            & (F.col("logw") >= F.lit(SELECT_MIN_LOGW))
         )
+    )
+    return selected.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
     )
