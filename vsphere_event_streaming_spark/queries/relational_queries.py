@@ -468,15 +468,22 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id FROM events
     EXCEPT
     SELECT event_id FROM events
-    WHERE event_id > (SELECT max(event_id) - 2000 FROM events)
+    WHERE event_id > (SELECT max(event_id) - 2*(count(*) // 10) FROM events)
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Purged-offset diff: Range_before EXCEPT Range_after (SURVEY §2.7)."""
+    """Purged-offset diff: Range_before EXCEPT Range_after (SURVEY §2.7).
+
+    The retention segment is a tenth of the log (driver scalar, the
+    BM25-N pattern) rather than a fixed 1000 so the diff is non-empty
+    — and the check non-vacuous — at every test scale factor; a fixed
+    segment swallowed the whole sf0.001 log and made the oracle
+    compare two empty sets."""
     from ..log.model import retention_filter
 
     ev = _t(spark, sf_dir, "events")
-    retained = retention_filter(ev, 1000, "event_id")
+    seg = ev.count() // 10
+    retained = retention_filter(ev, seg, "event_id")
     return ev.select("event_id").exceptAll(retained.select("event_id")).distinct()
 
 
