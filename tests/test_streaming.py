@@ -887,3 +887,49 @@ def test_purge_segments_is_directory_drop(spark, tmp_path):
     svc = EventLogService(log.select("offset", "value"))
     with pytest.raises(OutOfRangeError):
         svc.replay(10)
+
+
+def test_incremental_dedup_stream_across_batches(spark, tmp_path):
+    """Streaming LshIndex: batch 2 dedups against batch 1's bands via
+    the persisted index, and pair emission is per-epoch idempotent."""
+    from vsphere_event_streaming_spark.streaming.dedup_stream import (
+        read_candidate_pairs,
+        start_incremental_dedup,
+    )
+
+    tmp = str(tmp_path)
+    in_dir, idx, pairs, ckpt = (
+        f"{tmp}/in", f"{tmp}/idx", f"{tmp}/pairs", f"{tmp}/ckpt",
+    )
+    base = "the quick brown fox jumps over the lazy"
+
+    def run():
+        q = start_incremental_dedup(spark, in_dir, idx, pairs, ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(0, base + " dog"), (1, "totally unrelated text about engines")],
+        ["doc_id", "text"],
+    ).write.mode("append").parquet(in_dir)
+    run()
+    first = {
+        (r["id_a"], r["id_b"])
+        for r in read_candidate_pairs(spark, pairs).collect()
+    }
+    assert first == set()  # no near-dups within batch 1
+
+    # batch 2 holds a near-dup of a batch-1 doc: cross-batch candidate
+    # must surface through the index, not batch-local state
+    spark.createDataFrame(
+        [(2, base + " cat")], ["doc_id", "text"]
+    ).write.mode("append").parquet(in_dir)
+    run()
+    second = read_candidate_pairs(spark, pairs)
+    got = {(r["id_a"], r["id_b"]) for r in second.collect()}
+    assert (0, 2) in got, got
+
+    # restart with nothing new: checkpoint replays no epoch, pair
+    # partitions unchanged
+    n_before = second.count()
+    run()
+    assert read_candidate_pairs(spark, pairs).count() == n_before

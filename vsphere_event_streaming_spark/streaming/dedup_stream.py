@@ -1,0 +1,76 @@
+"""Streaming incremental near-dup: the LshIndex driven by Structured
+Streaming (SURVEY §2.11 L12, streaming form).
+
+The batch-incremental ``LshIndex`` already gives exactly-once-shaped
+semantics (candidates computed before the write; per-batch partition
+overwrite makes retries idempotent). ``foreachBatch`` is the idiomatic
+Spark bridge: the streaming engine handles source offsets/checkpoints
+and replays a failed epoch with the SAME batch_id, which the index and
+the pairs sink both absorb by overwriting their own ``batch_id=``
+partition — so an epoch retry cannot double-ingest bands or duplicate
+candidate pairs.
+
+At 100 TB this is the crawl-ingest topology: a file/queue stream of
+document batches, each micro-batch banding against the full history at
+constant bytes/doc, candidates point-joined downstream for exact
+re-score (the caller's step, as in the batch form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.dedup import LshIndex
+
+#: Schema the document stream must carry (the driver's documents
+#: parquet layout, minus derived columns).
+DOC_STREAM_SCHEMA = "doc_id long, text string"
+
+
+def start_incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    band_size: int = 2,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run the incremental near-dup index as a streaming query.
+
+    Reads a parquet file stream of ``(doc_id, text)`` batches; for each
+    micro-batch, emits candidate pairs (new↔history ∪ new↔new) to
+    ``pairs_dir/batch_id=b<epoch>`` and ingests the batch's bands into
+    the index. Both writes overwrite their own epoch partition, so a
+    replayed epoch (crash between the two writes, or a restarted
+    query re-running its last uncommitted epoch) converges instead of
+    duplicating.
+    """
+    index = LshIndex(spark, index_dir, band_size=band_size)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # add_batch materializes candidates (localCheckpoint) and
+        # releases its own persists, so nothing here leaks across
+        # epochs and nothing re-reads the index after the band write
+        batch_id = f"b{epoch_id}"
+        pairs = index.add_batch(batch_df, batch_id=batch_id)
+        # the batch_id column comes back at read time via partition
+        # discovery on the directory name — storing it in the files
+        # too would collide with the inferred partition column
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch_id={batch_id}"
+        )
+
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_candidate_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """All candidate pairs emitted so far, with their epoch column."""
+    return spark.read.parquet(pairs_dir)
