@@ -853,3 +853,37 @@ def test_importance_weight_hand_computed(spark, tmp_path):
     assert abs(out[1]["logw"] - (lr_a + lr_c) / 2) < 1e-6
     # the all-target-vocabulary doc weights toward the target
     assert out[0]["logw"] > out[1]["logw"]
+
+
+def test_boilerplate_scrub_keeps_empty_docs(spark):
+    from vsphere_event_streaming_spark.functions.text import (
+        boilerplate_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "   "), (1, "a b c")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in boilerplate_scrub(df).collect()}
+    # whitespace-only doc: zero segments, but the row survives so
+    # downstream joins cannot silently drop it
+    assert out[0]["n_segs"] == 0 and out[0]["clean_text"] == ""
+    assert out[1]["n_segs"] == 1 and out[1]["clean_text"] == "a b c"
+
+
+def test_empty_corpus_guards_raise_clearly(spark):
+    from vsphere_event_streaming_spark.functions.text import (
+        importance_weights,
+    )
+    from vsphere_event_streaming_spark.functions.vectors import sq_range
+
+    empty_docs = spark.createDataFrame(
+        [(0, "", "src0")], ["doc_id", "text", "source"]
+    ).filter(F.col("doc_id") < 0)
+    with pytest.raises(ValueError, match="no tokens"):
+        importance_weights(empty_docs, "src0")
+
+    empty_vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0])], ["vec_id", "embedding"]
+    ).filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        sq_range(empty_vecs)

@@ -91,6 +91,15 @@ CANONICAL = (
     "q_dedup_semantic",
 )
 
+#: Canonicals added after the r4 rotation filled the window (L19-L21):
+#: pinned immediately after the 50-entry window so a wider window or
+#: the next rotation reaches them before any redundant variant.
+NEXT_CANONICAL = (
+    "q_repeated_spans",
+    "q_importance_weight",
+    "q_pipeline_select",
+)
+
 #: Queries rotated out of the window in r4 — must still be registered
 #: and oracled (selfcheck covers them) even though the driver window
 #: no longer records them.  Each holds 3 driver-green rows
@@ -157,10 +166,12 @@ def test_rotated_out_queries_stay_registered_and_oracled():
     a full value compare."""
     qs = load_all()
     idx = {n: i for i, n in enumerate(PRIORITY)}
+    # the L19-L21 next-canonicals take the first slots past the window
+    lo = DRIVER_WINDOW + len(NEXT_CANONICAL)
     for n in ROTATED_OUT_R4:
         assert n in qs, f"rotated-out query {n} lost its registration"
         assert qs[n].oracle is not None, f"rotated-out query {n} lost its oracle"
-        assert DRIVER_WINDOW <= idx[n] < DRIVER_WINDOW + len(ROTATED_OUT_R4) + 2, (
+        assert lo <= idx[n] < lo + len(ROTATED_OUT_R4) + 2, (
             f"rotated-out query {n} should sit just past the window, at {idx[n]}"
         )
 
@@ -191,3 +202,14 @@ def test_unknown_priority_name_warns_not_raises(monkeypatch):
     assert any("q_never_registered" in str(w.message) for w in caught)
     assert "q_never_registered" not in qs
     assert list(qs)[: len(PRIORITY)] == list(PRIORITY)
+
+
+def test_next_canonicals_sit_directly_after_the_window():
+    """L19-L21 canonicals missed the r4 rotation; they must occupy the
+    first positions past the window, ahead of every redundant
+    variant, so a wider driver window records operator lines first."""
+    idx = {n: i for i, n in enumerate(PRIORITY)}
+    got = [idx[n] for n in NEXT_CANONICAL]
+    assert got == list(
+        range(DRIVER_WINDOW, DRIVER_WINDOW + len(NEXT_CANONICAL))
+    ), got

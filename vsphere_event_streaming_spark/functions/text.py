@@ -268,12 +268,21 @@ def boilerplate_scrub(
             )
         )
     )
-    return flagged.groupBy(id_col).agg(
+    agg = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_segs"),
         F.sum(F.when(F.col("__boiler"), 1).otherwise(0)).alias("n_dropped"),
         F.concat_ws(
             " ", F.transform(kept, lambda x: x["seg_text"])
         ).alias("clean_text"),
+    )
+    # empty-text docs produce no segments and would vanish from the
+    # aggregate — a downstream inner join would silently shrink the
+    # corpus. Rejoin so every input doc has a row.
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_segs", F.lit(0).cast("long")).alias("n_segs"),
+        F.coalesce("n_dropped", F.lit(0).cast("long")).alias("n_dropped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
 
 
@@ -345,6 +354,11 @@ def importance_weights(
         F.count(F.lit(1)),
         F.count_distinct("word"),
     ).collect()[0]
+    if not nr:  # empty/whitespace-only corpus: F.sum yields None
+        raise ValueError(
+            "importance_weights: corpus has no tokens — nothing to model"
+        )
+    nt = nt or 0
     tgt = (
         tok.filter(F.col(source_col) == target_source)
         .groupBy("word")

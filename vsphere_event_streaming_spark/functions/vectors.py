@@ -317,6 +317,26 @@ def hyperplane_sig(vec: Column, n_bits: int = 6) -> Column:
     return sig.cast("int")
 
 
+def min_id_query_split(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (query, corpus) split: the min-id vector becomes
+    the 1-row broadcast query column ``q``; everything else is the
+    corpus. The shared scaffold of every ANN declared query — one
+    place to change the selection convention instead of a copy per
+    query."""
+    qmin = emb.agg(F.min(id_col).alias("__qid"))
+    qvec = emb.join(
+        F.broadcast(qmin), F.col(id_col) == F.col("__qid")
+    ).select(F.col(vec_col).alias("q"))
+    corpus = (
+        emb.join(F.broadcast(qmin))
+        .filter(F.col(id_col) != F.col("__qid"))
+        .drop("__qid")
+    )
+    return qvec, corpus
+
+
 SEMANTIC_THRESHOLD = 0.3
 
 
@@ -478,6 +498,10 @@ def sq_range(corpus: DataFrame, vec_col: str = "embedding") -> tuple[float, floa
         F.min(F.array_min(vec_col)).cast("double").alias("lo"),
         F.max(F.array_max(vec_col)).cast("double").alias("hi"),
     ).first()
+    if row is None or row["lo"] is None or row["hi"] is None:
+        raise ValueError(
+            "sq_range: empty corpus (or all-NULL vectors) — no value range"
+        )
     lo, hi = float(row["lo"]), float(row["hi"])
     if not hi > lo:
         raise ValueError(f"degenerate value range [{lo}, {hi}]")

@@ -33,6 +33,7 @@ from ..functions.vectors import (
     deterministic_centroids,
     ivf_topk,
     knn_topk,
+    min_id_query_split,
 )
 from ..registry import query
 from ..session import tune
@@ -518,14 +519,7 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the min-vec_id query vector.
     TakeOrderedAndProject top-k — no global sort."""
     emb = _t(spark, sf_dir, "embeddings")
-    qmin = emb.agg(F.min("vec_id").alias("__qid"))
-    qvec = (
-        emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid"))
-        .select(F.col("embedding").alias("q"))
-    )
-    corpus = emb.join(F.broadcast(qmin)).filter(
-        F.col("vec_id") != F.col("__qid")
-    ).drop("__qid")
+    qvec, corpus = min_id_query_split(emb)
     return knn_topk(corpus, qvec, k=10)
 
 
@@ -535,14 +529,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cell assignment is a partition column and probing is partition
     pruning; recall is validated in tests against q_knn_topk."""
     emb = _t(spark, sf_dir, "embeddings")
-    qmin = emb.agg(F.min("vec_id").alias("__qid"))
-    qvec = (
-        emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid"))
-        .select(F.col("embedding").alias("q"))
-    )
-    corpus = emb.join(F.broadcast(qmin)).filter(
-        F.col("vec_id") != F.col("__qid")
-    ).drop("__qid")
+    qvec, corpus = min_id_query_split(emb)
     centroids = deterministic_centroids(emb, n=10)
     return ivf_topk(corpus, centroids, qvec, k=10, nprobe=3)
 
@@ -935,14 +922,7 @@ def q_knn_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import hyperplane_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    qmin = emb.agg(F.min("vec_id").alias("__qid"))
-    qvec = (
-        emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid"))
-        .select(F.col("embedding").alias("q"))
-    )
-    corpus = emb.join(F.broadcast(qmin)).filter(
-        F.col("vec_id") != F.col("__qid")
-    ).drop("__qid")
+    qvec, corpus = min_id_query_split(emb)
     return hyperplane_topk(corpus, qvec, k=10, n_bits=6)
 
 
@@ -1086,14 +1066,7 @@ def q_knn_hyperplane_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import hyperplane_topk_probed
 
     emb = _t(spark, sf_dir, "embeddings")
-    qmin = emb.agg(F.min("vec_id").alias("__qid"))
-    qvec = (
-        emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid"))
-        .select(F.col("embedding").alias("q"))
-    )
-    corpus = emb.join(F.broadcast(qmin)).filter(
-        F.col("vec_id") != F.col("__qid")
-    ).drop("__qid")
+    qvec, corpus = min_id_query_split(emb)
     return hyperplane_topk_probed(corpus, qvec, k=10, n_bits=6)
 
 
@@ -1109,20 +1082,31 @@ MIX_SEED = "v1"
 PACK_BUDGET_TOKENS = 256
 
 
-def _dataset_mix_oracle() -> str:
+def _mix_bucket_sql() -> str:
+    """The content-keyed md5 sampling bucket, shared verbatim by the
+    mixing oracle and the composed-selection oracle."""
+    from ..functions.sampling import SAMPLE_MOD
+
+    return (
+        f"((('0x' || substr(md5('{MIX_SEED}:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 15))::BIGINT % {T.HASH_MOD}) % {SAMPLE_MOD})"
+    )
+
+
+def _mix_case_sql() -> str:
     from ..functions.sampling import SAMPLE_MOD
 
     case = " ".join(
         f"WHEN '{s}' THEN {int(round(r * SAMPLE_MOD))}"
         for s, r in MIX_RATES.items()
     )
-    bucket = (
-        f"((('0x' || substr(md5('{MIX_SEED}:' || CAST(doc_id AS VARCHAR)),"
-        f" 1, 15))::BIGINT % {T.HASH_MOD}) % {SAMPLE_MOD})"
-    )
+    return f"CASE lang {case} ELSE 0 END"
+
+
+def _dataset_mix_oracle() -> str:
     return f"""
     SELECT doc_id, lang FROM documents
-    WHERE {bucket} < CASE lang {case} ELSE 0 END
+    WHERE {_mix_bucket_sql()} < {_mix_case_sql()}
     """
 
 
@@ -1246,7 +1230,7 @@ def _sq_adc_oracle() -> str:
     )
     SELECT c.vec_id,
            round(list_reduce(
-             list_transform(range(1, 65), i -> {term}),
+             list_transform(range(1, len(cds) + 1), i -> {term}),
              (a, b) -> a + b), 6) AS adc_dist
     FROM c, q, st
     ORDER BY adc_dist, vec_id
@@ -1268,14 +1252,7 @@ def q_knn_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     lo, hi = sq_range(emb)
-    qmin = emb.agg(F.min("vec_id").alias("__qid"))
-    qvec = (
-        emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid"))
-        .select(F.col("embedding").alias("q"))
-    )
-    corpus = emb.join(F.broadcast(qmin)).filter(
-        F.col("vec_id") != F.col("__qid")
-    ).drop("__qid")
+    qvec, corpus = min_id_query_split(emb)
     return sq_adc_topk(corpus, qvec, lo, hi, k=10)
 
 
@@ -1315,16 +1292,23 @@ def _boilerplate_oracle() -> str:
     freq AS (
       SELECT seg_hash, TRUE AS boiler FROM h
       GROUP BY seg_hash HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DF}
+    ),
+    scrub AS (
+      SELECT h.doc_id AS doc_id,
+             count(*) AS n_segs,
+             CAST(count(*) FILTER (coalesce(boiler, FALSE)) AS BIGINT)
+               AS n_dropped,
+             coalesce(string_agg(seg_text, ' ' ORDER BY seg_idx)
+                        FILTER (NOT coalesce(boiler, FALSE)), '')
+               AS clean_text
+      FROM h LEFT JOIN freq USING (seg_hash)
+      GROUP BY h.doc_id
     )
-    SELECT h.doc_id AS doc_id,
-           count(*) AS n_segs,
-           CAST(count(*) FILTER (coalesce(boiler, FALSE)) AS BIGINT)
-             AS n_dropped,
-           coalesce(string_agg(seg_text, ' ' ORDER BY seg_idx)
-                      FILTER (NOT coalesce(boiler, FALSE)), '')
-             AS clean_text
-    FROM h LEFT JOIN freq USING (seg_hash)
-    GROUP BY h.doc_id
+    SELECT d.doc_id AS doc_id,
+           coalesce(n_segs, 0) AS n_segs,
+           coalesce(n_dropped, 0) AS n_dropped,
+           coalesce(clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN scrub ON d.doc_id = scrub.doc_id
     """
 
 
@@ -1368,9 +1352,12 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_ALPHA = 0.5
 
 
-def _quality_lm_oracle() -> str:
+def _lm_cte_sql() -> str:
+    """Bigram-LM scoring CTE chain, to append after a ``w`` CTE that
+    provides (doc_id, ws). Yields ``lm(doc_id, n_bigrams, avg_logp)``.
+    Shared verbatim by the standalone LM oracle and the composed
+    selection oracle so the two cannot drift."""
     return f"""
-    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
     bga AS (
       SELECT doc_id,
              list_transform(range(1, len(ws)), i -> [ws[i], ws[i+1]]) AS bgs
@@ -1384,19 +1371,28 @@ def _quality_lm_oracle() -> str:
     bi AS (
       SELECT w1 AS bw1, w2 AS bw2, count(*) AS c12 FROM bg GROUP BY w1, w2
     ),
-    v AS (
+    vstats AS (
       SELECT count(DISTINCT word) AS vsz
       FROM (SELECT unnest(ws) AS word FROM w)
     ),
-    d AS (
+    lmd AS (
       SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY doc_id, w1, w2
-    )
-    SELECT doc_id,
-           CAST(sum(k) AS BIGINT) AS n_bigrams,
-           round(sum(k * ln((c12 + {LM_ALPHA}) / (c1 + {LM_ALPHA} * vsz)))
-                 / sum(k), 6) AS avg_logp
-    FROM d JOIN bi ON w1 = bw1 AND w2 = bw2 JOIN uni ON w1 = uw, v
-    GROUP BY doc_id
+    ),
+    lm AS (
+      SELECT doc_id,
+             CAST(sum(k) AS BIGINT) AS n_bigrams,
+             round(sum(k * ln((c12 + {LM_ALPHA}) / (c1 + {LM_ALPHA} * vsz)))
+                   / sum(k), 6) AS avg_logp
+      FROM lmd JOIN bi ON w1 = bw1 AND w2 = bw2 JOIN uni ON w1 = uw, vstats
+      GROUP BY doc_id
+    )"""
+
+
+def _quality_lm_oracle() -> str:
+    return f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    {_lm_cte_sql()}
+    SELECT doc_id, n_bigrams, avg_logp FROM lm
     """
 
 
@@ -1538,11 +1534,12 @@ DSIR_TARGET_SOURCE = "src0"
 DSIR_ALPHA = 0.5
 
 
-def _importance_oracle() -> str:
+def _dsir_cte_sql() -> str:
+    """DSIR scoring CTE chain, to append after a ``w`` CTE providing
+    (doc_id, source, ws). Yields ``iw(doc_id, n_tokens, logw)``.
+    Shared verbatim by the standalone importance oracle and the
+    composed selection oracle so the two cannot drift."""
     return f"""
-    WITH w AS (
-      SELECT doc_id, source, {_DUCK_WORDS} AS ws FROM documents
-    ),
     tok AS (SELECT doc_id, source, unnest(ws) AS word FROM w),
     tgt AS (
       SELECT word AS tw, count(*) AS ct FROM tok
@@ -1554,20 +1551,29 @@ def _importance_oracle() -> str:
         (SELECT count(*) FROM tok
          WHERE source = '{DSIR_TARGET_SOURCE}') AS nt,
         (SELECT count(*) FROM tok) AS nr,
-        (SELECT count(DISTINCT word) FROM tok) AS v
+        (SELECT count(DISTINCT word) FROM tok) AS v2
     ),
-    d AS (
+    dsd AS (
       SELECT doc_id, word, count(*) AS k FROM tok GROUP BY doc_id, word
     ),
-    j AS (
-      SELECT doc_id, k,
-             ln((coalesce(ct, 0) + {DSIR_ALPHA}) / (nt + {DSIR_ALPHA}*v))
-             - ln((cr + {DSIR_ALPHA}) / (nr + {DSIR_ALPHA}*v)) AS lr
-      FROM d LEFT JOIN tgt ON word = tw JOIN raw ON word = rw, sc
-    )
-    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
-           round(sum(k * lr) / sum(k), 6) AS logw
-    FROM j GROUP BY doc_id
+    iw AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+             round(sum(k * (
+               ln((coalesce(ct, 0) + {DSIR_ALPHA}) / (nt + {DSIR_ALPHA}*v2))
+               - ln((cr + {DSIR_ALPHA}) / (nr + {DSIR_ALPHA}*v2))
+             )) / sum(k), 6) AS logw
+      FROM dsd LEFT JOIN tgt ON word = tw JOIN raw ON word = rw, sc
+      GROUP BY doc_id
+    )"""
+
+
+def _importance_oracle() -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source, {_DUCK_WORDS} AS ws FROM documents
+    ),
+    {_dsir_cte_sql()}
+    SELECT doc_id, n_tokens, logw FROM iw
     """
 
 
@@ -1604,79 +1610,23 @@ SELECT_MIN_LOGW = -0.005
 
 
 def _pipeline_select_oracle() -> str:
-    from ..functions.sampling import SAMPLE_MOD
-
-    case = " ".join(
-        f"WHEN '{s}' THEN {int(round(r * SAMPLE_MOD))}"
-        for s, r in MIX_RATES.items()
-    )
-    bucket = (
-        f"((('0x' || substr(md5('{MIX_SEED}:' || CAST(doc_id AS VARCHAR)),"
-        f" 1, 15))::BIGINT % {T.HASH_MOD}) % {SAMPLE_MOD})"
-    )
+    """Composes the shared LM and DSIR CTE chains with the shared
+    mixing-gate SQL — every fragment is the same string the standalone
+    oracles interpolate, so the composition cannot drift from its
+    parts."""
     return f"""
     WITH w AS (
       SELECT doc_id, lang, source, {_DUCK_WORDS} AS ws FROM documents
     ),
-    bga AS (
-      SELECT doc_id,
-             list_transform(range(1, len(ws)), i -> [ws[i], ws[i+1]]) AS bgs
-      FROM w WHERE len(ws) >= 2
-    ),
-    bg AS (
-      SELECT doc_id, pair[1] AS w1, pair[2] AS w2
-      FROM (SELECT doc_id, unnest(bgs) AS pair FROM bga)
-    ),
-    uni AS (SELECT w1 AS uw, count(*) AS c1 FROM bg GROUP BY w1),
-    bi AS (
-      SELECT w1 AS bw1, w2 AS bw2, count(*) AS c12 FROM bg GROUP BY w1, w2
-    ),
-    v AS (
-      SELECT count(DISTINCT word) AS vsz
-      FROM (SELECT unnest(ws) AS word FROM w)
-    ),
-    d AS (
-      SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY doc_id, w1, w2
-    ),
-    lm AS (
-      SELECT doc_id,
-             round(sum(k * ln((c12 + {LM_ALPHA}) / (c1 + {LM_ALPHA} * vsz)))
-                   / sum(k), 6) AS avg_logp
-      FROM d JOIN bi ON w1 = bw1 AND w2 = bw2 JOIN uni ON w1 = uw, v
-      GROUP BY doc_id
-    ),
-    tok AS (SELECT doc_id, source, unnest(ws) AS word FROM w),
-    tgt AS (
-      SELECT word AS tw, count(*) AS ct FROM tok
-      WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY word
-    ),
-    raw AS (SELECT word AS rw, count(*) AS cr FROM tok GROUP BY word),
-    sc AS (
-      SELECT
-        (SELECT count(*) FROM tok
-         WHERE source = '{DSIR_TARGET_SOURCE}') AS nt,
-        (SELECT count(*) FROM tok) AS nr,
-        (SELECT count(DISTINCT word) FROM tok) AS v2
-    ),
-    dd AS (
-      SELECT doc_id, word, count(*) AS k FROM tok GROUP BY doc_id, word
-    ),
-    iw AS (
-      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
-             round(sum(k * (
-               ln((coalesce(ct, 0) + {DSIR_ALPHA}) / (nt + {DSIR_ALPHA}*v2))
-               - ln((cr + {DSIR_ALPHA}) / (nr + {DSIR_ALPHA}*v2))
-             )) / sum(k), 6) AS logw
-      FROM dd LEFT JOIN tgt ON word = tw JOIN raw ON word = rw, sc
-      GROUP BY doc_id
-    )
+    {_lm_cte_sql()},
+    {_dsir_cte_sql()}
     SELECT lang, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM documents
     JOIN lm USING (doc_id) JOIN iw USING (doc_id)
     WHERE avg_logp >= {SELECT_MIN_LOGP}
       AND logw >= {SELECT_MIN_LOGW}
-      AND {bucket} < CASE lang {case} ELSE 0 END
+      AND {_mix_bucket_sql()} < {_mix_case_sql()}
     GROUP BY lang
     """
 

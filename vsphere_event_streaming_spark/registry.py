@@ -129,6 +129,12 @@ PRIORITY: tuple[str, ...] = (
     "q_quality_lm",
     "q_dedup_semantic",
     # ---- driver window ends here (first 50) ----
+    # canonicals that missed the r4 window (L19-L21, added after the
+    # rotation): first in line for a wider window or the r5 rotation —
+    # they must precede every redundant variant
+    "q_repeated_spans",
+    "q_importance_weight",
+    "q_pipeline_select",
     # rotated out r4 (3 prior green rows each; selfcheck still covers)
     "q_typename",
     "q_eventclass",

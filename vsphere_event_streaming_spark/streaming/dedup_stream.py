@@ -36,16 +36,25 @@ def start_incremental_dedup(
     checkpoint_dir: str,
     band_size: int = 2,
     available_now: bool = True,
+    batch_prefix: str = "b",
 ) -> StreamingQuery:
     """Run the incremental near-dup index as a streaming query.
 
     Reads a parquet file stream of ``(doc_id, text)`` batches; for each
     micro-batch, emits candidate pairs (new↔history ∪ new↔new) to
-    ``pairs_dir/batch_id=b<epoch>`` and ingests the batch's bands into
-    the index. Both writes overwrite their own epoch partition, so a
-    replayed epoch (crash between the two writes, or a restarted
-    query re-running its last uncommitted epoch) converges instead of
-    duplicating.
+    ``pairs_dir/batch_id=<prefix><epoch>`` and ingests the batch's
+    bands into the index. Both writes overwrite their own epoch
+    partition, so a replayed epoch (crash between the two writes, or a
+    restarted query re-running its last uncommitted epoch) converges
+    instead of duplicating.
+
+    CONTRACT: ``checkpoint_dir``, ``index_dir``, and ``pairs_dir`` are
+    one unit — epoch ids are stable only per checkpoint. Deleting or
+    swapping the checkpoint while keeping the index restarts epochs at
+    0, and the idempotent overwrite would then silently REPLACE
+    historical batches' partitions. To rebuild a stream against an
+    existing index, pass a fresh ``batch_prefix`` (e.g. ``"r2-"``) so
+    the new query's epochs land in their own partition namespace.
     """
     index = LshIndex(spark, index_dir, band_size=band_size)
 
@@ -53,7 +62,7 @@ def start_incremental_dedup(
         # add_batch materializes candidates (localCheckpoint) and
         # releases its own persists, so nothing here leaks across
         # epochs and nothing re-reads the index after the band write
-        batch_id = f"b{epoch_id}"
+        batch_id = f"{batch_prefix}{epoch_id}"
         pairs = index.add_batch(batch_df, batch_id=batch_id)
         # the batch_id column comes back at read time via partition
         # discovery on the directory name — storing it in the files
