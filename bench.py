@@ -80,6 +80,8 @@ HEADLINE = [
     "q_repeated_spans",
     "q_importance_weight",
     "q_pipeline_select",
+    # r4 additions (4): perceptual hash through the real PNG roundtrip
+    "q_media_phash",
 ]
 
 

@@ -887,3 +887,41 @@ def test_empty_corpus_guards_raise_clearly(spark):
     ).filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="empty corpus"):
         sq_range(empty_vecs)
+
+
+# ----------------------------------------------------------------------
+# L22: perceptual hash through the PNG roundtrip
+# ----------------------------------------------------------------------
+def test_phash_roundtrip_and_sensitivity(spark):
+    import numpy as np
+
+    from vsphere_event_streaming_spark.functions import codecs
+    from vsphere_event_streaming_spark.functions.multimodal import (
+        _cell_image,
+        dhash_bits,
+        phash_images,
+        synth_cell_png_payloads,
+    )
+
+    # word order must not matter (bag-of-words); counts must
+    t = "alpha beta gamma alpha"
+    assert np.array_equal(_cell_image(t), _cell_image("beta alpha alpha gamma"))
+    assert not np.array_equal(_cell_image(t), _cell_image("alpha beta gamma"))
+
+    # the PNG roundtrip is exactly the identity on the cell image
+    img = _cell_image(t)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+
+    # end-to-end through Spark: encode -> decode -> dhash equals the
+    # arithmetic-only hash
+    docs = spark.createDataFrame(
+        [(0, t), (1, "something else entirely here")], ["doc_id", "text"]
+    )
+    out = {
+        r["media_id"]: r["phash"]
+        for r in phash_images(
+            synth_cell_png_payloads(docs, "doc_id", "text")
+        ).collect()
+    }
+    assert out[0] == dhash_bits(_cell_image(t))
+    assert out[0] != out[1]

@@ -255,6 +255,13 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"BroadcastNestedLoopJoin",
         ],
     ],
+    # perceptual hash: the codec roundtrip is Arrow-batched
+    # MapInPandas (the legitimate Python stage), never row-at-a-time
+    # Python eval, and no shuffle between the two map stages
+    "q_media_phash": [
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"CartesianProduct", r"Join"],
+    ],
     # composed selection: both score tiers + the mixing filter plan as
     # equi-joins/filters inside one plan — no Python, no pair scans,
     # and the mixing gate's md5 decision evaluates JVM-side

@@ -329,3 +329,95 @@ def embed_chunks(
     return chunks.select(key_col, text_col).mapInPandas(
         run, schema=EMBED_SCHEMA
     )
+
+
+# ----------------------------------------------------------------------
+# L22: perceptual image hash (dHash) through the REAL PNG roundtrip
+# ----------------------------------------------------------------------
+#: Cell-image grid for the perceptual hash: 7x9 pixels -> 7 rows of 8
+#: horizontal-gradient bits = a 56-bit dHash that fits signed int64
+#: in every engine (the classic 8x9 grid's 64th bit would overflow).
+PHASH_GRID_H = 7
+PHASH_GRID_W = 9
+
+_PHASH_MOD = 1_000_000_007
+
+
+def _h60(s: str) -> int:
+    """Python replica of functions.text.md5_hash (verified equal)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _PHASH_MOD
+
+
+def _cell_image(text: str) -> np.ndarray:
+    """Deterministic bag-of-words cell image: cell k accumulates the
+    60-bit hashes of its (word, count) pairs, mod 256. Pure modular
+    arithmetic — the same image is replayable in SQL, which is what
+    makes the PNG-roundtrip phash oracle-checkable."""
+    import re as _re
+    from collections import Counter
+
+    ws = [
+        w
+        for w in _re.split(r"[ \t\n\r\f\x0B]+", (text or "").strip())
+        if w
+    ]
+    cells = [0] * (PHASH_GRID_H * PHASH_GRID_W)
+    for w, cnt in Counter(ws).items():
+        cells[_h60(w) % len(cells)] += _h60(f"{w}:{cnt}")
+    return np.array([c % 256 for c in cells], dtype=np.uint8).reshape(
+        PHASH_GRID_H, PHASH_GRID_W
+    )
+
+
+def dhash_bits(px: np.ndarray) -> int:
+    """dHash over a (7, 9) grayscale grid: bit r*8+c = [px[r,c] <
+    px[r,c+1]] — the standard horizontal-gradient perceptual hash."""
+    bits = 0
+    for r in range(PHASH_GRID_H):
+        for c in range(PHASH_GRID_W - 1):
+            if px[r, c] < px[r, c + 1]:
+                bits |= 1 << (r * 8 + c)
+    return bits
+
+
+def synth_cell_png_payloads(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(media_id, payload): a REAL PNG per row encoding the doc's
+    bag-of-words cell image. The encoder rotates scanline filters, so
+    these payloads exercise every PNG filter path on decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                codecs.encode_png(_cell_image(t)) for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def phash_images(media: DataFrame) -> DataFrame:
+    """(media_id, phash): dHash of each payload's DECODED pixels.
+
+    The decode is the real inflate+unfilter walk — so when the oracle
+    recomputes the same hash from the cell arithmetic alone, agreement
+    proves the entire PNG encode->decode roundtrip is lossless, bit
+    for bit, on every row. A broken filter path shows up as a
+    value-hash mismatch, not a silent wrong answer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                dhash_bits(codecs.decode_png(bytes(p)))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": hashes}
+            )
+
+    return media.mapInPandas(run, schema="media_id long, phash long")

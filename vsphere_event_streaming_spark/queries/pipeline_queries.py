@@ -1664,3 +1664,64 @@ def q_pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# ======================================================================
+# L22: perceptual image hash through the real PNG roundtrip
+# ======================================================================
+def _media_phash_oracle() -> str:
+    from ..functions.multimodal import PHASH_GRID_H, PHASH_GRID_W
+
+    ncells = PHASH_GRID_H * PHASH_GRID_W
+    bit = f"CAST((a.cell // {PHASH_GRID_W}) * 8 + (a.cell % {PHASH_GRID_W}) AS INTEGER)"
+    return f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    wc AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY doc_id, word),
+    contrib AS (
+      SELECT doc_id,
+             {_duck_word_hash("word")} % {ncells} AS cell,
+             {_duck_word_hash("word || ':' || CAST(cnt AS VARCHAR)")} AS hv
+      FROM wc
+    ),
+    cells AS (
+      SELECT doc_id, cell, CAST(sum(hv) % 256 AS BIGINT) AS val
+      FROM contrib GROUP BY doc_id, cell
+    ),
+    grid AS (
+      SELECT d.doc_id, g.cell, coalesce(cells.val, 0) AS val
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range(0, {ncells})) AS cell) g
+      LEFT JOIN cells ON cells.doc_id = d.doc_id AND cells.cell = g.cell
+    )
+    SELECT a.doc_id AS doc_id,
+           sum(CASE WHEN a.val < b.val
+               THEN (CAST(1 AS BIGINT) << {bit}) ELSE 0 END) AS phash
+    FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND b.cell = a.cell + 1
+    WHERE a.cell % {PHASH_GRID_W} < {PHASH_GRID_W - 1}
+    GROUP BY a.doc_id
+    """
+
+
+@query("q_media_phash", oracle=_media_phash_oracle())
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (dHash) computed through the REAL PNG
+    encode->decode roundtrip: each doc's bag-of-words cell image is
+    encoded as a real PNG (rotating scanline filters), decoded back by
+    the pure-Python inflate+unfilter walk, and dHashed. The oracle
+    recomputes the hash from the cell arithmetic alone — agreement on
+    every row proves the codec roundtrip is lossless bit-for-bit,
+    turning the multimodal tier's decode path into a driver-checkable
+    value-hash gate instead of a rows-only check.
+
+    Scale shape: one Arrow-batched mapInPandas stage per direction,
+    constant bytes/doc; the phash is the 8-byte dedup/blocking key
+    downstream (equal or Hamming-banded, as in SimHash)."""
+    from ..functions.multimodal import phash_images, synth_cell_png_payloads
+    from ..tables import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    media = synth_cell_png_payloads(docs, "doc_id", "text")
+    return phash_images(media).select(
+        F.col("media_id").alias("doc_id"), "phash"
+    )
