@@ -80,8 +80,10 @@ HEADLINE = [
     "q_repeated_spans",
     "q_importance_weight",
     "q_pipeline_select",
-    # r4 additions (4): perceptual hash through the real PNG roundtrip
+    # r4 additions (4): perceptual hash / audio fingerprint through
+    # the real PNG / WAV roundtrips
     "q_media_phash",
+    "q_audio_fingerprint",
 ]
 
 

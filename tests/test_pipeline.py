@@ -925,3 +925,34 @@ def test_phash_roundtrip_and_sensitivity(spark):
     }
     assert out[0] == dhash_bits(_cell_image(t))
     assert out[0] != out[1]
+
+
+def test_audio_fingerprint_roundtrip_and_sensitivity(spark):
+    import numpy as np
+
+    from vsphere_event_streaming_spark.functions import codecs
+    from vsphere_event_streaming_spark.functions.multimodal import (
+        _text_samples,
+        audio_fingerprints,
+        audio_fp_bits,
+        synth_wav_payloads,
+    )
+
+    t = "some deterministic sample text for audio"
+    s = _text_samples(t)
+    # the WAV roundtrip is exactly the identity on int16 samples
+    _, back = codecs.decode_wav(codecs.encode_wav(s))
+    assert np.array_equal(back.astype(np.int16), s)
+
+    docs = spark.createDataFrame(
+        [(0, t), (1, t + " but different tail energy Z")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["media_id"]: r["afp"]
+        for r in audio_fingerprints(
+            synth_wav_payloads(docs, "doc_id", "text")
+        ).collect()
+    }
+    assert out[0] == audio_fp_bits(s.astype(np.int64))
+    assert out[0] != out[1]

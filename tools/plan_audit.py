@@ -262,6 +262,10 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython", r"CartesianProduct", r"Join"],
     ],
+    "q_audio_fingerprint": [
+        [r"MapInPandas"],
+        [r"BatchEvalPython", r"CartesianProduct", r"Join"],
+    ],
     # composed selection: both score tiers + the mixing filter plan as
     # equi-joins/filters inside one plan — no Python, no pair scans,
     # and the mixing gate's md5 decision evaluates JVM-side

@@ -421,3 +421,79 @@ def phash_images(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema="media_id long, phash long")
+
+
+# ----------------------------------------------------------------------
+# L23: audio fingerprint through the REAL WAV (RIFF/PCM16) roundtrip
+# ----------------------------------------------------------------------
+#: Frame layout for the audio fingerprint: 57 frames x 8 samples ->
+#: 56 energy-delta bits, fitting signed int64 like the image dHash.
+AUDIO_FRAMES = 57
+AUDIO_FRAME_LEN = 8
+
+
+def _text_samples(text: str) -> np.ndarray:
+    """Deterministic int16 'audio' from a doc: sample i is
+    (codepoint_i - 128) * 256 over the first 456 characters — pure
+    arithmetic on the text, so the SQL oracle replays it exactly."""
+    n = AUDIO_FRAMES * AUDIO_FRAME_LEN
+    t = (text or "")[:n]
+    return np.array(
+        [(ord(c) - 128) * 256 for c in t], dtype=np.int16
+    )
+
+
+def audio_fp_bits(samples: np.ndarray) -> int:
+    """Energy-delta fingerprint: frame energy = sum |s| over 8-sample
+    frames (missing samples contribute 0); bit j = [e_j < e_{j+1}].
+    The spectral-fingerprint shape (Shazam-style sign-of-delta over
+    banded energies) reduced to one band so it stays integer-exact."""
+    s = np.abs(samples.astype(np.int64))
+    e = [0] * AUDIO_FRAMES
+    for j in range(AUDIO_FRAMES):
+        seg = s[j * AUDIO_FRAME_LEN : (j + 1) * AUDIO_FRAME_LEN]
+        e[j] = int(seg.sum())
+    bits = 0
+    for j in range(AUDIO_FRAMES - 1):
+        if e[j] < e[j + 1]:
+            bits |= 1 << j
+    return bits
+
+
+def synth_wav_payloads(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(media_id, payload): a REAL RIFF/PCM16 WAV per row from the
+    doc's deterministic sample stream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                codecs.encode_wav(_text_samples(t)) for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, afp): energy-delta fingerprint of each payload's
+    DECODED samples. The decode is the real RIFF chunk walk + PCM16
+    read; the oracle recomputes the fingerprint from the text
+    arithmetic alone, so agreement proves the WAV encode->decode
+    roundtrip sample-exact on every row — the audio twin of
+    :func:`phash_images`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for p in pdf["payload"]:
+                _, x = codecs.decode_wav(bytes(p))
+                fps.append(audio_fp_bits(x.astype(np.int64)))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "afp": fps})
+
+    return media.mapInPandas(run, schema="media_id long, afp long")

@@ -1725,3 +1725,57 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_images(media).select(
         F.col("media_id").alias("doc_id"), "phash"
     )
+
+
+# ======================================================================
+# L23: audio fingerprint through the real WAV roundtrip
+# ======================================================================
+def _audio_fp_oracle() -> str:
+    from ..functions.multimodal import AUDIO_FRAME_LEN, AUDIO_FRAMES
+
+    fl = AUDIO_FRAME_LEN
+    sample = (
+        f"CASE WHEN j*{fl} + m <= length(text) THEN "
+        f"CAST(abs((ord(substr(text, CAST(j*{fl}+m AS INTEGER), 1)) - 128)"
+        f" * 256) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    energy = (
+        f"list_reduce(list_transform(range(1, {fl + 1}), "
+        f"m -> {sample}), (a, b) -> a + b)"
+    )
+    return f"""
+    WITH e AS (
+      SELECT doc_id,
+             list_transform(range(0, {AUDIO_FRAMES}), j -> {energy}) AS es
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(list_transform(range(1, {AUDIO_FRAMES}), j ->
+             CASE WHEN es[j] < es[j+1]
+                  THEN (CAST(1 AS BIGINT) << CAST(j-1 AS INTEGER))
+                  ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b) AS afp
+    FROM e
+    """
+
+
+@query("q_audio_fingerprint", oracle=_audio_fp_oracle())
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint (frame-energy deltas) computed through the
+    REAL WAV roundtrip: each doc's deterministic PCM16 sample stream
+    is encoded as a real RIFF/WAVE payload, decoded back by the chunk
+    walk, framed, and fingerprinted. The oracle replays the integer
+    arithmetic from the text alone — agreement on every row proves
+    the WAV encode->decode roundtrip sample-exact, the audio twin of
+    q_media_phash's PNG gate.
+
+    Scale shape identical to L22: two Arrow-batched map stages, no
+    shuffle, 8 bytes/doc out; the fingerprint is the audio dedup /
+    blocking key downstream."""
+    from ..functions.multimodal import audio_fingerprints, synth_wav_payloads
+    from ..tables import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    media = synth_wav_payloads(docs, "doc_id", "text")
+    return audio_fingerprints(media).select(
+        F.col("media_id").alias("doc_id"), "afp"
+    )
