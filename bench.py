@@ -84,6 +84,9 @@ HEADLINE = [
     # the real PNG / WAV roundtrips
     "q_media_phash",
     "q_audio_fingerprint",
+    # r4 additions (5): text-to-ANN composition over feature-hashing
+    # embeddings
+    "q_text_knn",
 ]
 
 

@@ -956,3 +956,27 @@ def test_audio_fingerprint_roundtrip_and_sensitivity(spark):
     }
     assert out[0] == audio_fp_bits(s.astype(np.int64))
     assert out[0] != out[1]
+
+
+# ----------------------------------------------------------------------
+# L24: feature-hashing embedding
+# ----------------------------------------------------------------------
+def test_hash_embed_hand_computed_and_empty(spark):
+    import hashlib
+
+    from vsphere_event_streaming_spark.functions.text import hash_embed
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 1_000_000_007
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "   ")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["embedding"] for r in hash_embed(df, 8).collect()}
+    exp = [0.0] * 8
+    for w, cnt in (("a", 2), ("b", 1)):
+        sv = cnt if h60("s:" + w) % 2 == 0 else -cnt
+        exp[h60(w) % 8] += sv
+    assert out[0] == exp
+    # token-free doc keeps a row: the zero vector
+    assert out[1] == [0.0] * 8

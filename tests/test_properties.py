@@ -143,3 +143,80 @@ def test_last_page_matches_get_start(spark):
         got = [r["offset"] for r in last_page(df, page, "offset").collect()]
         start = get_start(60, 99, page)
         assert got == list(range(start, 100))
+
+
+def test_repeated_spans_report_genuine_equal_spans(spark):
+    """Exactness property: every reported span corresponds to words
+    that are genuinely identical in both documents at the reported
+    positions, and is maximal (cannot extend either direction)."""
+    import random as rnd
+
+    from vsphere_event_streaming_spark.functions.dedup import (
+        SPAN_K,
+        repeated_spans,
+    )
+
+    r = rnd.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = [r.choice(vocab) for _ in range(20)]
+    docs = []
+    for d in range(8):
+        words = [r.choice(vocab) for _ in range(r.randint(10, 40))]
+        if d % 2 == 0:  # plant the shared run in half the docs
+            at = r.randint(0, len(words))
+            words = words[:at] + shared + words[at:]
+        docs.append((d, " ".join(words)))
+    by_id = {d: t.split() for d, t in docs}
+    out = repeated_spans(
+        spark.createDataFrame(docs, ["doc_id", "text"])
+    ).collect()
+    assert out, "planted 20-word shared run must be reported"
+    for row in out:
+        a, b = by_id[row["id_a"]], by_id[row["id_b"]]
+        sa, sb, ln = row["start_a"], row["start_b"], row["len_words"]
+        assert a[sa : sa + ln] == b[sb : sb + ln], row
+        # maximality: the span cannot extend by one word either way
+        left_ext = sa > 0 and sb > 0 and a[sa - 1] == b[sb - 1]
+        right_ext = (
+            sa + ln < len(a)
+            and sb + ln < len(b)
+            and a[sa + ln] == b[sb + ln]
+        )
+        assert not left_ext and not right_ext, row
+        assert ln >= SPAN_K
+
+
+def test_boilerplate_scrub_conservation_properties(spark):
+    """Conservation properties on a random corpus: no doc is lost,
+    kept words are a subsequence of the original, and dropped+kept
+    segment counts add up."""
+    import random as rnd
+
+    from vsphere_event_streaming_spark.functions.text import (
+        boilerplate_scrub,
+    )
+
+    r = rnd.Random(11)
+    vocab = [f"t{i}" for i in range(40)]
+    docs = []
+    shared8 = " ".join(r.choice(vocab) for _ in range(8))
+    for d in range(10):
+        words = " ".join(r.choice(vocab) for _ in range(r.randint(0, 30)))
+        text = (shared8 + " " + words) if d % 3 == 0 else words
+        docs.append((d, text))
+    out = {
+        row["doc_id"]: row
+        for row in boilerplate_scrub(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    assert set(out) == {d for d, _ in docs}
+    for d, text in docs:
+        row = out[d]
+        orig = text.split()
+        kept = row["clean_text"].split()
+        # kept words are a subsequence of the original word stream
+        it = iter(orig)
+        assert all(w in it for w in kept), (d, orig, kept)
+        assert 0 <= row["n_dropped"] <= row["n_segs"]
+        assert row["n_segs"] == (len(orig) + 7) // 8

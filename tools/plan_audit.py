@@ -266,6 +266,17 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython", r"CartesianProduct", r"Join"],
     ],
+    # text-to-ANN composition: embed (aggregates) -> bucket equi-join
+    # -> top-k heap, all JVM-side, no pair scans, no global sort
+    "q_text_knn": [
+        [r"TakeOrderedAndProject", r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"\+- Sort \[score.*global=true",
+        ],
+    ],
     # composed selection: both score tiers + the mixing filter plan as
     # equi-joins/filters inside one plan — no Python, no pair scans,
     # and the mixing gate's md5 decision evaluates JVM-side

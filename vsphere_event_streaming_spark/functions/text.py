@@ -379,3 +379,65 @@ def importance_weights(
             F.round(F.sum(F.col("k") * lr) / F.sum("k"), 6).alias("logw"),
         )
     )
+
+
+def hash_embed(
+    docs,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Feature-hashing text embedding (the hashing trick): component
+    k = sum of signed word counts whose 60-bit hash lands on k, with
+    an independent hash choosing the sign. All-integer components
+    (stored as double, hence exact), so the embedding — and every
+    downstream cosine/sign-LSH step — replays bit-for-bit in SQL.
+
+    The DSIR paper's hashed n-gram features and classic
+    HashingVectorizer are this shape; at 100 TB it is one explode +
+    two hash aggregates + a map build, constant dim*8 bytes/doc out.
+    """
+    wc = (
+        docs.select(
+            id_col, F.explode(words(F.col(text_col))).alias("word")
+        )
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    signed = wc.select(
+        id_col,
+        (md5_hash(F.col("word")) % dim).cast("int").alias("k"),
+        F.when(
+            md5_hash(F.concat(F.lit("s:"), F.col("word"))) % 2 == 0,
+            F.col("cnt"),
+        )
+        .otherwise(-F.col("cnt"))
+        .alias("sv"),
+    )
+    cells = signed.groupBy(id_col, "k").agg(F.sum("sv").alias("val"))
+    m = cells.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("k"), F.col("val")))
+        ).alias("m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("int")), F.lit(0)
+        ).cast("double"),
+    )
+    # docs with zero tokens produce no cells — rejoin so every doc
+    # keeps a (zero-vector) row
+    zero = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.lit(0.0)
+    )
+    return (
+        docs.select(id_col)
+        .join(m, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("m").isNotNull(), vec)
+            .otherwise(zero)
+            .alias("embedding"),
+        )
+    )

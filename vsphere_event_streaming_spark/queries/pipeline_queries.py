@@ -1779,3 +1779,116 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprints(media).select(
         F.col("media_id").alias("doc_id"), "afp"
     )
+
+
+# ======================================================================
+# L24: feature-hashing text embedding + text-to-ANN composition
+# ======================================================================
+HASH_EMBED_DIM = 64
+
+
+def _hash_embed_cte_sql(dim: int = HASH_EMBED_DIM) -> str:
+    """CTE chain after a ``w(doc_id, ws)`` CTE, yielding
+    ``emb(doc_id, v)`` — the hashing-trick embedding with all-integer
+    components (exact in double). Shared by the standalone embedding
+    oracle and the text-ANN composition oracle."""
+    h = _duck_word_hash
+    return f"""
+    tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    wc AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY doc_id, word),
+    signed AS (
+      SELECT doc_id, {h("word")} % {dim} AS k,
+             CASE WHEN {h("'s:' || word")} % 2 = 0 THEN cnt ELSE -cnt END AS sv
+      FROM wc
+    ),
+    hcells AS (SELECT doc_id, k, sum(sv) AS val FROM signed GROUP BY doc_id, k),
+    hgrid AS (
+      SELECT d.doc_id, g.k, CAST(coalesce(val, 0) AS DOUBLE) AS val
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range(0, {dim})) AS k) g
+      LEFT JOIN hcells ON hcells.doc_id = d.doc_id AND hcells.k = g.k
+    ),
+    emb AS (
+      SELECT doc_id, list(val ORDER BY k) AS v FROM hgrid GROUP BY doc_id
+    )"""
+
+
+@query(
+    "q_text_hash_embed",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    {_hash_embed_cte_sql()}
+    SELECT doc_id, v AS embedding FROM emb
+    """,
+)
+def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embedding (HashingVectorizer / DSIR
+    hashed-features shape): 64 signed-count components from two
+    independent word hashes. Components are integers carried as
+    doubles, so the embedding — unlike a trained model's — is exact
+    in both engines and the whole downstream vector tier becomes
+    oracle-checkable on derived text embeddings."""
+    from ..tables import spread
+
+    return T.hash_embed(
+        spread(_t(spark, sf_dir, "documents")), HASH_EMBED_DIM
+    )
+
+
+def _text_knn_oracle(n_bits: int = 6) -> str:
+    from ..functions.vectors import HYPER_MOD, HYPER_P1, HYPER_P2
+
+    def dotj(j: int) -> str:
+        plane = (
+            f"((({j}*{HYPER_P1} + (i-1)*{HYPER_P2} + 1) % {HYPER_MOD})"
+            f"::DOUBLE / {HYPER_MOD} - 0.5)"
+        )
+        return (
+            f"list_reduce(list_transform(range(1, len(v)+1), "
+            f"i -> v[i] * {plane}), (a, b) -> a + b)"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dotj(j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    {_hash_embed_cte_sql()},
+    s AS (SELECT doc_id, v, CAST({sig} AS INTEGER) AS sig FROM emb),
+    q AS (
+      SELECT v AS qv, sig AS qsig FROM s
+      WHERE doc_id = (SELECT min(doc_id) FROM documents)
+    ),
+    c AS (
+      SELECT doc_id, v, sig FROM s
+      WHERE doc_id != (SELECT min(doc_id) FROM documents)
+    )
+    SELECT doc_id, round({_duck_cosine("v", "qv")}, 6) AS score
+    FROM c, q WHERE c.sig = q.qsig
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("q_text_knn", oracle=_text_knn_oracle())
+def q_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-to-ANN composition in one Catalyst plan: hash-embed every
+    document, sign-LSH bucket the embeddings, and return the exact
+    cosine top-10 for the min-doc_id query inside its bucket. The
+    full chain — tokenize, embed, bucket, score — is deterministic
+    integer/double arithmetic, so the composed oracle replays all of
+    it; this is the similarity-search path a text corpus runs when no
+    trained embedding model is in the loop."""
+    from ..functions.vectors import hyperplane_topk, min_id_query_split
+    from ..tables import spread
+
+    # spread: single-row-group scan would serialize the embed
+    # aggregates (2.1 s -> 1.3 s at sf0.1; no-op at real scale)
+    emb = T.hash_embed(
+        spread(_t(spark, sf_dir, "documents")), HASH_EMBED_DIM
+    ).withColumnRenamed("doc_id", "vec_id")
+    qvec, corpus = min_id_query_split(emb)
+    return hyperplane_topk(corpus, qvec, k=10, n_bits=6).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
