@@ -266,6 +266,12 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"BatchEvalPython", r"CartesianProduct", r"Join"],
     ],
+    # training shuffle: the W1 two-phase range rank — one range
+    # exchange, id arithmetic, never a global row_number window
+    "q_training_shuffle": [
+        [r"rangepartitioning\(skey", r"monotonically_increasing_id"],
+        [r"row_number", r"BatchEvalPython", r"ArrowEvalPython"],
+    ],
     # text-to-ANN composition: embed (aggregates) -> bucket equi-join
     # -> top-k heap, all JVM-side, no pair scans, no global sort
     "q_text_knn": [

@@ -1892,3 +1892,53 @@ def q_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_topk(corpus, qvec, k=10, n_bits=6).withColumnRenamed(
         "vec_id", "doc_id"
     )
+
+
+# ======================================================================
+# L25: deterministic training-order shuffle
+# ======================================================================
+#: Epoch seed for the reproducible corpus shuffle. Changing the seed
+#: reshuffles; same seed + same corpus = identical order on any
+#: cluster layout, rerun, or engine.
+SHUFFLE_SEED = "epoch0"
+
+
+@query(
+    "q_training_shuffle",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             ((('0x' || substr(md5('{SHUFFLE_SEED}:' ||
+                CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+              % {T.HASH_MOD}) AS skey
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT)
+             AS shuffle_pos
+    FROM k
+    """,
+)
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training shuffle: every doc gets a dense
+    position in the order of its seed-keyed md5 hash (ties broken by
+    id). Content-keyed like the mixing gate — reruns, repartitions,
+    and the oracle all produce the identical permutation, which is
+    what makes a training run's data order auditable.
+
+    Scale shape: NOT a global-sort window — the rank reuses the log
+    tier's two-phase range-partitioned offset assignment (one range
+    exchange + codegen arithmetic from monotonically_increasing_id),
+    the same plan-audited machinery that scales W1 to 100 TB."""
+    from ..log.model import assign_offsets
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        T.md5_hash(
+            F.concat(F.lit(f"{SHUFFLE_SEED}:"), F.col("doc_id"))
+        ).alias("skey"),
+    )
+    return assign_offsets(
+        keyed, order_by=["skey", "doc_id"], offset_col="shuffle_pos", start=0
+    ).select("doc_id", "shuffle_pos")
