@@ -50,3 +50,20 @@ class ExplodeProps:
 def register_udtfs(spark) -> None:
     """Register the UDTF surface for spark.sql LATERAL usage."""
     spark.udtf.register("explode_props", ExplodeProps)
+
+
+# ----------------------------------------------------------------------
+# Grouped-agg pandas_udf (the vectorized UDAF flavor of §2.10)
+# ----------------------------------------------------------------------
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from pyspark.sql.functions import pandas_udf  # noqa: E402
+
+
+@pandas_udf("double")
+def gmean_udaf(prices: pd.Series) -> float:
+    """Series→scalar UDAF: geometric mean via an Arrow-batched numpy
+    reduction. The q_udaf_gmean oracle replays it declaratively as
+    exp(avg(ln(x)))."""
+    return float(np.exp(np.log(prices.astype("float64")).mean()))

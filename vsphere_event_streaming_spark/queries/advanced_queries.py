@@ -2254,3 +2254,45 @@ def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "wa", "wb")
         .limit(50)
     )
+
+
+@query(
+    "q_udaf_gmean",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(exp(avg(ln(CAST(l_extendedprice AS DOUBLE)))), 6)
+             AS gmean_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized UDAF (SURVEY §2.10's grouped-agg pandas_udf flavor):
+    geometric-mean price per return flag, computed by an Arrow-batched
+    numpy reduction on the Python side. The declarative equivalent
+    (exp of avg of ln) is what the oracle runs — deliberately a shape
+    Spark's built-ins could also express, so the UDAF path itself is
+    what the value-hash verifies. Per-group rounding to 6 decimals
+    absorbs the engines' summation-order difference (~1e-9 absolute
+    on these magnitudes).
+
+    Scale: grouped-agg pandas_udf aggregates Arrow batches per group
+    AFTER a hash partial has no chance to help (Python aggregation is
+    final-only) — which is why built-ins stay the default and this
+    query exists to pin the escape hatch's semantics, not to race it."""
+    from ..functions.udtf_ops import gmean_udaf
+
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    # a grouped-agg pandas UDF cannot share an agg() with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — two aggregates over
+    # the same 3-group key, joined broadcast-cheap
+    g = li.groupBy("l_returnflag").agg(
+        F.round(gmean_udaf(F.col("l_extendedprice")), 6).alias(
+            "gmean_price"
+        )
+    )
+    c = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    return c.join(g, "l_returnflag").select(
+        "l_returnflag", "n", "gmean_price"
+    )
