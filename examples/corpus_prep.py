@@ -1,0 +1,138 @@
+"""End-to-end corpus preparation: the pipeline a user of this engine
+runs to turn a raw document dump into training-ready shards.
+
+Stages (each is an independently-oracled operator — see COVERAGE.md):
+
+ 1. hygiene gates     — PII-free, exact-dedup keeper, benchmark-clean,
+                        repetition-sane (q_pipeline_guarded's gates)
+ 2. boilerplate scrub — cut segments shared verbatim across docs (L16)
+ 3. scoring           — bigram-LM quality + DSIR importance (L17/L20)
+ 4. selection         — score floors + per-language mixing gate (L21)
+ 5. order + pack      — reproducible shuffle (L25), sequence packing
+                        into token-budgeted packs (L14)
+ 6. write             — parquet partitioned by (lang, pack_id)
+
+Run:  python examples/corpus_prep.py [sf_dir] [out_dir]
+
+Everything is one Catalyst plan per stage boundary; nothing collects
+data-proportional state to the driver. On a cluster the same script
+runs unchanged — the operators' scale postures are in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
+    contamination_report,
+    exact_dedup_keepers,
+    release_cached,
+)
+from vsphere_event_streaming_spark.functions.sampling import (  # noqa: E402
+    pack_sequences,
+    stratified_sample,
+)
+from vsphere_event_streaming_spark.functions.text import (  # noqa: E402
+    bigram_lm_scores,
+    boilerplate_scrub,
+    importance_weights,
+    pii_counts,
+    repetition_profile,
+)
+from vsphere_event_streaming_spark.queries.pipeline_queries import (  # noqa: E402
+    DSIR_TARGET_SOURCE,
+    MIX_RATES,
+    MIX_SEED,
+    PACK_BUDGET_TOKENS,
+    SELECT_MIN_LOGP,
+    SELECT_MIN_LOGW,
+)
+from vsphere_event_streaming_spark.session import get_spark, tune  # noqa: E402
+from vsphere_event_streaming_spark.tables import load, spread  # noqa: E402
+
+
+def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
+    """Run the full preparation pipeline; returns summary counts."""
+    tune(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+
+    # -- 1. hygiene gates ------------------------------------------------
+    counts = pii_counts(F.col("text"))
+    pii_total = counts["email"] + counts["phone"] + counts["ipv4"]
+    keepers = exact_dedup_keepers(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    contaminated = (
+        contamination_report(docs, bench, threshold=0.5)
+        .filter(F.col("contaminated") == 1)
+        .select(F.col("id").alias("doc_id"))
+    )
+    rep = repetition_profile(docs).select(
+        F.col("id").alias("doc_id"), "max_freq_ratio"
+    )
+    clean = (
+        docs.filter(pii_total == 0)
+        .join(keepers, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(rep, "doc_id")
+        .filter(F.col("max_freq_ratio") <= 0.2)
+        .drop("max_freq_ratio")
+    )
+
+    # -- 2. boilerplate scrub -------------------------------------------
+    scrubbed = (
+        clean.join(
+            boilerplate_scrub(clean).select("doc_id", "clean_text"),
+            "doc_id",
+        )
+        .drop("text")
+        .withColumnRenamed("clean_text", "text")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+    )
+
+    # -- 3 + 4. scoring + selection -------------------------------------
+    lm = bigram_lm_scores(scrubbed).select("doc_id", "avg_logp")
+    iw = importance_weights(scrubbed, DSIR_TARGET_SOURCE)
+    selected = (
+        stratified_sample(scrubbed, MIX_RATES, seed=MIX_SEED)
+        .join(lm, "doc_id")
+        .join(iw, "doc_id")
+        .filter(
+            (F.col("avg_logp") >= F.lit(SELECT_MIN_LOGP))
+            & (F.col("logw") >= F.lit(SELECT_MIN_LOGW))
+        )
+        .select("doc_id", "text", "lang", "source")
+    )
+
+    # -- 5. pack (per-language token budget) ----------------------------
+    packed = pack_sequences(selected, PACK_BUDGET_TOKENS)
+
+    # -- 6. write shards -------------------------------------------------
+    (
+        packed.join(selected.select("doc_id", "text"), "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("lang", "pack_id")
+        .parquet(out_dir)
+    )
+    out = spark.read.parquet(out_dir)
+    summary = {
+        "input_docs": docs.count(),
+        "after_hygiene": clean.count(),
+        "selected": selected.count(),
+        "packs": out.select("lang", "pack_id").distinct().count(),
+        "written_docs": out.count(),
+    }
+    release_cached()
+    return summary
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/corpus_prep_out"
+    spark = get_spark("corpus-prep")
+    print(prepare_corpus(spark, sf_dir, out_dir))

@@ -980,3 +980,22 @@ def test_hash_embed_hand_computed_and_empty(spark):
     assert out[0] == exp
     # token-free doc keeps a row: the zero vector
     assert out[1] == [0.0] * 8
+
+
+def test_corpus_prep_example_end_to_end(spark, tmp_path):
+    """The examples/ pipeline runs end-to-end on the test corpus and
+    its funnel only narrows: input >= hygiene >= selected >= written,
+    and written shards are partitioned by (lang, pack_id)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from examples.corpus_prep import prepare_corpus
+
+    out = prepare_corpus(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "shards")
+    )
+    assert out["input_docs"] >= out["after_hygiene"] >= out["selected"]
+    assert out["selected"] == out["written_docs"] > 0
+    assert out["packs"] > 0
+    shard = spark.read.parquet(str(tmp_path / "shards"))
+    assert {"lang", "pack_id"} <= set(shard.columns)
