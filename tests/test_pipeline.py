@@ -999,3 +999,39 @@ def test_corpus_prep_example_end_to_end(spark, tmp_path):
     assert out["packs"] > 0
     shard = spark.read.parquet(str(tmp_path / "shards"))
     assert {"lang", "pack_id"} <= set(shard.columns)
+
+
+def test_media_decode_error_policy(spark):
+    """on_error='null' quarantines corrupt payloads as NULL hashes
+    instead of failing the job; on_error='fail' (default) raises —
+    the oracle-checked posture."""
+    import pytest as _pytest
+
+    from vsphere_event_streaming_spark.functions.multimodal import (
+        audio_fingerprints,
+        phash_images,
+        synth_cell_png_payloads,
+    )
+
+    docs = spark.createDataFrame([(0, "good doc words")], ["doc_id", "text"])
+    good = synth_cell_png_payloads(docs, "doc_id", "text")
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"not a png at all"))], "media_id long, payload binary"
+    )
+    media = good.unionByName(bad)
+
+    out = {
+        r["media_id"]: r["phash"]
+        for r in phash_images(media, on_error="null").collect()
+    }
+    assert out[0] is not None and out[99] is None
+    with _pytest.raises(Exception):
+        phash_images(media).collect()  # default: fail
+
+    afp = {
+        r["media_id"]: r["afp"]
+        for r in audio_fingerprints(media, on_error="null").collect()
+    }
+    assert afp[99] is None  # not RIFF
+    with _pytest.raises(ValueError, match="on_error"):
+        phash_images(media, on_error="skip")

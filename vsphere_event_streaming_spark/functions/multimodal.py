@@ -401,24 +401,37 @@ def synth_cell_png_payloads(
     )
 
 
-def phash_images(media: DataFrame) -> DataFrame:
+def phash_images(media: DataFrame, on_error: str = "fail") -> DataFrame:
     """(media_id, phash): dHash of each payload's DECODED pixels.
 
     The decode is the real inflate+unfilter walk — so when the oracle
     recomputes the same hash from the cell arithmetic alone, agreement
     proves the entire PNG encode->decode roundtrip is lossless, bit
     for bit, on every row. A broken filter path shows up as a
-    value-hash mismatch, not a silent wrong answer."""
+    value-hash mismatch, not a silent wrong answer.
+
+    ``on_error``: ``"fail"`` (default — a corrupt payload raises and
+    fails the task, right for oracle-checked runs) or ``"null"`` —
+    undecodable rows yield a NULL phash instead of killing the job,
+    the posture a 100 TB crawl needs where some media bytes are
+    always garbage; count the NULLs downstream and quarantine.
+    """
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be 'fail' or 'null': {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = [
-                dhash_bits(codecs.decode_png(bytes(p)))
-                for p in pdf["payload"]
-            ]
+            hashes: list[int | None] = []
+            for p in pdf["payload"]:
+                try:
+                    hashes.append(dhash_bits(codecs.decode_png(bytes(p))))
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    hashes.append(None)
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "phash": hashes}
-            )
+                {"media_id": pdf["media_id"], "phash": hashes},
+            ).astype({"phash": "Int64"})
 
     return media.mapInPandas(run, schema="media_id long, phash long")
 
@@ -480,20 +493,31 @@ def synth_wav_payloads(
     )
 
 
-def audio_fingerprints(media: DataFrame) -> DataFrame:
+def audio_fingerprints(
+    media: DataFrame, on_error: str = "fail"
+) -> DataFrame:
     """(media_id, afp): energy-delta fingerprint of each payload's
     DECODED samples. The decode is the real RIFF chunk walk + PCM16
     read; the oracle recomputes the fingerprint from the text
     arithmetic alone, so agreement proves the WAV encode->decode
     roundtrip sample-exact on every row — the audio twin of
-    :func:`phash_images`."""
+    :func:`phash_images`, including its ``on_error`` policy."""
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be 'fail' or 'null': {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fps = []
+            fps: list[int | None] = []
             for p in pdf["payload"]:
-                _, x = codecs.decode_wav(bytes(p))
-                fps.append(audio_fp_bits(x.astype(np.int64)))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "afp": fps})
+                try:
+                    _, x = codecs.decode_wav(bytes(p))
+                    fps.append(audio_fp_bits(x.astype(np.int64)))
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    fps.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "afp": fps},
+            ).astype({"afp": "Int64"})
 
     return media.mapInPandas(run, schema="media_id long, afp long")
