@@ -211,3 +211,59 @@ def test_zorder_empty_and_all_null_inputs_raise_cleanly(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         z_value(all_null, "x", "y")
+
+
+def test_zorder_n_tightens_three_dimensions(spark, tmp_path):
+    """3-column Morton clustering: per-file min/max envelopes must be
+    a small fraction of the global span in ALL THREE dimensions."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.operators.zorder import (
+        write_zordered_n,
+    )
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.xxhash64("id") % 100000).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 100000).alias("y"),
+        (F.xxhash64("id", F.lit(2)) % 100000).alias("w"),
+    )
+    zdir = f"{tmp_path}/zn"
+    write_zordered_n(df, zdir, ["x", "y", "w"], num_files=16)
+
+    def avg_span_frac(col):
+        spans, glo, ghi = [], None, None
+        for f in glob.glob(zdir + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        return (sum(spans) / len(spans)) / (ghi - glo)
+
+    for col in ("x", "y", "w"):
+        assert avg_span_frac(col) <= 0.65, col
+
+
+def test_zorder_n_bit_budget_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.operators.zorder import z_value_n
+
+    df = spark.range(10).select(
+        *[F.col("id").alias(c) for c in "abcdefgh"]
+    )
+    with pytest.raises(ValueError, match="> 63"):
+        z_value_n(df, list("abcdefgh"), bits=8)

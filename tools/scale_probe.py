@@ -35,9 +35,14 @@ from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
 from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
     repeated_spans,
 )
+from vsphere_event_streaming_spark.functions.multimodal import (  # noqa: E402
+    phash_images,
+    synth_cell_png_payloads,
+)
 from vsphere_event_streaming_spark.functions.text import (  # noqa: E402
     bigram_lm_scores,
     boilerplate_scrub,
+    hash_embed,
     importance_weights,
     pii_counts,
     repetition_profile,
@@ -301,6 +306,44 @@ def main() -> None:
             "semantic_dedup",
             lambda: semantic_dedup(emb1),
             lambda: semantic_dedup(embN),
+        ),
+        (
+            # feature-hashing embedding: explode + two hash aggregates
+            "hash_embed",
+            lambda: hash_embed(docs1),
+            lambda: hash_embed(docsN),
+        ),
+        (
+            # perceptual hash: PNG encode -> decode -> dHash, two
+            # Arrow map stages, no shuffle
+            "phash_images",
+            lambda: phash_images(
+                synth_cell_png_payloads(docs1, "doc_id", "text")
+            ),
+            lambda: phash_images(
+                synth_cell_png_payloads(docsN, "doc_id", "text")
+            ),
+        ),
+        (
+            # reproducible training shuffle: the W1 two-phase rank on
+            # a hash key
+            "training_shuffle",
+            lambda: assign_offsets(
+                docs1.select(
+                    "doc_id", F.md5(F.col("text")).alias("skey")
+                ),
+                order_by=["skey", "doc_id"],
+                offset_col="shuffle_pos",
+                start=0,
+            ),
+            lambda: assign_offsets(
+                docsN.select(
+                    "doc_id", F.md5(F.col("text")).alias("skey")
+                ),
+                order_by=["skey", "doc_id"],
+                offset_col="shuffle_pos",
+                start=0,
+            ),
         ),
         (
             "assign_offsets",
