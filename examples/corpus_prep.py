@@ -40,8 +40,12 @@ from vsphere_event_streaming_spark.functions.text import (  # noqa: E402
     bigram_lm_scores,
     boilerplate_scrub,
     importance_weights,
+    md5_hash,
     pii_counts,
     repetition_profile,
+)
+from vsphere_event_streaming_spark.log.model import (  # noqa: E402
+    assign_offsets,
 )
 from vsphere_event_streaming_spark.queries.pipeline_queries import (  # noqa: E402
     DSIR_TARGET_SOURCE,
@@ -50,6 +54,7 @@ from vsphere_event_streaming_spark.queries.pipeline_queries import (  # noqa: E4
     PACK_BUDGET_TOKENS,
     SELECT_MIN_LOGP,
     SELECT_MIN_LOGW,
+    SHUFFLE_SEED,
 )
 from vsphere_event_streaming_spark.session import get_spark, tune  # noqa: E402
 from vsphere_event_streaming_spark.tables import load, spread  # noqa: E402
@@ -92,10 +97,14 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         )
         .drop("text")
         .withColumnRenamed("clean_text", "text")
-        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .filter(F.length(F.col("text")) > 0)
     )
 
     # -- 3 + 4. scoring + selection -------------------------------------
+    # persist the scrubbed frame: the two scoring models, the mixing
+    # gate, and the hygiene count below all read it — without the
+    # persist each consumer re-runs the gates + scrub DAG
+    scrubbed = scrubbed.persist()
     lm = bigram_lm_scores(scrubbed).select("doc_id", "avg_logp")
     iw = importance_weights(scrubbed, DSIR_TARGET_SOURCE)
     selected = (
@@ -107,14 +116,33 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
             & (F.col("logw") >= F.lit(SELECT_MIN_LOGW))
         )
         .select("doc_id", "text", "lang", "source")
+        .persist()
     )
 
-    # -- 5. pack (per-language token budget) ----------------------------
-    packed = pack_sequences(selected, PACK_BUDGET_TOKENS)
+    # -- 5. order + pack -------------------------------------------------
+    # reproducible training shuffle (L25): dense position in the
+    # seed-keyed md5 order, via the two-phase range rank; packing then
+    # consumes the SHUFFLED order, so changing SHUFFLE_SEED reshuffles
+    # the packs deterministically
+    shuffled = assign_offsets(
+        selected.withColumn(
+            "skey",
+            md5_hash(F.concat(F.lit(f"{SHUFFLE_SEED}:"), F.col("doc_id"))),
+        ),
+        order_by=["skey", "doc_id"],
+        offset_col="shuffle_pos",
+        start=0,
+    ).drop("skey")
+    packed = pack_sequences(
+        shuffled, PACK_BUDGET_TOKENS, order_col="shuffle_pos"
+    )
 
     # -- 6. write shards -------------------------------------------------
     (
-        packed.join(selected.select("doc_id", "text"), "doc_id")
+        packed.join(
+            shuffled.select("doc_id", "shuffle_pos"), "shuffle_pos"
+        )
+        .join(selected.select("doc_id", "text"), "doc_id")
         .write.mode("overwrite")
         .partitionBy("lang", "pack_id")
         .parquet(out_dir)
@@ -122,11 +150,13 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
     out = spark.read.parquet(out_dir)
     summary = {
         "input_docs": docs.count(),
-        "after_hygiene": clean.count(),
+        "after_hygiene": scrubbed.count(),
         "selected": selected.count(),
         "packs": out.select("lang", "pack_id").distinct().count(),
         "written_docs": out.count(),
     }
+    scrubbed.unpersist()
+    selected.unpersist()
     release_cached()
     return summary
 

@@ -1035,3 +1035,38 @@ def test_media_decode_error_policy(spark):
     assert afp[99] is None  # not RIFF
     with _pytest.raises(ValueError, match="on_error"):
         phash_images(media, on_error="skip")
+
+
+def test_media_fingerprints_survive_unicode_text(spark, tmp_path):
+    """CJK/Unicode text must hash identically in engine and oracle:
+    codepoints wrap mod 256 before the int16 sample mapping (ord('的')
+    would overflow the dtype), and the phash tokenizer must not eat
+    Unicode whitespace the split class leaves alone."""
+    import duckdb
+
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        _audio_fp_oracle,
+        _media_phash_oracle,
+        q_audio_fingerprint,
+        q_media_phash,
+    )
+
+    rows = [(0, "的是了 在我 words"), (1, "\xa0leading nbsp kept")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    for qfn, oracle in (
+        (q_audio_fingerprint, _audio_fp_oracle()),
+        (q_media_phash, _media_phash_oracle()),
+    ):
+        got = {
+            r[0]: r[1]
+            for r in qfn(spark, str(tmp_path)).collect()
+        }
+        want = dict(con.sql(oracle).fetchall())
+        assert got == want, (qfn.__name__, got, want)

@@ -44,9 +44,15 @@ from vsphere_event_streaming_spark.functions.text import (  # noqa: E402
     boilerplate_scrub,
     hash_embed,
     importance_weights,
+    md5_hash,
     pii_counts,
     repetition_profile,
 )
+
+
+def _shuffle_key():
+    """q_training_shuffle's exact key: numeric 60-bit seed-keyed md5."""
+    return md5_hash(F.concat(F.lit("epoch0:"), F.col("doc_id")))
 from vsphere_event_streaming_spark.functions.vectors import (  # noqa: E402
     hyperplane_topk_probed,
     semantic_dedup,
@@ -326,20 +332,19 @@ def main() -> None:
         ),
         (
             # reproducible training shuffle: the W1 two-phase rank on
-            # a hash key
+            # the SAME numeric 60-bit seed-keyed md5 the query uses
+            # (string md5 keys would measure a different shuffle
+            # weight); replica doc_ids are distinct so the order key
+            # is unique like the query's
             "training_shuffle",
             lambda: assign_offsets(
-                docs1.select(
-                    "doc_id", F.md5(F.col("text")).alias("skey")
-                ),
+                docs1.select("doc_id", _shuffle_key().alias("skey")),
                 order_by=["skey", "doc_id"],
                 offset_col="shuffle_pos",
                 start=0,
             ),
             lambda: assign_offsets(
-                docsN.select(
-                    "doc_id", F.md5(F.col("text")).alias("skey")
-                ),
+                docsN.select("doc_id", _shuffle_key().alias("skey")),
                 order_by=["skey", "doc_id"],
                 offset_col="shuffle_pos",
                 start=0,

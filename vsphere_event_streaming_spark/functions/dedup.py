@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import HASH_MOD, md5_hash, words
+from .text import HASH_MOD, md5_hash, words, ws_strip
 
 #: Corpus-sized intermediates this module persists (shingle arrays,
 #: minhash signatures, simhash tables). Persisting is deliberate —
@@ -81,9 +81,14 @@ def normalize_text(text: Column) -> Column:
 
     The whitespace class is explicit — Java regex ``\\s`` includes
     vertical tab (\\x0B) while RE2 (the DuckDB oracle) does not; the
-    explicit class means both engines normalize identically.
+    explicit class means both engines normalize identically. After
+    the collapse, edges can only hold ' ' (from the collapse) or
+    non-class characters, so the final strip is spaces-only — stated
+    as an anchored regexp here and ``trim(x, ' ')`` in the oracle,
+    because each engine's bare trim eats a different character set.
     """
-    return F.lower(F.trim(F.regexp_replace(text, "[ \\t\\n\\r\\f\\x0B]+", " ")))
+    collapsed = F.regexp_replace(text, "[ \\t\\n\\r\\f\\x0B]+", " ")
+    return F.lower(F.regexp_replace(collapsed, "^ +| +$", ""))
 
 
 def exact_dedup_keepers(
@@ -182,8 +187,10 @@ def char_shingle_hash_arrays(
     """
     from ..tables import spread
 
-    docs = spread(docs).filter(F.length(F.trim(text_col)) >= n)
-    t = F.lower(F.trim(F.col(text_col)))
+    docs = spread(docs).filter(
+        F.length(ws_strip(F.col(text_col))) >= n
+    )
+    t = F.lower(ws_strip(F.col(text_col)))
     sh = F.transform(
         F.sequence(F.lit(1), F.length(t) - (n - 1)),
         lambda i: md5_hash(t.substr(i.cast("int"), F.lit(n))),

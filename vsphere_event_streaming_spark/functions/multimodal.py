@@ -356,10 +356,12 @@ def _cell_image(text: str) -> np.ndarray:
     import re as _re
     from collections import Counter
 
+    # replicate _DUCK_WORDS exactly: split on the 6-char class and
+    # filter empties — NO Python .strip(), which eats Unicode
+    # whitespace (\xa0,  ...) that neither engine's split class
+    # matches and would diverge the tokens from the oracle's
     ws = [
-        w
-        for w in _re.split(r"[ \t\n\r\f\x0B]+", (text or "").strip())
-        if w
+        w for w in _re.split(r"[ \t\n\r\f\x0B]+", text or "") if w
     ]
     cells = [0] * (PHASH_GRID_H * PHASH_GRID_W)
     for w, cnt in Counter(ws).items():
@@ -447,12 +449,15 @@ AUDIO_FRAME_LEN = 8
 
 def _text_samples(text: str) -> np.ndarray:
     """Deterministic int16 'audio' from a doc: sample i is
-    (codepoint_i - 128) * 256 over the first 456 characters — pure
-    arithmetic on the text, so the SQL oracle replays it exactly."""
+    ((codepoint_i mod 256) - 128) * 256 over the first 456 characters
+    — pure arithmetic on the text, so the SQL oracle replays it
+    exactly. The mod 256 keeps any Unicode codepoint (CJK docs) inside
+    int16; without it ord('的')=30340 would overflow the dtype while
+    the oracle computed the unwrapped value."""
     n = AUDIO_FRAMES * AUDIO_FRAME_LEN
     t = (text or "")[:n]
     return np.array(
-        [(ord(c) - 128) * 256 for c in t], dtype=np.int16
+        [((ord(c) % 256) - 128) * 256 for c in t], dtype=np.int16
     )
 
 

@@ -30,12 +30,33 @@ LANG_STOPWORDS = {
 LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
 
 
+#: The tokenizer's whitespace class — explicit because Java \s
+#: includes \x0B where RE2 does not; oracles must tokenize identically.
+WS_CLASS = "[ \\t\\n\\r\\f\\x0B]"
+
+
 def words(text: Column) -> Column:
-    """Whitespace tokenization with empty-token removal."""
-    # explicit whitespace class: Java \s includes \x0B, RE2 does not —
-    # oracles must tokenize identically
-    return F.filter(
-        F.split(F.trim(text), "[ \\t\\n\\r\\f\\x0B]+"), lambda w: w != ""
+    """Whitespace tokenization with empty-token removal.
+
+    Deliberately NO trim: leading/trailing class-whitespace yields
+    empty tokens the filter removes, and every engine's native trim
+    strips a DIFFERENT set (Java <= U+0020, DuckDB Unicode
+    whitespace, Python str.strip Unicode) — a \\xa0-leading doc would
+    silently tokenize differently per engine if any trim ran first.
+    """
+    return F.filter(F.split(text, WS_CLASS + "+"), lambda w: w != "")
+
+
+def ws_strip(text: Column) -> Column:
+    """Strip ONLY the tokenizer's whitespace class from both ends.
+
+    The engine-portable trim: Java ``trim`` (chars <= U+0020), DuckDB
+    ``trim`` (Unicode whitespace), and Python ``str.strip`` each eat
+    different character sets; this anchored regexp is the same six
+    characters everywhere.
+    """
+    return F.regexp_replace(
+        text, f"^{WS_CLASS}+|{WS_CLASS}+$", ""
     )
 
 
@@ -82,8 +103,12 @@ def md5_hash(text: Column) -> Column:
 
 
 def fingerprint(text: Column, prefix_chars: int = 256) -> Column:
-    """Document fingerprint: rolling hash of the normalized prefix."""
-    return rolling_hash(F.substring(F.lower(F.trim(text)), 1, prefix_chars))
+    """Document fingerprint: rolling hash of the normalized prefix
+    (class-stripped via :func:`ws_strip` so every engine normalizes
+    the same characters)."""
+    return rolling_hash(
+        F.substring(F.lower(ws_strip(text)), 1, prefix_chars)
+    )
 
 
 def segment_texts(ws: Column, seg_words: int) -> Column:

@@ -38,37 +38,10 @@ def z_value(
     df: DataFrame, col_a: str, col_b: str, bits: int = 12
 ) -> DataFrame:
     """Attach ``__z``: the Morton value of the two columns, each
-    min/max-normalized into 2^bits equal-width cells (one tiny
-    aggregate produces all four scalars; constant per write job)."""
-    stats = df.agg(
-        F.min(col_a).alias("amin"),
-        F.max(col_a).alias("amax"),
-        F.min(col_b).alias("bmin"),
-        F.max(col_b).alias("bmax"),
-    ).first()
-    if stats is None or any(stats[k] is None for k in range(4)):
-        raise ValueError(
-            f"z_value({col_a!r}, {col_b!r}): cannot normalize an empty "
-            "DataFrame or an all-NULL cluster column (min/max undefined)"
-        )
-    cells = float(1 << bits)
-
-    def bucket(c: str, lo, hi) -> Column:
-        span = float(hi - lo) or 1.0
-        raw = F.floor(
-            (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span)
-            * F.lit(cells)
-        ).cast("long")
-        return F.least(F.greatest(raw, F.lit(0)), F.lit((1 << bits) - 1))
-
-    return df.withColumn(
-        "__z",
-        interleave_bits(
-            bucket(col_a, stats["amin"], stats["amax"]),
-            bucket(col_b, stats["bmin"], stats["bmax"]),
-            bits,
-        ),
-    )
+    min/max-normalized into 2^bits equal-width cells. Thin wrapper
+    over :func:`z_value_n` (n=2 bit placement is identical: a at
+    2j+1, b at 2j — asserted by the legacy parquet-footer test)."""
+    return z_value_n(df, [col_a, col_b], bits)
 
 
 def write_zordered(
@@ -84,14 +57,7 @@ def write_zordered(
     output tasks and sort within each, so every file's min/max
     envelope is tight in both dimensions and either predicate skips
     most files at scan time."""
-    (
-        z_value(df, col_a, col_b, bits)
-        .repartitionByRange(num_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    write_zordered_n(df, path, [col_a, col_b], num_files, bits)
 
 
 def interleave_bits_n(cols: list[Column], bits: int) -> Column:
@@ -122,6 +88,13 @@ def z_value_n(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     2^bits cells. One tiny aggregate produces all 2N scalars. The
     2-column form keeps 12 bits/dim; more dimensions trade per-dim
     resolution for dimensions (N*bits <= 63)."""
+    # argument-only check FIRST — before the min/max aggregate scans
+    # the data, so a misconfigured call fails for free
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"{len(cols)} columns x {bits} bits = {len(cols) * bits} "
+            "Morton bits > 63"
+        )
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]

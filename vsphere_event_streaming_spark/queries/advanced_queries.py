@@ -1164,7 +1164,7 @@ def q_udtf_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keepers AS (
       SELECT min(doc_id) AS doc_id
       FROM documents
-      GROUP BY lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))
+      GROUP BY lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'), ' '))
     ), kept AS (
       SELECT d.doc_id, d.lang, d.text
       FROM documents d JOIN keepers USING (doc_id)

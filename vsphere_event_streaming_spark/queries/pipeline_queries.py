@@ -53,9 +53,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: tokenizer replica: explicit whitespace class (matches words() —
 #: Java \s includes \x0B, RE2 does not) and empty tokens filtered the
 #: way words() filters them (split of '' yields [''] in both engines)
+#: NO trim — DuckDB's trim strips Unicode whitespace (\xa0 ...) that
+#: Java's does not; leading/trailing class-whitespace just yields
+#: empty tokens the filter removes, identically in every engine.
 _DUCK_WORDS = (
-    r"list_filter(string_split_regex(trim(text), "
+    r"list_filter(string_split_regex(text, "
     r"'[ \t\n\r\f\x0B]+'), w -> w <> '')"
+)
+
+#: Engine-portable trim: strip ONLY the tokenizer's whitespace class
+#: (mirrors functions.text.ws_strip).
+_DUCK_WS_STRIP = (
+    r"regexp_replace(text, "
+    r"'^[ \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+$', '', 'g')"
 )
 
 
@@ -116,7 +126,7 @@ def _duck_cosine(a: str, b: str) -> str:
     oracle=r"""
     SELECT min(doc_id) AS keeper_id, count(*) AS copies
     FROM documents
-    GROUP BY lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))
+    GROUP BY lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'), ' '))
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,8 +222,8 @@ def q_dedup_near_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_near_char",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, lower(trim(text)) AS t FROM documents
-      WHERE length(trim(text)) >= 5
+      SELECT doc_id, lower(regexp_replace(text, '^[ \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+$', '', 'g')) AS t FROM documents
+      WHERE length(regexp_replace(text, '^[ \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+$', '', 'g')) >= 5
     ),
     sha AS (
       SELECT doc_id,
@@ -678,7 +688,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fingerprint",
     oracle=f"""
     SELECT doc_id,
-           {_duck_hash("substr(lower(trim(text)), 1, 256)")} AS fingerprint
+           {_duck_hash("substr(lower(" + _DUCK_WS_STRIP + "), 1, 256)")} AS fingerprint
     FROM documents
     """,
 )
@@ -954,7 +964,7 @@ def _pipeline_guarded_oracle() -> str:
     keepers AS (
       SELECT min(doc_id) AS doc_id FROM documents
       GROUP BY lower(trim(regexp_replace(text,
-               '[ \t\n\r\f\x0B]+', ' ', 'g')))
+               '[ \t\n\r\f\x0B]+', ' ', 'g'), ' '))
     ),
     rep AS (
       SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
@@ -1736,8 +1746,8 @@ def _audio_fp_oracle() -> str:
     fl = AUDIO_FRAME_LEN
     sample = (
         f"CASE WHEN j*{fl} + m <= length(text) THEN "
-        f"CAST(abs((ord(substr(text, CAST(j*{fl}+m AS INTEGER), 1)) - 128)"
-        f" * 256) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        f"CAST(abs(((ord(substr(text, CAST(j*{fl}+m AS INTEGER), 1)) % 256)"
+        f" - 128) * 256) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     )
     energy = (
         f"list_reduce(list_transform(range(1, {fl + 1}), "
