@@ -1070,3 +1070,33 @@ def test_media_fingerprints_survive_unicode_text(spark, tmp_path):
         }
         want = dict(con.sql(oracle).fetchall())
         assert got == want, (qfn.__name__, got, want)
+
+
+def test_verify_candidate_pairs_rescoring(spark):
+    """Incremental dedup's second half: index candidates re-scored
+    exactly against the corpus store — true near-dups survive with
+    their exact Jaccard, banded false positives are filtered."""
+    from vsphere_event_streaming_spark.functions.dedup import (
+        LshIndex,
+        jaccard_pairs,
+        release_cached,
+        verify_candidate_pairs,
+    )
+
+    docs = _docs(spark)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        cands = LshIndex(spark, f"{d}/idx").add_batch(docs, batch_id="b0")
+        verified = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in verify_candidate_pairs(cands, docs, 0.5).collect()
+        }
+    truth = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # every verified pair matches exact ground truth; recall through
+    # the banding is total on this planted corpus
+    assert verified == truth and truth
+    release_cached()

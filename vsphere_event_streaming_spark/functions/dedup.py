@@ -515,6 +515,14 @@ def lsh_verified_pairs(
     sh = arrs.select("id", F.explode("sh_arr").alias("sh"))
     sig = _persist(_signatures_from(sh))
     cands = _band_collision_pairs(sig, band_size)
+    return _rescore_pairs(cands, arrs, threshold)
+
+
+def _rescore_pairs(
+    cands: DataFrame, arrs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over an (id_a, id_b) candidate list: each side
+    point-joins its shingle array, one array_intersect per pair."""
     a = arrs.select(
         F.col("id").alias("id_a"),
         F.col("sh_arr").alias("sa"),
@@ -538,6 +546,37 @@ def lsh_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def verify_candidate_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact re-score of EXTERNAL candidate pairs — the second half of
+    incremental near-dup: ``LshIndex.add_batch`` (or its streaming
+    wrapper) emits banded candidates; this point-joins each pair's two
+    sides against the corpus store and keeps pairs at true Jaccard >=
+    threshold.
+
+    Scale shape: the corpus is first semi-joined down to only the ids
+    the pair list touches, so shingle arrays are computed for the
+    candidates' documents, never the whole store — the "point-join
+    against the corpus store" the LshIndex contract defers to the
+    caller. Output matches :func:`jaccard_pairs` semantics restricted
+    to the given pairs.
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = docs.join(ids, id_col, "left_semi")
+    arrs = shingle_hash_arrays(needed, text_col, id_col, n)
+    return _rescore_pairs(pairs.select("id_a", "id_b"), arrs, threshold)
 
 
 def simhash_table(
