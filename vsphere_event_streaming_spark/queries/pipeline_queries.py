@@ -705,12 +705,22 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_meta",
     oracle="""
+    WITH b AS (
+      SELECT doc_id, sha256(text) AS sha, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
     SELECT doc_id AS media_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           sha256(text) AS sha256,
-           (ord(substr(text, 1, 1)) % 64) + 1 AS width,
-           (ord(substr(text, least(2, length(text)), 1)) % 64) + 1 AS height
-    FROM documents
+           CAST(n AS BIGINT) AS byte_len,
+           sha AS sha256,
+           CASE WHEN n = 0 THEN 0
+                ELSE ('0x' || substr(h, 1, 2))::INTEGER % 64 + 1
+           END AS width,
+           CASE WHEN n = 0 THEN 0
+                ELSE ('0x' || substr(h, CASE WHEN n >= 2 THEN 3 ELSE 1 END,
+                                     2))::INTEGER % 64 + 1
+           END AS height
+    FROM b
     """,
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
