@@ -88,3 +88,75 @@ def test_documents_only_oracles_agree_on_nasty_corpus(spark, nasty_dir):
         except Exception as e:  # pragma: no cover - diagnostic path
             failures.append((name, f"EXCEPTION {type(e).__name__}: {e}"))
     assert not failures, failures
+
+
+NASTY_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (0, "2024-01-01 00:00:00.000001", 1, "click", 1.5, '{"k": 1}'),
+    (1, "2024-01-01 00:00:00.000001", None, "click", None, '{"k": null}'),
+    (2, "1970-01-01 00:00:00", 2, "", 0.0, "{}"),
+    (3, "2038-01-19 03:14:07", 3, "purchase", -1.25, '{"nested": {"a": [1, 2]}}'),
+    (4, "2024-06-01 12:00:00", 4, "signup", 1e15, '{"k": "uni 🎉 wörds"}'),
+    (5, "2024-06-01 12:00:00.999999", 4, "error", 1e-15, '{"s": "with \\"quotes\\""}'),
+    (6, "2024-06-01 12:00:01", 5, "click", float("inf"), '{"k": 9223372036854775807}'),
+    (7, "2024-06-02 00:00:00", None, "purchase", 2.0, None),
+    (8, "2024-06-03 00:00:00", 6, "view", 3.0, '{"empty": ""}'),
+    (9, "2024-06-04 00:00:00", 7, "click", 4.0, '{"k": 0.5}'),
+]
+
+
+@pytest.fixture(scope="module")
+def nasty_events_dir(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("nasty_ev")
+    df = spark.createDataFrame(
+        NASTY_EVENTS,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(d / "events.parquet")
+    )
+    return str(d)
+
+
+def _events_only_queries():
+    others = [t for t in TABLES if t != "events"]
+    out = []
+    for name, qd in load_all().items():
+        if qd.oracle is None or "events" not in qd.oracle:
+            continue
+        if any(t in qd.oracle for t in others):
+            continue
+        out.append(name)
+    return out
+
+
+def test_events_only_oracles_agree_on_nasty_corpus(spark, nasty_events_dir):
+    """NULL user_id/props/value, epoch-0 and 2038 timestamps, inf,
+    unicode and nested JSON: the log/reference tier's oracles must
+    agree with the engine on all of it."""
+    qs = load_all()
+    names = _events_only_queries()
+    assert len(names) >= 15, names
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{nasty_events_dir}/events.parquet/*.parquet'"
+    )
+    failures = []
+    for name in sorted(names):
+        try:
+            df = qs[name].fn(spark, nasty_events_dir)
+            cols = sorted(df.columns)
+            spark_rows = [[r[c] for c in cols] for r in df.collect()]
+            res = con.sql(qs[name].oracle)
+            idx = [list(res.columns).index(c) for c in cols]
+            duck_rows = [[r[i] for i in idx] for r in res.fetchall()]
+            err = compare(spark_rows, duck_rows, cols)
+            if err:
+                failures.append((name, err))
+        except Exception as e:  # pragma: no cover - diagnostic path
+            failures.append((name, f"EXCEPTION {type(e).__name__}: {e}"))
+    assert not failures, failures

@@ -159,7 +159,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n,
            count(*) FILTER (WHERE value > 0.9) AS n_high,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE value > 0.9)
+           CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) FILTER (WHERE value > 0.9)
                 AS DOUBLE) AS sum_high,
            CAST(count(*) FILTER (WHERE value > 0.9) AS DOUBLE)
              / count(*) AS high_share
@@ -341,7 +341,7 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(min(value), 6) AS lo,
            round(max(value), 6) AS hi
-    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
     GROUP BY bucket
     """,
 )
@@ -354,9 +354,14 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _t(spark, sf_dir, "events")
     return (
-        # NaN/NULL quarantined: Spark would fold NaN into a bucket via
-        # the cast while the SQL cast errors — exclude in both engines
-        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        # NaN/NULL/±inf quarantined: Spark folds non-finite values
+        # into NULL buckets via the cast while the SQL cast errors —
+        # exclude in both engines (oracle: isfinite)
+        ev.filter(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") != F.lit(float("inf")))
+        )
         .groupBy(
             F.floor(F.col("value") / 25.0).cast("bigint").alias("bucket")
         )
@@ -419,7 +424,7 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_range_frame",
     oracle="""
     SELECT event_id, user_id,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+           CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) OVER (
              PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS hour_sum,
@@ -448,7 +453,7 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.selectExpr(
         "event_id",
         "user_id",
-        "CAST(sum(CAST(value AS DECIMAL(18,6))) "
+        "CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) "
         f"{frame} AS DOUBLE) AS hour_sum",
         f"count(*) {frame} AS hour_n",
     )
@@ -493,8 +498,8 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_variant_json",
     oracle="""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
-           CAST(json_extract(props, '$.missing') AS INTEGER) AS absent
+           TRY_CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+           TRY_CAST(json_extract(props, '$.missing') AS INTEGER) AS absent
     FROM events
     """,
 )
@@ -691,7 +696,7 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sample_stratified",
     oracle="""
     SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
     WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 20
           < CASE event_type WHEN 'click' THEN 1 ELSE 4 END
@@ -771,7 +776,7 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT event_type) AS distinct_types,
            CAST(min(ts) AS TIMESTAMP) AS min_ts,
            CAST(max(ts) AS TIMESTAMP) AS max_ts,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           round(CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                  / count(value), 6) AS mean_value,
            CAST(min(len(props)) AS BIGINT) AS min_props_len,
            CAST(max(len(props)) AS BIGINT) AS max_props_len

@@ -248,7 +248,7 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, count(*) AS n,
            min(ts) AS first_ts, max(ts) AS last_ts,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -416,7 +416,7 @@ def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            count(*) OVER w AS running_n,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
              AS running_value
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -512,7 +512,7 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n_rows,
            count(user_id) AS n_users,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           CAST(sum(TRY_CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            max(event_id) AS max_id
     FROM events
     GROUP BY event_type

@@ -123,7 +123,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(event_id AS VARCHAR) AS id_str,
            TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS id_roundtrip,
            TRY_CAST(event_type AS BIGINT) AS bad_cast,
-           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value_4dp,
+           CAST(TRY_CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value_4dp,
            CAST(user_id AS INTEGER) AS user_int
     FROM events
     """,
