@@ -160,3 +160,69 @@ def test_events_only_oracles_agree_on_nasty_corpus(spark, nasty_events_dir):
         except Exception as e:  # pragma: no cover - diagnostic path
             failures.append((name, f"EXCEPTION {type(e).__name__}: {e}"))
     assert not failures, failures
+
+
+NASTY_EMBEDDINGS = [
+    # (vec_id, embedding[8], label)
+    (0, [1.0, 0.5, -0.25, 0.75, 0.1, -0.9, 0.3, 0.2], 0),
+    (1, [1.0, 0.5, -0.25, 0.75, 0.1, -0.9, 0.3, 0.2], 1),  # exact dup
+    (2, [0.0] * 8, 0),                                      # zero vector
+    (3, [-1.0, -0.5, 0.25, -0.75, -0.1, 0.9, -0.3, -0.2], 2),  # negation
+    (4, [1e-30] * 8, 0),                                    # denormal-ish
+    (5, [1e30, -1e30, 1e30, -1e30, 1e30, -1e30, 1e30, -1e30], 1),
+    (6, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8], 2),
+]
+
+
+@pytest.fixture(scope="module")
+def nasty_emb_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("nasty_emb")
+    df = spark.createDataFrame(
+        NASTY_EMBEDDINGS,
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(d / "embeddings.parquet")
+    )
+    return str(d)
+
+
+def _embeddings_only_queries():
+    others = [t for t in TABLES if t != "embeddings"]
+    out = []
+    for name, qd in load_all().items():
+        if qd.oracle is None or "embeddings" not in qd.oracle:
+            continue
+        if any(t in qd.oracle for t in others):
+            continue
+        out.append(name)
+    return out
+
+
+def test_embeddings_only_oracles_agree_on_nasty_corpus(spark, nasty_emb_dir):
+    """Zero vectors (cosine 0/0 -> NaN), exact dups, negations, 1e30
+    magnitudes: the vector tier's oracles must agree with the engine
+    on degenerate inputs too (compare() treats NaN == NaN)."""
+    qs = load_all()
+    names = _embeddings_only_queries()
+    assert len(names) >= 5, names
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{nasty_emb_dir}/embeddings.parquet/*.parquet'"
+    )
+    failures = []
+    for name in sorted(names):
+        try:
+            df = qs[name].fn(spark, nasty_emb_dir)
+            cols = sorted(df.columns)
+            spark_rows = [[r[c] for c in cols] for r in df.collect()]
+            res = con.sql(qs[name].oracle)
+            idx = [list(res.columns).index(c) for c in cols]
+            duck_rows = [[r[i] for i in idx] for r in res.fetchall()]
+            err = compare(spark_rows, duck_rows, cols)
+            if err:
+                failures.append((name, err))
+        except Exception as e:  # pragma: no cover - diagnostic path
+            failures.append((name, f"EXCEPTION {type(e).__name__}: {e}"))
+    assert not failures, failures

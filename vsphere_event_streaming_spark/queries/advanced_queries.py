@@ -739,7 +739,8 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT label,
              generate_subscripts(embedding, 1) - 1 AS pos,
-             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(27,10)) AS v
+             TRY_CAST(CAST(unnest(embedding) AS DOUBLE)
+                      AS DECIMAL(27,10)) AS v
       FROM embeddings
     )
     GROUP BY label, pos
