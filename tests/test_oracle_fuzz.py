@@ -226,3 +226,75 @@ def test_embeddings_only_oracles_agree_on_nasty_corpus(spark, nasty_emb_dir):
         except Exception as e:  # pragma: no cover - diagnostic path
             failures.append((name, f"EXCEPTION {type(e).__name__}: {e}"))
     assert not failures, failures
+
+
+NASTY_ORDERS = [
+    # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    #  o_orderpriority) — ties, NULL keys, orphan customers, epoch dates
+    (100, 1, "O", 10.0, "2024-01-01 00:00:00.000001", "1-URGENT"),
+    (101, 1, "F", 20.0, "2024-01-01 00:00:00.000001", "2-HIGH"),   # exact tie
+    (102, None, "O", 30.0, "2024-02-01 00:00:00", "3-MEDIUM"),     # NULL cust
+    (103, 99, "P", 40.0, "1970-01-01 00:00:00", "4-NOT SPECIFIED"),  # orphan
+    (104, 4, "O", 50.0, "2024-06-01 12:00:00", "5-LOW"),           # == event ts
+    (105, 4, "F", 60.0, "2024-06-01 12:00:00", "5-LOW"),           # same-ts tie
+    (106, 5, "O", 70.0, "2038-01-19 03:14:07", "1-URGENT"),
+]
+
+
+@pytest.fixture(scope="module")
+def nasty_join_dir(spark, nasty_events_dir, tmp_path_factory):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("nasty_join")
+    shutil.copytree(
+        f"{nasty_events_dir}/events.parquet", str(d / "events.parquet")
+    )
+    df = spark.createDataFrame(
+        NASTY_ORDERS,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(d / "orders.parquet")
+    )
+    return str(d)
+
+
+def test_join_tier_oracles_agree_on_nasty_fixtures(spark, nasty_join_dir):
+    """As-of joins and cogroup reconciliation over NULL join keys,
+    exact-timestamp ties (tiebreaker must fire identically), orphan
+    customers, and epoch/2038 dates."""
+    qs = load_all()
+    others = [t for t in TABLES if t not in ("events", "orders")]
+    names = [
+        n
+        for n, qd in qs.items()
+        if qd.oracle
+        and "events" in qd.oracle
+        and "orders" in qd.oracle
+        and not any(t in qd.oracle for t in others)
+    ]
+    assert len(names) >= 3, names
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{nasty_join_dir}/{t}.parquet/*.parquet'"
+        )
+    failures = []
+    for name in sorted(names):
+        try:
+            df = qs[name].fn(spark, nasty_join_dir)
+            cols = sorted(df.columns)
+            spark_rows = [[r[c] for c in cols] for r in df.collect()]
+            res = con.sql(qs[name].oracle)
+            idx = [list(res.columns).index(c) for c in cols]
+            duck_rows = [[r[i] for i in idx] for r in res.fetchall()]
+            err = compare(spark_rows, duck_rows, cols)
+            if err:
+                failures.append((name, err))
+        except Exception as e:  # pragma: no cover - diagnostic path
+            failures.append((name, f"EXCEPTION {type(e).__name__}: {e}"))
+    assert not failures, failures
