@@ -51,12 +51,42 @@ def _documents_only_queries():
     return out
 
 
-@pytest.fixture(scope="module")
-def nasty_dir(spark, tmp_path_factory):
-    d = tmp_path_factory.mktemp("nasty")
+def _random_docs(seed: int = 13, n: int = 200):
+    """Seeded word-soup over mixed scripts and odd whitespace: the
+    systematic companion to the handcrafted NASTY rows."""
+    import random
+
+    r = random.Random(seed)
+    vocab = (
+        [f"w{i}" for i in range(40)]
+        + ["的", "是", "在", "wörter", "niño", "🎉", "x" * 50, "a"]
+        + ["\xa0glued", "mid\xa0nbsp"]
+    )
+    seps = [" ", "  ", "\t", "\n", " \x0b ", "\f"]
+    langs = ["en", "de", "es", "fr", "zh"]
+    rows = []
+    for i in range(n):
+        k = r.randint(0, 30)
+        text = "".join(
+            w + r.choice(seps)
+            for w in (r.choice(vocab) for _ in range(k))
+        )
+        rows.append(
+            (i, text, r.choice(langs), f"src{r.randint(0, 5)}", len(text))
+        )
+    return rows
+
+
+@pytest.fixture(scope="module", params=["handcrafted", "random"])
+def nasty_dir(spark, tmp_path_factory, request):
+    d = tmp_path_factory.mktemp(f"nasty_{request.param}")
+    rows = (
+        [(i, t, lg, s, len(t)) for i, t, lg, s in NASTY]
+        if request.param == "handcrafted"
+        else _random_docs()
+    )
     df = spark.createDataFrame(
-        [(i, t, lg, s, len(t)) for i, t, lg, s in NASTY],
-        ["doc_id", "text", "lang", "source", "n_chars"],
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
     )
     df.coalesce(1).write.mode("overwrite").parquet(
         str(d / "documents.parquet")
@@ -82,7 +112,7 @@ def test_documents_only_oracles_agree_on_nasty_corpus(spark, nasty_dir):
             res = con.sql(qs[name].oracle)
             idx = [list(res.columns).index(c) for c in cols]
             duck_rows = [[r[i] for i in idx] for r in res.fetchall()]
-            err = compare(spark_rows, duck_rows, cols)
+            err = compare(spark_rows, duck_rows, cols, abs_tol=1.01e-6)
             if err:
                 failures.append((name, err))
         except Exception as e:  # pragma: no cover - diagnostic path
@@ -154,7 +184,7 @@ def test_events_only_oracles_agree_on_nasty_corpus(spark, nasty_events_dir):
             res = con.sql(qs[name].oracle)
             idx = [list(res.columns).index(c) for c in cols]
             duck_rows = [[r[i] for i in idx] for r in res.fetchall()]
-            err = compare(spark_rows, duck_rows, cols)
+            err = compare(spark_rows, duck_rows, cols, abs_tol=1.01e-6)
             if err:
                 failures.append((name, err))
         except Exception as e:  # pragma: no cover - diagnostic path
@@ -220,7 +250,7 @@ def test_embeddings_only_oracles_agree_on_nasty_corpus(spark, nasty_emb_dir):
             res = con.sql(qs[name].oracle)
             idx = [list(res.columns).index(c) for c in cols]
             duck_rows = [[r[i] for i in idx] for r in res.fetchall()]
-            err = compare(spark_rows, duck_rows, cols)
+            err = compare(spark_rows, duck_rows, cols, abs_tol=1.01e-6)
             if err:
                 failures.append((name, err))
         except Exception as e:  # pragma: no cover - diagnostic path
@@ -292,7 +322,7 @@ def test_join_tier_oracles_agree_on_nasty_fixtures(spark, nasty_join_dir):
             res = con.sql(qs[name].oracle)
             idx = [list(res.columns).index(c) for c in cols]
             duck_rows = [[r[i] for i in idx] for r in res.fetchall()]
-            err = compare(spark_rows, duck_rows, cols)
+            err = compare(spark_rows, duck_rows, cols, abs_tol=1.01e-6)
             if err:
                 failures.append((name, err))
         except Exception as e:  # pragma: no cover - diagnostic path

@@ -111,7 +111,11 @@ def row_key(row):
     )
 
 
-def compare(spark_rows, duck_rows, cols):
+def compare(spark_rows, duck_rows, cols, abs_tol: float = 1e-9):
+    """abs_tol stays 1e-9 for the driver-corpus gate; the fuzz suites
+    pass ~1e-6 so a value landing EXACTLY on a round-half boundary
+    (where 1 ULP of summation-order noise legally flips the 6th
+    decimal between engines) is not a failure."""
     if len(spark_rows) != len(duck_rows):
         return f"row count {len(spark_rows)} vs {len(duck_rows)}"
     a = sorted([row_key([norm(v) for v in r]) for r in spark_rows], key=repr)
@@ -126,7 +130,7 @@ def compare(spark_rows, duck_rows, cols):
                 if xv == yv:
                     continue
                 if isinstance(xv, float) and isinstance(yv, float):
-                    if math.isclose(xv, yv, rel_tol=1e-9, abs_tol=1e-9):
+                    if math.isclose(xv, yv, rel_tol=1e-9, abs_tol=abs_tol):
                         continue
                 ok = False
                 break

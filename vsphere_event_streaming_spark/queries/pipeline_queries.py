@@ -598,7 +598,8 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     SELECT doc_id,
            len({_DUCK_WORDS}) AS ws_tokens,
-           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+           len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f\x0B]'))
              AS bpe_tokens
     FROM documents
     """,
@@ -657,7 +658,8 @@ def _quality_oracle() -> str:
              CAST(len(list_filter(ws, x -> list_contains([{en}], lower(x))))
                   AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS sr,
              CAST(length(text) -
-                  length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                  length(regexp_replace(text, '[^\w \t\n\r\f\x0B]', '',
+                                        'g'))
                   AS DOUBLE) / CAST(length(text) AS DOUBLE) AS pr
       FROM t
     )
