@@ -1,12 +1,13 @@
 """Throughput of the streaming incremental near-dup pipeline.
 
 Feeds the sf0.1 documents table to ``start_incremental_dedup`` in
-``chunks`` file-batches (each micro-batch bands against the growing
-index) and reports docs/sec through the full candidate-emit + index-
-ingest path, plus the final candidate count.
+``chunks`` file-batches (maxFilesPerTrigger=1, so each is its own
+checkpointed epoch banding against the growing index) and reports
+docs/sec through the full candidate-emit + index-ingest path, plus the
+final candidate count.
 
 Usage: python tools/bench_dedup_stream.py [sf_dir] [chunks]
-Prints one JSON line.
+Prints one JSON line; exits nonzero if the stream did not finish.
 """
 
 from __future__ import annotations
@@ -18,6 +19,8 @@ import tempfile
 import time
 
 sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from vsphere_event_streaming_spark.session import get_spark  # noqa: E402
 from vsphere_event_streaming_spark.streaming.dedup_stream import (  # noqa: E402
@@ -38,41 +41,37 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="dedup_stream_bench_")
     in_dir = f"{work}/in"
     try:
-        # pre-write the chunk files; the stream discovers them all and
-        # availableNow drains them as separate epochs when maxFilesPerTrigger=1
+        # pmod + coalesce: NULL or negative doc_ids still land in a
+        # chunk, so every counted doc is streamed and the candidate
+        # count stays comparable to a batch run over the full table
+        chunk = F.coalesce(
+            F.pmod(F.col("doc_id"), F.lit(chunks)), F.lit(0)
+        )
         for i in range(chunks):
-            docs.filter((docs.doc_id % chunks) == i).coalesce(1).write.mode(
+            docs.filter(chunk == i).coalesce(1).write.mode(
                 "append"
             ).parquet(in_dir)
 
         t0 = time.perf_counter()
-        q = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(in_dir)
+        sq = start_incremental_dedup(
+            spark,
+            in_dir,
+            f"{work}/idx",
+            f"{work}/pairs",
+            f"{work}/ckpt",
+            max_files_per_trigger=1,
         )
-        # reuse the library writer but with our throttled reader: the
-        # foreachBatch body is identical, so time it via the public API
-        # by monkey-free composition — start_incremental_dedup builds
-        # its own reader, so drive the same epochs via chunks of files
-        from vsphere_event_streaming_spark.functions.dedup import LshIndex
-
-        index = LshIndex(spark, f"{work}/idx")
-
-        def process(batch_df, epoch_id):
-            pairs = index.add_batch(batch_df, batch_id=f"b{epoch_id}")
-            pairs.write.mode("overwrite").parquet(
-                f"{work}/pairs/batch_id=b{epoch_id}"
-            )
-
-        sq = (
-            q.writeStream.foreachBatch(process)
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        sq.awaitTermination(600)
+        finished = sq.awaitTermination(600)
         elapsed = time.perf_counter() - t0
+        if not finished:
+            sq.stop()
+            print(
+                json.dumps(
+                    {"error": "stream did not finish within 600s"}
+                ),
+                file=sys.stderr,
+            )
+            sys.exit(1)
         n_pairs = read_candidate_pairs(spark, f"{work}/pairs").count()
         print(
             json.dumps(

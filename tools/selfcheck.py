@@ -111,6 +111,18 @@ def row_key(row):
     )
 
 
+def _pair_key(row):
+    """Sort key for row pairing: exact (non-float) fields first, then
+    the floats as NUMBERS. Two rows differing only by float noise sort
+    adjacently within their exact-field group, so 1-ULP-at-a-round-
+    boundary noise cannot misalign the pairing the way sorting the
+    rounded repr could (a flip of the 6th decimal used to reorder a
+    row past a neighbor, pairing unrelated rows)."""
+    nonf = [repr(v) for v in row if not isinstance(v, float)]
+    floats = [v for v in row if isinstance(v, float)]
+    return (nonf, floats)
+
+
 def compare(spark_rows, duck_rows, cols, abs_tol: float = 1e-9):
     """abs_tol stays 1e-9 for the driver-corpus gate; the fuzz suites
     pass ~1e-6 so a value landing EXACTLY on a round-half boundary
@@ -118,8 +130,12 @@ def compare(spark_rows, duck_rows, cols, abs_tol: float = 1e-9):
     decimal between engines) is not a failure."""
     if len(spark_rows) != len(duck_rows):
         return f"row count {len(spark_rows)} vs {len(duck_rows)}"
-    a = sorted([row_key([norm(v) for v in r]) for r in spark_rows], key=repr)
-    b = sorted([row_key([norm(v) for v in r]) for r in duck_rows], key=repr)
+    a = sorted(
+        [row_key([norm(v) for v in r]) for r in spark_rows], key=_pair_key
+    )
+    b = sorted(
+        [row_key([norm(v) for v in r]) for r in duck_rows], key=_pair_key
+    )
     for i, (x, y) in enumerate(zip(a, b)):
         if x == y:
             continue

@@ -37,6 +37,7 @@ def start_incremental_dedup(
     band_size: int = 2,
     available_now: bool = True,
     batch_prefix: str = "b",
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Run the incremental near-dup index as a streaming query.
 
@@ -71,7 +72,12 @@ def start_incremental_dedup(
             f"{pairs_dir}/batch_id={batch_id}"
         )
 
-    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(input_dir)
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        # one epoch per input file — the throughput bench uses this to
+        # force the per-batch index-growth path instead of one big epoch
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
     )
