@@ -328,3 +328,20 @@ def test_join_tier_oracles_agree_on_nasty_fixtures(spark, nasty_join_dir):
         except Exception as e:  # pragma: no cover - diagnostic path
             failures.append((name, f"EXCEPTION {type(e).__name__}: {e}"))
     assert not failures, failures
+
+
+def test_compare_pairing_survives_round_boundary_reorder():
+    """The row-pairing regression from review: a 6th-decimal flip at a
+    round-half boundary must not reorder a row past a neighbor and
+    pair unrelated rows — non-float fields anchor the sort."""
+    cols = ["score", "name"]
+    spark_rows = [[1.000001, "zzz"], [1.000001, "aaa"]]
+    duck_rows = [[1.000000, "zzz"], [1.000001, "aaa"]]  # zzz 1 step low
+    # old repr-of-rounded sort paired (1.000000,'zzz') with
+    # (1.000001,'aaa') and failed on the string column; the
+    # non-float-first key pairs by name, so the float tolerance applies
+    assert compare(spark_rows, duck_rows, cols, abs_tol=1.01e-6) is None
+    # and genuinely different values still fail
+    assert compare(
+        [[1.5, "zzz"]], [[1.0, "zzz"]], cols, abs_tol=1.01e-6
+    ) is not None
