@@ -1,37 +1,109 @@
 """Registry invariants the driver's correctness window depends on.
 
 The verify driver records the first ~50 registry entries
-(CORRECTNESS window). PRIORITY pins the canonical query for every
-SURVEY.md §2 operator line into that window; these tests make the
-pinning survive future query additions — a new query pushed ahead of a
-canonical fails here, not silently in the next round's artifact.
+(CORRECTNESS window). PRIORITY pins the window contents per round's
+rotation plan; these tests make the pinning survive future query
+additions — a new query pushed ahead of a pinned entry fails here,
+not silently in the next round's artifact.
+
+Also home of the driver-canonicalizer guard tests (VERDICT_r4 #3):
+both r4 red rows were harness-compat failures (DuckDB DECIMAL landing
+as float64 vs Spark int64; ndarray cells the driver cannot hash) —
+``tools/selfcheck.driver_guard`` now replays the driver's
+canonicalization, and the seeded tests here prove it flags both
+classes.
 """
 
 from __future__ import annotations
 
+import sys
 import warnings
 
-import pytest
+import numpy as np
+import pandas as pd
 
 from vsphere_event_streaming_spark import registry
 from vsphere_event_streaming_spark.registry import PRIORITY, load_all
 
-#: Size of the driver's correctness truncation window (observed r1/r2).
+sys.path.insert(0, "tools")
+
+from selfcheck import driver_guard  # noqa: E402  (tools/selfcheck.py)
+
+#: Size of the driver's correctness truncation window (observed r1-r4).
 DRIVER_WINDOW = 50
 
-#: The canonical query per SURVEY §2 operator line — one green row for
-#: each of these inside the window covers every SQL-expressible line.
-#: Independent literal (NOT derived from PRIORITY) so reordering
-#: PRIORITY can't silently redefine what counts as canonical.
-#:
-#: r4 rotation (VERDICT_r3 #1): more canonical lines than 50 slots, so
-#: the window rotates.  In: every query that has never held a
-#: driver-green row — the verdict's 7 (bitwise, L6-L11) plus the 9
-#: added this round (L9' probe, L2 Hamming probe, L13-L18).  Out (3
-#: prior driver-green rows each, still selfchecked at positions 51+):
-#: see ROTATED_OUT_R4.
-CANONICAL = (
-    # reference core (P1, P4-P5, A1, W1-W2, O1-O3)
+#: The r5 window, verbatim (VERDICT_r4 #1-2): the 2 r4 reds whose
+#: harness-compat fixes must be proven green, all 30 queries that had
+#: never held a driver row after r1-r4 (27 oracled + 3 rows-only), and
+#: 18 re-greens whose only driver row is from r1.  Independent literal
+#: (NOT derived from PRIORITY) so reordering PRIORITY can't silently
+#: redefine the window.
+WINDOW_R5 = (
+    # r4 reds, fixed this round
+    "q_pack_sequences",
+    "q_vector_sq",
+    # never driver-checked before r5 — oracled
+    "q_repeated_spans",
+    "q_importance_weight",
+    "q_pipeline_select",
+    "q_media_phash",
+    "q_audio_fingerprint",
+    "q_text_hash_embed",
+    "q_text_knn",
+    "q_training_shuffle",
+    "q_multimodal_meta",
+    "q_sliding_agg",
+    "q_session_window",
+    "q_udaf_gmean",
+    "q_cogroup_recon",
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_dedup_near_pruned",
+    "q_dedup_near_char",
+    "q_dedup_simhash_pairs",
+    "q_dedup_embed",
+    "q_lang_id",
+    "q_quality_score",
+    "q_fingerprint",
+    "q_token_count",
+    "q_text_ngrams",
+    "q_join_asof_fwd",
+    "q_salted_agg",
+    "q_salted_join",
+    "q_pipeline_guarded",
+    # never driver-checked — rows-only by design
+    "q_dedup_groups",
+    "q_knn_ivf",
+    "q_approx_aggs",
+    # re-greens: only driver row is r1, three rounds ago
+    "q_join_full",
+    "q_join_cross",
+    "q_pivot",
+    "q_cube",
+    "q_percentile",
+    "q_window_analytics",
+    "q_range_frame",
+    "q_regexp_funcs",
+    "q_variant_json",
+    "q_try_funcs",
+    "q_sessionize",
+    "q_chunk_text",
+    "q_top_words",
+    "q_search_tfidf",
+    "q_sample_stratified",
+    "q_embed_centroid",
+    "q_conditional_agg",
+)
+
+#: Queries expected to be rows-only (oracle=None) inside the window —
+#: every other window entry must carry a full value-hash oracle.
+ROWS_ONLY_IN_WINDOW = ("q_dedup_groups", "q_knn_ivf", "q_approx_aggs")
+
+#: Queries rotated out of the window in r5 — each holds at least one
+#: driver-green row from r2-r4 and must stay registered and oracled
+#: (selfcheck covers them every round) even though the driver window
+#: no longer records them.
+ROTATED_OUT_R5 = (
     "q_envelope",
     "q_point_lookup",
     "q_replay_from",
@@ -40,7 +112,6 @@ CANONICAL = (
     "q_last_page",
     "q_ordered_replay",
     "q_retention",
-    # joins (J1-J6)
     "q_join_broadcast",
     "q_join_smj",
     "q_join_left",
@@ -48,11 +119,9 @@ CANONICAL = (
     "q_join_anti",
     "q_join_range",
     "q_join_asof",
-    # aggregates (A3-A5)
     "q_group_agg",
     "q_count_distinct",
     "q_rollup",
-    # set ops + scalar families (§2.7, §2.8)
     "q_union",
     "q_except",
     "q_string_funcs",
@@ -62,7 +131,6 @@ CANONICAL = (
     "q_null_funcs",
     "q_array_funcs",
     "q_map_funcs",
-    # UDF surface + LLM-pipeline tier (§2.10, L1-L5, T6)
     "q_udf_cosine",
     "q_dedup_exact",
     "q_dedup_lsh_verified",
@@ -71,40 +139,19 @@ CANONICAL = (
     "q_multimodal_decode",
     "q_udtf_props",
     "q_tumbling_agg",
-    # hygiene / search tier (L6-L11)
     "q_contamination",
     "q_pii_scrub",
     "q_quality_repetition",
     "q_knn_hyperplane",
     "q_search_bm25",
     "q_word_pmi",
-    # sampling / packing / quantization / scrub tier (L9', L2-probe,
-    # L13-L18)
     "q_knn_hyperplane_probed",
     "q_dedup_simhash_hamming",
     "q_dataset_mix",
-    "q_pack_sequences",
-    "q_vector_sq",
     "q_knn_sq",
     "q_boilerplate_scrub",
     "q_quality_lm",
     "q_dedup_semantic",
-)
-
-#: Canonicals added after the r4 rotation filled the window (L19-L21):
-#: pinned immediately after the 50-entry window so a wider window or
-#: the next rotation reaches them before any redundant variant.
-NEXT_CANONICAL = (
-    "q_repeated_spans",
-    "q_importance_weight",
-    "q_pipeline_select",
-)
-
-#: Queries rotated out of the window in r4 — must still be registered
-#: and oracled (selfcheck covers them) even though the driver window
-#: no longer records them.  Each holds 3 driver-green rows
-#: (CORRECTNESS_r01-r03).
-ROTATED_OUT_R4 = (
     "q_typename",
     "q_eventclass",
     "q_json_extract",
@@ -134,16 +181,16 @@ def test_every_priority_name_is_registered():
     assert not missing, f"PRIORITY names not registered: {missing}"
 
 
-def test_canonicals_fit_the_driver_window():
-    """Every §2 canonical query must sit inside the first DRIVER_WINDOW
-    registry entries — adding a 51st pre-canonical query fails here."""
-    idx = {n: i for i, n in enumerate(PRIORITY)}
-    out_of_window = [
-        n for n in CANONICAL if n not in idx or idx[n] >= DRIVER_WINDOW
-    ]
-    assert not out_of_window, (
-        f"canonical queries pushed past the driver's {DRIVER_WINDOW}-entry "
-        f"correctness window: {out_of_window}"
+def test_r5_window_is_exactly_the_rotation_plan():
+    """The first DRIVER_WINDOW registry entries must be WINDOW_R5 as a
+    set (order within the window is free; membership is the contract —
+    the driver records exactly these 50)."""
+    assert len(WINDOW_R5) == DRIVER_WINDOW
+    assert len(set(WINDOW_R5)) == DRIVER_WINDOW
+    got = set(PRIORITY[:DRIVER_WINDOW])
+    assert got == set(WINDOW_R5), (
+        f"window drift: unexpected={sorted(got - set(WINDOW_R5))}, "
+        f"missing={sorted(set(WINDOW_R5) - got)}"
     )
 
 
@@ -152,27 +199,32 @@ def test_load_all_order_starts_with_priority():
     assert list(qs)[: len(PRIORITY)] == list(PRIORITY)
 
 
-def test_canonicals_all_have_oracles():
-    """Canonical rows must be full value-hash checks, not rows-only."""
+def test_window_entries_have_oracles():
+    """Window rows must be full value-hash checks, except the three
+    sketch/iterative checks that are rows-only by design."""
     qs = load_all()
-    no_oracle = [n for n in CANONICAL if qs[n].oracle is None]
-    assert not no_oracle, f"canonical queries without oracle SQL: {no_oracle}"
+    no_oracle = [
+        n
+        for n in WINDOW_R5
+        if qs[n].oracle is None and n not in ROWS_ONLY_IN_WINDOW
+    ]
+    assert not no_oracle, f"window queries without oracle SQL: {no_oracle}"
+    for n in ROWS_ONLY_IN_WINDOW:
+        assert qs[n].oracle is None, f"{n} grew an oracle — update the pin"
 
 
 def test_rotated_out_queries_stay_registered_and_oracled():
     """Rotation must not drop coverage: every query rotated out of the
-    driver window stays registered with its oracle, immediately after
-    the window so selfcheck (and any wider future window) still runs
-    a full value compare."""
+    driver window stays registered with its oracle, after the window,
+    so selfcheck (and any wider future window) still runs a full value
+    compare."""
     qs = load_all()
     idx = {n: i for i, n in enumerate(PRIORITY)}
-    # the L19-L21 next-canonicals take the first slots past the window
-    lo = DRIVER_WINDOW + len(NEXT_CANONICAL)
-    for n in ROTATED_OUT_R4:
+    for n in ROTATED_OUT_R5:
         assert n in qs, f"rotated-out query {n} lost its registration"
         assert qs[n].oracle is not None, f"rotated-out query {n} lost its oracle"
-        assert lo <= idx[n] < lo + len(ROTATED_OUT_R4) + 2, (
-            f"rotated-out query {n} should sit just past the window, at {idx[n]}"
+        assert idx[n] >= DRIVER_WINDOW, (
+            f"rotated-out query {n} is inside the window at {idx[n]}"
         )
 
 
@@ -204,12 +256,52 @@ def test_unknown_priority_name_warns_not_raises(monkeypatch):
     assert list(qs)[: len(PRIORITY)] == list(PRIORITY)
 
 
-def test_next_canonicals_sit_directly_after_the_window():
-    """L19-L21 canonicals missed the r4 rotation; they must occupy the
-    first positions past the window, ahead of every redundant
-    variant, so a wider driver window records operator lines first."""
-    idx = {n: i for i, n in enumerate(PRIORITY)}
-    got = [idx[n] for n in NEXT_CANONICAL]
-    assert got == list(
-        range(DRIVER_WINDOW, DRIVER_WINDOW + len(NEXT_CANONICAL))
-    ), got
+# ----------------------------------------------------------------------
+# driver-canonicalizer guard (VERDICT_r4 #3): seeded failures for both
+# r4 red classes, plus the clean path
+# ----------------------------------------------------------------------
+
+
+def test_driver_guard_flags_seeded_array_column():
+    """The q_vector_sq class: a frame with ndarray/list cells crashes
+    the driver's sort_values+hash canonicalization — the guard must
+    report it instead of passing the exact compare silently."""
+    spark_pdf = pd.DataFrame(
+        {"vec_id": [1, 2], "codes": [np.array([1, 2]), np.array([3, 4])]}
+    )
+    duck_pdf = pd.DataFrame(
+        {"vec_id": [1, 2], "codes": [np.array([1, 2]), np.array([3, 4])]}
+    )
+    err = driver_guard(spark_pdf, duck_pdf)
+    assert err is not None and "driver-canon fails" in err, err
+
+
+def test_driver_guard_flags_seeded_decimal_sum_dtype():
+    """The q_pack_sequences class: DuckDB ``sum(BIGINT)`` lands as
+    float64 (DECIMAL→float) while Spark returns int64 — same values,
+    different driver value-hash. The guard must flag the divergence."""
+    spark_pdf = pd.DataFrame({"lang": ["en"], "pack_tokens": [960]})
+    duck_pdf = pd.DataFrame({"lang": ["en"], "pack_tokens": [960.0]})
+    assert spark_pdf["pack_tokens"].dtype.kind == "i"
+    assert duck_pdf["pack_tokens"].dtype.kind == "f"
+    err = driver_guard(spark_pdf, duck_pdf)
+    assert err is not None and "dtype divergence" in err, err
+
+
+def test_driver_guard_passes_matching_frames():
+    spark_pdf = pd.DataFrame(
+        {"k": ["a", "b"], "n": [1, 2], "x": [0.5, 1.5]}
+    )
+    duck_pdf = pd.DataFrame(
+        {"k": ["b", "a"], "n": [2, 1], "x": [1.5, 0.5]}
+    )
+    assert driver_guard(spark_pdf, duck_pdf) is None
+
+
+def test_driver_guard_rows_only_checks_spark_side():
+    """Rows-only queries still pass through the driver's collect path:
+    the guard must vet the Spark frame alone when there is no oracle."""
+    bad = pd.DataFrame({"q": [np.array([1.0, 2.0])]})
+    err = driver_guard(bad, None)
+    assert err is not None and "Spark frame" in err
+    assert driver_guard(pd.DataFrame({"q": [1.0]}), None) is None

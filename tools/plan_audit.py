@@ -257,14 +257,30 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     ],
     # perceptual hash: the codec roundtrip is Arrow-batched
     # MapInPandas (the legitimate Python stage), never row-at-a-time
-    # Python eval, and no shuffle between the two map stages
+    # Python eval, and no shuffling join between the two map stages.
+    # The ban names the shuffle/cartesian join operators specifically
+    # (VERDICT_r4 #6): a bare r"Join" would also match a legitimate
+    # future BroadcastHashJoin on the metadata side and force an audit
+    # weakening when this tier grows.
     "q_media_phash": [
         [r"MapInPandas"],
-        [r"BatchEvalPython", r"CartesianProduct", r"Join"],
+        [
+            r"BatchEvalPython",
+            r"CartesianProduct",
+            r"SortMergeJoin",
+            r"ShuffledHashJoin",
+            r"BroadcastNestedLoopJoin",
+        ],
     ],
     "q_audio_fingerprint": [
         [r"MapInPandas"],
-        [r"BatchEvalPython", r"CartesianProduct", r"Join"],
+        [
+            r"BatchEvalPython",
+            r"CartesianProduct",
+            r"SortMergeJoin",
+            r"ShuffledHashJoin",
+            r"BroadcastNestedLoopJoin",
+        ],
     ],
     # training shuffle: the W1 two-phase range rank — one range
     # exchange, id arithmetic, never a global row_number window

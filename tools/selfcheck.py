@@ -18,6 +18,7 @@ import time
 import traceback
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -155,6 +156,65 @@ def compare(spark_rows, duck_rows, cols, abs_tol: float = 1e-9):
     return None
 
 
+#: pandas dtype ``kind`` groups the driver's value-hash treats as the
+#: same representation. int64 vs float64 (the CORRECTNESS_r04
+#: q_pack_sequences DECIMAL→float64 red) are DIFFERENT groups: the
+#: driver hashes 960 and 960.0 differently even when values agree.
+_KIND_GROUP = {
+    "i": "int", "u": "int",
+    "f": "float",
+    "b": "bool",
+    "M": "time", "m": "time",
+    "O": "obj", "S": "obj", "U": "obj",
+}
+
+
+def _driver_canon(pdf: "pd.DataFrame"):
+    """Replicate the driver's canonicalization: columns sorted by name,
+    rows sorted by every column's values, then a value hash. Raises the
+    same way the driver does on cells pandas cannot sort/hash (e.g.
+    ndarray cells — CORRECTNESS_r04 q_vector_sq
+    ``TypeError: unhashable type: 'numpy.ndarray'``)."""
+    pdf = pdf[sorted(pdf.columns)].copy()
+    if len(pdf.columns):
+        pdf = pdf.sort_values(
+            by=list(pdf.columns), ignore_index=True, kind="mergesort"
+        )
+    digest = pd.util.hash_pandas_object(pdf, index=False)
+    return pdf, int(digest.sum())
+
+
+def driver_guard(spark_pdf, duck_pdf) -> str | None:
+    """Driver-canonicalizer compatibility guard (VERDICT_r4 #3).
+
+    The exact value compare above is necessary but not sufficient: the
+    driver additionally sorts both frames with pandas and hashes the
+    values, which (a) crashes on unhashable cells and (b) hash-diverges
+    when the two engines land the same values in different pandas
+    dtypes (DuckDB DECIMAL → float64 vs Spark BIGINT → int64). Both
+    classes shipped as red driver rows in r4; this guard makes a third
+    structurally impossible. Returns an error string or None."""
+    try:
+        sp, _ = _driver_canon(spark_pdf)
+    except Exception as e:  # noqa: BLE001 — mirror whatever pandas raises
+        return f"driver-canon fails on Spark frame: {type(e).__name__}: {e}"
+    if duck_pdf is None:
+        return None
+    try:
+        du, _ = _driver_canon(duck_pdf)
+    except Exception as e:  # noqa: BLE001
+        return f"driver-canon fails on oracle frame: {type(e).__name__}: {e}"
+    diverged = {}
+    for c in sp.columns:
+        gs = _KIND_GROUP.get(sp[c].dtype.kind, sp[c].dtype.kind)
+        gd = _KIND_GROUP.get(du[c].dtype.kind, du[c].dtype.kind)
+        if gs != gd:
+            diverged[c] = (str(sp[c].dtype), str(du[c].dtype))
+    if diverged:
+        return f"driver-canon dtype divergence {diverged}"
+    return None
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -167,14 +227,21 @@ def main():
             continue
         t0 = time.time()
         try:
-            df = qd.fn(spark, sf_dir)
+            df = qd.fn(spark, sf_dir).persist()
             spark_cols = sorted(df.columns)
             spark_rows = [
                 [r[c] for c in spark_cols] for r in df.collect()
             ]
+            spark_pdf = df.toPandas()
+            df.unpersist()
             if qd.oracle is None:
-                print(f"  {name}: rows-only ({len(spark_rows)} rows) "
-                      f"[{time.time()-t0:.1f}s]")
+                guard = driver_guard(spark_pdf, None)
+                if guard:
+                    failed.append(name)
+                    print(f"✗ {name}: {guard}")
+                else:
+                    print(f"  {name}: rows-only ({len(spark_rows)} rows) "
+                          f"[{time.time()-t0:.1f}s]")
                 continue
             res = con.sql(qd.oracle)
             duck_cols_raw = list(res.columns)
@@ -206,6 +273,8 @@ def main():
                 # implementation returning an empty frame passes.  No
                 # oracled query may be vacuous (VERDICT_r3: q_word_pmi).
                 err = "VACUOUS: oracled query returned 0 rows"
+            if err is None:
+                err = driver_guard(spark_pdf, res.df())
             if err:
                 failed.append(name)
                 print(f"✗ {name}: {err}")

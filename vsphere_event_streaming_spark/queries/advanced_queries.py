@@ -1508,14 +1508,17 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
-                        AND o.o_totalprice > 250000)
+                        AND o.o_totalprice > 400000)
     GROUP BY c_mktsegment
     """,
 )
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 global-sales-opportunity shape (adapted: mktsegment
     stands in for the phone country code): rich customers with no
-    large orders.
+    large orders. The "large order" cutoff is 400000 (not TPC-H's
+    literal) so the query is non-vacuous at every shipped scale factor
+    including sf0.001 (selfcheck VACUOUS guard; at 250000 every rich
+    sf0.001 customer owns a large order and the result is empty).
 
     Combines both subquery forms the engine supports: the scalar
     subquery runs bound-then-literal (predicate reaches the scan) and
@@ -1545,7 +1548,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = float(row[0])
     orders = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 250000)
+        .filter(F.col("o_totalprice") > 400000)
         .select("o_custkey")
     )
     return (

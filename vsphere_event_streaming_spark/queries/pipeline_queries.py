@@ -1166,7 +1166,7 @@ def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor((cum - n_tokens)::DOUBLE / {PACK_BUDGET_TOKENS})
                 AS BIGINT) AS pack_id,
            count(*) AS n_docs,
-           sum(n_tokens) AS pack_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
     FROM c
     GROUP BY lang, pack_id
     """,
@@ -1213,7 +1213,8 @@ def _sq_code_sql(xexpr: str) -> str:
     WITH e AS (SELECT vec_id, {_DUCK_DVEC} AS v FROM embeddings),
     {_sq_stats_cte()}
     SELECT vec_id,
-           list_transform(v, x -> {_sq_code_sql("x")}) AS codes
+           array_to_string(
+             list_transform(v, x -> {_sq_code_sql("x")}), ',') AS codes
     FROM e, st
     """,
 )
@@ -1223,13 +1224,20 @@ def q_vector_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     than float32, the compressed form a corpus-scale ANN index stores.
     The grid is an order statistic of the data (two driver scalars,
     the BM25-N/avgdl pattern), so unlike trained quantizers every
-    code is replayed exactly by the oracle."""
+    code is replayed exactly by the oracle. The code vector is
+    projected as a comma-joined string because the verify driver's
+    canonicalizer hashes scalar cells (it cannot factorize ndarray
+    cells — CORRECTNESS_r04 ``q_vector_sq`` err); the raw array form
+    stays covered by q_knn_sq, which consumes the codes."""
     from ..functions.vectors import sq_codes, sq_range
 
     emb = _t(spark, sf_dir, "embeddings")
     lo, hi = sq_range(emb)
     return emb.select(
-        "vec_id", sq_codes(F.col("embedding"), lo, hi).alias("codes")
+        "vec_id",
+        F.array_join(
+            sq_codes(F.col("embedding"), lo, hi).cast("array<string>"), ","
+        ).alias("codes"),
     )
 
 
@@ -1717,8 +1725,9 @@ def _media_phash_oracle() -> str:
       LEFT JOIN cells ON cells.doc_id = d.doc_id AND cells.cell = g.cell
     )
     SELECT a.doc_id AS doc_id,
-           sum(CASE WHEN a.val < b.val
-               THEN (CAST(1 AS BIGINT) << {bit}) ELSE 0 END) AS phash
+           CAST(sum(CASE WHEN a.val < b.val
+               THEN (CAST(1 AS BIGINT) << {bit}) ELSE 0 END) AS BIGINT)
+             AS phash
     FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND b.cell = a.cell + 1
     WHERE a.cell % {PHASH_GRID_W} < {PHASH_GRID_W - 1}
     GROUP BY a.doc_id
@@ -1840,7 +1849,10 @@ def _hash_embed_cte_sql(dim: int = HASH_EMBED_DIM) -> str:
     oracle=f"""
     WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
     {_hash_embed_cte_sql()}
-    SELECT doc_id, v AS embedding FROM emb
+    SELECT doc_id,
+           array_to_string(
+             list_transform(v, x -> CAST(x AS BIGINT)), ',') AS embedding
+    FROM emb
     """,
 )
 def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1849,11 +1861,23 @@ def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent word hashes. Components are integers carried as
     doubles, so the embedding — unlike a trained model's — is exact
     in both engines and the whole downstream vector tier becomes
-    oracle-checkable on derived text embeddings."""
+    oracle-checkable on derived text embeddings. Projected as a
+    comma-joined integer string for the same driver-canonicalizer
+    reason as q_vector_sq (raw ARRAY cells are unhashable there);
+    the array form itself is exercised downstream by q_text_knn."""
     from ..tables import spread
 
-    return T.hash_embed(
+    emb = T.hash_embed(
         spread(_t(spark, sf_dir, "documents")), HASH_EMBED_DIM
+    )
+    return emb.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "embedding", lambda x: x.cast("bigint").cast("string")
+            ),
+            ",",
+        ).alias("embedding"),
     )
 
 

@@ -290,9 +290,11 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct/quantile form at 100 TB). Accuracy vs exact is asserted in
     ``tests/test_approx_aggs.py``; cross-engine value equality is
     impossible by design (sketches are engine-specific), hence
-    rows-only here.
+    rows-only here. The three quantiles are projected as scalar
+    columns (not one array) so the driver's rows-only canonicalizer —
+    which cannot hash ndarray cells — accepts the frame.
     """
-    return (
+    agged = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
@@ -301,6 +303,13 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value_quantiles"
             ),
         )
+    )
+    return agged.select(
+        "event_type",
+        "approx_users",
+        F.element_at("value_quantiles", 1).alias("value_p50"),
+        F.element_at("value_quantiles", 2).alias("value_p95"),
+        F.element_at("value_quantiles", 3).alias("value_p99"),
     )
 
 

@@ -50,27 +50,96 @@ def query(name: str, oracle: str | None = None):
 # still yields a green row per operator; redundant variants, rows-only
 # checks, and the TPC-H suite follow.
 #
-# r4 rotation (VERDICT_r3 next-round #1): more SQL-expressible
-# canonical lines than 50 slots, so the window rotates.  In for r4:
-# every query that has never held a driver-green row — the 7 lines the
-# verdict named (q_bitwise_funcs, q_contamination, q_pii_scrub,
-# q_quality_repetition, q_knn_hyperplane, q_search_bm25, q_word_pmi)
-# plus the 9 added since (q_knn_hyperplane_probed,
-# q_dedup_simhash_hamming, q_dataset_mix, q_pack_sequences,
-# q_vector_sq, q_knn_sq, q_boilerplate_scrub, q_quality_lm,
-# q_dedup_semantic).  Out, each with 3 prior driver-green rows
-# (CORRECTNESS_r01-r03): same-line variants (q_grouping_sets — A5 via
-# q_rollup; q_dedup_simhash — L2 via q_dedup_lsh_verified;
-# q_json_extract — JSON via q_casts' VARIANT coverage; q_running_sum /
-# q_lag_gap — W4; q_intersect — §2.7 still repped by union/except) and
-# simple filters/projections with stable plans (q_typename,
-# q_eventclass, q_math_funcs, q_time_window_filter, q_range_bounds,
-# q_page_json, q_decode_roundtrip, q_count, q_chain_agg, q_rank) —
-# all still oracle-checked every round by tools/selfcheck.py at
-# positions 51+.
+# r5 rotation (VERDICT_r4 next-round #1-2): the window holds 50 of the
+# 138 registered queries; r1-r4 rotations have now put at least one
+# driver-green row on every canonical EXCEPT 27 oracled queries + 3
+# rows-only checks that have never been driver-checked at all.  In for
+# r5: ALL 30 never-checked queries (the whole L19-L25 tier, the
+# text-analysis scalars, the near-dup oracle tiers, UDAF/cogroup-free
+# salted-skew ops, and the 3 rows-only checks q_dedup_groups /
+# q_knn_ivf / q_approx_aggs, which get the driver's weaker rows-only
+# row) plus the two r4 reds whose harness-compat fixes must be proven
+# green (q_pack_sequences — oracle DECIMAL→BIGINT cast; q_vector_sq —
+# array column stringified).  The remaining 18 slots re-green queries
+# whose only driver row is from r1, three rounds ago.  Out: everything
+# holding a green row from r2+ (reference-core ops, joins, aggregates,
+# scalar families, L1-L18 tier) — all still exact-value-checked every
+# round by tools/selfcheck.py at positions 51+, which now also replays
+# the driver's own canonicalizer (sort_values + value hash) so a
+# rotation can never re-arm the r4 red classes.
 PRIORITY: tuple[str, ...] = (
-    # reference core: projections / sources / log ops (P1, P4, A1,
-    # W1-W2, O1-O3)
+    # r4 reds, fixed this round — greens prove the harness-compat fix
+    "q_pack_sequences",
+    "q_vector_sq",
+    # L19-L21: repeated spans / DSIR / composed selection
+    "q_repeated_spans",
+    "q_importance_weight",
+    "q_pipeline_select",
+    # L22-L25: media hashes, hash-embed + text-ANN chain, shuffle
+    "q_media_phash",
+    "q_audio_fingerprint",
+    "q_text_hash_embed",
+    "q_text_knn",
+    "q_training_shuffle",
+    # multimodal metadata + streaming-window batch analogs (T6)
+    "q_multimodal_meta",
+    "q_sliding_agg",
+    "q_session_window",
+    # UDF surface never driver-checked (§2.10)
+    "q_udaf_gmean",
+    "q_cogroup_recon",
+    # near-dup family variants + oracle tiers (L2)
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_dedup_near_pruned",
+    "q_dedup_near_char",
+    "q_dedup_simhash_pairs",
+    "q_dedup_embed",
+    # text-analysis scalars (L4)
+    "q_lang_id",
+    "q_quality_score",
+    "q_fingerprint",
+    "q_token_count",
+    "q_text_ngrams",
+    # joins: forward as-of (J6 variant)
+    "q_join_asof_fwd",
+    # skew-hardened ops + composed hygiene plan
+    "q_salted_agg",
+    "q_salted_join",
+    "q_pipeline_guarded",
+    # rows-only checks: driver records the weaker rows-only row
+    "q_dedup_groups",
+    "q_knn_ivf",
+    "q_approx_aggs",
+    # ---- 33 so far; 17 re-greens whose only driver row is r1 ----
+    "q_join_full",
+    "q_join_cross",
+    "q_pivot",
+    "q_cube",
+    "q_percentile",
+    "q_window_analytics",
+    "q_range_frame",
+    "q_regexp_funcs",
+    "q_variant_json",
+    "q_try_funcs",
+    "q_sessionize",
+    "q_chunk_text",
+    "q_top_words",
+    "q_search_tfidf",
+    "q_sample_stratified",
+    "q_embed_centroid",
+    "q_conditional_agg",
+    # ---- driver window ends here (first 50) ----
+    # r1-green queries still waiting on a refresh if the window widens
+    "q_pipeline_prep",
+    "q_string_agg",
+    "q_minmax_by",
+    "q_histogram",
+    "q_fuzzy_match",
+    "q_subquery_scalar",
+    "q_sample",
+    "q_profile",
+    # rotated out r5 (r2-r4 green rows; selfcheck covers every round)
     "q_envelope",
     "q_point_lookup",
     "q_replay_from",
@@ -79,7 +148,6 @@ PRIORITY: tuple[str, ...] = (
     "q_last_page",
     "q_ordered_replay",
     "q_retention",
-    # joins (J1-J6)
     "q_join_broadcast",
     "q_join_smj",
     "q_join_left",
@@ -87,11 +155,9 @@ PRIORITY: tuple[str, ...] = (
     "q_join_anti",
     "q_join_range",
     "q_join_asof",
-    # aggregates + windows (A3-A5)
     "q_group_agg",
     "q_count_distinct",
     "q_rollup",
-    # set ops + scalar function families (§2.7, §2.8)
     "q_union",
     "q_except",
     "q_string_funcs",
@@ -101,7 +167,6 @@ PRIORITY: tuple[str, ...] = (
     "q_null_funcs",
     "q_array_funcs",
     "q_map_funcs",
-    # UDF surface + LLM-pipeline tier (§2.10, L1-L5, T6 batch analog)
     "q_udf_cosine",
     "q_dedup_exact",
     "q_dedup_lsh_verified",
@@ -110,32 +175,19 @@ PRIORITY: tuple[str, ...] = (
     "q_multimodal_decode",
     "q_udtf_props",
     "q_tumbling_agg",
-    # hygiene / search tier (L6-L11)
     "q_contamination",
     "q_pii_scrub",
     "q_quality_repetition",
     "q_knn_hyperplane",
     "q_search_bm25",
     "q_word_pmi",
-    # sampling / packing / quantization / scrub tier (L9', L2-probe,
-    # L13-L18) — never driver-checked before r4
     "q_knn_hyperplane_probed",
     "q_dedup_simhash_hamming",
     "q_dataset_mix",
-    "q_pack_sequences",
-    "q_vector_sq",
     "q_knn_sq",
     "q_boilerplate_scrub",
     "q_quality_lm",
     "q_dedup_semantic",
-    # ---- driver window ends here (first 50) ----
-    # canonicals that missed the r4 window (L19-L21, added after the
-    # rotation): first in line for a wider window or the r5 rotation —
-    # they must precede every redundant variant
-    "q_repeated_spans",
-    "q_importance_weight",
-    "q_pipeline_select",
-    # rotated out r4 (3 prior green rows each; selfcheck still covers)
     "q_typename",
     "q_eventclass",
     "q_json_extract",
@@ -152,28 +204,6 @@ PRIORITY: tuple[str, ...] = (
     "q_rank",
     "q_lag_gap",
     "q_intersect",
-    # next-most-valuable if the window extends past 50
-    "q_multimodal_meta",
-    "q_sliding_agg",
-    "q_session_window",
-    "q_dedup_minhash",
-    "q_cogroup_recon",
-    "q_lang_id",
-    "q_quality_score",
-    "q_fingerprint",
-    "q_token_count",
-    "q_text_ngrams",
-    "q_join_full",
-    "q_join_asof_fwd",
-    "q_dedup_near",
-    "q_dedup_near_pruned",
-    "q_dedup_near_char",
-    "q_dedup_simhash_pairs",
-    "q_dedup_embed",
-    "q_dedup_groups",
-    "q_knn_ivf",
-    "q_approx_aggs",
-    "q_pipeline_prep",
 )
 
 
