@@ -87,6 +87,8 @@ HEADLINE = [
     # r4 additions (5): text-to-ANN composition over feature-hashing
     # embeddings
     "q_text_knn",
+    # r5 addition: full baseline JPEG roundtrip gate (VERDICT_r4 #4)
+    "q_media_phash_jpeg",
 ]
 
 

@@ -236,6 +236,145 @@ def test_png_codec_roundtrip_all_filters_and_colors():
         assert np.array_equal(codecs.decode_png(codecs.encode_png(px)), px)
 
 
+def test_jpeg_zigzag_matches_spec_prefix():
+    """The derived zigzag order must open with the T.81 Figure 5
+    sequence — a corrupted walk would still roundtrip against itself,
+    so pin it against the public spec's constant."""
+    from vsphere_event_streaming_spark.functions import codecs
+
+    assert list(codecs._ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(codecs._ZIGZAG) == list(range(64))
+
+
+def test_jpeg_gray_roundtrip_error_bound_and_grid_exactness():
+    """quant=1 baseline JPEG loses < 8 grey levels per pixel (the DCT
+    rounding bound the multimodal gate depends on); pixels on the
+    16-grid therefore recover EXACTLY after re-quantization."""
+    import numpy as np
+
+    from vsphere_event_streaming_spark.functions import codecs
+
+    rng = np.random.RandomState(7)
+    for shape in [(7, 9), (8, 8), (16, 24), (5, 13), (1, 1), (3, 40)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(img))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() < 8
+        cells = ((rng.randint(0, 14, size=shape) + 1) * 16).astype(np.uint8)
+        dec16 = codecs.decode_jpeg(codecs.encode_jpeg(cells))
+        req = ((dec16.astype(np.int64) + 8) // 16) * 16
+        assert np.array_equal(req, cells.astype(np.int64))
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI + RSTn path: encoder resets DC predictors and realigns at
+    every interval; decoder must resync or the image shears."""
+    import numpy as np
+
+    from vsphere_event_streaming_spark.functions import codecs
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(24, 40)).astype(np.uint8)  # 15 MCUs
+    payload = codecs.encode_jpeg(img, restart_interval=4)
+    assert b"\xff\xdd" in payload  # DRI declared
+    assert any(bytes([0xFF, 0xD0 + i]) in payload for i in range(8))
+    dec = codecs.decode_jpeg(payload)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() < 8
+
+
+def test_jpeg_color_444_and_420_roundtrip():
+    """4:4:4 random color stays within the DCT+BT.601 rounding budget;
+    4:2:0 on a smooth gradient survives the chroma box downsample and
+    the decoder's sampling-factor upsampling."""
+    import numpy as np
+
+    from vsphere_event_streaming_spark.functions import codecs
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(9, 21, 3)).astype(np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 14
+
+    base = np.linspace(0, 200, 32 * 48).reshape(32, 48)
+    smooth = np.stack(
+        [base, base * 0.8 + 30, base * 0.5 + 50], axis=-1
+    ).astype(np.uint8)
+    payload = codecs.encode_jpeg(smooth, subsampling="420", restart_interval=3)
+    hdr = codecs.jpeg_header(payload)
+    assert hdr == {
+        "format": "jpeg", "width": 48, "height": 32,
+        "bit_depth": 8, "channels": 3,
+    }
+    dec = codecs.decode_jpeg(payload)
+    assert dec.shape == smooth.shape
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 24
+
+
+def test_jpeg_honest_boundaries():
+    """Progressive, truncated, and 16-bit-DQT payloads raise typed
+    errors — never a silent wrong decode."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vsphere_event_streaming_spark.functions import codecs
+
+    # progressive: SOF2 marker
+    sof2 = b"\xff\xd8\xff\xc2\x00\x0b" + bytes(
+        [8, 0, 16, 0, 16, 1, 1, 0x11, 0]
+    )
+    with _pytest.raises(NotImplementedError):
+        codecs.decode_jpeg(sof2)
+    with _pytest.raises(ValueError):
+        codecs.decode_jpeg(b"\x00\x01")
+    # a valid stream cut off before SOS
+    good = codecs.encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        codecs.decode_jpeg(good[:20])
+
+
+def test_jpeg_huffman_single_symbol_table():
+    """A constant image degenerates to near-single-symbol Huffman
+    tables (the _huff_lengths one-node branch) — must still decode."""
+    import numpy as np
+
+    from vsphere_event_streaming_spark.functions import codecs
+
+    img = np.full((16, 16), 128, dtype=np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img))
+    assert np.abs(dec.astype(int) - 128).max() < 8
+
+
+def test_jpeg_cell_phash_through_spark(spark):
+    """The q_media_phash_jpeg building blocks end-to-end on Spark: the
+    synthesized baseline JPEG decodes back to the exact 16-grid cell
+    image, so the quantized dHash equals the pure-Python replay."""
+    import numpy as np
+
+    from vsphere_event_streaming_spark.functions.multimodal import (
+        JPEG_CELL_STEP,
+        _cell_image16,
+        dhash_bits,
+        phash_images,
+        synth_cell_jpeg_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "one two three two one")],
+        "doc_id long, text string",
+    )
+    media = synth_cell_jpeg_payloads(docs, "doc_id", "text")
+    got = {
+        r["media_id"]: r["phash"]
+        for r in phash_images(media, quantize_step=JPEG_CELL_STEP).collect()
+    }
+    want = {
+        1: dhash_bits(_cell_image16("alpha beta beta gamma").astype(np.int64)),
+        2: dhash_bits(_cell_image16("one two three two one").astype(np.int64)),
+    }
+    assert got == want
+
+
 def test_real_png_resize_through_spark(spark):
     """Real decode → nearest-neighbor resample → re-encode through the
     mapInPandas resize stage; output payload is a valid PNG with the

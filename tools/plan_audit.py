@@ -272,6 +272,16 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"BroadcastNestedLoopJoin",
         ],
     ],
+    "q_media_phash_jpeg": [
+        [r"MapInPandas"],
+        [
+            r"BatchEvalPython",
+            r"CartesianProduct",
+            r"SortMergeJoin",
+            r"ShuffledHashJoin",
+            r"BroadcastNestedLoopJoin",
+        ],
+    ],
     "q_audio_fingerprint": [
         [r"MapInPandas"],
         [

@@ -403,20 +403,80 @@ def synth_cell_png_payloads(
     )
 
 
-def phash_images(media: DataFrame, on_error: str = "fail") -> DataFrame:
+#: Cell-value grid step for the JPEG phash gate. JPEG at quant=1 loses
+#: at most ~7.9 grey levels per pixel (64 DCT coefficients each rounded
+#: by <=0.5, summed against basis amplitude (1/4)(1/sqrt(2)+7)^2 ~ 14.85,
+#: plus the final 0.5 pixel rounding) — strictly under step/2 = 8, so
+#: re-quantizing the decoded pixels to the 16-grid recovers every cell
+#: EXACTLY and the dHash stays oracle-replayable despite the lossy DCT.
+JPEG_CELL_STEP = 16
+#: Cells take values (h % 14 + 1) * 16 ∈ {16..224}: offset from 0/255
+#: so codec error cannot clamp, 14 distinct levels for hash entropy.
+JPEG_CELL_LEVELS = 14
+#: Restart interval for the synthesized JPEGs: 2 MCUs per 7x9 image =
+#: one RST marker mid-stream, so every decode exercises the restart
+#: path (DC predictor reset + byte-realign) real crawl JPEGs hit.
+JPEG_CELL_RST = 1
+
+
+def _cell_image16(text: str) -> np.ndarray:
+    """The bag-of-words cell image on the 16-spaced grid (see
+    JPEG_CELL_STEP): same modular arithmetic as ``_cell_image`` with a
+    final (v % 14 + 1) * 16 mapping the oracle replays in SQL."""
+    cells = _cell_image(text).astype(np.int64)
+    return ((cells % JPEG_CELL_LEVELS + 1) * JPEG_CELL_STEP).astype(
+        np.uint8
+    )
+
+
+def synth_cell_jpeg_payloads(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(media_id, payload): a REAL baseline JPEG per row encoding the
+    doc's 16-spaced cell image — frequency-optimized Huffman tables,
+    quant=1, restart markers — so a decode exercises the full T.81
+    baseline path (DHT rebuild, entropy decode, RST resync, IDCT)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                codecs.encode_jpeg(
+                    _cell_image16(t), restart_interval=JPEG_CELL_RST
+                )
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def phash_images(
+    media: DataFrame, on_error: str = "fail", quantize_step: int = 0
+) -> DataFrame:
     """(media_id, phash): dHash of each payload's DECODED pixels.
 
-    The decode is the real inflate+unfilter walk — so when the oracle
+    The decode is the real codec walk (PNG inflate+unfilter or JPEG
+    Huffman+IDCT, dispatched by magic bytes) — so when the oracle
     recomputes the same hash from the cell arithmetic alone, agreement
-    proves the entire PNG encode->decode roundtrip is lossless, bit
-    for bit, on every row. A broken filter path shows up as a
-    value-hash mismatch, not a silent wrong answer.
+    proves the entire encode->decode roundtrip recovers every cell on
+    every row. A broken filter/Huffman path shows up as a value-hash
+    mismatch, not a silent wrong answer.
 
     ``on_error``: ``"fail"`` (default — a corrupt payload raises and
     fails the task, right for oracle-checked runs) or ``"null"`` —
     undecodable rows yield a NULL phash instead of killing the job,
     the posture a 100 TB crawl needs where some media bytes are
     always garbage; count the NULLs downstream and quarantine.
+
+    ``quantize_step`` > 0 re-quantizes decoded pixels to the nearest
+    multiple before hashing — the lossy-codec form of the gate: JPEG
+    at quant=1 loses < step/2 grey levels, so cells synthesized on a
+    step-spaced grid (synth_cell_jpeg_payloads) recover EXACTLY and
+    the hash stays oracle-replayable despite the DCT.
     """
     if on_error not in ("fail", "null"):
         raise ValueError(f"on_error must be 'fail' or 'null': {on_error!r}")
@@ -426,7 +486,13 @@ def phash_images(media: DataFrame, on_error: str = "fail") -> DataFrame:
             hashes: list[int | None] = []
             for p in pdf["payload"]:
                 try:
-                    hashes.append(dhash_bits(codecs.decode_png(bytes(p))))
+                    px = codecs.decode_image_pixels(bytes(p))
+                    if quantize_step:
+                        px = (
+                            (px.astype(np.int64) + quantize_step // 2)
+                            // quantize_step
+                        ) * quantize_step
+                    hashes.append(dhash_bits(px))
                 except Exception:
                     if on_error == "fail":
                         raise

@@ -1699,11 +1699,16 @@ def q_pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 # L22: perceptual image hash through the real PNG roundtrip
 # ======================================================================
-def _media_phash_oracle() -> str:
+def _media_phash_oracle(cell_map: str = "{v}") -> str:
+    """Replays the cell-image arithmetic + dHash in SQL. ``cell_map``
+    maps a raw mod-256 cell value ``{v}`` to the pixel value the codec
+    carried — identity for PNG (lossless), the 16-spaced grid mapping
+    for JPEG (quantize-exact through the DCT)."""
     from ..functions.multimodal import PHASH_GRID_H, PHASH_GRID_W
 
     ncells = PHASH_GRID_H * PHASH_GRID_W
     bit = f"CAST((a.cell // {PHASH_GRID_W}) * 8 + (a.cell % {PHASH_GRID_W}) AS INTEGER)"
+    mapped = cell_map.format(v="coalesce(cells.val, 0)")
     return f"""
     WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
     tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
@@ -1719,7 +1724,7 @@ def _media_phash_oracle() -> str:
       FROM contrib GROUP BY doc_id, cell
     ),
     grid AS (
-      SELECT d.doc_id, g.cell, coalesce(cells.val, 0) AS val
+      SELECT d.doc_id, g.cell, {mapped} AS val
       FROM (SELECT DISTINCT doc_id FROM documents) d
       CROSS JOIN (SELECT unnest(range(0, {ncells})) AS cell) g
       LEFT JOIN cells ON cells.doc_id = d.doc_id AND cells.cell = g.cell
@@ -1754,6 +1759,43 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents"))
     media = synth_cell_png_payloads(docs, "doc_id", "text")
     return phash_images(media).select(
+        F.col("media_id").alias("doc_id"), "phash"
+    )
+
+
+@query(
+    "q_media_phash_jpeg",
+    oracle=_media_phash_oracle(
+        cell_map="(({v}) % 14 + 1) * 16"
+    ),
+)
+def q_media_phash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash through the REAL baseline JPEG roundtrip
+    (VERDICT_r4 #4): each doc's 16-spaced cell image is encoded as a
+    real T.81 baseline JPEG — frequency-optimized Huffman tables
+    declared in DHT, quant=1, a restart marker mid-stream — and decoded
+    back by the full pure-Python pipeline (canonical Huffman rebuild,
+    entropy decode with byte unstuffing + RST resync, dequantize,
+    un-zigzag, float64 IDCT). JPEG is lossy, so the gate quantizes:
+    cells live on a 16-grid and quant=1 DCT loss is provably < 8 grey
+    levels, so re-quantizing the decoded pixels recovers every cell
+    EXACTLY — the oracle replays the cell arithmetic and the dHash
+    from the text alone, making the entire entropy-coding + DCT path a
+    driver-checkable value-hash gate (the JPEG twin of q_media_phash's
+    PNG gate).
+
+    Scale shape identical to L22: two Arrow-batched mapInPandas
+    stages, no shuffle between them, 8 bytes/doc out."""
+    from ..functions.multimodal import (
+        JPEG_CELL_STEP,
+        phash_images,
+        synth_cell_jpeg_payloads,
+    )
+    from ..tables import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    media = synth_cell_jpeg_payloads(docs, "doc_id", "text")
+    return phash_images(media, quantize_step=JPEG_CELL_STEP).select(
         F.col("media_id").alias("doc_id"), "phash"
     )
 

@@ -77,6 +77,7 @@ PRIORITY: tuple[str, ...] = (
     "q_pipeline_select",
     # L22-L25: media hashes, hash-embed + text-ANN chain, shuffle
     "q_media_phash",
+    "q_media_phash_jpeg",
     "q_audio_fingerprint",
     "q_text_hash_embed",
     "q_text_knn",
@@ -128,9 +129,9 @@ PRIORITY: tuple[str, ...] = (
     "q_search_tfidf",
     "q_sample_stratified",
     "q_embed_centroid",
-    "q_conditional_agg",
     # ---- driver window ends here (first 50) ----
     # r1-green queries still waiting on a refresh if the window widens
+    "q_conditional_agg",
     "q_pipeline_prep",
     "q_string_agg",
     "q_minmax_by",
