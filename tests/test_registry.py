@@ -97,7 +97,9 @@ WINDOW_R5 = (
 
 #: Queries expected to be rows-only (oracle=None) inside the window —
 #: every other window entry must carry a full value-hash oracle.
-ROWS_ONLY_IN_WINDOW = ("q_dedup_groups", "q_knn_ivf", "q_approx_aggs")
+#: (q_dedup_groups left this list in r5: connected components gained
+#: an exact recursive-CTE oracle.)
+ROWS_ONLY_IN_WINDOW = ("q_knn_ivf", "q_approx_aggs")
 
 #: Queries rotated out of the window in r5 — each holds at least one
 #: driver-green row from r2-r4 and must stay registered and oracled

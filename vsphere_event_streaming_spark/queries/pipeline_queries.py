@@ -767,17 +767,62 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_meta(synth_png_payloads(docs, "doc_id", "text"))
 
 
-@query("q_dedup_groups", oracle=None)  # iterative → rows-only (contract)
+def _dedup_groups_oracle() -> str:
+    """Connected components ARE SQL-expressible: a recursive CTE
+    computes the transitive closure of the (symmetrized) near-dup edge
+    set, and min(reachable id) per vertex is the component label —
+    exactly what label propagation + pointer jumping converge to.
+    Closure size is quadratic per component, fine for an oracle (dedup
+    groups are small by construction); the Spark side stays the O(log
+    diameter) iterative plan that scales. Upgrades q_dedup_groups from
+    rows-only to a full value-hash check (VERDICT_r4 #8)."""
+    return f"""
+    WITH RECURSIVE {_duck_shingle_hashes()},
+    ex AS (
+      SELECT doc_id, len(sh_arr) AS n_sh, unnest(sh_arr) AS sh
+      FROM sha WHERE len(sh_arr) > 0
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
+             count(*) AS common
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE),
+                  6) >= 0.5
+        AND na >= 0.5 * nb AND nb >= 0.5 * na
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS group_id FROM reach GROUP BY a
+    """
+
+
+@query("q_dedup_groups", oracle=_dedup_groups_oracle())
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → transitive dedup GROUPS via distributed
     connected components (label propagation + pointer jumping,
     operators/graph.py).
 
-    Iterative fixed-point algorithms are explicitly rows-only in the
-    driver contract; the strong correctness check is the union-find
-    reference comparison in tests/test_graph.py. This is the step that
-    turns pairwise similarity into keep-one-per-group decisions — a
-    corpus dedup is not done until overlapping pairs are unioned.
+    The iterative fixed point is nonetheless exactly checkable: the
+    oracle's recursive CTE computes the same min-reachable-id labels
+    through transitive closure, so this is a full value-hash row (it
+    was rows-only through r4). The union-find reference comparison in
+    tests/test_graph.py stays as the property-level check. This is the
+    step that turns pairwise similarity into keep-one-per-group
+    decisions — a corpus dedup is not done until overlapping pairs are
+    unioned.
     """
     from ..functions.dedup import jaccard_pairs
     from ..operators.graph import dedup_groups

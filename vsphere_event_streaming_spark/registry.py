@@ -56,9 +56,11 @@ def query(name: str, oracle: str | None = None):
 # rows-only checks that have never been driver-checked at all.  In for
 # r5: ALL 30 never-checked queries (the whole L19-L25 tier, the
 # text-analysis scalars, the near-dup oracle tiers, UDAF/cogroup-free
-# salted-skew ops, and the 3 rows-only checks q_dedup_groups /
-# q_knn_ivf / q_approx_aggs, which get the driver's weaker rows-only
-# row) plus the two r4 reds whose harness-compat fixes must be proven
+# salted-skew ops, and the never-checked tail: q_dedup_groups — now
+# upgraded to a full value-hash row via a recursive-CTE connected-
+# components oracle — plus the rows-only q_knn_ivf / q_approx_aggs,
+# which get the driver's weaker rows-only row) plus the two r4 reds
+# whose harness-compat fixes must be proven
 # green (q_pack_sequences — oracle DECIMAL→BIGINT cast; q_vector_sq —
 # array column stringified).  The remaining 18 slots re-green queries
 # whose only driver row is from r1, three rounds ago.  Out: everything
