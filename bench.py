@@ -87,8 +87,10 @@ HEADLINE = [
     # r4 additions (5): text-to-ANN composition over feature-hashing
     # embeddings
     "q_text_knn",
-    # r5 addition: full baseline JPEG roundtrip gate (VERDICT_r4 #4)
+    # r5 additions: full baseline JPEG roundtrip gate (VERDICT_r4 #4)
+    # and the MJPEG-AVI video frame-sampling path it unlocked
     "q_media_phash_jpeg",
+    "q_video_frames",
 ]
 
 
@@ -96,6 +98,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # SPARK_GRAFT_BENCH_PREFIX=N times only the first N headline
+    # queries — used for matched-JVM-load comparisons against an older
+    # round's smaller set (a 47-query run carries more GC pressure per
+    # query than the 34-query run it's compared to; VERDICT_r4 #5).
+    headline = HEADLINE
+    prefix = os.environ.get("SPARK_GRAFT_BENCH_PREFIX")
+    if prefix:
+        headline = HEADLINE[: int(prefix)]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = load_all()
@@ -137,7 +147,7 @@ def main() -> None:
     if os.path.isdir(warm_dir) and os.path.realpath(
         warm_dir
     ) != os.path.realpath(sf_dir):
-        for name in HEADLINE:
+        for name in headline:
             queries[name].fn(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
@@ -147,7 +157,7 @@ def main() -> None:
     # this machine shows intermittent multi-second ambient contention
     # spikes, and min-of-2 measures the plan rather than the co-tenant.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         best = None
         for _ in range(2):
             df = queries[name].fn(spark, sf_dir)

@@ -345,6 +345,67 @@ def test_jpeg_huffman_single_symbol_table():
     assert np.abs(dec.astype(int) - 128).max() < 8
 
 
+def test_avi_mjpeg_container_roundtrip():
+    """RIFF AVI: avih metadata parses back, '00dc' frame payloads come
+    out byte-identical and in order, error paths are typed."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vsphere_event_streaming_spark.functions import codecs
+
+    rng = np.random.RandomState(3)
+    frames = [
+        codecs.encode_jpeg(
+            ((rng.randint(0, 14, size=(7, 9)) + 1) * 16).astype(np.uint8)
+        )
+        for _ in range(4)
+    ]
+    avi = codecs.encode_avi_mjpeg(frames, fps=10)
+    hdr = codecs.avi_header(avi)
+    assert hdr == {
+        "format": "avi", "width": 9, "height": 7, "n_frames": 4,
+        "us_per_frame": 100000, "duration_ms": 400,
+    }
+    assert codecs.decode_avi_frames(avi) == frames
+    with _pytest.raises(ValueError):
+        codecs.avi_header(b"RIFF\x00\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError):
+        codecs.decode_avi_frames(avi[:40])
+    with _pytest.raises(ValueError):
+        codecs.encode_avi_mjpeg([])
+
+
+def test_video_frame_hashes_through_spark(spark):
+    """q_video_frames building blocks: the sampler picks frames 0/2/4
+    of a 500 ms 10 fps clip at 200 ms intervals, and every sampled
+    frame's quantized dHash equals the pure-Python replay of the
+    frame-shifted cell image."""
+    import numpy as np
+
+    from vsphere_event_streaming_spark.functions.multimodal import (
+        _cell_image16_frame,
+        dhash_bits,
+        synth_cell_avi_payloads,
+        video_frame_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "one two three two one")],
+        "doc_id long, text string",
+    )
+    media = synth_cell_avi_payloads(docs, "doc_id", "text")
+    rows = video_frame_hashes(media, every_ms=200).collect()
+    got = {(r["media_id"], r["frame_idx"]): r["phash"] for r in rows}
+    assert sorted({f for _, f in got}) == [0, 2, 4]
+    for (mid, f), ph in got.items():
+        text = "alpha beta beta gamma" if mid == 1 else "one two three two one"
+        assert ph == dhash_bits(
+            _cell_image16_frame(text, f).astype(np.int64)
+        )
+    # distinct frames hash differently (the per-frame shift is live)
+    assert len({ph for (_, _), ph in got.items()}) > 2
+
+
 def test_jpeg_cell_phash_through_spark(spark):
     """The q_media_phash_jpeg building blocks end-to-end on Spark: the
     synthesized baseline JPEG decodes back to the exact 16-grid cell

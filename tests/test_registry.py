@@ -48,6 +48,7 @@ WINDOW_R5 = (
     "q_pipeline_select",
     "q_media_phash",
     "q_media_phash_jpeg",
+    "q_video_frames",
     "q_audio_fingerprint",
     "q_text_hash_embed",
     "q_text_knn",
@@ -92,7 +93,6 @@ WINDOW_R5 = (
     "q_top_words",
     "q_search_tfidf",
     "q_sample_stratified",
-    "q_embed_centroid",
 )
 
 #: Queries expected to be rows-only (oracle=None) inside the window —

@@ -282,6 +282,16 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"BroadcastNestedLoopJoin",
         ],
     ],
+    "q_video_frames": [
+        [r"MapInPandas"],
+        [
+            r"BatchEvalPython",
+            r"CartesianProduct",
+            r"SortMergeJoin",
+            r"ShuffledHashJoin",
+            r"BroadcastNestedLoopJoin",
+        ],
+    ],
     "q_audio_fingerprint": [
         [r"MapInPandas"],
         [

@@ -969,3 +969,131 @@ def decode_image_pixels(payload: bytes) -> np.ndarray:
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
     raise ValueError("unrecognized image format")
+
+
+# ----------------------------------------------------------------------
+# AVI (RIFF) container with MJPEG video frames
+# ----------------------------------------------------------------------
+# Makes the video tier REAL: frame_sample_plan (multimodal.py) was the
+# metadata-only planning form; with the baseline JPEG codec above, a
+# real container + per-frame decode closes the "frame decode is
+# stubbed" scope cut. MJPEG-in-AVI is the simplest real-world video
+# format: a RIFF chunk walk (same skeleton as WAV) whose 'movi' LIST
+# carries one complete JPEG per '00dc' chunk.
+
+def encode_avi_mjpeg(
+    frames: list[bytes], fps: int = 10, width: int = 0, height: int = 0
+) -> bytes:
+    """Wrap JPEG payloads as a real AVI (RIFF) MJPEG video.
+
+    Emits the standard header path — 'avih' MainAVIHeader, one 'strl'
+    with 'strh' (fccType 'vids', handler 'MJPG') + 'strf'
+    BITMAPINFOHEADER — then the 'movi' LIST with one even-padded
+    '00dc' chunk per frame. Dimensions default to the first frame's
+    SOF header."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    if not (width and height):
+        hdr = jpeg_header(frames[0])
+        width, height = hdr["width"], hdr["height"]
+    us_per_frame = 1_000_000 // max(fps, 1)
+    max_bytes = max(len(f) for f in frames)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame,          # dwMicroSecPerFrame
+        max_bytes * fps,       # dwMaxBytesPerSec
+        0,                     # dwPaddingGranularity
+        0x10,                  # dwFlags: AVIF_HASINDEX unset, interleaved
+        len(frames),           # dwTotalFrames
+        0,                     # dwInitialFrames
+        1,                     # dwStreams
+        max_bytes,             # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,            # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0,                 # dwFlags
+            0, 0,              # wPriority, wLanguage
+            0,                 # dwInitialFrames
+            1, max(fps, 1),    # dwScale / dwRate = frame rate
+            0,                 # dwStart
+            len(frames),       # dwLength (in frames)
+            max_bytes,         # dwSuggestedBufferSize
+            0xFFFFFFFF,        # dwQuality (default)
+            0,                 # dwSampleSize (0: varies)
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Walk RIFF subchunks in buf[pos:end] → (tag, payload_lo, size)."""
+    while pos + 8 <= end:
+        tag = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        yield tag, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def avi_header(payload: bytes) -> dict:
+    """Parse the 'avih' MainAVIHeader → typed video metadata."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    for tag, lo, size in _riff_chunks(payload, 12, len(payload)):
+        if tag == b"LIST" and payload[lo : lo + 4] == b"hdrl":
+            for t2, lo2, sz2 in _riff_chunks(payload, lo + 4, lo + size):
+                if t2 == b"avih":
+                    (uspf, _mbs, _pad, _flags, nf, _ini, _ns, _sb,
+                     w, h) = struct.unpack_from("<IIIIIIIIII", payload, lo2)
+                    return {
+                        "format": "avi",
+                        "width": int(w),
+                        "height": int(h),
+                        "n_frames": int(nf),
+                        "us_per_frame": int(uspf),
+                        "duration_ms": int(nf * uspf // 1000),
+                    }
+    raise ValueError("AVI missing avih header")
+
+
+def decode_avi_frames(payload: bytes) -> list[bytes]:
+    """Extract the compressed frame payloads ('00dc'/'00dj' chunks of
+    the 'movi' LIST) in stream order. Each is a complete JPEG for
+    MJPEG files — feed to :func:`decode_jpeg`."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames: list[bytes] = []
+    for tag, lo, size in _riff_chunks(payload, 12, len(payload)):
+        if tag == b"LIST" and payload[lo : lo + 4] == b"movi":
+            for t2, lo2, sz2 in _riff_chunks(payload, lo + 4, lo + size):
+                if t2 in (b"00dc", b"00dj"):
+                    frames.append(payload[lo2 : lo2 + sz2])
+    if not frames:
+        raise ValueError("AVI has no video frame chunks")
+    return frames

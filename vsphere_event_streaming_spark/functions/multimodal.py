@@ -454,6 +454,115 @@ def synth_cell_jpeg_payloads(
     )
 
 
+#: Synthesized MJPEG-AVI layout: 5 frames at 10 fps = 500 ms clips;
+#: frame f's cell image is ((raw + f) % 14 + 1) * 16 — the same
+#: oracle-replayable modular arithmetic, shifted per frame so every
+#: frame hashes differently and a mis-ordered or mis-sampled frame is
+#: a value mismatch, not a coincidence.
+VIDEO_FRAMES = 5
+VIDEO_FPS = 10
+
+
+def _cell_image16_frame(text: str, frame: int) -> np.ndarray:
+    cells = _cell_image(text).astype(np.int64)
+    return (
+        ((cells + frame) % JPEG_CELL_LEVELS + 1) * JPEG_CELL_STEP
+    ).astype(np.uint8)
+
+
+def synth_cell_avi_payloads(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(media_id, payload): a REAL MJPEG-in-AVI clip per row — RIFF
+    container (avih/strl headers + movi '00dc' chunks), each frame a
+    real baseline JPEG of the doc's frame-shifted cell image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                frames = [
+                    codecs.encode_jpeg(
+                        _cell_image16_frame(t, f),
+                        restart_interval=JPEG_CELL_RST,
+                    )
+                    for f in range(VIDEO_FRAMES)
+                ]
+                payloads.append(
+                    codecs.encode_avi_mjpeg(frames, fps=VIDEO_FPS)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def video_frame_hashes(
+    media: DataFrame, every_ms: int = 1000, on_error: str = "fail"
+) -> DataFrame:
+    """(media_id, frame_idx, phash): REAL video frame sampling.
+
+    Walks each payload's RIFF structure (avi_header for timing,
+    decode_avi_frames for the '00dc' stream), samples one frame per
+    started ``every_ms`` interval — the sampled index is
+    t·1000 / us_per_frame, exactly what frame_sample_plan computes
+    from metadata — decodes each sampled JPEG through the full T.81
+    path, re-quantizes to the 16-grid, and dHashes. This is the
+    decode-backed realization of frame_sample_plan's metadata-only
+    plan: same sampling rule, real pixels.
+
+    Scale shape: one Arrow-batched mapInPandas stage, no shuffle;
+    output is (sampled frames)×16 bytes per clip. ``on_error`` as in
+    phash_images."""
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be 'fail' or 'null': {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            hashes: list[int | None] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    payload = bytes(p)
+                    hdr = codecs.avi_header(payload)
+                    frames = codecs.decode_avi_frames(payload)
+                    uspf = hdr["us_per_frame"]
+                    sampled = sorted(
+                        {
+                            min(t * 1000 // uspf, len(frames) - 1)
+                            for t in range(
+                                0, hdr["duration_ms"], every_ms
+                            )
+                        }
+                    )
+                    for fi in sampled:
+                        px = codecs.decode_jpeg(frames[fi]).astype(
+                            np.int64
+                        )
+                        step = JPEG_CELL_STEP
+                        px = ((px + step // 2) // step) * step
+                        ids.append(mid)
+                        idxs.append(fi)
+                        hashes.append(dhash_bits(px))
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    ids.append(mid)
+                    idxs.append(-1)
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "phash": hashes},
+            ).astype({"phash": "Int64"})
+
+    return media.mapInPandas(
+        run, schema="media_id long, frame_idx int, phash long"
+    )
+
+
 def phash_images(
     media: DataFrame, on_error: str = "fail", quantize_step: int = 0
 ) -> DataFrame:

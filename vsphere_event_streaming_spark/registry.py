@@ -80,6 +80,7 @@ PRIORITY: tuple[str, ...] = (
     # L22-L25: media hashes, hash-embed + text-ANN chain, shuffle
     "q_media_phash",
     "q_media_phash_jpeg",
+    "q_video_frames",
     "q_audio_fingerprint",
     "q_text_hash_embed",
     "q_text_knn",
@@ -130,9 +131,9 @@ PRIORITY: tuple[str, ...] = (
     "q_top_words",
     "q_search_tfidf",
     "q_sample_stratified",
-    "q_embed_centroid",
     # ---- driver window ends here (first 50) ----
     # r1-green queries still waiting on a refresh if the window widens
+    "q_embed_centroid",
     "q_conditional_agg",
     "q_pipeline_prep",
     "q_string_agg",
