@@ -420,26 +420,28 @@ def hash_embed(
 
     The DSIR paper's hashed n-gram features and classic
     HashingVectorizer are this shape; at 100 TB it is one explode +
-    two hash aggregates + a map build, constant dim*8 bytes/doc out.
+    one hash aggregate + a map build, constant dim*8 bytes/doc out.
+    (r5: the former per-(doc, word) count stage is folded away — a
+    per-OCCURRENCE signed ±1 sums to exactly sign(word)·count in
+    integer arithmetic, so one whole shuffle+aggregate disappears and
+    the surviving shuffle carries ≤ dim partial cells per doc instead
+    of one row per distinct word.)
     """
-    wc = (
-        docs.select(
-            id_col, F.explode(words(F.col(text_col))).alias("word")
-        )
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    signed = wc.select(
+    signed = docs.select(
+        id_col, F.explode(words(F.col(text_col))).alias("word")
+    ).select(
         id_col,
         (md5_hash(F.col("word")) % dim).cast("int").alias("k"),
         F.when(
             md5_hash(F.concat(F.lit("s:"), F.col("word"))) % 2 == 0,
-            F.col("cnt"),
+            F.lit(1),
         )
-        .otherwise(-F.col("cnt"))
+        .otherwise(F.lit(-1))
         .alias("sv"),
     )
-    cells = signed.groupBy(id_col, "k").agg(F.sum("sv").alias("val"))
+    cells = signed.groupBy(id_col, "k").agg(
+        F.sum("sv").cast("long").alias("val")
+    )
     m = cells.groupBy(id_col).agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("k"), F.col("val")))
