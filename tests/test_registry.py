@@ -58,6 +58,7 @@ WINDOW_R5 = (
     "q_session_window",
     "q_udaf_gmean",
     "q_cogroup_recon",
+    "q_grouped_map_stats",
     "q_dedup_minhash",
     "q_dedup_near",
     "q_dedup_near_pruned",
@@ -91,7 +92,6 @@ WINDOW_R5 = (
     "q_sessionize",
     "q_chunk_text",
     "q_top_words",
-    "q_search_tfidf",
     "q_sample_stratified",
 )
 

@@ -977,6 +977,64 @@ def q_cogroup_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_grouped_map_stats",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           any_value(m.med) AS med_value,
+           median(abs(e.value - m.med)) AS mad_value
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_grouped_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` (the §2.10 surface distinct from
+    grouped-AGG pandas_udf and cogroup): one Python call receives a
+    whole group as a pandas frame and returns an arbitrary-shape
+    frame. The workload is per-group robust stats — median + median
+    absolute deviation — the outlier-fence step of a telemetry
+    pipeline. Median/MAD are SORT-based (no summation), so unlike
+    mean/stddev they replay bit-for-bit in the oracle: both engines
+    average the two middle doubles for even n, and |x - med| is exact
+    IEEE arithmetic.
+
+    Scale: one shuffle on the group key; Python sees one group at a
+    time, never the corpus. Skewed group sizes are the known hazard of
+    grouped-map (a 10%-of-corpus group serializes into one worker) —
+    for heavy keys, pre-aggregate or use the salted path
+    (q_salted_agg); this query's groups are the bounded event_type
+    dimension."""
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["value"].median()
+        mad = (pdf["value"] - med).abs().median()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "med_value": [med],
+                "mad_value": [mad],
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(
+            stats,
+            "event_type string, n bigint, med_value double, "
+            "mad_value double",
+        )
+    )
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE, _CHUNK_OVERLAP = 200, 150, 50
 
 

@@ -89,9 +89,11 @@ PRIORITY: tuple[str, ...] = (
     "q_multimodal_meta",
     "q_sliding_agg",
     "q_session_window",
-    # UDF surface never driver-checked (§2.10)
+    # UDF surface never driver-checked (§2.10); q_grouped_map_stats is
+    # the grouped-map applyInPandas line, added r5
     "q_udaf_gmean",
     "q_cogroup_recon",
+    "q_grouped_map_stats",
     # near-dup family variants + oracle tiers (L2)
     "q_dedup_minhash",
     "q_dedup_near",
@@ -129,10 +131,10 @@ PRIORITY: tuple[str, ...] = (
     "q_sessionize",
     "q_chunk_text",
     "q_top_words",
-    "q_search_tfidf",
     "q_sample_stratified",
     # ---- driver window ends here (first 50) ----
     # r1-green queries still waiting on a refresh if the window widens
+    "q_search_tfidf",
     "q_embed_centroid",
     "q_conditional_agg",
     "q_pipeline_prep",
