@@ -79,3 +79,30 @@ def test_count_min_sketch_bounds(spark):
         assert est <= true_n + eps_n
     # unseen key estimates are bounded by collision noise, not huge
     assert cms_estimate(sketch, "zzz_never_seen") <= eps_n
+
+
+def test_cms_query_overestimates_only(spark):
+    """q_sketch_cms property: every CMS estimate >= the exact count
+    (the sketch can only overestimate), and for the top tokens at
+    sf0.001's tiny vocabulary the estimate is within the epsilon-N
+    collision bound."""
+    from vsphere_event_streaming_spark.queries.advanced_queries import (
+        CMS_W,
+        q_sketch_cms,
+    )
+
+    rows = q_sketch_cms(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    n_total = None
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    n_total = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .count()
+    )
+    eps_n = (2.71828 / CMS_W) * n_total
+    for r in rows:
+        assert r["n_cms"] >= r["n_exact"], r
+        assert r["n_cms"] <= r["n_exact"] + eps_n, r

@@ -92,7 +92,7 @@ WINDOW_R5 = (
     "q_sessionize",
     "q_chunk_text",
     "q_top_words",
-    "q_sample_stratified",
+    "q_sketch_cms",
 )
 
 #: Queries expected to be rows-only (oracle=None) inside the window —

@@ -37,7 +37,10 @@ from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
 )
 from vsphere_event_streaming_spark.functions.multimodal import (  # noqa: E402
     phash_images,
+    synth_cell_avi_payloads,
+    synth_cell_jpeg_payloads,
     synth_cell_png_payloads,
+    video_frame_hashes,
 )
 from vsphere_event_streaming_spark.functions.text import (  # noqa: E402
     bigram_lm_scores,
@@ -328,6 +331,33 @@ def main() -> None:
             ),
             lambda: phash_images(
                 synth_cell_png_payloads(docsN, "doc_id", "text")
+            ),
+        ),
+        (
+            # JPEG gate: baseline encode -> full T.81 decode -> dHash,
+            # same two-Arrow-map no-shuffle shape as the PNG gate but
+            # with the entropy-coding + IDCT cost per doc
+            "phash_images_jpeg",
+            lambda: phash_images(
+                synth_cell_jpeg_payloads(docs1, "doc_id", "text"),
+                quantize_step=16,
+            ),
+            lambda: phash_images(
+                synth_cell_jpeg_payloads(docsN, "doc_id", "text"),
+                quantize_step=16,
+            ),
+        ),
+        (
+            # video tier: AVI container build (5 JPEG frames) -> walk
+            # -> sample -> decode 3 frames per clip
+            "video_frame_hashes",
+            lambda: video_frame_hashes(
+                synth_cell_avi_payloads(docs1, "doc_id", "text"),
+                every_ms=200,
+            ),
+            lambda: video_frame_hashes(
+                synth_cell_avi_payloads(docsN, "doc_id", "text"),
+                every_ms=200,
             ),
         ),
         (

@@ -1086,6 +1086,112 @@ def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_D, CMS_W = 4, 1024
+
+
+def _cms_oracle() -> str:
+    """Replays the sketch: same d row-hashes (the functions.sketches
+    ``key#row`` md5 convention), same W buckets, same min — a
+    Count-Min estimate is a pure function of the data, so the
+    'approximate' operator is still an exact value-hash check."""
+    tok = (
+        "SELECT w AS token FROM documents, "
+        "unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(w) "
+        "WHERE w <> ''"
+    )
+
+    def bucket(expr: str, j: str) -> str:
+        return (
+            f"('0x' || substr(md5({expr} || '#' || CAST({j} AS VARCHAR)),"
+            f" 1, 15))::BIGINT % {CMS_W}"
+        )
+
+    return f"""
+    WITH tok AS ({tok}),
+    rows_ AS (
+      SELECT j, {bucket("token", "j")} AS bucket
+      FROM tok CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS j) d
+    ),
+    cms AS (SELECT j, bucket, count(*) AS c FROM rows_ GROUP BY j, bucket),
+    top AS (
+      SELECT token, count(*) AS n_exact FROM tok
+      GROUP BY token ORDER BY n_exact DESC, token LIMIT 20
+    ),
+    probes AS (
+      SELECT token, n_exact, j, {bucket("token", "j")} AS bucket
+      FROM top CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS j) d
+    )
+    SELECT p.token AS token, any_value(p.n_exact) AS n_exact,
+           min(cms.c) AS n_cms
+    FROM probes p JOIN cms ON cms.j = p.j AND cms.bucket = p.bucket
+    GROUP BY p.token
+    """
+
+
+@query("q_sketch_cms", oracle=_cms_oracle())
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode & Muthukrishnan):
+    d=4 hash rows × W=1024 buckets of token counts, point estimate =
+    min over rows. THE bounded-state frequency structure at 100 TB —
+    sketch state is d·W cells however large the vocabulary, the
+    sketch is a one-shuffle aggregate (mergeable across shards by
+    cell-wise addition), and estimates only ever overestimate
+    (n_cms >= n_exact, asserted in tests). Unlike HLL/quantile
+    sketches (engine-internal state → rows-only q_approx_aggs), the
+    CMS estimate is a deterministic function of the data, so the
+    oracle replays every estimate exactly.
+
+    Returns the exact global top-20 tokens with exact and estimated
+    counts — the validation view a production rollout would sample.
+    The sketch-build shape and the ``key#row`` hashing convention are
+    functions.sketches (cms_build/_bucket, driver-collected form,
+    property-tested in tests/test_approx_aggs.py); this query keeps
+    the sketch distributed and probes it with a broadcast join —
+    the shape a shared long-lived sketch table would use."""
+    from ..functions.sketches import _bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("token")
+    )
+    rows_ = tok.select(
+        F.posexplode(
+            F.array(
+                *[_bucket(F.col("token"), r, CMS_W) for r in range(CMS_D)]
+            )
+        ).alias("j", "bucket")
+    )
+    cms = rows_.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "token")
+        .limit(20)
+    )
+    probes = top.select(
+        "token",
+        "n_exact",
+        F.posexplode(
+            F.array(
+                *[_bucket(F.col("token"), r, CMS_W) for r in range(CMS_D)]
+            )
+        ).alias("j", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.first("n_exact").alias("n_exact"),
+            F.min("c").alias("n_cms"),
+        )
+    )
+
+
 @query(
     "q_top_words",
     oracle="""

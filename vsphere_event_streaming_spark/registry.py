@@ -131,9 +131,11 @@ PRIORITY: tuple[str, ...] = (
     "q_sessionize",
     "q_chunk_text",
     "q_top_words",
-    "q_sample_stratified",
+    # sketch tier (r5): CMS estimates are deterministic -> exact oracle
+    "q_sketch_cms",
     # ---- driver window ends here (first 50) ----
     # r1-green queries still waiting on a refresh if the window widens
+    "q_sample_stratified",
     "q_search_tfidf",
     "q_embed_centroid",
     "q_conditional_agg",
