@@ -5,6 +5,14 @@ Stages (each is an independently-oracled operator — see COVERAGE.md):
 
  1. hygiene gates     — PII-free, exact-dedup keeper, benchmark-clean,
                         repetition-sane (q_pipeline_guarded's gates)
+ 1b. media dedup      — perceptual-hash blocking over the docs' image
+                        payloads (L22): one keeper per identical
+                        phash. The documents table carries no real
+                        media column, so the payloads here are the
+                        synthesized real-PNG cell images — the wiring
+                        (decode → 8-byte key → keeper semi-join) is
+                        exactly what a corpus with a binary media
+                        column runs.
  2. boilerplate scrub — cut segments shared verbatim across docs (L16)
  3. scoring           — bigram-LM quality + DSIR importance (L17/L20)
  4. selection         — score floors + per-language mixing gate (L21)
@@ -31,6 +39,10 @@ from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
     contamination_report,
     exact_dedup_keepers,
     release_cached,
+)
+from vsphere_event_streaming_spark.functions.multimodal import (  # noqa: E402
+    phash_images,
+    synth_cell_png_payloads,
 )
 from vsphere_event_streaming_spark.functions.sampling import (  # noqa: E402
     pack_sequences,
@@ -88,6 +100,17 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         .filter(F.col("max_freq_ratio") <= 0.2)
         .drop("max_freq_ratio")
     )
+
+    # -- 1b. media dedup: one keeper per perceptual hash ------------------
+    # phash is an 8-byte shuffle key; the payloads never move after the
+    # map stage that hashes them
+    media_keepers = (
+        phash_images(synth_cell_png_payloads(clean, "doc_id", "text"))
+        .groupBy("phash")
+        .agg(F.min("media_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    clean = clean.join(media_keepers, "doc_id", "left_semi")
 
     # -- 2. boilerplate scrub -------------------------------------------
     scrubbed = (
