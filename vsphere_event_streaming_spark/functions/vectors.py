@@ -572,3 +572,128 @@ def sq_adc_topk(
         .orderBy(F.col("adc_dist").asc(), id_col)
         .limit(k)
     )
+
+
+class VectorLshIndex:
+    """Persistent sign-LSH vector index for INCREMENTAL semantic dedup
+    — the embedding twin of the text tier's ``dedup.LshIndex`` (L12).
+
+    A growing corpus embeds each crawl increment and asks "is this
+    vector semantically redundant against everything seen so far?"
+    without recomputing history. The index stores one
+    ``(vec_id, sig, embedding)`` row per vector as parquet, one
+    ``batch_id=<id>`` partition per ingested batch; each new batch
+    joins ONLY its sign-LSH buckets (never all-pairs) against history
+    + itself and re-scores candidates with exact cosine.
+
+    Decision rule is the same min-id dominance as the batch
+    ``semantic_dedup`` (a vector is redundant iff a smaller-id vector
+    in its bucket clears the cosine threshold), and the index stores
+    dropped vectors too — dominators need not be keepers — so when
+    vec_ids arrive in monotone batches (crawl-ingest semantics) the
+    streamed keep-set equals the batch run over the union EXACTLY
+    (asserted in tests). Decisions are emit-once: a smaller-id vector
+    arriving AFTER a larger one (non-monotone ingest) can no longer
+    revoke the earlier keep.
+
+    Crash consistency mirrors LshIndex: decisions are computed before
+    the write and the write overwrites the batch's own partition, so a
+    retried batch converges instead of double-ingesting.
+    """
+
+    SCHEMA = "vec_id long, sig int, embedding array<double>"
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        threshold: float = SEMANTIC_THRESHOLD,
+        n_bits: int = 6,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.threshold = threshold
+        self.n_bits = n_bits
+
+    def _existing(self) -> DataFrame | None:
+        import os
+
+        if not os.path.isdir(self.path):
+            return None  # first batch: no index yet
+        return self.spark.read.schema(self.SCHEMA).parquet(self.path)
+
+    def add_batch(
+        self,
+        batch: DataFrame,
+        batch_id: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Ingest one batch; returns its decisions (vec_id, sig, kept).
+
+        The returned frame is materialized (localCheckpoint) BEFORE the
+        index write, so callers may write it after ``add_batch``
+        returns without re-reading an index that now contains the
+        batch itself.
+        """
+        from .dedup import LshIndex, _persist
+
+        part_dir = LshIndex._partition_dir(batch_id)  # validates token
+        new = _persist(
+            batch.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                hyperplane_sig(F.col(vec_col), self.n_bits).alias("sig"),
+                F.col(vec_col).cast("array<double>").alias("embedding"),
+            )
+        )
+        sides = [
+            new.select(
+                F.col("vec_id").alias("__ida"),
+                "sig",
+                F.col("embedding").alias("__va"),
+            )
+        ]
+        hist = self._existing()
+        if hist is not None:
+            sides.append(
+                hist.select(
+                    F.col("vec_id").alias("__ida"),
+                    "sig",
+                    F.col("embedding").alias("__va"),
+                )
+            )
+        dominators = sides[0] if len(sides) == 1 else sides[0].unionByName(
+            sides[1]
+        )
+        redundant = (
+            dominators.join(
+                new.select(
+                    F.col("vec_id").alias("__idb"),
+                    "sig",
+                    F.col("embedding").alias("__vb"),
+                ),
+                "sig",
+            )
+            .filter(F.col("__ida") < F.col("__idb"))
+            .filter(
+                cosine(F.col("__va"), F.col("__vb"))
+                >= F.lit(self.threshold)
+            )
+            .select(F.col("__idb").alias("vec_id"))
+            .distinct()
+            .withColumn("__dup", F.lit(True))
+        )
+        decisions = (
+            new.join(redundant, "vec_id", "left")
+            .select(
+                "vec_id",
+                "sig",
+                (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new.select("vec_id", "sig", "embedding").write.mode(
+            "overwrite"
+        ).parquet(f"{self.path}/{part_dir}")
+        new.unpersist()
+        return decisions

@@ -89,3 +89,67 @@ def start_incremental_dedup(
 def read_candidate_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     """All candidate pairs emitted so far, with their epoch column."""
     return spark.read.parquet(pairs_dir)
+
+
+#: Schema the embedding stream must carry (the driver's embeddings
+#: parquet layout, minus derived columns).
+VEC_STREAM_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def start_incremental_semantic_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    decisions_dir: str,
+    checkpoint_dir: str,
+    threshold: float | None = None,
+    n_bits: int = 6,
+    available_now: bool = True,
+    batch_prefix: str = "b",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming semantic dedup: the ``VectorLshIndex`` driven by
+    Structured Streaming — the embedding twin of
+    ``start_incremental_dedup`` (L12/L18).
+
+    Reads a parquet file stream of ``(vec_id, embedding)`` batches;
+    each micro-batch gets keep/drop decisions against everything seen
+    so far (sign-LSH bucket join + exact cosine re-score, min-id
+    dominance) written to ``decisions_dir/batch_id=<prefix><epoch>``,
+    then joins the index. Same epoch-partition idempotence contract
+    as the text form: a replayed epoch overwrites its own partitions
+    and converges.
+    """
+    from ..functions.vectors import SEMANTIC_THRESHOLD, VectorLshIndex
+
+    index = VectorLshIndex(
+        spark,
+        index_dir,
+        threshold=SEMANTIC_THRESHOLD if threshold is None else threshold,
+        n_bits=n_bits,
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_id = f"{batch_prefix}{epoch_id}"
+        decisions = index.add_batch(batch_df, batch_id=batch_id)
+        decisions.write.mode("overwrite").parquet(
+            f"{decisions_dir}/batch_id={batch_id}"
+        )
+
+    reader = spark.readStream.schema(VEC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_semantic_decisions(
+    spark: SparkSession, decisions_dir: str
+) -> DataFrame:
+    """All keep/drop decisions emitted so far, with their epoch."""
+    return spark.read.parquet(decisions_dir)
