@@ -220,3 +220,62 @@ def test_boilerplate_scrub_conservation_properties(spark):
         assert all(w in it for w in kept), (d, orig, kept)
         assert 0 <= row["n_dropped"] <= row["n_segs"]
         assert row["n_segs"] == (len(orig) + 7) // 8
+
+
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+    rst=st.sampled_from([0, 1, 3]),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_roundtrip_error_bound_property(h, w, seed, rst):
+    """For ANY uint8 grayscale image and restart interval, quant=1
+    baseline JPEG decode stays within 8 grey levels of the input (the
+    DCT rounding bound the multimodal 16-grid gate depends on), and
+    16-grid images recover exactly."""
+    import numpy as np
+
+    from vsphere_event_streaming_spark.functions import codecs
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img, restart_interval=rst))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() < 8
+
+    cells = ((rng.randint(0, 14, size=(h, w)) + 1) * 16).astype(np.uint8)
+    dec16 = codecs.decode_jpeg(
+        codecs.encode_jpeg(cells, restart_interval=rst)
+    )
+    req = ((dec16.astype(np.int64) + 8) // 16) * 16
+    assert np.array_equal(req, cells.astype(np.int64))
+
+
+@given(
+    n_frames=st.integers(1, 6),
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_avi_container_roundtrip_property(n_frames, h, w, seed):
+    """ANY frame list survives the AVI container byte-identically and
+    the avih header reports the real frame count and dimensions."""
+    import numpy as np
+
+    from vsphere_event_streaming_spark.functions import codecs
+
+    rng = np.random.RandomState(seed)
+    frames = [
+        codecs.encode_jpeg(
+            rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        )
+        for _ in range(n_frames)
+    ]
+    avi = codecs.encode_avi_mjpeg(frames, fps=10)
+    hdr = codecs.avi_header(avi)
+    assert (hdr["n_frames"], hdr["width"], hdr["height"]) == (
+        n_frames, w, h,
+    )
+    assert codecs.decode_avi_frames(avi) == frames
