@@ -35,6 +35,12 @@ NASTY = [
     (9, "normal words appear here rather often", "en", "src0"),
     (10, "normal words appear here rather often", "en", "src1"),
     (11, "normal words appear here rather часто", "en", "src0"),
+    # markup/URL rows: the q_markup_strip / q_url_domains branches the
+    # (markup-free) driver corpus never exercises
+    (12, "<p>Hello &amp;lt; <b>world</b>&nbsp;&#39;x&#39;</p>", "en", "src0"),
+    (13, "see https://Example.COM/path?q=1 or http://a.b.c done", "en", "src1"),
+    (14, "&amp; alone <!-- note --> <DIV CLASS=\"x\">y</DIV> tail", "de", "src2"),
+    (15, "broken <tag no close &quot;quoted&quot; http://host", "fr", "src3"),
 ]
 
 
@@ -61,6 +67,8 @@ def _random_docs(seed: int = 13, n: int = 200):
         [f"w{i}" for i in range(40)]
         + ["的", "是", "在", "wörter", "niño", "🎉", "x" * 50, "a"]
         + ["\xa0glued", "mid\xa0nbsp"]
+        + ["<b>", "</b>", "<em>x</em>", "&amp;", "&lt;", "&nbsp;",
+           "https://ex.com/p", "http://A.B/q?x=1", "<br/>"]
     )
     seps = [" ", "  ", "\t", "\n", " \x0b ", "\f"]
     langs = ["en", "de", "es", "fr", "zh"]

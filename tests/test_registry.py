@@ -74,6 +74,8 @@ WINDOW_R5 = (
     "q_salted_agg",
     "q_salted_join",
     "q_pipeline_guarded",
+    "q_markup_strip",
+    "q_url_domains",
     # never driver-checked — rows-only by design
     "q_dedup_groups",
     "q_knn_ivf",
@@ -86,9 +88,7 @@ WINDOW_R5 = (
     "q_percentile",
     "q_window_analytics",
     "q_range_frame",
-    "q_regexp_funcs",
     "q_variant_json",
-    "q_try_funcs",
     "q_sessionize",
     "q_chunk_text",
     "q_top_words",

@@ -468,3 +468,69 @@ def hash_embed(
             .alias("embedding"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# L28/L29: web-corpus extraction — markup strip + URL/domain harvest
+# ----------------------------------------------------------------------
+#: One HTML tag: '<' + optional [!/] + a letter-led body up to the
+#: first '>'. The Java ∩ RE2 ∩ DuckDB regexp subset (the PII_PATTERNS
+#: discipline) — a regex-tier cleaner in the C4 shape, NOT a browser
+#: parser: a '>' inside an attribute or comment ends the match early,
+#: documented boundary.
+TAG_PATTERN = r"</?[A-Za-z!][^>]*>"
+
+#: Named/fixed entities decoded after tag removal, in this order —
+#: '&amp;' LAST so '&amp;lt;' decodes once to '&lt;' (standard
+#: single-pass semantics), never twice to '<'.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+#: URL shape: scheme + host (group 1) + optional path. RE2-safe.
+URL_PATTERN = r"https?://([A-Za-z0-9.-]+)(/[^ \t\n\r\f\x0B]*)?"
+
+
+def strip_markup(text: Column) -> Column:
+    """HTML/markup → text: drop tags, decode the common entities,
+    collapse whitespace runs, trim — the extraction step every web
+    corpus runs before any other gate (C4's cleanup tier). Entirely
+    codegen regexp/replace, no UDF; byte-replayable in SQL."""
+    t = F.regexp_replace(text, TAG_PATTERN, " ")
+    for ent, rep in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, WS_CLASS + "+", " ")
+    return ws_strip(t)
+
+
+def markup_profile(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tags, n_entities, clean_text): the markup-strip pass
+    plus the removal counts a crawl-hygiene dashboard tracks."""
+    ent_count = None
+    for ent, _ in HTML_ENTITIES:
+        c = F.size(F.split(F.col("text"), F.lit(ent), -1)) - 1
+        ent_count = c if ent_count is None else ent_count + c
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(F.col("text"), F.lit(TAG_PATTERN)).alias("n_tags"),
+        ent_count.alias("n_entities"),
+        strip_markup(F.col("text")).alias("clean_text"),
+    )
+
+
+def url_domains(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_urls, domains): per-doc URL harvest — the
+    blocklist/source-attribution front of a web pipeline (RefinedWeb's
+    URL filtering). Domains are lowercased, per-doc order preserved."""
+    urls = F.regexp_extract_all(F.col("text"), F.lit(URL_PATTERN), 1)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(urls).alias("n_urls"),
+        F.transform(urls, F.lower).alias("domains"),
+    )

@@ -921,6 +921,100 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _markup_oracle() -> str:
+    from ..functions.text import HTML_ENTITIES, TAG_PATTERN
+
+    clean = f"regexp_replace(text, '{TAG_PATTERN}', ' ', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        clean = f"replace({clean}, '{ent}', '{rep_sql}')"
+    clean = (
+        rf"regexp_replace({clean}, '[ \t\n\r\f\x0B]+', ' ', 'g')"
+    )
+    clean = (
+        rf"regexp_replace({clean},"
+        rf" '^[ \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+$', '', 'g')"
+    )
+    ents = " + ".join(
+        f"((length(text) - length(replace(text, '{ent}', '')))"
+        f" // {len(ent)})"
+        for ent, _ in HTML_ENTITIES
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TAG_PATTERN}')) AS BIGINT)
+             AS n_tags,
+           CAST({ents} AS BIGINT) AS n_entities,
+           md5({clean}) AS clean_hash
+    FROM documents
+    """
+
+
+@query("q_markup_strip", oracle=_markup_oracle())
+def q_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup extraction (the C4-tier cleanup every web corpus
+    runs first): drop tags, decode the common entities ('&amp;' last,
+    single-pass semantics), collapse whitespace runs, trim — plus the
+    per-doc removal counts a crawl-hygiene dashboard tracks. Entirely
+    codegen regexp/replace in the Java ∩ RE2 ∩ DuckDB subset, so the
+    oracle replays the cleaned text byte-for-byte (compared by md5).
+    A regex-tier cleaner, not a browser parser — a '>' inside an
+    attribute ends a tag match early, documented boundary. The driver
+    corpus carries no markup (the no-op + whitespace-normalize path is
+    what its rows check exactly); tagged/entity-laden inputs are
+    exercised by the nasty-corpus fuzz, which runs every
+    documents-only oracle on handcrafted and random markup-bearing
+    rows."""
+    from ..functions.text import markup_profile
+
+    prof = markup_profile(_t(spark, sf_dir, "documents"))
+    return prof.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tags").cast("bigint").alias("n_tags"),
+        F.col("n_entities").cast("bigint").alias("n_entities"),
+        F.md5(F.col("clean_text")).alias("clean_hash"),
+    )
+
+
+def _url_oracle() -> str:
+    # the pattern embeds AS-IS: DuckDB standard string literals keep
+    # backslashes literal, so '\t' in the SQL text reaches RE2 as the
+    # two-char escape it parses — doubling them (my first attempt)
+    # poisons the character class (caught by the random-corpus fuzz)
+    from ..functions.text import URL_PATTERN
+
+    pat = URL_PATTERN
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{pat}', 1)) AS BIGINT)
+             AS n_urls,
+           coalesce(array_to_string(
+             list_transform(regexp_extract_all(text, '{pat}', 1),
+                            d -> lower(d)), ','), '') AS domains
+    FROM documents
+    """
+
+
+@query("q_url_domains", oracle=_url_oracle())
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc URL/domain harvest — the blocklist and
+    source-attribution front of a web pipeline (RefinedWeb's URL
+    filtering): extract every http(s) URL, keep the lowercased host,
+    preserve in-doc order. One codegen regexp projection, no shuffle.
+    Domains project as a comma-joined string (driver canonicalizer
+    cannot hash array cells — the q_vector_sq rule). Like
+    q_markup_strip, real URL-bearing inputs are covered by the
+    nasty-corpus fuzz; the driver corpus checks the zero-URL path."""
+    from ..functions.text import url_domains
+
+    u = url_domains(_t(spark, sf_dir, "documents"))
+    return u.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.array_join("domains", ",").alias("domains"),
+    )
+
+
 @query(
     "q_quality_repetition",
     oracle=f"""

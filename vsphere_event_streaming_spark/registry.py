@@ -113,6 +113,9 @@ PRIORITY: tuple[str, ...] = (
     "q_salted_agg",
     "q_salted_join",
     "q_pipeline_guarded",
+    # web-corpus extraction front (r5): markup strip + URL harvest
+    "q_markup_strip",
+    "q_url_domains",
     # rows-only checks: driver records the weaker rows-only row
     "q_dedup_groups",
     "q_knn_ivf",
@@ -125,9 +128,7 @@ PRIORITY: tuple[str, ...] = (
     "q_percentile",
     "q_window_analytics",
     "q_range_frame",
-    "q_regexp_funcs",
     "q_variant_json",
-    "q_try_funcs",
     "q_sessionize",
     "q_chunk_text",
     "q_top_words",
@@ -135,6 +136,8 @@ PRIORITY: tuple[str, ...] = (
     "q_sketch_cms",
     # ---- driver window ends here (first 50) ----
     # r1-green queries still waiting on a refresh if the window widens
+    "q_regexp_funcs",
+    "q_try_funcs",
     "q_sample_stratified",
     "q_search_tfidf",
     "q_embed_centroid",
