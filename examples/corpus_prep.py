@@ -3,6 +3,9 @@ runs to turn a raw document dump into training-ready shards.
 
 Stages (each is an independently-oracled operator — see COVERAGE.md):
 
+ 0. extraction        — markup strip (tags, entities, whitespace
+                        collapse — the C4 cleanup tier, L28); every
+                        later gate sees extracted text
  1. hygiene gates     — PII-free, exact-dedup keeper, benchmark-clean,
                         repetition-sane (q_pipeline_guarded's gates)
  1b. media dedup      — perceptual-hash blocking over the docs' image
@@ -55,6 +58,7 @@ from vsphere_event_streaming_spark.functions.text import (  # noqa: E402
     md5_hash,
     pii_counts,
     repetition_profile,
+    strip_markup,
 )
 from vsphere_event_streaming_spark.log.model import (  # noqa: E402
     assign_offsets,
@@ -75,7 +79,12 @@ from vsphere_event_streaming_spark.tables import load, spread  # noqa: E402
 def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
     """Run the full preparation pipeline; returns summary counts."""
     tune(spark)
-    docs = spread(load(spark, sf_dir, "documents"))
+    raw = spread(load(spark, sf_dir, "documents"))
+
+    # -- 0. extraction: markup strip before every other gate --------------
+    docs = raw.withColumn("text", strip_markup(F.col("text"))).filter(
+        F.length(F.col("text")) > 0
+    )
 
     # -- 1. hygiene gates ------------------------------------------------
     counts = pii_counts(F.col("text"))

@@ -137,6 +137,31 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"\*\(\d+\) Project"],
         [r"BatchEvalPython", r"ArrowEvalPython"],
     ],
+    # markup strip / URL harvest: one codegen projection each — no
+    # Python eval, no join, no shuffle
+    "q_markup_strip": [
+        [r"\*\(\d+\) Project"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"Exchange"],
+    ],
+    # (plain Project: the transform(..., lower) higher-order lambda
+    # keeps this projection out of whole-stage codegen — interpreted,
+    # but still JVM-side, single-pass, shuffle-free)
+    "q_url_domains": [
+        [r"Project"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"Exchange"],
+    ],
+    # CMS: sketch build is a hash aggregate; the 20-row probe side
+    # broadcasts against the <=4096-cell sketch — never a cartesian
+    "q_sketch_cms": [
+        [r"HashAggregate", r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+    ],
+    # grouped-map applyInPandas: the one legitimate Python stage, one
+    # shuffle on the group key
+    "q_grouped_map_stats": [
+        [r"FlatMapGroupsInPandas"],
+        [r"BatchEvalPython", r"CartesianProduct"],
+    ],
     # repetition profile: two-level hash aggregate chain, no join
     "q_quality_repetition": [
         [r"HashAggregate"],
