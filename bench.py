@@ -91,6 +91,12 @@ HEADLINE = [
     # and the MJPEG-AVI video frame-sampling path it unlocked
     "q_media_phash_jpeg",
     "q_video_frames",
+    # r5 additions (2): web-corpus extraction front, CMS sketch,
+    # grouped-map robust stats
+    "q_markup_strip",
+    "q_url_domains",
+    "q_sketch_cms",
+    "q_grouped_map_stats",
 ]
 
 

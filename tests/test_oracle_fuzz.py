@@ -41,6 +41,7 @@ NASTY = [
     (13, "see https://Example.COM/path?q=1 or http://a.b.c done", "en", "src1"),
     (14, "&amp; alone <!-- note --> <DIV CLASS=\"x\">y</DIV> tail", "de", "src2"),
     (15, "broken <tag no close &quot;quoted&quot; http://host", "fr", "src3"),
+    (16, "HTTP://UP.CASE ftp://no https:/half https://ok.io/p", "en", "src0"),
 ]
 
 
