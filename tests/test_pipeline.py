@@ -1300,3 +1300,46 @@ def test_verify_candidate_pairs_rescoring(spark):
     # the banding is total on this planted corpus
     assert verified == truth and truth
     release_cached()
+
+
+def test_decode_bomb_guards():
+    """Crafted headers cannot out-allocate their payload: huge declared
+    dims raise before any raster allocation, and a deflate bomb inside
+    small declared dims stops at the declared raster size — the
+    posture phash_images(on_error='null') depends on at crawl scale
+    (a bomb is a skipped row, not an allocation DoS)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vsphere_event_streaming_spark.functions import codecs
+
+    # JPEG: 60000x60000 SOF dims
+    bomb = bytearray(codecs.encode_jpeg(np.zeros((8, 8), np.uint8)))
+    struct.pack_into(">HH", bomb, bomb.index(b"\xff\xc0") + 5, 60000, 60000)
+    with _pytest.raises(ValueError, match="decode guard"):
+        codecs.decode_jpeg(bytes(bomb))
+
+    # PNG: huge IHDR dims
+    def png(w, h, idat):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            codecs.PNG_MAGIC
+            + codecs._png_chunk(b"IHDR", ihdr)
+            + codecs._png_chunk(b"IDAT", idat)
+            + codecs._png_chunk(b"IEND", b"")
+        )
+
+    with _pytest.raises(ValueError, match="decode guard"):
+        codecs.decode_png(png(60000, 60000, zlib.compress(b"\x00" * 100)))
+
+    # PNG: deflate bomb (1 MB of zeros) behind 3x3 declared dims —
+    # the bounded inflate stops at the declared raster size
+    with _pytest.raises(ValueError, match="length mismatch"):
+        codecs.decode_png(png(3, 3, zlib.compress(b"\x00" * 1_000_000)))
+
+    # legitimate payloads still roundtrip under the guard
+    img = np.arange(7 * 9, dtype=np.uint8).reshape(7, 9)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)

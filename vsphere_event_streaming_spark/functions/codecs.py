@@ -138,21 +138,43 @@ def png_header(payload: bytes) -> dict:
     raise ValueError("PNG missing IHDR")
 
 
-def decode_png(payload: bytes) -> np.ndarray:
+#: Decode-bomb guard shared by the image decoders: a crawl payload's
+#: HEADER must not be able to command more memory than this many
+#: pixels (crafted dims / deflate bombs are routine in web corpora;
+#: with on_error="null" an unguarded decoder would be an allocation
+#: DoS, not a skipped row).
+MAX_DECODE_PIXELS = 64_000_000
+
+
+def decode_png(
+    payload: bytes, max_pixels: int = MAX_DECODE_PIXELS
+) -> np.ndarray:
     """Full PNG decode → uint8 array ((h, w) gray / (h, w, c) color).
 
     Inflates the concatenated IDAT stream and inverts the per-scanline
     filter (all five types). 8-bit, non-interlaced images only — the
     honest capability boundary is a raised error, never a guess.
+    Header-declared size is capped at ``max_pixels`` and the inflate
+    is bounded to the declared raster size, so neither crafted
+    dimensions nor a deflate bomb can out-allocate the header.
     """
     hdr = png_header(payload)
     if hdr["bit_depth"] != 8:
         raise NotImplementedError("only 8-bit PNG decode supported")
     w, h, channels = hdr["width"], hdr["height"], hdr["channels"]
+    if w * h * channels > max_pixels:
+        raise ValueError(
+            f"PNG declares {w}x{h}x{channels}, over the "
+            f"{max_pixels}-pixel decode guard"
+        )
     idat = b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
-    raw = zlib.decompress(idat)
     stride = w * channels
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected)  # bounded: a bomb cannot expand
+    if d.unconsumed_tail or d.decompress(b"", 1):
+        raise ValueError("PNG data length mismatch (interlace unsupported)")
+    if len(raw) != expected:
         raise ValueError("PNG data length mismatch (interlace unsupported)")
 
     bpp = channels
@@ -801,9 +823,12 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+def decode_jpeg(
+    payload: bytes, max_pixels: int = MAX_DECODE_PIXELS
+) -> np.ndarray:
     """Full baseline JPEG decode → uint8 array ((h, w) gray or
-    (h, w, 3) RGB).
+    (h, w, 3) RGB). Header-declared dimensions are capped at
+    ``max_pixels`` (decode-bomb guard, as in :func:`decode_png`).
 
     Real T.81 pipeline: DQT/DHT/SOF0/SOS/DRI parse, canonical Huffman
     rebuild, entropy decode with byte unstuffing and restart markers,
@@ -864,6 +889,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            if h * w * max(ncomp, 1) > max_pixels:
+                raise ValueError(
+                    f"JPEG declares {w}x{h}x{ncomp}, over the "
+                    f"{max_pixels}-pixel decode guard"
                 )
             sof = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
