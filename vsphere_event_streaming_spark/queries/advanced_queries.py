@@ -1159,20 +1159,33 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("token")
     )
-    rows_ = tok.select(
-        F.posexplode(
-            F.array(
-                *[_bucket(F.col("token"), r, CMS_W) for r in range(CMS_D)]
-            )
-        ).alias("j", "bucket")
+    # one pass over the token stream: the sketch builds from the
+    # vocabulary-sized word-count table (sum of per-word counts into a
+    # bucket == occurrence count of the bucket), so the d-way explode
+    # fans out over |vocab| rows, not the token stream, and the same
+    # persisted table feeds the exact top-k — at 100 TB vocabulary is
+    # orders of magnitude smaller than tokens
+    from ..functions.dedup import _persist
+
+    wc = _persist(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
     )
-    cms = rows_.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    top = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .orderBy(F.desc("n_exact"), "token")
-        .limit(20)
+    cms = (
+        wc.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        _bucket(F.col("token"), r, CMS_W)
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("j", "bucket"),
+            "n_exact",
+        )
+        .groupBy("j", "bucket")
+        .agg(F.sum("n_exact").cast("long").alias("c"))
     )
+    top = wc.orderBy(F.desc("n_exact"), "token").limit(20)
     probes = top.select(
         "token",
         "n_exact",
