@@ -175,6 +175,55 @@ def _replicate_lineitem(li, factor: int):
     return out
 
 
+def _cms_shape(docs):
+    """q_sketch_cms's plan shape, inlined over the in-memory replicated
+    frame (the query callable takes (spark, sf_dir)): vocabulary-bound
+    sketch build + exact top-20 probe from one persisted word-count
+    table."""
+    from vsphere_event_streaming_spark.functions.dedup import _persist
+    from vsphere_event_streaming_spark.functions.sketches import _bucket
+
+    CMS_D, CMS_W = 4, 1024
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("token")
+    )
+    wc = _persist(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    cms = (
+        wc.select(
+            F.posexplode(
+                F.array(
+                    *[_bucket(F.col("token"), r, CMS_W) for r in range(CMS_D)]
+                )
+            ).alias("j", "bucket"),
+            "n_exact",
+        )
+        .groupBy("j", "bucket")
+        .agg(F.sum("n_exact").cast("long").alias("c"))
+    )
+    top = wc.orderBy(F.desc("n_exact"), "token").limit(20)
+    probes = top.select(
+        "token",
+        "n_exact",
+        F.posexplode(
+            F.array(
+                *[_bucket(F.col("token"), r, CMS_W) for r in range(CMS_D)]
+            )
+        ).alias("j", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("token")
+        .agg(F.first("n_exact").alias("n_exact"), F.min("c").alias("n_cms"))
+    )
+
+
 def _tpch_q1_shape(li):
     dsum = lambda c, s=2: F.sum(  # noqa: E731
         F.col(c).cast(f"decimal(18,{s})")
@@ -389,6 +438,14 @@ def main() -> None:
             "last_page",
             lambda: last_page(ev1, 50, "event_id"),
             lambda: last_page(evN, 50, "event_id"),
+        ),
+        (
+            # CMS: the bucket explode is vocabulary-bound — replicas
+            # share one vocabulary, so 10x tokens ~ same sketch-build
+            # fan-out; time must track the token-count pass, not 10x it
+            "sketch_cms",
+            lambda: _cms_shape(docs1),
+            lambda: _cms_shape(docsN),
         ),
         (
             "tpch_q1_agg",
