@@ -97,6 +97,7 @@ HEADLINE = [
     "q_url_domains",
     "q_sketch_cms",
     "q_grouped_map_stats",
+    "q_curriculum_order",
 ]
 
 

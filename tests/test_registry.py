@@ -53,6 +53,7 @@ WINDOW_R5 = (
     "q_text_hash_embed",
     "q_text_knn",
     "q_training_shuffle",
+    "q_curriculum_order",
     "q_multimodal_meta",
     "q_sliding_agg",
     "q_session_window",
@@ -82,7 +83,6 @@ WINDOW_R5 = (
     "q_approx_aggs",
     # re-greens: only driver row is r1, three rounds ago
     "q_join_full",
-    "q_join_cross",
     "q_pivot",
     "q_cube",
     "q_percentile",

@@ -333,6 +333,12 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"rangepartitioning\(skey", r"monotonically_increasing_id"],
         [r"row_number", r"BatchEvalPython", r"ArrowEvalPython"],
     ],
+    # curriculum order: same W1 two-phase rank, ranged on the staged
+    # composite key — still no window, no Python
+    "q_curriculum_order": [
+        [r"rangepartitioning\(stage", r"monotonically_increasing_id"],
+        [r"row_number", r"BatchEvalPython", r"ArrowEvalPython"],
+    ],
     # text-to-ANN composition: embed (aggregates) -> bucket equi-join
     # -> top-k heap, all JVM-side, no pair scans, no global sort
     "q_text_knn": [

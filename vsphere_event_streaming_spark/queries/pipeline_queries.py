@@ -2265,3 +2265,97 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_offsets(
         keyed, order_by=["skey", "doc_id"], offset_col="shuffle_pos", start=0
     ).select("doc_id", "shuffle_pos")
+
+
+# ======================================================================
+# L30: curriculum ordering (quality-staged deterministic order)
+# ======================================================================
+#: Quality-stage thresholds (fixed literals, ~quartiles of the driver
+#: corpus): stage 0 = highest quality first. FIXED thresholds, not
+#: quantiles — a global ntile needs a single-partition window and a
+#: percentile_approx is engine-specific; literals are scale-free and
+#: exactly replayed by the oracle.
+CURRICULUM_STAGES = (0.33, 0.25, 0.16)
+CURRICULUM_SEED = "cur0"
+
+
+def _curriculum_oracle() -> str:
+    hi, mid, lo = CURRICULUM_STAGES
+    en = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_WORDS} AS ws FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(ws) AS n_tokens,
+             CAST(len(list_filter(ws, x -> list_contains([{en}], lower(x))))
+                  AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS sr,
+             CAST(length(text) -
+                  length(regexp_replace(text, '[^\w \t\n\r\f\x0B]', '',
+                                        'g'))
+                  AS DOUBLE) / CAST(length(text) AS DOUBLE) AS pr
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id,
+             round(0.5*sr + 0.4*least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)
+                   - 0.1*pr, 6) AS quality
+      FROM f
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(CASE WHEN quality >= {hi} THEN 0
+                       WHEN quality >= {mid} THEN 1
+                       WHEN quality >= {lo} THEN 2
+                       ELSE 3 END AS INTEGER) AS stage,
+             ((('0x' || substr(md5('{CURRICULUM_SEED}:' ||
+                CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+              % {T.HASH_MOD}) AS skey
+      FROM q
+    )
+    SELECT doc_id, stage,
+           CAST(row_number() OVER (ORDER BY stage, skey, doc_id) - 1
+                AS BIGINT) AS curriculum_pos
+    FROM s
+    """
+
+
+@query("q_curriculum_order", oracle=_curriculum_oracle())
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (Bengio et al. curriculum-learning shape):
+    every doc gets a dense global training position ordered by quality
+    stage (highest-quality stage first), shuffled deterministically
+    WITHIN each stage by the seed-keyed md5 — the composition of the
+    L4 quality score and the L25 reproducible shuffle that a staged
+    pre-training run consumes. Rerun/engine-identical like the plain
+    shuffle; changing the seed reshuffles within stages without moving
+    any doc across stages.
+
+    Scale shape: the stage is one codegen projection and the global
+    order reuses the two-phase range-partitioned rank (no global-sort
+    window, no single-partition ntile — stage thresholds are fixed
+    literals precisely so no global quantile pass is needed)."""
+    from ..log.model import assign_offsets
+
+    hi, mid, lo = CURRICULUM_STAGES
+    docs = _t(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        F.when(q >= hi, 0)
+        .when(q >= mid, 1)
+        .when(q >= lo, 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("stage"),
+        T.md5_hash(
+            F.concat(F.lit(f"{CURRICULUM_SEED}:"), F.col("doc_id"))
+        ).alias("skey"),
+    )
+    return assign_offsets(
+        staged,
+        order_by=["stage", "skey", "doc_id"],
+        offset_col="curriculum_pos",
+        start=0,
+    ).select("doc_id", "stage", "curriculum_pos")

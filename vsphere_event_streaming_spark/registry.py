@@ -85,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "q_text_hash_embed",
     "q_text_knn",
     "q_training_shuffle",
+    "q_curriculum_order",
     # multimodal metadata + streaming-window batch analogs (T6)
     "q_multimodal_meta",
     "q_sliding_agg",
@@ -122,7 +123,6 @@ PRIORITY: tuple[str, ...] = (
     "q_approx_aggs",
     # ---- 33 so far; 17 re-greens whose only driver row is r1 ----
     "q_join_full",
-    "q_join_cross",
     "q_pivot",
     "q_cube",
     "q_percentile",
@@ -136,6 +136,7 @@ PRIORITY: tuple[str, ...] = (
     "q_sketch_cms",
     # ---- driver window ends here (first 50) ----
     # r1-green queries still waiting on a refresh if the window widens
+    "q_join_cross",
     "q_regexp_funcs",
     "q_try_funcs",
     "q_sample_stratified",
