@@ -438,7 +438,11 @@ def _huff_lengths(freqs: dict[int, int], max_len: int = 16) -> dict[int, int]:
     import heapq
 
     counts = dict(freqs)
-    counts[257] = max(1, min(counts.values(), default=1) // 2) or 1
+    # count 0: STRICTLY minimal, so the heap merges the dummy first
+    # and it lands at the deepest level even when real symbols also
+    # have count 1 (a count tie would pop (1, (257,)) last and could
+    # leave the deepest all-ones code to a real symbol)
+    counts[257] = 0
     heap = [(c, (s,)) for s, c in counts.items()]
     heapq.heapify(heap)
     depth: dict[int, int] = dict.fromkeys(counts, 0)
@@ -454,7 +458,6 @@ def _huff_lengths(freqs: dict[int, int], max_len: int = 16) -> dict[int, int]:
     # clamp depths > max_len: push overflow up (Kraft stays satisfiable
     # because the symbol count is <= 257 << 2^16)
     over = sorted(depth.items(), key=lambda kv: -kv[1])
-    kraft = sum(2.0 ** -min(d, max_len) for _, d in over)
     for s, d in over:
         if d <= max_len:
             break
