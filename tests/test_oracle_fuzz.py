@@ -354,3 +354,159 @@ def test_compare_pairing_survives_round_boundary_reorder():
     assert compare(
         [[1.5, "zzz"]], [[1.0, "zzz"]], cols, abs_tol=1.01e-6
     ) is not None
+
+
+# ----------------------------------------------------------------------
+# relational-family fuzz: nasty star-schema tables
+# ----------------------------------------------------------------------
+# The documents/events fuzzes above cover single-table oracles; the
+# join/aggregate/TPC-H families had only driver-corpus evidence. These
+# tables plant the adversarial shapes join semantics must agree on:
+# NULL join keys (never match, even NULL=NULL), dangling foreign keys,
+# DUPLICATE keys (multiplicity), negative/extreme numerics, epoch-0 /
+# 2038 timestamps, ties on every ordering column, unicode names.
+
+def _nasty_tables(spark):
+    from pyspark.sql import functions as F
+
+    customer = spark.createDataFrame(
+        [
+            (1, "alice", 0, 100.5, "BUILDING"),
+            (2, "böb 🎉", 1, -999.25, "AUTOMOBILE"),
+            (3, "carol", None, 0.0, "BUILDING"),      # NULL nationkey
+            (4, "dave", 99, 1e15, "MACHINERY"),        # dangling nation
+            (5, "eve", 0, 100.5, "BUILDING"),          # value ties with 1
+            (5, "eve-dup", 0, 7.0, "FURNITURE"),       # DUPLICATE custkey
+            (6, "frank", 1, None, "HOUSEHOLD"),        # NULL acctbal
+        ],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "O", 500.0, "2024-01-01 00:00:00", "1-URGENT"),
+            (11, 1, "F", 500.0, "2024-01-01 00:00:00", "2-HIGH"),
+            (12, 2, "O", -50.0, "1970-01-01 00:00:00", "3-MEDIUM"),
+            (13, None, "F", 10.0, "2038-01-19 03:14:07", "4-NOT SPEC"),
+            (14, 77, "O", 1e9, "2024-06-01 12:00:00", "5-LOW"),  # dangling
+            (15, 5, "P", 0.0, "2024-06-01 12:00:00", "1-URGENT"),
+            (15, 5, "P", 0.0, "2024-06-01 12:00:00", "1-URGENT"),  # dup row
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    lineitem = spark.createDataFrame(
+        [
+            (10, 100, 1, 1, 5.0, 1000.0, 0.0, 0.08, "N", "O",
+             "2024-01-05 00:00:00"),
+            (10, 100, 1, 2, 5.0, 1000.0, 1.0, 0.0, "R", "F",
+             "2024-01-05 00:00:00"),                  # discount 100%
+            (11, 101, 2, 1, 0.0, 0.0, 0.5, 0.5, "A", "F",
+             "1970-01-01 00:00:00"),                  # zero qty/price
+            (12, None, None, 1, -3.0, -10.0, 0.1, 0.1, "N", "O",
+             "2038-01-19 03:14:07"),                  # NULL part/supp keys
+            (99, 999, 9, 1, 1.0, 1.0, 0.2, 0.2, "R", "F",
+             "2024-06-01 12:00:00"),                  # dangling orderkey
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    part = spark.createDataFrame(
+        [
+            (100, "green thing", "Brand#1", "SMALL PLATED", 5, 10.0),
+            (101, "ünïcode 的 part", "Brand#2", "LARGE BRUSHED", None, 0.0),
+            (102, "orphan", "Brand#1", "MEDIUM", -1, -5.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "sup-a", 0, 1.0), (2, "sup-b", None, -2.0), (9, "sup-z", 99, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    nation = spark.createDataFrame(
+        [(0, "ALAND", 0), (1, "BRAZIL", 1), (2, "orphan-region", 9)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    region = spark.createDataFrame(
+        [(0, "AMERICA"), (1, "ASIA")],
+        "r_regionkey int, r_name string",
+    )
+    events = spark.createDataFrame(
+        NASTY_EVENTS,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    return {
+        "customer": customer,
+        "orders": orders,
+        "lineitem": lineitem,
+        "part": part,
+        "supplier": supplier,
+        "nation": nation,
+        "region": region,
+        "events": events,
+    }
+
+
+def _relational_queries(tables: set[str]) -> list[str]:
+    """Oracled queries whose SQL references ONLY the given tables."""
+    import re
+
+    out = []
+    for name, qd in load_all().items():
+        if qd.oracle is None:
+            continue
+        used = {
+            t for t in TABLES if re.search(rf"\b{t}\b", qd.oracle)
+        }
+        if used and used <= tables:
+            out.append(name)
+    return out
+
+
+#: Relational oracles excluded from the nasty-table fuzz, each with
+#: the reason (a float/infinity representation difference, not a join
+#: semantics bug — every exclusion must state why or it rots).
+RELATIONAL_FUZZ_EXCLUDED: dict[str, str] = {}
+
+
+def test_relational_oracles_agree_on_nasty_tables(spark, tmp_path):
+    import duckdb as _duckdb
+
+    d = str(tmp_path)
+    for name, df in _nasty_tables(spark).items():
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/{name}.parquet"
+        )
+    provided = set(_nasty_tables(spark))
+    names = [
+        n
+        for n in _relational_queries(provided)
+        if n not in RELATIONAL_FUZZ_EXCLUDED
+    ]
+    assert len(names) >= 40, names  # must cover the relational surface
+    con = _duckdb.connect()
+    for t in provided:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{d}/{t}.parquet/*.parquet'"
+        )
+    qs = load_all()
+    failures = []
+    for name in sorted(names):
+        try:
+            df = qs[name].fn(spark, d)
+            cols = sorted(df.columns)
+            spark_rows = [[r[c] for c in cols] for r in df.collect()]
+            res = con.sql(qs[name].oracle)
+            idx = [list(res.columns).index(c) for c in cols]
+            duck_rows = [[r[i] for i in idx] for r in res.fetchall()]
+            err = compare(spark_rows, duck_rows, cols, abs_tol=1.01e-6)
+            if err:
+                failures.append((name, err))
+        except Exception as e:  # pragma: no cover - diagnostic path
+            failures.append((name, f"EXCEPTION {type(e).__name__}: {e}"))
+    assert not failures, failures

@@ -64,6 +64,13 @@ from pyspark.sql.functions import pandas_udf  # noqa: E402
 @pandas_udf("double")
 def gmean_udaf(prices: pd.Series) -> float:
     """Series→scalar UDAF: geometric mean via an Arrow-batched numpy
-    reduction. The q_udaf_gmean oracle replays it declaratively as
-    exp(avg(ln(x)))."""
-    return float(np.exp(np.log(prices.astype("float64")).mean()))
+    reduction, over the POSITIVE domain only — ln(x) is undefined at
+    x <= 0 (pandas would emit -inf/nan where DuckDB's ln() raises, a
+    divergence the nasty-table fuzz caught), so both the UDAF and its
+    declarative oracle restrict to x > 0 explicitly. Empty positive
+    subset → NaN, matching exp(avg(ln)) over zero rows (NULL)."""
+    x = prices.astype("float64")
+    x = x[x > 0]
+    if len(x) == 0:
+        return float("nan")
+    return float(np.exp(np.log(x).mean()))

@@ -2449,7 +2449,9 @@ def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(exp(avg(ln(CAST(l_extendedprice AS DOUBLE)))), 6)
              AS gmean_price
-    FROM lineitem GROUP BY l_returnflag
+    FROM lineitem
+    WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
     """,
 )
 def q_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2460,7 +2462,10 @@ def q_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's built-ins could also express, so the UDAF path itself is
     what the value-hash verifies. Per-group rounding to 6 decimals
     absorbs the engines' summation-order difference (~1e-9 absolute
-    on these magnitudes).
+    on these magnitudes). Both sides restrict to the positive domain
+    (gmean is undefined at <= 0; DuckDB's ln() RAISES there while
+    pandas warns into -inf/nan — the nasty-table fuzz caught the
+    divergence), so `n` counts positive-priced lines.
 
     Scale: grouped-agg pandas_udf aggregates Arrow batches per group
     AFTER a hash partial has no chance to help (Python aggregation is
@@ -2469,7 +2474,9 @@ def q_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udtf_ops import gmean_udaf
 
     tune(spark)
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
     # a grouped-agg pandas UDF cannot share an agg() with JVM
     # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — two aggregates over
     # the same 3-group key, joined broadcast-cheap
