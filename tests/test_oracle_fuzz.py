@@ -510,3 +510,86 @@ def test_relational_oracles_agree_on_nasty_tables(spark, tmp_path):
         except Exception as e:  # pragma: no cover - diagnostic path
             failures.append((name, f"EXCEPTION {type(e).__name__}: {e}"))
     assert not failures, failures
+
+
+# ----------------------------------------------------------------------
+# vector-family fuzz: nasty embeddings
+# ----------------------------------------------------------------------
+#: Adversarial but well-defined vectors: exact duplicates (cosine 1),
+#: near-parallel pairs, antiparallel (cosine -1), magnitude extremes
+#: (1e12 / 1e-12 — norms at double-arithmetic edges), negative values,
+#: a constant vector, NULL labels. Zero vectors stay OUT: cosine is
+#: mathematically undefined there and each engine picks a different
+#: arbitrary answer (NaN vs NULL) — the documented domain boundary,
+#: like gmean's positive-only restriction.
+def _nasty_embeddings():
+    import random
+
+    r = random.Random(7)
+    dim = 8
+    rows = []
+
+    def v(seed_vals):
+        return [float(x) for x in seed_vals]
+
+    base = [r.uniform(-1, 1) for _ in range(dim)]
+    rows.append((0, v(base), 0))
+    rows.append((1, v(base), 0))                       # exact duplicate
+    rows.append((2, v([x + 1e-6 for x in base]), 1))   # near-parallel
+    rows.append((3, v([-x for x in base]), 1))         # antiparallel
+    rows.append((4, v([x * 1e12 for x in base]), 2))   # huge magnitude
+    rows.append((5, v([x * 1e-12 for x in base]), 2))  # tiny magnitude
+    rows.append((6, v([1.0] * dim), None))             # constant, NULL label
+    rows.append((7, v([-1.0] * dim), 3))
+    for i in range(8, 40):
+        rows.append(
+            (i, v([r.uniform(-5, 5) for _ in range(dim)]), i % 4)
+        )
+    return rows
+
+
+def _embeddings_only_queries():
+    import re
+
+    others = [t for t in TABLES if t != "embeddings"]
+    out = []
+    for name, qd in load_all().items():
+        if qd.oracle is None or "embeddings" not in qd.oracle:
+            continue
+        if any(re.search(rf"\b{t}\b", qd.oracle) for t in others):
+            continue
+        out.append(name)
+    return out
+
+
+def test_embeddings_only_oracles_agree_on_nasty_vectors(spark, tmp_path):
+    import duckdb as _duckdb
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        _nasty_embeddings(),
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    names = _embeddings_only_queries()
+    assert len(names) >= 8, names  # must cover the vector tier
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{d}/embeddings.parquet/*.parquet'"
+    )
+    qs = load_all()
+    failures = []
+    for name in sorted(names):
+        try:
+            df = qs[name].fn(spark, d)
+            cols = sorted(df.columns)
+            spark_rows = [[r[c] for c in cols] for r in df.collect()]
+            res = con.sql(qs[name].oracle)
+            idx = [list(res.columns).index(c) for c in cols]
+            duck_rows = [[r[i] for i in idx] for r in res.fetchall()]
+            err = compare(spark_rows, duck_rows, cols, abs_tol=1.01e-6)
+            if err:
+                failures.append((name, err))
+        except Exception as e:  # pragma: no cover - diagnostic path
+            failures.append((name, f"EXCEPTION {type(e).__name__}: {e}"))
+    assert not failures, failures
