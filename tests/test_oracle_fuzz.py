@@ -515,13 +515,14 @@ def test_relational_oracles_agree_on_nasty_tables(spark, tmp_path):
 # ----------------------------------------------------------------------
 # vector-family fuzz: nasty embeddings
 # ----------------------------------------------------------------------
-#: Adversarial but well-defined vectors: exact duplicates (cosine 1),
-#: near-parallel pairs, antiparallel (cosine -1), magnitude extremes
-#: (1e12 / 1e-12 — norms at double-arithmetic edges), negative values,
-#: a constant vector, NULL labels. Zero vectors stay OUT: cosine is
-#: mathematically undefined there and each engine picks a different
-#: arbitrary answer (NaN vs NULL) — the documented domain boundary,
-#: like gmean's positive-only restriction.
+#: Adversarial vectors: exact duplicates (cosine 1), near-parallel
+#: pairs, antiparallel (cosine -1), magnitude extremes (1e12 / 1e-12 —
+#: norms at double-arithmetic edges), negative values, a constant
+#: vector, NULL labels, and ZERO vectors both as a candidate and as
+#: the min-id query vector — cosine is undefined there, but both
+#: engines propagate the 0/0 identically through every filter,
+#: rounding, and top-k in all 10 queries (probed per-query before
+#: promotion), so the degenerate row is covered, not excluded.
 def _nasty_embeddings():
     import random
 
@@ -545,6 +546,8 @@ def _nasty_embeddings():
         rows.append(
             (i, v([r.uniform(-5, 5) for _ in range(dim)]), i % 4)
         )
+    rows.append((-1, v([0.0] * dim), 0))  # zero vector AS the query
+    rows.append((100, v([0.0] * dim), 2))  # zero vector as candidate
     return rows
 
 
