@@ -98,6 +98,7 @@ HEADLINE = [
     "q_sketch_cms",
     "q_grouped_map_stats",
     "q_curriculum_order",
+    "q_join_range_binned",
 ]
 
 

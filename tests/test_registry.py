@@ -72,6 +72,7 @@ WINDOW_R5 = (
     "q_token_count",
     "q_text_ngrams",
     "q_join_asof_fwd",
+    "q_join_range_binned",
     "q_salted_agg",
     "q_salted_join",
     "q_pipeline_guarded",
@@ -84,7 +85,6 @@ WINDOW_R5 = (
     # re-greens: only driver row is r1, three rounds ago
     "q_join_full",
     "q_pivot",
-    "q_cube",
     "q_percentile",
     "q_window_analytics",
     "q_range_frame",

@@ -35,6 +35,13 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     "q_knn_topk": [[r"TakeOrderedAndProject"], []],
     # small dims broadcast
     "q_join_broadcast": [[r"BroadcastHashJoin"], [r"SortMergeJoin"]],
+    # pure range join, binned: the bin equi-join plans as a HASH join
+    # (any equi flavor), with the explode present — never a nested
+    # loop or cartesian, which is what a bare theta join would force
+    "q_join_range_binned": [
+        [r"Join", r"Generate"],
+        [r"BroadcastNestedLoopJoin", r"CartesianProduct"],
+    ],
     # projections stay inside whole-stage codegen (the `*(n)` marker)
     "q_envelope": [[r"\*\(\d+\) Project"], []],
     # aggregation is partial+final hash agg

@@ -165,6 +165,57 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
 
 
+# -- J5': pure range join (no equi key), binned to a hash join --------
+@query(
+    "q_join_range_binned",
+    oracle="""
+    SELECT a.event_type AS window_type, b.event_type AS hit_type,
+           count(*) AS n
+    FROM events a JOIN events b
+      ON b.ts >= a.ts
+     AND b.ts < a.ts + INTERVAL 1 HOUR
+     AND a.event_id <> b.event_id
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join with NO equi anchor — "which events fall inside
+    the hour after event X" (the reference's ChainId-style temporal
+    correlation, SURVEY §2.3) — executed scale-safely by BINNING:
+    hour-wide time bins, each interval exploded onto its <= 2
+    overlapping bins, equi-join on the bin, exact containment as a
+    residual. A bare theta join here plans as a nested loop (O(n·m) —
+    the oracle's DuckDB IEJoin is the single-node luxury); the binned
+    form is a shuffled hash join on the bin key (plan-audited: no
+    BroadcastNestedLoopJoin, no CartesianProduct), the interval-join
+    shape streaming engines use. Self-pairs are excluded; counts
+    aggregate per (window's type, hit's type)."""
+    from ..operators.joins import binned_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("hit_type"),
+    )
+    intervals = ev.select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("window_type"),
+    )
+    joined = binned_range_join(
+        points,
+        intervals,
+        point_ts="b_ts",
+        lo_ts="a_ts",
+        hi_expr=F.col("a_ts") + F.expr("INTERVAL 1 HOUR"),
+        bin_seconds=3600,
+    ).filter(F.col("a_id") != F.col("b_id"))
+    return joined.groupBy("window_type", "hit_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # -- J6: as-of join (latest dim state at event time) -------------------
 @query(
     "q_join_asof",

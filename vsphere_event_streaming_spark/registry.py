@@ -108,8 +108,9 @@ PRIORITY: tuple[str, ...] = (
     "q_fingerprint",
     "q_token_count",
     "q_text_ngrams",
-    # joins: forward as-of (J6 variant)
+    # joins: forward as-of (J6 variant) + binned pure-range (J5')
     "q_join_asof_fwd",
+    "q_join_range_binned",
     # skew-hardened ops + composed hygiene plan
     "q_salted_agg",
     "q_salted_join",
@@ -124,7 +125,6 @@ PRIORITY: tuple[str, ...] = (
     # ---- 33 so far; 17 re-greens whose only driver row is r1 ----
     "q_join_full",
     "q_pivot",
-    "q_cube",
     "q_percentile",
     "q_window_analytics",
     "q_range_frame",
@@ -136,6 +136,7 @@ PRIORITY: tuple[str, ...] = (
     "q_sketch_cms",
     # ---- driver window ends here (first 50) ----
     # r1-green queries still waiting on a refresh if the window widens
+    "q_cube",
     "q_join_cross",
     "q_regexp_funcs",
     "q_try_funcs",
