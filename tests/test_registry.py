@@ -72,6 +72,7 @@ WINDOW_R5 = (
     "q_token_count",
     "q_text_ngrams",
     "q_join_asof_fwd",
+    "q_join_asof_tol",
     "q_join_range_binned",
     "q_salted_agg",
     "q_salted_join",
@@ -86,7 +87,6 @@ WINDOW_R5 = (
     "q_join_full",
     "q_pivot",
     "q_percentile",
-    "q_window_analytics",
     "q_range_frame",
     "q_variant_json",
     "q_sessionize",

@@ -38,9 +38,18 @@ def asof_join(
     how: str = "left",
     left_key: str | None = None,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: nearest ``right`` row at-or-before (``backward``,
     the default) or at-or-after (``forward``) each left row's time.
+
+    ``tolerance`` (an INTERVAL string, e.g. ``"30 days"``) bounds the
+    staleness: a backward match must also satisfy
+    ``right_time > left_time - tolerance`` (forward: mirrored) — the
+    pandas ``merge_asof(tolerance=)`` semantics. Without it, a
+    years-stale dim row silently "matches"; with it, stale left rows
+    fall to NULLs under ``how="left"`` (count them — that is the
+    data-freshness alarm a production join wants).
 
     J6: latest dim state at event time. Implementation: equi-join on
     the key (shuffle on key only), keep right rows with
@@ -63,11 +72,21 @@ def asof_join(
         l = left.withColumn(lid, F.monotonically_increasing_id())
     if direction == "backward":
         time_cond = F.col(right_time) <= F.col(left_time)
+        if tolerance is not None:
+            time_cond = time_cond & (
+                F.col(right_time)
+                > F.col(left_time) - F.expr(f"INTERVAL {tolerance}")
+            )
         order = [F.col(right_time).desc_nulls_last()] + [
             F.col(t).desc_nulls_last() for t in tiebreakers
         ]
     elif direction == "forward":
         time_cond = F.col(right_time) >= F.col(left_time)
+        if tolerance is not None:
+            time_cond = time_cond & (
+                F.col(right_time)
+                < F.col(left_time) + F.expr(f"INTERVAL {tolerance}")
+            )
         order = [F.col(right_time).asc_nulls_last()] + [
             F.col(t).asc_nulls_last() for t in tiebreakers
         ]

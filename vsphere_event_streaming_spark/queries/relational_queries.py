@@ -249,6 +249,51 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
 
 
+# -- J6'': as-of join with staleness tolerance -------------------------
+@query(
+    "q_join_asof_tol",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, o.o_orderkey,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+       AND o.o_orderdate > e.ts - INTERVAL 9000 DAY
+    )
+    SELECT event_id, o_orderkey AS asof_orderkey FROM ranked WHERE rn = 1
+    """,
+)
+def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas merge_asof
+    ``tolerance=`` semantics): the latest order at-or-before each
+    event, but only if it is younger than 9000 days — older state is
+    treated as ABSENT (NULL), not silently matched. On this corpus the
+    orders predate the events by 22-29 years, so the tolerance
+    genuinely splits the match set: users whose latest order falls
+    inside the horizon keep their asof row, the rest fall to NULL —
+    the data-freshness alarm a production dim join monitors. Same
+    key-partitioned shuffle as q_join_asof; the tolerance is one more
+    residual predicate, free at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    out = asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        tiebreakers=["o_orderkey"],
+        left_key="event_id",
+        tolerance="9000 days",
+    )
+    return out.select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
+
+
 # -- J6': forward as-of join (next dim state after event time) ---------
 @query(
     "q_join_asof_fwd",

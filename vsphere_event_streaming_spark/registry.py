@@ -110,6 +110,7 @@ PRIORITY: tuple[str, ...] = (
     "q_text_ngrams",
     # joins: forward as-of (J6 variant) + binned pure-range (J5')
     "q_join_asof_fwd",
+    "q_join_asof_tol",
     "q_join_range_binned",
     # skew-hardened ops + composed hygiene plan
     "q_salted_agg",
@@ -126,7 +127,6 @@ PRIORITY: tuple[str, ...] = (
     "q_join_full",
     "q_pivot",
     "q_percentile",
-    "q_window_analytics",
     "q_range_frame",
     "q_variant_json",
     "q_sessionize",
@@ -136,6 +136,7 @@ PRIORITY: tuple[str, ...] = (
     "q_sketch_cms",
     # ---- driver window ends here (first 50) ----
     # r1-green queries still waiting on a refresh if the window widens
+    "q_window_analytics",
     "q_cube",
     "q_join_cross",
     "q_regexp_funcs",
