@@ -149,7 +149,14 @@ def binned_range_join(
     ``hi_expr`` is the EXCLUSIVE upper bound as a Column over the
     interval side's columns. NULL timestamps drop on both sides (a
     NULL never satisfies the containment predicate; binning drops it
-    identically)."""
+    identically). Inner join only: the containment residual runs
+    AFTER the bin join, which would silently discard an outer join's
+    unmatched rows — asking for one is an error, not a wrong answer."""
+    if how != "inner":
+        raise ValueError(
+            "binned_range_join is inner-only (the containment residual "
+            f"would drop outer-join null rows): {how!r}"
+        )
     w_us = bin_seconds * 1_000_000
     p = points.withColumn(
         "__bin", (F.unix_micros(F.col(point_ts)) / w_us).cast("long")
