@@ -173,18 +173,20 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n
     FROM events a JOIN events b
       ON b.ts >= a.ts
-     AND b.ts < a.ts + INTERVAL 1 HOUR
+     AND b.ts < a.ts + INTERVAL 10 MINUTE
      AND a.event_id <> b.event_id
     GROUP BY a.event_type, b.event_type
     """,
 )
 def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure range join with NO equi anchor — "which events fall inside
-    the hour after event X" (the reference's ChainId-style temporal
-    correlation, SURVEY §2.3) — executed scale-safely by BINNING:
-    hour-wide time bins, each interval exploded onto its <= 2
-    overlapping bins, equi-join on the bin, exact containment as a
-    residual. A bare theta join here plans as a nested loop (O(n·m) —
+    the 10 minutes after event X" (the reference's ChainId-style
+    temporal correlation, SURVEY §2.3) — executed scale-safely by
+    BINNING: window-wide time bins, each interval exploded onto its
+    <= 2 overlapping bins, equi-join on the bin, exact containment as
+    a residual. (The window is 10 minutes, not an hour, purely to
+    keep the benchmark's true pair count ~2M instead of ~14M at
+    sf0.1 — identical machinery at any width.) A bare theta join here plans as a nested loop (O(n·m) —
     the oracle's DuckDB IEJoin is the single-node luxury); the binned
     form is a shuffled hash join on the bin key (plan-audited: no
     BroadcastNestedLoopJoin, no CartesianProduct), the interval-join
@@ -208,8 +210,8 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         intervals,
         point_ts="b_ts",
         lo_ts="a_ts",
-        hi_expr=F.col("a_ts") + F.expr("INTERVAL 1 HOUR"),
-        bin_seconds=3600,
+        hi_expr=F.col("a_ts") + F.expr("INTERVAL 10 MINUTE"),
+        bin_seconds=600,
     ).filter(F.col("a_id") != F.col("b_id"))
     return joined.groupBy("window_type", "hit_type").agg(
         F.count(F.lit(1)).alias("n")
