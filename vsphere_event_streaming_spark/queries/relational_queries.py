@@ -186,7 +186,9 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 2 overlapping bins, equi-join on the bin, exact containment as
     a residual. (The window is 10 minutes, not an hour, purely to
     keep the benchmark's true pair count ~2M instead of ~14M at
-    sf0.1 — identical machinery at any width.) A bare theta join here plans as a nested loop (O(n·m) —
+    sf0.1 — identical machinery at any width.)
+
+    A bare theta join here plans as a nested loop (O(n·m) —
     the oracle's DuckDB IEJoin is the single-node luxury); the binned
     form is a shuffled hash join on the bin key (plan-audited: no
     BroadcastNestedLoopJoin, no CartesianProduct), the interval-join
