@@ -224,6 +224,62 @@ def _cms_shape(docs):
     )
 
 
+def _replicate_events_disjoint(ev, factor: int, span_days: int = 40):
+    """Time-DISJOINT event replicas (each copy shifted past the prior
+    copy's full span): event density per window stays constant, so a
+    temporal self-join's true pair count scales ~linearly with rows —
+    the honest probe for the binned range join. (The plain
+    _replicate_events shifts copies by 1 day each, stacking them into
+    the same month: density x factor -> pairs x factor^2, which would
+    measure pair volume, not the join.)"""
+    n = ev.count()
+    copies = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * n)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i * span_days} DAYS")).alias(
+                "ts"
+            ),
+            "event_type",
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _binned_range_shape(ev):
+    """q_join_range_binned's plan shape over an in-memory frame."""
+    from vsphere_event_streaming_spark.operators.joins import (
+        binned_range_join,
+    )
+
+    points = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("hit_type"),
+    )
+    intervals = ev.select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("window_type"),
+    )
+    return (
+        binned_range_join(
+            points,
+            intervals,
+            point_ts="b_ts",
+            lo_ts="a_ts",
+            hi_expr=F.col("a_ts") + F.expr("INTERVAL 10 MINUTE"),
+            bin_seconds=600,
+        )
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("window_type", "hit_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _tpch_q1_shape(li):
     dsum = lambda c, s=2: F.sum(  # noqa: E731
         F.col(c).cast(f"decimal(18,{s})")
@@ -261,6 +317,11 @@ def main() -> None:
     ev1 = load(spark, sf_dir, "events").select("event_id", "ts")
     evN = _replicate_events(ev1, factor).persist()
     evN.count()
+    evt1 = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    evtN = _replicate_events_disjoint(evt1, factor).persist()
+    evtN.count()
     li1 = load(spark, sf_dir, "lineitem")
     liN = _replicate_lineitem(li1, factor).persist()
     liN.count()
@@ -428,6 +489,14 @@ def main() -> None:
                 offset_col="shuffle_pos",
                 start=0,
             ),
+        ),
+        (
+            # pure range join, binned: time-disjoint replicas keep
+            # per-window density constant -> true pairs ~x10 at x10
+            # rows; time must track rows, never rows^2
+            "binned_range_join",
+            lambda: _binned_range_shape(evt1),
+            lambda: _binned_range_shape(evtN),
         ),
         (
             "assign_offsets",
