@@ -1343,3 +1343,59 @@ def test_decode_bomb_guards():
     # legitimate payloads still roundtrip under the guard
     img = np.arange(7 * 9, dtype=np.uint8).reshape(7, 9)
     assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+
+
+def test_ivf_index_incremental_batches(spark, tmp_path):
+    """Incremental IVF: two appended batches search identically to the
+    inline ivf_topk over their union with the same frozen centroids,
+    the probe scan prunes unprobed cell partitions across batch
+    directories, and a replayed batch overwrites instead of doubling."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from vsphere_event_streaming_spark.functions.vectors import (
+        IvfIndex,
+        deterministic_centroids,
+        ivf_topk,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    qmin = emb.agg(F.min("vec_id").alias("__qid"))
+    qvec = emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid")).select(
+        F.col("embedding").alias("q")
+    )
+    corpus = emb.join(F.broadcast(qmin)).filter(
+        F.col("vec_id") != F.col("__qid")
+    ).drop("__qid")
+    cents = deterministic_centroids(emb, 10)
+
+    n = corpus.count()
+    cut = corpus.approxQuantile("vec_id", [0.5], 0.0)[0]
+    b1 = corpus.filter(F.col("vec_id") <= cut)
+    b2 = corpus.filter(F.col("vec_id") > cut)
+
+    idx = IvfIndex(spark, f"{tmp_path}/ivf_inc", cents)
+    n1 = idx.add_batch(b1, "b1")
+    n2 = idx.add_batch(b2, "b2")
+    assert n1 + n2 == n
+
+    inline = [
+        r["vec_id"]
+        for r in ivf_topk(corpus, cents, qvec, k=10, nprobe=3).collect()
+    ]
+    got_df = idx.search(qvec, k=10, nprobe=3)
+    got = [r["vec_id"] for r in got_df.collect()]
+    assert got == inline
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got_df.explain()
+    assert re.search(
+        r"PartitionFilters: \[.*centroid_id#\d+ IN \(", buf.getvalue()
+    ), buf.getvalue()
+
+    # replayed batch: same rows, not doubled
+    idx.add_batch(b2, "b2")
+    assert spark.read.parquet(f"{tmp_path}/ivf_inc").count() == n
+    assert [r["vec_id"] for r in idx.search(qvec, k=10, nprobe=3).collect()] == inline

@@ -697,3 +697,82 @@ class VectorLshIndex:
         ).parquet(f"{self.path}/{part_dir}")
         new.unpersist()
         return decisions
+
+
+class IvfIndex:
+    """Persistent incremental IVF index — the TRAINED ANN family's
+    incremental form, completing the story the hash family's
+    ``VectorLshIndex`` and the text tier's ``dedup.LshIndex`` tell:
+    every index in this engine grows batch-by-batch without
+    recomputing history.
+
+    Centroids are trained once (``kmeans_fit``) and then FIXED — the
+    production pattern: assignment of each new crawl batch is a
+    broadcast join against the frozen centroid table, and the batch's
+    vectors land under ``batch_id=<id>/centroid_id=<cell>`` partition
+    directories. Search prunes on ``centroid_id`` exactly like
+    ``ivf_topk_indexed`` (partition pruning applies to any level of
+    the directory layout), so probing still reads only nprobe cells
+    of EVERY batch. Retrain-and-rebuild when drift accumulates is a
+    new index directory, not an in-place surgery.
+
+    Same crash contract as the other indexes: a batch write OVERWRITES
+    its own ``batch_id=`` directory, so a replayed batch converges.
+    """
+
+    SCHEMA = "vec_id long, embedding array<double>"
+
+    def __init__(self, spark, path: str, centroids: DataFrame) -> None:
+        self.spark = spark
+        self.path = path
+        self.centroids = centroids
+
+    def add_batch(
+        self,
+        batch: DataFrame,
+        batch_id: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> int:
+        """Assign a batch to the frozen centroids and append it as its
+        own idempotent partition directory. Returns rows written."""
+        from .dedup import LshIndex
+
+        part_dir = LshIndex._partition_dir(batch_id)  # validates token
+        assigned = assign_centroids(
+            batch.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("embedding"),
+            ),
+            self.centroids,
+            "vec_id",
+            "embedding",
+        ).select("vec_id", "embedding", "centroid_id")
+        assigned = assigned.localCheckpoint(eager=True)
+        n = assigned.count()
+        assigned.write.partitionBy("centroid_id").mode(
+            "overwrite"
+        ).parquet(f"{self.path}/{part_dir}")
+        return n
+
+    def search(
+        self, query: DataFrame, k: int = 10, nprobe: int = 3
+    ) -> DataFrame:
+        """Top-k over every ingested batch, reading only the nprobe
+        probed cells (PartitionFilters on centroid_id across all
+        batch directories)."""
+        probed = (
+            self.centroids.join(F.broadcast(query))
+            .select(
+                "centroid_id",
+                cosine(F.col("cvec"), F.col("q")).alias("cscore"),
+            )
+            .orderBy(F.col("cscore").desc(), F.col("centroid_id"))
+            .limit(nprobe)
+            .collect()
+        )
+        cells = [r["centroid_id"] for r in probed]
+        candidates = self.spark.read.parquet(self.path).filter(
+            F.col("centroid_id").isin(cells)
+        )
+        return knn_topk(candidates, query, k, "vec_id", "embedding")
