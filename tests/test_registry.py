@@ -79,6 +79,7 @@ WINDOW_R5 = (
     "q_pipeline_guarded",
     "q_markup_strip",
     "q_url_domains",
+    "q_corpus_split",
     # never driver-checked — rows-only by design
     "q_dedup_groups",
     "q_knn_ivf",
@@ -86,7 +87,6 @@ WINDOW_R5 = (
     # re-greens: only driver row is r1, three rounds ago
     "q_join_full",
     "q_pivot",
-    "q_percentile",
     "q_range_frame",
     "q_variant_json",
     "q_sessionize",

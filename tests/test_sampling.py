@@ -92,3 +92,38 @@ def test_pack_sequences_arithmetic(corpus):
 def test_pack_sequences_rejects_bad_budget(corpus):
     with pytest.raises(ValueError, match="positive"):
         pack_sequences(corpus, 0)
+
+
+def test_corpus_split_partition_properties(spark):
+    """Split is exhaustive, ~proportional, append-stable (a doc's
+    split never changes when the corpus grows), and rejects bad
+    fractions."""
+    import pytest as _pytest
+
+    from vsphere_event_streaming_spark.functions.sampling import (
+        corpus_split,
+    )
+    from vsphere_event_streaming_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    out = corpus_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n  # exhaustive, no drops/dupes
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert abs(counts["train"] / n - 0.8) < 0.1
+
+    # append stability: splitting HALF the corpus assigns the same
+    # labels those docs get in the full corpus
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full_map = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in corpus_split(
+        half, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect():
+        assert full_map[r["doc_id"]] == r["split"]
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        corpus_split(docs, {"train": 0.8, "val": 0.1})
+    with _pytest.raises(ValueError, match="negative"):
+        corpus_split(docs, {"train": 1.5, "val": -0.5})

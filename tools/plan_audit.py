@@ -146,6 +146,11 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     ],
     # markup strip / URL harvest: one codegen projection each — no
     # Python eval, no join, no shuffle
+    # corpus split: one codegen projection, no shuffle, no RNG
+    "q_corpus_split": [
+        [r"\*\(\d+\) Project"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"Exchange", r"rand"],
+    ],
     "q_markup_strip": [
         [r"\*\(\d+\) Project"],
         [r"BatchEvalPython", r"ArrowEvalPython", r"Exchange"],

@@ -101,3 +101,42 @@ def pack_sequences(
         "pack_id",
         F.floor(start / F.lit(float(budget_tokens))).cast("bigint"),
     )
+
+
+def corpus_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: str = "split1",
+) -> DataFrame:
+    """Leakage-free train/val/test split: a PARTITION of the corpus,
+    not a sample — every row gets exactly one split label, splits are
+    disjoint and exhaustive BY CONSTRUCTION (consecutive bucket
+    ranges of one content-keyed hash), and membership is a pure
+    function of (seed, key): rerun-, engine-, partitioning- and
+    append-stable, so a doc can never drift from test into train when
+    the corpus grows — the train/test-contamination guarantee random
+    splitters give up.
+
+    ``fractions`` maps split name → fraction; must sum to 1 (±1e-9).
+    Returns df + a ``split`` column. One codegen projection — no
+    shuffle, no RNG state.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"negative fraction in {fractions}")
+    bucket = keep_bucket(F.col(key_col), seed)
+    expr = None
+    hi = 0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        hi += int(round(frac * SAMPLE_MOD))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)

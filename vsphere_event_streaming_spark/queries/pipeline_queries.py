@@ -1287,6 +1287,45 @@ def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = "split1"
+
+
+def _corpus_split_oracle() -> str:
+    from ..functions.sampling import SAMPLE_MOD
+
+    bucket = (
+        f"((('0x' || substr(md5('{SPLIT_SEED}:' || CAST(doc_id AS"
+        f" VARCHAR)), 1, 15))::BIGINT % {T.HASH_MOD}) % {SAMPLE_MOD})"
+    )
+    t1 = int(round(SPLIT_FRACTIONS["train"] * SAMPLE_MOD))
+    t2 = t1 + int(round(SPLIT_FRACTIONS["val"] * SAMPLE_MOD))
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN {bucket} < {t1} THEN 'train'
+                WHEN {bucket} < {t2} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+@query("q_corpus_split", oracle=_corpus_split_oracle())
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split (80/10/10): a PARTITION of
+    the corpus by consecutive bucket ranges of one content-keyed md5 —
+    disjoint and exhaustive by construction, and membership is a pure
+    function of (seed, doc_id), so reruns, repartitions, engine swaps,
+    and corpus APPENDS can never move a doc from test into train (the
+    contamination guarantee random splitters give up; the mixing gate
+    L13 samples, this partitions). Doc-level output: the oracle checks
+    every individual assignment. One codegen projection, no shuffle."""
+    from ..functions.sampling import corpus_split
+
+    return corpus_split(
+        _t(spark, sf_dir, "documents"), SPLIT_FRACTIONS, seed=SPLIT_SEED
+    ).select("doc_id", "lang", "split")
+
+
 @query(
     "q_pack_sequences",
     oracle=f"""

@@ -119,6 +119,8 @@ PRIORITY: tuple[str, ...] = (
     # web-corpus extraction front (r5): markup strip + URL harvest
     "q_markup_strip",
     "q_url_domains",
+    # leakage-free corpus partition (r5)
+    "q_corpus_split",
     # rows-only checks: driver records the weaker rows-only row
     "q_dedup_groups",
     "q_knn_ivf",
@@ -126,7 +128,6 @@ PRIORITY: tuple[str, ...] = (
     # ---- 33 so far; 17 re-greens whose only driver row is r1 ----
     "q_join_full",
     "q_pivot",
-    "q_percentile",
     "q_range_frame",
     "q_variant_json",
     "q_sessionize",
@@ -136,6 +137,7 @@ PRIORITY: tuple[str, ...] = (
     "q_sketch_cms",
     # ---- driver window ends here (first 50) ----
     # r1-green queries still waiting on a refresh if the window widens
+    "q_percentile",
     "q_window_analytics",
     "q_cube",
     "q_join_cross",
