@@ -99,6 +99,7 @@ HEADLINE = [
     "q_grouped_map_stats",
     "q_curriculum_order",
     "q_join_range_binned",
+    "q_corpus_split",
 ]
 
 
