@@ -1,0 +1,197 @@
+"""Trained-merge BPE: independent pure-Python reference + properties.
+
+The reference implementation here shares NO code with
+``functions/bpe.py`` (dict-of-Counters, not DataFrames) — the same
+discipline as ``test_dedup_reference_impl.py``: the Spark engine, the
+DuckDB oracle, and this reference must three-way agree, so a bug in
+any one of them surfaces as a disagreement.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from vsphere_event_streaming_spark.functions.bpe import (
+    DEFAULT_MERGES,
+    MARKER,
+    apply_bpe,
+    bpe_token_counts,
+    learn_bpe,
+    word_vocab,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def ref_vocab(texts):
+    vocab = Counter()
+    for t in texts:
+        vocab.update(re.findall(r"[a-z]+", t.lower()))
+    return vocab
+
+
+def ref_learn(vocab, k):
+    reprs = {w: " ".join(MARKER + c for c in w) for w in vocab}
+    merges = []
+    for _ in range(k):
+        pairs = Counter()
+        for w, cnt in vocab.items():
+            toks = reprs[w].split(" ")
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        (x, y), _ = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((x, y))
+        pat, rep = f"{x} {y}", x + y[1:]
+        reprs = {w: r.replace(pat, rep) for w, r in reprs.items()}
+    return merges
+
+
+def ref_tokenize(word, merges):
+    r = " ".join(MARKER + c for c in word)
+    for x, y in merges:
+        r = r.replace(f"{x} {y}", x + y[1:])
+    return r.split(" ")
+
+
+def test_learned_merges_match_reference(spark):
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = learn_bpe(word_vocab(docs), DEFAULT_MERGES)
+    want = ref_learn(ref_vocab(texts), DEFAULT_MERGES)
+    assert got == want
+
+
+def test_token_counts_match_reference(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = learn_bpe(word_vocab(docs), DEFAULT_MERGES)
+    out = {
+        r.doc_id: (r.n_words, r.bpe_tokens)
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    for r in rows:
+        ws = re.findall(r"[a-z]+", r.text.lower())
+        want = (len(ws), sum(len(ref_tokenize(w, merges)) for w in ws))
+        assert out[r.doc_id] == want, r.doc_id
+
+
+def test_marker_prevents_cross_token_merges(spark):
+    """'xel' contains the character pair (e, l) PRECEDED by x: after
+    'xe' fuses, a markerless replace of 'e l' would corrupt '·xe ·l'.
+    The marker makes the fused-token case structurally unmatchable."""
+    df = spark.createDataFrame([("xel",), ("el",)], "word string")
+    # merges chosen adversarially, not learned
+    merges = [(f"{MARKER}x", f"{MARKER}e"), (f"{MARKER}e", f"{MARKER}l")]
+    toks = {
+        r.word: r.t
+        for r in df.select(
+            "word", apply_bpe(F.col("word"), merges).alias("t")
+        ).collect()
+    }
+    assert toks["el"] == [f"{MARKER}el"]
+    # '·x ·e ·l' -> merge1 -> '·xe ·l'; merge2 must NOT touch it
+    assert toks["xel"] == [f"{MARKER}xe", f"{MARKER}l"]
+    assert toks["xel"] == ref_tokenize("xel", merges)
+
+
+def test_learn_bpe_stops_when_pairs_exhaust(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    merges = learn_bpe(word_vocab(docs), num_merges=10)
+    # one merge fully fuses the only word; no pairs remain
+    assert merges == [(f"{MARKER}a", f"{MARKER}b")]
+    out = {r.doc_id: r.bpe_tokens for r in
+           bpe_token_counts(docs, merges).collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_no_word_docs_keep_zero_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc abc"), (2, "123 !!"), (3, None)],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe(word_vocab(docs), num_merges=2)
+    out = {
+        r.doc_id: (r.n_words, r.bpe_tokens)
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+    assert out[1][0] == 2
+
+
+def test_pack_sequences_takes_bpe_budget(spark):
+    """VERDICT_r5 #2: the packer meters a trained-subword budget when
+    given one — pack boundaries computed from BPE counts, verified
+    against a hand-rolled running sum."""
+    from vsphere_event_streaming_spark.functions.sampling import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = learn_bpe(word_vocab(docs), DEFAULT_MERGES)
+    counted = docs.join(
+        bpe_token_counts(docs, merges).select("doc_id", "bpe_tokens"),
+        "doc_id",
+    )
+    budget = 4096
+    packed = pack_sequences(
+        counted, budget, n_tokens_col="bpe_tokens"
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in sorted(packed, key=lambda r: (r.lang, r.doc_id)):
+        by_lang.setdefault(r.lang, []).append(r)
+    bpe = {
+        r.doc_id: r.bpe_tokens
+        for r in counted.select("doc_id", "bpe_tokens").collect()
+    }
+    for rows in by_lang.values():
+        run = 0
+        for r in rows:
+            assert r.n_tokens == bpe[r.doc_id]  # BPE, not whitespace
+            assert r.pack_id == run // budget
+            run += r.n_tokens
+
+
+def test_pack_sequences_default_budget_unchanged(spark):
+    """The n_tokens_col extension must not disturb the oracled default
+    (q_pack_sequences meters whitespace tokens)."""
+    from vsphere_event_streaming_spark.functions.sampling import (
+        pack_sequences,
+    )
+    from vsphere_event_streaming_spark.functions.text import token_count
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    out = pack_sequences(docs, 512).select("doc_id", "n_tokens")
+    want = docs.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n")
+    )
+    diff = out.join(want, "doc_id").filter(F.col("n_tokens") != F.col("n"))
+    assert diff.count() == 0
+
+
+def test_bpe_second_order_merges_learned(spark):
+    """At every test SF the 12-merge table must contain at least one
+    second-order merge (a pair whose halves are themselves merged
+    tokens) — the property separating trained BPE from a frequency
+    table of character bigrams."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = learn_bpe(word_vocab(docs), DEFAULT_MERGES)
+    assert len(merges) == DEFAULT_MERGES
+    assert any(
+        len(x) > 2 or len(y) > 2 for x, y in merges
+    ), merges

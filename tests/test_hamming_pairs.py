@@ -1,0 +1,61 @@
+"""hamming_pairs: banded candidate generation == brute force, exactly.
+
+The pigeonhole argument (k+1 bands over n bits ⇒ a ≤k-distance pair
+agrees on ≥1 band) makes the banded join + bit_count verify EXACTLY
+the thresholded pair set — these tests assert that equivalence on a
+corpus with engineered near-collisions, which is what lets
+q_dedup_media carry a full all-pairs SQL oracle.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from vsphere_event_streaming_spark.functions.dedup import hamming_pairs
+
+
+def _brute(rows, k):
+    out = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= k:
+            a, b = min(ia, ib), max(ia, ib)
+            out.add((a, b, d))
+    return out
+
+
+def _mk_rows(n_bits, n=80, seed=11):
+    rng = random.Random(seed)
+    base = [rng.getrandbits(n_bits) for _ in range(12)]
+    rows = []
+    for i in range(n):
+        h = rng.choice(base)
+        # flip 0-3 random bits so near-collisions exist at every k
+        for _ in range(rng.randint(0, 3)):
+            h ^= 1 << rng.randrange(n_bits)
+        rows.append((i, h))
+    return rows
+
+
+@pytest.mark.parametrize("n_bits,k", [(63, 2), (63, 0), (56, 3), (16, 1)])
+def test_banded_equals_brute_force(spark, n_bits, k):
+    rows = _mk_rows(n_bits)
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_pairs(df, "id", "h", k, n_bits=n_bits).collect()
+    }
+    assert got == _brute(rows, k)
+
+
+def test_rejects_bad_widths(spark):
+    df = spark.createDataFrame([(1, 2)], "id long, h long")
+    with pytest.raises(ValueError):
+        hamming_pairs(df, "id", "h", 1, n_bits=64)  # sign bit
+    with pytest.raises(ValueError):
+        hamming_pairs(df, "id", "h", 1, n_bits=0)
+    with pytest.raises(ValueError):
+        hamming_pairs(df, "id", "h", 63, n_bits=63)  # k >= n_bits

@@ -29,20 +29,95 @@ sys.path.insert(0, "tools")
 
 from selfcheck import driver_guard  # noqa: E402  (tools/selfcheck.py)
 
-#: Size of the driver's correctness truncation window (observed r1-r4).
+#: Size of the driver's correctness truncation window (observed r1-r5).
 DRIVER_WINDOW = 50
 
-#: The r5 window, verbatim (VERDICT_r4 #1-2): the 2 r4 reds whose
-#: harness-compat fixes must be proven green, all 30 queries that had
-#: never held a driver row after r1-r4 (27 oracled + 3 rows-only), and
-#: 18 re-greens whose only driver row is from r1.  Independent literal
-#: (NOT derived from PRIORITY) so reordering PRIORITY can't silently
-#: redefine the window.
-WINDOW_R5 = (
-    # r4 reds, fixed this round
+#: The r6 window, verbatim (VERDICT_r5 #1): evidence freshness — the
+#: 34 queries whose newest driver row is r1 (all 16 TPC-H shapes + 18
+#: singles), 14 of the 16 r3-stale queries, and the two r6-new
+#: operators (which displace the two most-redundant r3 slots per the
+#: verdict's displacement rule). The two permanent rows-only checks
+#: (q_knn_ivf, q_approx_aggs) are OUT of the window for good — their
+#: no_oracle rows can never go green; evidence lives in pytest.
+#: Independent literal (NOT derived from PRIORITY) so reordering
+#: PRIORITY can't silently redefine the window.
+WINDOW_R6 = (
+    # r1-stale: the 16 TPC-H shapes
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    # r1-stale singles
+    "q_percentile",
+    "q_window_analytics",
+    "q_cube",
+    "q_join_cross",
+    "q_regexp_funcs",
+    "q_try_funcs",
+    "q_sample_stratified",
+    "q_search_tfidf",
+    "q_embed_centroid",
+    "q_conditional_agg",
+    "q_pipeline_prep",
+    "q_string_agg",
+    "q_minmax_by",
+    "q_histogram",
+    "q_fuzzy_match",
+    "q_subquery_scalar",
+    "q_sample",
+    "q_profile",
+    # r6-new
+    "q_bpe_tokens",
+    "q_dedup_media",
+    # r3-stale re-greens
+    "q_eventclass",
+    "q_json_extract",
+    "q_math_funcs",
+    "q_running_sum",
+    "q_grouping_sets",
+    "q_dedup_simhash",
+    "q_time_window_filter",
+    "q_range_bounds",
+    "q_page_json",
+    "q_decode_roundtrip",
+    "q_chain_agg",
+    "q_rank",
+    "q_lag_gap",
+    "q_intersect",
+)
+
+#: Queries expected to be rows-only (oracle=None) inside the window —
+#: none since r6: both permanent rows-only checks were rotated out
+#: (their no_oracle driver rows could never go green).
+ROWS_ONLY_IN_WINDOW = ()
+
+#: The permanent rows-only checks — must stay registered (a user can
+#: still run them) but OUT of the window (their driver rows are dead
+#: slots); their correctness evidence is pytest
+#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute).
+ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
+
+#: Queries rotated out of the window in r6 — every one holds a
+#: driver-green value-hash row from r3-r5 and must stay registered
+#: and oracled (selfcheck covers them every round) even though the
+#: driver window no longer records them.
+ROTATED_OUT_R6 = (
+    "q_count",
+    "q_typename",
     "q_pack_sequences",
     "q_vector_sq",
-    # never driver-checked before r5 — oracled
     "q_repeated_spans",
     "q_importance_weight",
     "q_pipeline_select",
@@ -80,11 +155,7 @@ WINDOW_R5 = (
     "q_markup_strip",
     "q_url_domains",
     "q_corpus_split",
-    # never driver-checked — rows-only by design
     "q_dedup_groups",
-    "q_knn_ivf",
-    "q_approx_aggs",
-    # re-greens: only driver row is r1, three rounds ago
     "q_join_full",
     "q_pivot",
     "q_range_frame",
@@ -93,19 +164,6 @@ WINDOW_R5 = (
     "q_chunk_text",
     "q_top_words",
     "q_sketch_cms",
-)
-
-#: Queries expected to be rows-only (oracle=None) inside the window —
-#: every other window entry must carry a full value-hash oracle.
-#: (q_dedup_groups left this list in r5: connected components gained
-#: an exact recursive-CTE oracle.)
-ROWS_ONLY_IN_WINDOW = ("q_knn_ivf", "q_approx_aggs")
-
-#: Queries rotated out of the window in r5 — each holds at least one
-#: driver-green row from r2-r4 and must stay registered and oracled
-#: (selfcheck covers them every round) even though the driver window
-#: no longer records them.
-ROTATED_OUT_R5 = (
     "q_envelope",
     "q_point_lookup",
     "q_replay_from",
@@ -154,22 +212,6 @@ ROTATED_OUT_R5 = (
     "q_boilerplate_scrub",
     "q_quality_lm",
     "q_dedup_semantic",
-    "q_typename",
-    "q_eventclass",
-    "q_json_extract",
-    "q_math_funcs",
-    "q_running_sum",
-    "q_grouping_sets",
-    "q_dedup_simhash",
-    "q_time_window_filter",
-    "q_range_bounds",
-    "q_page_json",
-    "q_decode_roundtrip",
-    "q_count",
-    "q_chain_agg",
-    "q_rank",
-    "q_lag_gap",
-    "q_intersect",
 )
 
 
@@ -183,16 +225,16 @@ def test_every_priority_name_is_registered():
     assert not missing, f"PRIORITY names not registered: {missing}"
 
 
-def test_r5_window_is_exactly_the_rotation_plan():
-    """The first DRIVER_WINDOW registry entries must be WINDOW_R5 as a
+def test_r6_window_is_exactly_the_rotation_plan():
+    """The first DRIVER_WINDOW registry entries must be WINDOW_R6 as a
     set (order within the window is free; membership is the contract —
     the driver records exactly these 50)."""
-    assert len(WINDOW_R5) == DRIVER_WINDOW
-    assert len(set(WINDOW_R5)) == DRIVER_WINDOW
+    assert len(WINDOW_R6) == DRIVER_WINDOW
+    assert len(set(WINDOW_R6)) == DRIVER_WINDOW
     got = set(PRIORITY[:DRIVER_WINDOW])
-    assert got == set(WINDOW_R5), (
-        f"window drift: unexpected={sorted(got - set(WINDOW_R5))}, "
-        f"missing={sorted(set(WINDOW_R5) - got)}"
+    assert got == set(WINDOW_R6), (
+        f"window drift: unexpected={sorted(got - set(WINDOW_R6))}, "
+        f"missing={sorted(set(WINDOW_R6) - got)}"
     )
 
 
@@ -202,17 +244,44 @@ def test_load_all_order_starts_with_priority():
 
 
 def test_window_entries_have_oracles():
-    """Window rows must be full value-hash checks, except the three
-    sketch/iterative checks that are rows-only by design."""
+    """Every window row must be a full value-hash check — since r6 no
+    rows-only query is allowed in the window at all."""
     qs = load_all()
     no_oracle = [
         n
-        for n in WINDOW_R5
+        for n in WINDOW_R6
         if qs[n].oracle is None and n not in ROWS_ONLY_IN_WINDOW
     ]
     assert not no_oracle, f"window queries without oracle SQL: {no_oracle}"
     for n in ROWS_ONLY_IN_WINDOW:
         assert qs[n].oracle is None, f"{n} grew an oracle — update the pin"
+
+
+def test_rows_only_checks_live_outside_the_window():
+    """The two permanent rows-only checks must stay registered (still
+    runnable, still approximate-by-design) but OUTSIDE the window —
+    a no_oracle driver row can never go green, so a window slot on
+    one is a dead slot (VERDICT_r5 'What's wrong' #1)."""
+    qs = load_all()
+    idx = {n: i for i, n in enumerate(PRIORITY)}
+    for n in ROWS_ONLY_OFF_WINDOW:
+        assert n in qs, f"rows-only query {n} lost its registration"
+        assert qs[n].oracle is None, f"{n} grew an oracle — move it back in"
+        assert idx[n] >= DRIVER_WINDOW, f"{n} is inside the window at {idx[n]}"
+
+
+def test_window_and_rotated_out_partition_the_registry():
+    """Window ∪ rotated-out ∪ rows-only-off-window == every registered
+    query, with no overlaps — nothing can silently fall out of all
+    evidence tiers."""
+    qs = load_all()
+    union = set(WINDOW_R6) | set(ROTATED_OUT_R6) | set(ROWS_ONLY_OFF_WINDOW)
+    assert union == set(qs), (
+        f"uncovered={sorted(set(qs) - union)}, "
+        f"phantom={sorted(union - set(qs))}"
+    )
+    total = len(WINDOW_R6) + len(ROTATED_OUT_R6) + len(ROWS_ONLY_OFF_WINDOW)
+    assert total == len(qs), "tiers overlap"
 
 
 def test_rotated_out_queries_stay_registered_and_oracled():
@@ -222,7 +291,7 @@ def test_rotated_out_queries_stay_registered_and_oracled():
     compare."""
     qs = load_all()
     idx = {n: i for i, n in enumerate(PRIORITY)}
-    for n in ROTATED_OUT_R5:
+    for n in ROTATED_OUT_R6:
         assert n in qs, f"rotated-out query {n} lost its registration"
         assert qs[n].oracle is not None, f"rotated-out query {n} lost its oracle"
         assert idx[n] >= DRIVER_WINDOW, (
@@ -307,3 +376,17 @@ def test_driver_guard_rows_only_checks_spark_side():
     err = driver_guard(bad, None)
     assert err is not None and "Spark frame" in err
     assert driver_guard(pd.DataFrame({"q": [1.0]}), None) is None
+
+
+def test_driver_guard_flags_tz_aware_vs_naive_timestamp():
+    """VERDICT_r5 #8: tz-aware vs naive timestamps share dtype kind
+    'M', so the kind-group compare alone passes them — the guard must
+    flag the tz divergence explicitly."""
+    aware = pd.DataFrame(
+        {"k": [1], "ts": pd.to_datetime(["2024-01-01"]).tz_localize("UTC")}
+    )
+    naive = pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2024-01-01"])})
+    err = driver_guard(aware, naive)
+    assert err is not None and "dtype divergence" in err, err
+    # same tz on both sides stays clean
+    assert driver_guard(aware.copy(), aware.copy()) is None

@@ -375,6 +375,25 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"\brand\(",
         ],
     ],
+    # BPE (r6): application is codegen chained replaces over the
+    # vocabulary, which BROADCASTS into the per-doc occurrence join —
+    # no Python stage anywhere in the plan (training already ran at
+    # build time; its state is the collected merge list)
+    "q_bpe_tokens": [
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+    ],
+    # media near-dup (r6): decode is Arrow mapInPandas; pairing is the
+    # banded equi-join (Generate = the probe-row explode) — never a
+    # pair-producing nested loop / cartesian
+    "q_dedup_media": [
+        [r"MapInPandas", r"Generate", r"Join"],
+        [
+            r"BatchEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+        ],
+    ],
 }
 
 

@@ -210,6 +210,17 @@ def driver_guard(spark_pdf, duck_pdf) -> str | None:
         gd = _KIND_GROUP.get(du[c].dtype.kind, du[c].dtype.kind)
         if gs != gd:
             diverged[c] = (str(sp[c].dtype), str(du[c].dtype))
+        elif gs == "time":
+            # tz-aware vs naive (or differing tz) both have kind 'M':
+            # same wall-clock values, different pandas dtype — the one
+            # canonicalization class VERDICT_r5 #8 wanted seeded. The
+            # driver's value hash keys on the underlying representation,
+            # so a UTC-aware Spark column vs a naive DuckDB column is a
+            # silent hash mismatch waiting for a DST-shaped input.
+            tzs = getattr(sp[c].dtype, "tz", None)
+            tzd = getattr(du[c].dtype, "tz", None)
+            if str(tzs) != str(tzd):
+                diverged[c] = (str(sp[c].dtype), str(du[c].dtype))
     if diverged:
         return f"driver-canon dtype divergence {diverged}"
     return None

@@ -618,6 +618,11 @@ def encode_jpeg(
     ncomp = len(planes)
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling must be '444' or '420': {subsampling}")
+    if subsampling == "420" and ncomp == 1:
+        raise ValueError(
+            "subsampling='420' requires 3-channel color input; grayscale "
+            "has no chroma planes to downsample"
+        )
     if subsampling == "420" and ncomp == 3:
         sampling = [(2, 2), (1, 1), (1, 1)]
         planes[1] = _box_downsample2(planes[1])
@@ -745,6 +750,8 @@ class _BitReader:
         self._nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated JPEG entropy data")
         b = self.buf[self.pos]
         if b == 0xFF:
             nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else 0
@@ -860,7 +867,11 @@ def decode_jpeg(
             continue
         if marker == 0xD9:
             break
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG segment header")
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            raise ValueError("truncated JPEG segment")
         body = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:
             bpos = 0

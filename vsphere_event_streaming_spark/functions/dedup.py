@@ -649,50 +649,8 @@ def simhash_pairs_hamming(
     """
     if not 0 <= max_hamming < 16:
         raise ValueError(f"max_hamming must be in [0, 16): {max_hamming}")
-    n_bands = max_hamming + 1
-    width = 16 // n_bands  # last band absorbs the remainder bits
     st = _persist(simhash_table(docs, text_col, id_col))
-
-    def probe_rows(side: str) -> DataFrame:
-        bands = []
-        for i in range(n_bands):
-            shift = i * width
-            mask = (
-                (1 << width) - 1 if i < n_bands - 1 else (1 << (16 - shift)) - 1
-            )
-            bands.append(
-                F.struct(
-                    F.lit(i).alias("band_idx"),
-                    F.shiftright("simhash", shift)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("band_val"),
-                )
-            )
-        return st.select(
-            F.col("id").alias(f"id_{side}"),
-            F.col("simhash").alias(f"fp_{side}"),
-            F.explode(F.array(*bands)).alias("probe"),
-        ).select(
-            f"id_{side}",
-            f"fp_{side}",
-            F.col("probe.band_idx").alias("band_idx"),
-            F.col("probe.band_val").alias("band_val"),
-        )
-
-    a, b = probe_rows("a"), probe_rows("b")
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("fp_a").bitwiseXOR(F.col("fp_b"))
-            ).cast("int"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .distinct()
-    )
+    return hamming_pairs(st, "id", "simhash", max_hamming, n_bits=16)
 
 
 def simhash16(text: Column) -> Column:
@@ -908,6 +866,80 @@ class LshIndex:
             new_bands.unpersist()
             sig.unpersist()
         return out
+
+
+def hamming_pairs(
+    table: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, hamming) within Hamming distance
+    ``max_hamming`` over an arbitrary-width integer fingerprint — the
+    width-generalized form of :func:`simhash_pairs_hamming` (16-bit
+    SimHash there; the 56-bit image dHash / audio fingerprint here —
+    the media near-dup composition VERDICT_r5 #3 asked for).
+
+    Same pigeonhole shape: ``max_hamming + 1`` bands over ``n_bits``
+    (the last band absorbs remainder bits) — fingerprints within the
+    distance must agree exactly on ≥ 1 band; candidates are the
+    banded equi-join (constant probe rows per row, never all-pairs),
+    then ``bit_count(xor) <= k`` removes pigeonhole false positives,
+    so the result is EXACTLY the thresholded pair set and an all-pairs
+    SQL oracle can check it. The input table should be persisted by
+    the caller when its lineage is expensive (a decode pipeline): the
+    self-join reads it twice.
+    """
+    if not 0 < n_bits <= 63:
+        # 63, not 64: band values are extracted with shiftright on a
+        # signed long; a sign bit would need unsigned handling
+        raise ValueError(f"n_bits must be in (0, 63]: {n_bits}")
+    if not 0 <= max_hamming < n_bits:
+        raise ValueError(
+            f"max_hamming must be in [0, {n_bits}): {max_hamming}"
+        )
+    n_bands = max_hamming + 1
+    width = n_bits // n_bands
+
+    def probe_rows(side: str) -> DataFrame:
+        bands = []
+        for i in range(n_bands):
+            shift = i * width
+            nb = width if i < n_bands - 1 else n_bits - shift
+            bands.append(
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright(F.col(hash_col), shift)
+                    .bitwiseAND(F.lit((1 << nb) - 1))
+                    .alias("band_val"),
+                )
+            )
+        return table.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col(hash_col).alias(f"fp_{side}"),
+            F.explode(F.array(*bands)).alias("probe"),
+        ).select(
+            f"id_{side}",
+            f"fp_{side}",
+            F.col("probe.band_idx").alias("band_idx"),
+            F.col("probe.band_val").alias("band_val"),
+        )
+
+    a, b = probe_rows("a"), probe_rows("b")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
 
 
 # ----------------------------------------------------------------------

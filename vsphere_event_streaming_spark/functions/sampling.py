@@ -74,11 +74,17 @@ def pack_sequences(
     part_col: str = "lang",
     order_col: str = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign each document to a training-sequence pack: concatenate
     the stream (per ``part_col``, in ``order_col`` order) and cut
     every ``budget_tokens`` — a doc's pack is where its first token
     lands (docs may straddle a boundary, as sequence packing does).
+
+    The budget meters whitespace tokens by default; pass
+    ``n_tokens_col`` to meter a precomputed per-doc count instead —
+    the trained-subword budget a real packer uses (compose with
+    ``bpe.bpe_token_counts``: see ``tests/test_bpe.py``).
 
     Returns (part_col, order_col, n_tokens, pack_id). One window per
     stratum partition; the running sum is the only state.
@@ -90,10 +96,15 @@ def pack_sequences(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    n_tokens = (
+        F.col(n_tokens_col)
+        if n_tokens_col is not None
+        else token_count(F.col(text_col))
+    )
     d = docs.select(
         part_col,
         order_col,
-        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        n_tokens.cast("bigint").alias("n_tokens"),
     )
     cum = F.sum("n_tokens").over(w)
     start = (cum - F.col("n_tokens")).cast("double")

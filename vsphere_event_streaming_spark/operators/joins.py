@@ -45,8 +45,11 @@ def asof_join(
 
     ``tolerance`` (an INTERVAL string, e.g. ``"30 days"``) bounds the
     staleness: a backward match must also satisfy
-    ``right_time > left_time - tolerance`` (forward: mirrored) — the
-    pandas ``merge_asof(tolerance=)`` semantics. Without it, a
+    ``right_time > left_time - tolerance`` (forward: mirrored). The
+    bound is EXCLUSIVE — a right row exactly ``tolerance`` old does
+    NOT match, unlike pandas ``merge_asof(tolerance=)`` whose bound is
+    inclusive (``>=``); the q_join_asof_tol oracle mirrors the
+    exclusive form, so both engines agree. Without it, a
     years-stale dim row silently "matches"; with it, stale left rows
     fall to NULLs under ``how="left"`` (count them — that is the
     data-freshness alarm a production join wants).
@@ -163,7 +166,12 @@ def binned_range_join(
     )
     lo_us = F.unix_micros(F.col(lo_ts))
     hi_us = F.unix_micros(hi_expr)
-    iv = intervals.withColumn(
+    # Empty/inverted intervals (hi <= lo) can never satisfy the
+    # containment predicate, but sequence(start, stop) with start >
+    # stop generates a DESCENDING bin list — a data-quality row would
+    # become a candidate-set blowup instead of zero rows. Drop them
+    # before binning (NULL-safe: NULL bounds fail the > too).
+    iv = intervals.filter(hi_us > lo_us).withColumn(
         "__bins",
         F.sequence(
             (lo_us / w_us).cast("long"),

@@ -17,11 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import bpe as _bpe
 from ..functions import text as T
 from ..functions.dedup import (
     MINHASH_PARAMS,
     MINHASH_PRIME,
+    _persist as _dedup_persist,
     exact_dedup_keepers,
+    hamming_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
     simhash_table,
@@ -2398,3 +2401,79 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         offset_col="curriculum_pos",
         start=0,
     ).select("doc_id", "stage", "curriculum_pos")
+
+
+@query("q_bpe_tokens", oracle=_bpe.bpe_oracle_sql())
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-merge subword tokenization (real BPE — SURVEY §2.11
+    [EXT], VERDICT_r5 #2): learn a merge table from the corpus's
+    word-frequency table (12 merges, deterministic (count DESC, pair
+    ASC) tie-breaks), then re-tokenize every document under it.
+    Returns (doc_id, n_words, bpe_tokens) — the token budget every
+    budgeted op (pack_sequences, dataset mixing) should meter in.
+
+    Unlike q_token_count's regex approximation, the merges here are
+    LEARNED: a corpus change re-orders the merge table, which changes
+    every count — so the full value-hash oracle (which replays
+    training itself as 12 chained CTEs) proves training and
+    application end-to-end, not just the arithmetic.
+
+    Scale shape: training touches the corpus once (word-frequency
+    build); each merge iteration aggregates the vocabulary-bounded
+    frame and collects ONE row; application is chained literal
+    replaces over distinct words (whole-stage codegen, no Python) and
+    a broadcast join back to per-doc occurrence counts."""
+    from ..functions.bpe import bpe_token_counts, learn_bpe, word_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(word_vocab(docs))
+    return bpe_token_counts(docs, merges)
+
+
+#: Hamming threshold for image near-dup pairing. The dHash occupies
+#: bit positions 0-62 (8 rows x 7 column comparisons, every 8th bit
+#: structurally zero), so banding runs over 63 bits.
+MEDIA_MAX_HAMMING = 2
+MEDIA_HASH_BITS = 63
+
+
+def _dedup_media_oracle() -> str:
+    """All-pairs Hamming over the replayed dHash: banding + verify is
+    EXACTLY the thresholded pair set (pigeonhole completeness), so the
+    oracle needs no band replay — the O(n²) form IS the sound oracle
+    tier, same posture as the unpruned Jaccard oracle (SCALE.md
+    'What does NOT scale, on purpose')."""
+    return f"""
+    WITH ph AS ({_media_phash_oracle()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {MEDIA_MAX_HAMMING}
+    """
+
+
+@query("q_dedup_media", oracle=_dedup_media_oracle())
+def q_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup candidate pairs (VERDICT_r5 #3): the L22 image
+    pipeline composed with Hamming-banded pairing — each doc's cell
+    image goes through the REAL PNG encode->decode walk, is dHashed,
+    and near-identical images pair up within Hamming distance 2 plus
+    an exact bit_count verify. The pHash is the downstream blocking
+    key SCALE.md:100 names; this query is that composition declared.
+
+    Scale shape: decode is Arrow mapInPandas with 8 bytes/doc out; the
+    hash table is persisted (the self-join must not re-decode); the
+    pairing is the banded equi-join of simhash_pairs_hamming
+    generalized to 63 bits — constant probe rows per image, never
+    all-pairs. The oracle replays the dHash from the cell arithmetic
+    and takes the exact O(n²) pair set, sound because banding+verify
+    is exactly the thresholded set."""
+    from ..functions.multimodal import phash_images, synth_cell_png_payloads
+    from ..tables import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    media = synth_cell_png_payloads(docs, "doc_id", "text")
+    ph = _dedup_persist(phash_images(media))
+    return hamming_pairs(
+        ph, "media_id", "phash", MEDIA_MAX_HAMMING, n_bits=MEDIA_HASH_BITS
+    )

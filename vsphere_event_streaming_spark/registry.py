@@ -44,99 +44,44 @@ def query(name: str, oracle: str | None = None):
 
 
 # Registry order is driver-visible: the verify driver checks queries in
-# registration order and its CORRECTNESS window may truncate (r1: first
-# 50 of 108).  PRIORITY pins the canonical query for every SURVEY.md §2
-# operator line into the front of the registry so a truncated window
-# still yields a green row per operator; redundant variants, rows-only
-# checks, and the TPC-H suite follow.
+# registration order and its CORRECTNESS window records the first 50.
+# PRIORITY pins each round's rotation plan; tests/test_registry.py
+# (WINDOW_R6) enforces the pinned membership.
 #
-# r5 rotation (VERDICT_r4 next-round #1-2): the window holds 50 of the
-# 138 registered queries; r1-r4 rotations have now put at least one
-# driver-green row on every canonical EXCEPT 27 oracled queries + 3
-# rows-only checks that have never been driver-checked at all.  In for
-# r5: ALL 30 never-checked queries (the whole L19-L25 tier, the
-# text-analysis scalars, the near-dup oracle tiers, UDAF/cogroup-free
-# salted-skew ops, and the never-checked tail: q_dedup_groups — now
-# upgraded to a full value-hash row via a recursive-CTE connected-
-# components oracle — plus the rows-only q_knn_ivf / q_approx_aggs,
-# which get the driver's weaker rows-only row) plus the two r4 reds
-# whose harness-compat fixes must be proven
-# green (q_pack_sequences — oracle DECIMAL→BIGINT cast; q_vector_sq —
-# array column stringified).  The remaining 18 slots re-green queries
-# whose only driver row is from r1, three rounds ago.  Out: everything
-# holding a green row from r2+ (reference-core ops, joins, aggregates,
-# scalar families, L1-L18 tier) — all still exact-value-checked every
-# round by tools/selfcheck.py at positions 51+, which now also replays
-# the driver's own canonicalizer (sort_values + value hash) so a
-# rotation can never re-arm the r4 red classes.
+# r6 rotation (VERDICT_r5 next-round #1): every one of the 150
+# registered queries now holds a driver-green row, so the window's job
+# this round is evidence FRESHNESS — it takes exactly the 50 stalest
+# queries: the 34 whose newest driver row is r1 (all 16 TPC-H shapes +
+# 18 singles) and 14 of the 16 whose newest row is r3, plus the two
+# r6-new queries (q_bpe_tokens, q_dedup_media) which displace the two
+# most-redundantly-covered r3 slots per the verdict's displacement
+# rule (q_count — A2 also holds the pytest 204-path; q_typename —
+# shares operators/envelope.py with q_eventclass, which stays in).
+# The two permanent rows-only checks (q_knn_ivf, q_approx_aggs) leave
+# the window for good (VERDICT_r5 "What's wrong" #1): their `no_oracle`
+# rows can never go green and their evidence lives in pytest
+# (test_approx_aggs.py, test_pipeline.py IVF recall). Everything
+# rotated out keeps its oracle and is exact-value-checked every round
+# by tools/selfcheck.py.
 PRIORITY: tuple[str, ...] = (
-    # r4 reds, fixed this round — greens prove the harness-compat fix
-    "q_pack_sequences",
-    "q_vector_sq",
-    # L19-L21: repeated spans / DSIR / composed selection
-    "q_repeated_spans",
-    "q_importance_weight",
-    "q_pipeline_select",
-    # L22-L25: media hashes, hash-embed + text-ANN chain, shuffle
-    "q_media_phash",
-    "q_media_phash_jpeg",
-    "q_video_frames",
-    "q_audio_fingerprint",
-    "q_text_hash_embed",
-    "q_text_knn",
-    "q_training_shuffle",
-    "q_curriculum_order",
-    # multimodal metadata + streaming-window batch analogs (T6)
-    "q_multimodal_meta",
-    "q_sliding_agg",
-    "q_session_window",
-    # UDF surface never driver-checked (§2.10); q_grouped_map_stats is
-    # the grouped-map applyInPandas line, added r5
-    "q_udaf_gmean",
-    "q_cogroup_recon",
-    "q_grouped_map_stats",
-    # near-dup family variants + oracle tiers (L2)
-    "q_dedup_minhash",
-    "q_dedup_near",
-    "q_dedup_near_pruned",
-    "q_dedup_near_char",
-    "q_dedup_simhash_pairs",
-    "q_dedup_embed",
-    # text-analysis scalars (L4)
-    "q_lang_id",
-    "q_quality_score",
-    "q_fingerprint",
-    "q_token_count",
-    "q_text_ngrams",
-    # joins: forward as-of (J6 variant) + binned pure-range (J5')
-    "q_join_asof_fwd",
-    "q_join_asof_tol",
-    "q_join_range_binned",
-    # skew-hardened ops + composed hygiene plan
-    "q_salted_agg",
-    "q_salted_join",
-    "q_pipeline_guarded",
-    # web-corpus extraction front (r5): markup strip + URL harvest
-    "q_markup_strip",
-    "q_url_domains",
-    # leakage-free corpus partition (r5)
-    "q_corpus_split",
-    # rows-only checks: driver records the weaker rows-only row
-    "q_dedup_groups",
-    "q_knn_ivf",
-    "q_approx_aggs",
-    # ---- 33 so far; 17 re-greens whose only driver row is r1 ----
-    "q_join_full",
-    "q_pivot",
-    "q_range_frame",
-    "q_variant_json",
-    "q_sessionize",
-    "q_chunk_text",
-    "q_top_words",
-    # sketch tier (r5): CMS estimates are deterministic -> exact oracle
-    "q_sketch_cms",
-    # ---- driver window ends here (first 50) ----
-    # r1-green queries still waiting on a refresh if the window widens
+    # ---- r6 driver window (first 50) ----
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    # r1-stale singles
     "q_percentile",
     "q_window_analytics",
     "q_cube",
@@ -155,7 +100,80 @@ PRIORITY: tuple[str, ...] = (
     "q_subquery_scalar",
     "q_sample",
     "q_profile",
-    # rotated out r5 (r2-r4 green rows; selfcheck covers every round)
+    # r6-new operators (displace two r3 slots)
+    "q_bpe_tokens",
+    "q_dedup_media",
+    # r3-stale re-greens
+    "q_eventclass",
+    "q_json_extract",
+    "q_math_funcs",
+    "q_running_sum",
+    "q_grouping_sets",
+    "q_dedup_simhash",
+    "q_time_window_filter",
+    "q_range_bounds",
+    "q_page_json",
+    "q_decode_roundtrip",
+    "q_chain_agg",
+    "q_rank",
+    "q_lag_gap",
+    "q_intersect",
+    # ---- window ends; displaced r3 slots (r3-green, selfcheck-covered) ----
+    "q_count",
+    "q_typename",
+    # permanent rows-only checks (evidence in pytest)
+    "q_knn_ivf",
+    "q_approx_aggs",
+    # r5-green
+    "q_pack_sequences",
+    "q_vector_sq",
+    "q_repeated_spans",
+    "q_importance_weight",
+    "q_pipeline_select",
+    "q_media_phash",
+    "q_media_phash_jpeg",
+    "q_video_frames",
+    "q_audio_fingerprint",
+    "q_text_hash_embed",
+    "q_text_knn",
+    "q_training_shuffle",
+    "q_curriculum_order",
+    "q_multimodal_meta",
+    "q_sliding_agg",
+    "q_session_window",
+    "q_udaf_gmean",
+    "q_cogroup_recon",
+    "q_grouped_map_stats",
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_dedup_near_pruned",
+    "q_dedup_near_char",
+    "q_dedup_simhash_pairs",
+    "q_dedup_embed",
+    "q_lang_id",
+    "q_quality_score",
+    "q_fingerprint",
+    "q_token_count",
+    "q_text_ngrams",
+    "q_join_asof_fwd",
+    "q_join_asof_tol",
+    "q_join_range_binned",
+    "q_salted_agg",
+    "q_salted_join",
+    "q_pipeline_guarded",
+    "q_markup_strip",
+    "q_url_domains",
+    "q_corpus_split",
+    "q_dedup_groups",
+    "q_join_full",
+    "q_pivot",
+    "q_range_frame",
+    "q_variant_json",
+    "q_sessionize",
+    "q_chunk_text",
+    "q_top_words",
+    "q_sketch_cms",
+    # r2-r4-green
     "q_envelope",
     "q_point_lookup",
     "q_replay_from",
@@ -204,22 +222,6 @@ PRIORITY: tuple[str, ...] = (
     "q_boilerplate_scrub",
     "q_quality_lm",
     "q_dedup_semantic",
-    "q_typename",
-    "q_eventclass",
-    "q_json_extract",
-    "q_math_funcs",
-    "q_running_sum",
-    "q_grouping_sets",
-    "q_dedup_simhash",
-    "q_time_window_filter",
-    "q_range_bounds",
-    "q_page_json",
-    "q_decode_roundtrip",
-    "q_count",
-    "q_chain_agg",
-    "q_rank",
-    "q_lag_gap",
-    "q_intersect",
 )
 
 
