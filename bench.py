@@ -100,6 +100,10 @@ HEADLINE = [
     "q_curriculum_order",
     "q_join_range_binned",
     "q_corpus_split",
+    # r6 additions: trained-merge BPE (training + application) and the
+    # pHash-banded media near-dup composition
+    "q_bpe_tokens",
+    "q_dedup_media",
 ]
 
 
@@ -115,6 +119,16 @@ def main() -> None:
     prefix = os.environ.get("SPARK_GRAFT_BENCH_PREFIX")
     if prefix:
         headline = HEADLINE[: int(prefix)]
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries in
+    # isolation — the tool for root-causing a single query's nominal
+    # regression without the full set's JVM co-tenancy (VERDICT_r5 #4).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in load_all()]
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {unknown}")
+        headline = names
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = load_all()

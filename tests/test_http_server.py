@@ -294,3 +294,63 @@ def test_http_watch_lines_maps_http_error_to_runtime_error(log_server):
 
     with pytest.raises(RuntimeError, match="could not read event stream: 400"):
         http_watch_lines(log_server, offset=3, max_seconds=1)
+
+
+def test_http_watch_slow_consumer_disconnected_at_ceiling(spark):
+    """VERDICT_r5 #7: a SLOW consumer — connected, receiving replayed
+    data, but never reading from its socket — must still be cut off at
+    the stream ceiling (server.go:27 semantics under backpressure, not
+    only under idle elapsed time), and the handler thread it held must
+    be free to serve the next request."""
+    import socket
+    import time
+
+    from vsphere_event_streaming_spark.log.http_server import (
+        EventLogHTTPServer,
+    )
+
+    rows = [(i, json.dumps({"id": str(i), "n": i})) for i in range(40)]
+    log = spark.createDataFrame(rows, "offset long, value string")
+    srv = EventLogHTTPServer(
+        EventLogService(log), stream_timeout_sec=1.5
+    ).start()
+    try:
+        host, port = srv.address.removeprefix("http://").split(":")
+        s = socket.create_connection((host, int(port)), timeout=30)
+        s.sendall(
+            b"GET /api/v1/events?watch=true&offset=0 HTTP/1.1\r\n"
+            b"Host: x\r\n\r\n"
+        )
+        # replay data is flowing at the server; we read NOTHING for
+        # far longer than the whole stream budget (the margin over
+        # 1.5 s absorbs the first page's cold Spark collect, which
+        # runs inside the budget server-side)
+        time.sleep(6.0)
+        # drain: the buffered replay must already end with the chunked
+        # terminator — the server ended the stream at its ceiling
+        # while we were asleep, it did not wait for us to read.
+        # (HTTP/1.1 keep-alive: the socket stays open after the
+        # terminator, so the proof of termination is the terminator
+        # arriving instantly, not an EOF.)
+        s.settimeout(10)
+        buf = b""
+        t0 = time.time()
+        while not buf.endswith(b"0\r\n\r\n"):
+            chunk = s.recv(65536)
+            assert chunk, "connection died before the chunked terminator"
+            buf = (buf + chunk)[-4096:]
+        drain_secs = time.time() - t0
+        # the terminator was buffered before we started reading — the
+        # budget clock ran server-side during our sleep
+        assert drain_secs < 1.0, f"drain took {drain_secs:.1f}s"
+        # the handler thread is released back to request dispatch: the
+        # SAME kept-alive connection serves a fresh request
+        s.sendall(b"GET /api/v1/range HTTP/1.1\r\nHost: x\r\n\r\n")
+        resp = s.recv(65536)
+        s.close()
+        assert resp.startswith(b"HTTP/1.1 200"), resp[:64]
+        # and a fresh connection serves fine too
+        status, _ = _get(srv.address + "/api/v1/range")
+        assert status == 200
+    finally:
+        srv.stop()

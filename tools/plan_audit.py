@@ -375,6 +375,15 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"\brand\(",
         ],
     ],
+    # pruned near-dup (r6, completing the VERDICT_r5 #4 quartet): the
+    # df-capped inverted-index join stays an equi-join over gram
+    # hashes with JVM-side scoring — no Python stage, no cartesian.
+    # (A BroadcastNestedLoopJoin IS expected: the 1-row freq-list
+    # attach in jaccard_pairs_pruned step 2 — constant build side.)
+    "q_dedup_near_pruned": [
+        [r"HashAggregate", r"Generate"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+    ],
     # BPE (r6): application is codegen chained replaces over the
     # vocabulary, which BROADCASTS into the per-doc occurrence join —
     # no Python stage anywhere in the plan (training already ran at

@@ -298,6 +298,151 @@ def _tpch_q1_shape(li):
     )
 
 
+def _media_pairs_shape(docs):
+    """q_dedup_media's exact shape: real PNG roundtrip dHash into the
+    63-bit Hamming-banded pairing (persisted hash table, released by
+    the caller's release_cached)."""
+    from vsphere_event_streaming_spark.functions.dedup import (
+        _persist,
+        hamming_pairs,
+    )
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        MEDIA_HASH_BITS,
+        MEDIA_MAX_HAMMING,
+    )
+
+    ph = _persist(
+        phash_images(synth_cell_png_payloads(docs, "doc_id", "text"))
+    )
+    return hamming_pairs(
+        ph, "media_id", "phash", MEDIA_MAX_HAMMING, n_bits=MEDIA_HASH_BITS
+    )
+
+
+def _bpe_shape(docs):
+    """q_bpe_tokens' exact shape: train the merge table (12 merges on
+    the word-frequency table), then count per-doc subword tokens."""
+    from vsphere_event_streaming_spark.functions.bpe import (
+        bpe_token_counts,
+        learn_bpe,
+        word_vocab,
+    )
+
+    merges = learn_bpe(word_vocab(docs))
+    return bpe_token_counts(docs, merges)
+
+
+def _markup_shape(docs):
+    from vsphere_event_streaming_spark.functions.text import markup_profile
+
+    return markup_profile(docs)
+
+
+def _split_shape(docs):
+    from vsphere_event_streaming_spark.functions.sampling import corpus_split
+
+    return corpus_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+
+
+def _curriculum_shape(docs):
+    """q_curriculum_order's exact shape: fixed-threshold quality stage
+    + seed-keyed within-stage shuffle + the W1 two-phase rank."""
+    from vsphere_event_streaming_spark.functions.text import quality_score
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        CURRICULUM_SEED,
+        CURRICULUM_STAGES,
+    )
+
+    hi, mid, lo = CURRICULUM_STAGES
+    q = quality_score(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        F.when(q >= hi, 0)
+        .when(q >= mid, 1)
+        .when(q >= lo, 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("stage"),
+        md5_hash(
+            F.concat(F.lit(f"{CURRICULUM_SEED}:"), F.col("doc_id"))
+        ).alias("skey"),
+    )
+    return assign_offsets(
+        staged,
+        order_by=["stage", "skey", "doc_id"],
+        offset_col="curriculum_pos",
+        start=0,
+    )
+
+
+def _ivf_stream_probe(
+    spark, emb, tag: str, n_batches: int = 5, k: int = 10, nprobe: int = 3
+) -> tuple[float, int]:
+    """Streaming IVF parity probe (VERDICT_r5 #5, matching the L12 LSH
+    probe's shape): ingest the corpus into a fresh IvfIndex in
+    ``n_batches`` idempotent batches against FROZEN centroids, then
+    search — asserting (a) exact parity with the inline ``ivf_topk``
+    over the whole corpus (the streamed index must lose nothing) and
+    (b) partition pruning (the probe reads only nprobe cells of every
+    batch directory). Returns (elapsed_sec, corpus_rows); writes only
+    under a throwaway temp dir."""
+    import io
+    import re
+    import shutil
+    import tempfile
+    from contextlib import redirect_stdout
+
+    from vsphere_event_streaming_spark.functions.vectors import (
+        IvfIndex,
+        deterministic_centroids,
+        ivf_topk,
+    )
+
+    qmin = emb.agg(F.min("vec_id").alias("__qid"))
+    qvec = emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid")).select(
+        F.col("embedding").alias("q")
+    )
+    corpus = (
+        emb.join(F.broadcast(qmin))
+        .filter(F.col("vec_id") != F.col("__qid"))
+        .drop("__qid")
+        .persist()
+    )
+    n = corpus.count()
+    cents = deterministic_centroids(emb, 10)
+    path = tempfile.mkdtemp(prefix=f"ivf_probe_{tag}_")
+    try:
+        t0 = time.perf_counter()
+        idx = IvfIndex(spark, path, cents)
+        for b in range(n_batches):
+            idx.add_batch(
+                corpus.filter(F.col("vec_id") % n_batches == b), f"b{b}"
+            )
+        got_df = idx.search(qvec, k=k, nprobe=nprobe)
+        got = [r["vec_id"] for r in got_df.collect()]
+        elapsed = round(time.perf_counter() - t0, 2)
+        inline = [
+            r["vec_id"]
+            for r in ivf_topk(corpus, cents, qvec, k=k, nprobe=nprobe).collect()
+        ]
+        assert got == inline, (
+            f"streamed IVF search diverged from inline at {tag}: "
+            f"{got} vs {inline}"
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            got_df.explain()
+        assert re.search(
+            r"PartitionFilters: \[.*centroid_id#\d+ IN \(", buf.getvalue()
+        ), f"IVF probe scan not partition-pruned at {tag}"
+        return elapsed, n
+    finally:
+        corpus.unpersist()
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _time(fn) -> tuple[float, int]:
     t0 = time.perf_counter()
     df = fn()
@@ -521,6 +666,40 @@ def main() -> None:
             lambda: _tpch_q1_shape(li1),
             lambda: _tpch_q1_shape(liN),
         ),
+        # r6 (VERDICT_r5 #6): the three r5-new oracled ops without a
+        # probe line — all shuffle-free projections except the rank's
+        # single range exchange; time must track rows ~linearly
+        (
+            "markup_profile",
+            lambda: _markup_shape(docs1),
+            lambda: _markup_shape(docsN),
+        ),
+        (
+            "corpus_split",
+            lambda: _split_shape(docs1),
+            lambda: _split_shape(docsN),
+        ),
+        (
+            "curriculum_order",
+            lambda: _curriculum_shape(docs1),
+            lambda: _curriculum_shape(docsN),
+        ),
+        # r6 (VERDICT_r5 #3 follow-through): media near-dup pairing —
+        # replicas are near-dup texts, so dHashes mostly differ by a
+        # few cells; the banded join must track candidates, not rows²
+        (
+            "media_hamming_pairs",
+            lambda: _media_pairs_shape(docs1),
+            lambda: _media_pairs_shape(docsN),
+        ),
+        # r6: trained-merge BPE — training on the vocabulary-bounded
+        # word-frequency table (replicas share one vocabulary, so 10x
+        # docs ~ same per-merge aggregate) + broadcast-join application
+        (
+            "bpe_tokens",
+            lambda: _bpe_shape(docs1),
+            lambda: _bpe_shape(docsN),
+        ),
     ]:
         t1, n1 = _time(one)
         release_cached()  # dedup intermediates must not subsidize the Nx run
@@ -534,6 +713,19 @@ def main() -> None:
             "time_ratio": round(tN / t1, 1) if t1 else None,
         }
         print(json.dumps({name: results[name]}))
+
+    # streaming IVF parity at 1x vs Nx (VERDICT_r5 #5): ingest in 5
+    # batches + search, exact-parity and pruning asserted inside
+    t1, n1 = _ivf_stream_probe(spark, emb1, "1x")
+    tN, nN = _ivf_stream_probe(spark, embN, f"{factor}x")
+    results["ivf_index_stream"] = {
+        "t_1x_sec": t1,
+        f"t_{factor}x_sec": tN,
+        "rows_1x": n1,
+        f"rows_{factor}x": nN,
+        "time_ratio": round(tN / t1, 1) if t1 else None,
+    }
+    print(json.dumps({"ivf_index_stream": results["ivf_index_stream"]}))
 
     print(json.dumps({"factor": factor, "sf_dir": sf_dir, "probe": results}))
 
