@@ -104,6 +104,12 @@ HEADLINE = [
     # pHash-banded media near-dup composition
     "q_bpe_tokens",
     "q_dedup_media",
+    # r6 additions (2): the audio near-dup twin and BPE-budgeted
+    # sequence packing
+    "q_dedup_audio",
+    "q_pack_bpe",
+    # r6 additions (3): clip-level video near-dup (frame-aligned bands)
+    "q_dedup_video",
 ]
 
 

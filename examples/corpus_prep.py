@@ -63,11 +63,16 @@ from vsphere_event_streaming_spark.functions.text import (  # noqa: E402
 from vsphere_event_streaming_spark.log.model import (  # noqa: E402
     assign_offsets,
 )
+from vsphere_event_streaming_spark.functions.bpe import (  # noqa: E402
+    bpe_token_counts,
+    learn_bpe,
+    word_vocab,
+)
 from vsphere_event_streaming_spark.queries.pipeline_queries import (  # noqa: E402
+    BPE_PACK_BUDGET,
     DSIR_TARGET_SOURCE,
     MIX_RATES,
     MIX_SEED,
-    PACK_BUDGET_TOKENS,
     SELECT_MIN_LOGP,
     SELECT_MIN_LOGW,
     SHUFFLE_SEED,
@@ -165,8 +170,20 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         offset_col="shuffle_pos",
         start=0,
     ).drop("skey")
+    # the packing budget is metered in TRAINED-subword tokens (L32 ∘
+    # L14, q_pack_bpe's shape): train the merge table on the selected
+    # corpus, count each doc's BPE tokens, pack on those — the budget
+    # a real training pipeline meters, not whitespace words
+    merges = learn_bpe(word_vocab(shuffled))
+    counted = shuffled.join(
+        bpe_token_counts(shuffled, merges).select("doc_id", "bpe_tokens"),
+        "doc_id",
+    )
     packed = pack_sequences(
-        shuffled, PACK_BUDGET_TOKENS, order_col="shuffle_pos"
+        counted,
+        BPE_PACK_BUDGET,
+        order_col="shuffle_pos",
+        n_tokens_col="bpe_tokens",
     )
 
     # -- 6. write shards -------------------------------------------------

@@ -59,3 +59,41 @@ def test_rejects_bad_widths(spark):
         hamming_pairs(df, "id", "h", 1, n_bits=0)
     with pytest.raises(ValueError):
         hamming_pairs(df, "id", "h", 63, n_bits=63)  # k >= n_bits
+
+
+def test_frame_banded_equals_brute_force(spark):
+    """hamming_pairs_frames: the frame-aligned banding + all-frames
+    verify equals the brute-force 'every aligned frame within k'
+    pair set, with the max distance reported."""
+    from vsphere_event_streaming_spark.functions.dedup import (
+        hamming_pairs_frames,
+    )
+
+    n_bits, k, n_frames = 63, 3, 3
+    rng = random.Random(5)
+    base = [
+        [rng.getrandbits(n_bits) for _ in range(n_frames)] for _ in range(8)
+    ]
+    clips = []
+    for i in range(50):
+        fr = list(rng.choice(base))
+        for _ in range(rng.randint(0, 4)):
+            f = rng.randrange(n_frames)
+            fr[f] ^= 1 << rng.randrange(n_bits)
+        clips.append((i, fr))
+    rows = [
+        (i, f, h) for i, fr in clips for f, h in enumerate(fr)
+    ]
+    df = spark.createDataFrame(rows, "id long, fi int, h long")
+    got = {
+        (r.id_a, r.id_b, r.max_hamming)
+        for r in hamming_pairs_frames(
+            df, "id", "fi", "h", k, n_bits=n_bits
+        ).collect()
+    }
+    want = set()
+    for (ia, fa), (ib, fb) in itertools.combinations(clips, 2):
+        ds = [bin(x ^ y).count("1") for x, y in zip(fa, fb)]
+        if max(ds) <= k:
+            want.add((min(ia, ib), max(ia, ib), max(ds)))
+    assert got == want

@@ -34,8 +34,8 @@ DRIVER_WINDOW = 50
 
 #: The r6 window, verbatim (VERDICT_r5 #1): evidence freshness — the
 #: 34 queries whose newest driver row is r1 (all 16 TPC-H shapes + 18
-#: singles), 14 of the 16 r3-stale queries, and the two r6-new
-#: operators (which displace the two most-redundant r3 slots per the
+#: singles), 11 of the 16 r3-stale queries, and the five r6-new
+#: operators (which displace the five most-redundant r3 slots per the
 #: verdict's displacement rule). The two permanent rows-only checks
 #: (q_knn_ivf, q_approx_aggs) are OUT of the window for good — their
 #: no_oracle rows can never go green; evidence lives in pytest.
@@ -81,12 +81,13 @@ WINDOW_R6 = (
     # r6-new
     "q_bpe_tokens",
     "q_dedup_media",
+    "q_dedup_audio",
+    "q_pack_bpe",
+    "q_dedup_video",
     # r3-stale re-greens
     "q_eventclass",
-    "q_json_extract",
     "q_math_funcs",
     "q_running_sum",
-    "q_grouping_sets",
     "q_dedup_simhash",
     "q_time_window_filter",
     "q_range_bounds",
@@ -94,7 +95,6 @@ WINDOW_R6 = (
     "q_decode_roundtrip",
     "q_chain_agg",
     "q_rank",
-    "q_lag_gap",
     "q_intersect",
 )
 
@@ -116,6 +116,9 @@ ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
 ROTATED_OUT_R6 = (
     "q_count",
     "q_typename",
+    "q_grouping_sets",
+    "q_lag_gap",
+    "q_json_extract",
     "q_pack_sequences",
     "q_vector_sq",
     "q_repeated_spans",

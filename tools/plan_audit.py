@@ -403,6 +403,36 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"BroadcastNestedLoopJoin",
         ],
     ],
+    # video: frame-aligned banding + all-frames verify — same contract
+    "q_dedup_video": [
+        [r"MapInPandas", r"Generate", r"Join"],
+        [
+            r"BatchEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+        ],
+    ],
+    # audio twin: same shape contract as the image pairing
+    "q_dedup_audio": [
+        [r"MapInPandas", r"Generate", r"Join"],
+        [
+            r"BatchEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+        ],
+    ],
+    # BPE-budgeted packing: the parents' plans composed — broadcast
+    # vocabulary join + per-language window, no Python, no cartesian,
+    # and no single-partition global sort
+    "q_pack_bpe": [
+        [r"BroadcastHashJoin", r"Window", r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SinglePartition",
+        ],
+    ],
 }
 
 

@@ -211,7 +211,22 @@ def bpe_token_counts(
 
 
 def bpe_oracle_sql(num_merges: int = DEFAULT_MERGES) -> str:
-    """DuckDB SQL replaying training AND application.
+    """DuckDB SQL replaying training AND application — the
+    :func:`bpe_oracle_ctes` chain plus the final per-doc projection."""
+    return (
+        "WITH"
+        + bpe_oracle_ctes(num_merges)
+        + """
+SELECT doc.doc_id,
+       coalesce(p.n_words, CAST(0 AS BIGINT)) AS n_words,
+       coalesce(p.bpe_tokens, CAST(0 AS BIGINT)) AS bpe_tokens
+FROM documents doc LEFT JOIN per_doc p USING (doc_id)"""
+    )
+
+
+def bpe_oracle_ctes(num_merges: int = DEFAULT_MERGES) -> str:
+    """The oracle's CTE chain (no leading WITH, no final SELECT), so
+    composed queries (sequence packing on BPE budgets) can extend it.
 
     Training: K chained MATERIALIZED CTE blocks (materialized because
     each ``w{k}`` is referenced twice — inlining would re-evaluate the
@@ -292,12 +307,4 @@ per_doc AS MATERIALIZED (
   FROM docw d JOIN vtok v USING (word) GROUP BY 1
 )"""
     )
-    return (
-        "WITH"
-        + ",".join(blocks)
-        + """
-SELECT doc.doc_id,
-       coalesce(p.n_words, CAST(0 AS BIGINT)) AS n_words,
-       coalesce(p.bpe_tokens, CAST(0 AS BIGINT)) AS bpe_tokens
-FROM documents doc LEFT JOIN per_doc p USING (doc_id)"""
-    )
+    return ",".join(blocks)

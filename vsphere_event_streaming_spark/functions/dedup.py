@@ -942,6 +942,95 @@ def hamming_pairs(
     )
 
 
+def hamming_pairs_frames(
+    table: DataFrame,
+    id_col: str,
+    frame_col: str,
+    hash_col: str,
+    max_hamming: int,
+    n_bits: int = 63,
+) -> DataFrame:
+    """Clip-level near-dup pairs over PER-FRAME fingerprints: two
+    clips pair iff EVERY aligned frame is within ``max_hamming`` —
+    the video composition (L33'') of :func:`hamming_pairs`.
+
+    Candidates come from the same pigeonhole banding with the frame
+    index added to the join key (a qualifying pair has every frame
+    within the distance, so ANY frame's bands collide — the candidate
+    set is a superset of the answer); the verify joins both clips'
+    full frame tables per candidate pair and keeps pairs whose MAX
+    per-frame Hamming distance is within the threshold. Output:
+    (id_a, id_b, max_hamming), exactly the all-pairs-aggregated set,
+    so an O(n²·frames) SQL oracle is sound.
+
+    Scale: frame tables are (clips × frames) 16-byte rows; the verify
+    joins are id-keyed equi-joins over candidates only — never
+    all-pairs."""
+    if not 0 < n_bits <= 63:
+        raise ValueError(f"n_bits must be in (0, 63]: {n_bits}")
+    if not 0 <= max_hamming < n_bits:
+        raise ValueError(
+            f"max_hamming must be in [0, {n_bits}): {max_hamming}"
+        )
+    n_bands = max_hamming + 1
+    width = n_bits // n_bands
+
+    def probe_rows(side: str) -> DataFrame:
+        bands = []
+        for i in range(n_bands):
+            shift = i * width
+            nb = width if i < n_bands - 1 else n_bits - shift
+            bands.append(
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright(F.col(hash_col), shift)
+                    .bitwiseAND(F.lit((1 << nb) - 1))
+                    .alias("band_val"),
+                )
+            )
+        return table.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col(frame_col).alias("__f"),
+            F.explode(F.array(*bands)).alias("probe"),
+        ).select(
+            f"id_{side}",
+            "__f",
+            F.col("probe.band_idx").alias("band_idx"),
+            F.col("probe.band_val").alias("band_val"),
+        )
+
+    cand = (
+        probe_rows("a")
+        .join(probe_rows("b"), ["__f", "band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = table.select(
+        F.col(id_col).alias("id_a"),
+        F.col(frame_col).alias("__f"),
+        F.col(hash_col).alias("fp_a"),
+    )
+    fb = table.select(
+        F.col(id_col).alias("id_b"),
+        F.col(frame_col).alias("__f"),
+        F.col(hash_col).alias("fp_b"),
+    )
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, ["id_b", "__f"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(
+                F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            )
+            .cast("int")
+            .alias("max_hamming")
+        )
+        .filter(F.col("max_hamming") <= max_hamming)
+    )
+
+
 # ----------------------------------------------------------------------
 # L19: repeated-span detection (exact substring dedup)
 # ----------------------------------------------------------------------

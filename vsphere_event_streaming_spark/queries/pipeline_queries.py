@@ -2477,3 +2477,166 @@ def q_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(
         ph, "media_id", "phash", MEDIA_MAX_HAMMING, n_bits=MEDIA_HASH_BITS
     )
+
+
+#: Hamming threshold for audio near-dup pairing: the energy-delta
+#: fingerprint carries AUDIO_FRAMES-1 = 56 bits.
+AUDIO_MAX_HAMMING = 4
+AUDIO_HASH_BITS = 56
+
+
+def _dedup_audio_oracle() -> str:
+    """All-pairs Hamming over the replayed audio fingerprint — sound
+    for the same pigeonhole reason as the image oracle."""
+    return f"""
+    WITH fp AS ({_audio_fp_oracle()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= {AUDIO_MAX_HAMMING}
+    """
+
+
+@query("q_dedup_audio", oracle=_dedup_audio_oracle())
+def q_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup candidate pairs — the L23 WAV pipeline composed
+    with the same Hamming-banded pairing as q_dedup_media, completing
+    media near-dup across modalities: each doc's PCM16 stream goes
+    through the REAL RIFF/WAVE encode->decode walk, is fingerprinted
+    (frame-energy deltas), and near-identical audio pairs up within
+    Hamming distance 4 plus the exact bit_count verify.
+
+    Scale shape identical to the image twin: Arrow decode with 8
+    bytes/doc out, persisted fingerprint table, banded equi-join with
+    constant probe rows per clip — never all-pairs. Oracle: replayed
+    fingerprint arithmetic + the exact O(n²) pair set (sound because
+    banding+verify IS the thresholded set)."""
+    from ..functions.multimodal import audio_fingerprints, synth_wav_payloads
+    from ..tables import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    media = synth_wav_payloads(docs, "doc_id", "text")
+    fp = _dedup_persist(audio_fingerprints(media))
+    return hamming_pairs(
+        fp, "media_id", "afp", AUDIO_MAX_HAMMING, n_bits=AUDIO_HASH_BITS
+    )
+
+
+#: Sequence-packing budget in TRAINED-SUBWORD tokens (vs the 256
+#: whitespace-token budget of q_pack_sequences): these docs run
+#: ~2.5-4 subword tokens per word under the 12-merge table.
+BPE_PACK_BUDGET = 1024
+
+
+def _pack_bpe_oracle() -> str:
+    return (
+        "WITH"
+        + _bpe.bpe_oracle_ctes()
+        + f""",
+    t AS (
+      SELECT d.lang, d.doc_id,
+             coalesce(p.bpe_tokens, CAST(0 AS BIGINT)) AS n_tokens
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ), c AS (
+      SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT lang,
+           CAST(floor((cum - n_tokens)::DOUBLE / {BPE_PACK_BUDGET})
+                AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM c
+    GROUP BY lang, pack_id
+    """
+    )
+
+
+@query("q_pack_bpe", oracle=_pack_bpe_oracle())
+def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing metered in TRAINED-SUBWORD tokens (VERDICT_r5
+    #2's follow-through, L32 ∘ L14): the budget every real packer uses
+    is the model tokenizer's, not whitespace words — so this trains
+    the 12-merge table, counts each doc's BPE tokens, and cuts the
+    per-language stream every BPE_PACK_BUDGET subword tokens. The
+    oracle replays BPE training, application, AND the packing window
+    in one statement.
+
+    Scale shape: q_bpe_tokens' vocabulary-bounded training + broadcast
+    application feeding q_pack_sequences' per-stratum window — no new
+    shuffle beyond the two parents'."""
+    from ..functions.bpe import bpe_token_counts, learn_bpe, word_vocab
+    from ..functions.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(word_vocab(docs))
+    counted = docs.join(
+        bpe_token_counts(docs, merges).select("doc_id", "bpe_tokens"),
+        "doc_id",
+    )
+    packed = pack_sequences(
+        counted, BPE_PACK_BUDGET, n_tokens_col="bpe_tokens"
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+#: Clip-level threshold: every sampled frame within this Hamming
+#: distance (frame hashes use the 63-bit dHash layout).
+VIDEO_MAX_HAMMING = 4
+
+
+def _dedup_video_oracle() -> str:
+    """All-pairs per-frame aggregation over the replayed frame hashes
+    — exactly the banded candidates + max-over-frames verify."""
+    return f"""
+    WITH fh AS ({_video_frames_oracle()}),
+    agg AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             max(bit_count(xor(a.phash, b.phash))) AS mh
+      FROM fh a JOIN fh b
+        ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(mh AS INTEGER) AS max_hamming
+    FROM agg WHERE mh <= {VIDEO_MAX_HAMMING}
+    """
+
+
+@query("q_dedup_video", oracle=_dedup_video_oracle())
+def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup candidate pairs — the L26 MJPEG-AVI pipeline
+    composed with frame-aligned Hamming banding (L33''), completing
+    media near-dup across all three modalities: each doc's clip goes
+    through the REAL container walk + per-frame baseline JPEG decode,
+    every sampled frame is dHashed, and two clips pair iff EVERY
+    aligned frame is within Hamming distance 4 (report the max).
+
+    Scale shape: the decode is Arrow mapInPandas emitting 16 bytes per
+    sampled frame; candidates come from the banded equi-join with the
+    frame index in the key (constant probe rows per frame); the
+    all-frames verify joins frame tables for CANDIDATES only. Oracle:
+    the replayed frame-hash arithmetic + the O(n²·frames) aggregation,
+    sound because banding is complete per frame."""
+    from ..functions.dedup import hamming_pairs_frames
+    from ..functions.multimodal import (
+        synth_cell_avi_payloads,
+        video_frame_hashes,
+    )
+    from ..tables import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    media = synth_cell_avi_payloads(docs, "doc_id", "text")
+    fh = _dedup_persist(
+        video_frame_hashes(media, every_ms=VIDEO_SAMPLE_MS)
+    )
+    return hamming_pairs_frames(
+        fh, "media_id", "frame_idx", "phash", VIDEO_MAX_HAMMING,
+        n_bits=MEDIA_HASH_BITS,
+    )

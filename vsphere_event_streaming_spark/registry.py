@@ -103,12 +103,13 @@ PRIORITY: tuple[str, ...] = (
     # r6-new operators (displace two r3 slots)
     "q_bpe_tokens",
     "q_dedup_media",
+    "q_dedup_audio",
+    "q_pack_bpe",
+    "q_dedup_video",
     # r3-stale re-greens
     "q_eventclass",
-    "q_json_extract",
     "q_math_funcs",
     "q_running_sum",
-    "q_grouping_sets",
     "q_dedup_simhash",
     "q_time_window_filter",
     "q_range_bounds",
@@ -116,11 +117,13 @@ PRIORITY: tuple[str, ...] = (
     "q_decode_roundtrip",
     "q_chain_agg",
     "q_rank",
-    "q_lag_gap",
     "q_intersect",
     # ---- window ends; displaced r3 slots (r3-green, selfcheck-covered) ----
     "q_count",
     "q_typename",
+    "q_grouping_sets",
+    "q_lag_gap",
+    "q_json_extract",
     # permanent rows-only checks (evidence in pytest)
     "q_knn_ivf",
     "q_approx_aggs",
