@@ -319,6 +319,55 @@ def _media_pairs_shape(docs):
     )
 
 
+def _audio_pairs_shape(docs):
+    """q_dedup_audio's exact shape: WAV roundtrip fingerprint into the
+    56-bit banded pairing."""
+    from vsphere_event_streaming_spark.functions.dedup import (
+        _persist,
+        hamming_pairs,
+    )
+    from vsphere_event_streaming_spark.functions.multimodal import (
+        audio_fingerprints,
+        synth_wav_payloads,
+    )
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        AUDIO_HASH_BITS,
+        AUDIO_MAX_HAMMING,
+    )
+
+    fp = _persist(
+        audio_fingerprints(synth_wav_payloads(docs, "doc_id", "text"))
+    )
+    return hamming_pairs(
+        fp, "media_id", "afp", AUDIO_MAX_HAMMING, n_bits=AUDIO_HASH_BITS
+    )
+
+
+def _video_pairs_shape(docs):
+    """q_dedup_video's exact shape: AVI walk + per-frame JPEG decode
+    into frame-aligned banding + all-frames verify."""
+    from vsphere_event_streaming_spark.functions.dedup import (
+        _persist,
+        hamming_pairs_frames,
+    )
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        MEDIA_HASH_BITS,
+        VIDEO_MAX_HAMMING,
+        VIDEO_SAMPLE_MS,
+    )
+
+    fh = _persist(
+        video_frame_hashes(
+            synth_cell_avi_payloads(docs, "doc_id", "text"),
+            every_ms=VIDEO_SAMPLE_MS,
+        )
+    )
+    return hamming_pairs_frames(
+        fh, "media_id", "frame_idx", "phash", VIDEO_MAX_HAMMING,
+        n_bits=MEDIA_HASH_BITS,
+    )
+
+
 def _bpe_shape(docs):
     """q_bpe_tokens' exact shape: train the merge table (12 merges on
     the word-frequency table), then count per-doc subword tokens."""
@@ -691,6 +740,16 @@ def main() -> None:
             "media_hamming_pairs",
             lambda: _media_pairs_shape(docs1),
             lambda: _media_pairs_shape(docsN),
+        ),
+        (
+            "audio_hamming_pairs",
+            lambda: _audio_pairs_shape(docs1),
+            lambda: _audio_pairs_shape(docsN),
+        ),
+        (
+            "video_hamming_pairs",
+            lambda: _video_pairs_shape(docs1),
+            lambda: _video_pairs_shape(docsN),
         ),
         # r6: trained-merge BPE — training on the vocabulary-bounded
         # word-frequency table (replicas share one vocabulary, so 10x

@@ -965,7 +965,15 @@ def hamming_pairs_frames(
 
     Scale: frame tables are (clips × frames) 16-byte rows; the verify
     joins are id-keyed equi-joins over candidates only — never
-    all-pairs."""
+    all-pairs. CRITICAL ordering (measured, not theorized): the
+    probed frame's exact ``bit_count <= k`` check runs INSIDE the
+    banded join's stage, BEFORE the candidate ``distinct`` — the same
+    order :func:`hamming_pairs` uses. Large near-dup clusters make
+    band collisions quadratic in cluster size, and those rows must
+    die in codegen, not be shuffled: with the filter after the
+    distinct the 10× probe took 583 s; with it inline, ~8 s for the
+    same 1.95 M result pairs (tools/scale_probe.py
+    ``video_hamming_pairs``)."""
     if not 0 < n_bits <= 63:
         raise ValueError(f"n_bits must be in (0, 63]: {n_bits}")
     if not 0 <= max_hamming < n_bits:
@@ -991,10 +999,12 @@ def hamming_pairs_frames(
         return table.select(
             F.col(id_col).alias(f"id_{side}"),
             F.col(frame_col).alias("__f"),
+            F.col(hash_col).alias(f"__fp_{side}"),
             F.explode(F.array(*bands)).alias("probe"),
         ).select(
             f"id_{side}",
             "__f",
+            f"__fp_{side}",
             F.col("probe.band_idx").alias("band_idx"),
             F.col("probe.band_val").alias("band_val"),
         )
@@ -1003,6 +1013,13 @@ def hamming_pairs_frames(
         probe_rows("a")
         .join(probe_rows("b"), ["__f", "band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        # the probed frame must itself be within the distance — exact,
+        # cheap, and it guts the cluster-quadratic collision stream
+        # before the distinct's shuffle (see docstring)
+        .filter(
+            F.bit_count(F.col("__fp_a").bitwiseXOR(F.col("__fp_b")))
+            <= max_hamming
+        )
         .select("id_a", "id_b")
         .distinct()
     )
