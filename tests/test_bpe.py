@@ -195,3 +195,34 @@ def test_bpe_second_order_merges_learned(spark):
     assert any(
         len(x) > 2 or len(y) > 2 for x, y in merges
     ), merges
+
+
+def test_bpe_vocab_incremental_batches(spark, tmp_path):
+    """BpeVocab: three ingested batches train to BIT-IDENTICAL merges
+    vs a from-scratch train over the whole corpus (count additivity),
+    and a replayed batch overwrites instead of double-counting."""
+    from vsphere_event_streaming_spark.functions.bpe import BpeVocab
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    full = learn_bpe(word_vocab(docs), DEFAULT_MERGES)
+
+    idx = BpeVocab(spark, f"{tmp_path}/bpe_vocab")
+    for b in range(3):
+        idx.add_batch(docs.filter(F.col("doc_id") % 3 == b), f"b{b}")
+    assert idx.train(DEFAULT_MERGES) == full
+
+    # replay: batch b1 again — counts must not double
+    idx.add_batch(docs.filter(F.col("doc_id") % 3 == 1), "b1")
+    assert idx.train(DEFAULT_MERGES) == full
+    merged = {r.word: r.cnt for r in idx.vocab().collect()}
+    want = {r.word: r.cnt for r in word_vocab(docs).collect()}
+    assert merged == want
+
+
+def test_bpe_vocab_rejects_bad_batch_id(spark, tmp_path):
+    from vsphere_event_streaming_spark.functions.bpe import BpeVocab
+
+    idx = BpeVocab(spark, f"{tmp_path}/bpe_vocab2")
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        idx.add_batch(docs, "../evil")

@@ -308,3 +308,61 @@ per_doc AS MATERIALIZED (
 )"""
     )
     return ",".join(blocks)
+
+
+class BpeVocab:
+    """Persistent incremental word-frequency store for BPE training —
+    the trained-tokenizer family's incremental form, completing the
+    story every trained artifact in this engine tells (text LSH
+    ``dedup.LshIndex``, vector LSH ``vectors.VectorLshIndex``, IVF
+    ``vectors.IvfIndex``): state grows batch-by-batch without
+    recomputing history.
+
+    What makes BPE incrementally trainable at all: training consumes
+    ONLY the word-frequency table, and word counts are additive — the
+    union of per-batch count tables aggregates to exactly the
+    full-corpus table, so a retrain over the merged vocabulary yields
+    bit-identical merges to a from-scratch train (asserted in
+    ``tests/test_bpe.py``). A production pipeline retrains on a cadence
+    (per crawl epoch) rather than per batch; between retrains the
+    frozen merge table keeps tokenizing new data (``apply_bpe`` is
+    stateless given the merges).
+
+    Same crash contract as the other indexes: a batch write OVERWRITES
+    its own ``batch_id=`` partition directory, so a replayed batch
+    converges instead of double-counting.
+    """
+
+    def __init__(self, spark, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def add_batch(
+        self, docs: DataFrame, batch_id: str, text_col: str = "text"
+    ) -> int:
+        """Count the batch's words and persist them as an idempotent
+        partition directory. Returns distinct words written."""
+        from .dedup import LshIndex
+
+        part_dir = LshIndex._partition_dir(batch_id)  # validates token
+        counts = word_vocab(docs, text_col).localCheckpoint(eager=True)
+        n = counts.count()
+        counts.write.mode("overwrite").parquet(
+            f"{self.path}/{part_dir}"
+        )
+        return n
+
+    def vocab(self) -> DataFrame:
+        """The merged word-frequency table over every ingested batch —
+        exactly the full-corpus ``word_vocab`` by count additivity."""
+        return (
+            self.spark.read.parquet(self.path)
+            .groupBy("word")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def train(self, num_merges: int = DEFAULT_MERGES):
+        """Learn the merge table from the merged vocabulary —
+        bit-identical to a from-scratch train over the batches'
+        union."""
+        return learn_bpe(self.vocab(), num_merges)
