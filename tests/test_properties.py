@@ -279,3 +279,50 @@ def test_avi_container_roundtrip_property(n_frames, h, w, seed):
         n_frames, w, h,
     )
     assert codecs.decode_avi_frames(avi) == frames
+
+
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.text(alphabet="abcde", min_size=1, max_size=6),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=12, deadline=None)
+def test_bpe_training_matches_reference_property(spark, corpus, k):
+    """Random tiny corpora over a 5-letter alphabet: the Spark trainer
+    and per-doc counts must agree with the independent pure-Python
+    reference for every corpus and merge budget — the property form of
+    test_bpe.py's fixed-corpus parity (tie-break-dense alphabets are
+    exactly where a wrong tie order would show)."""
+    from tests.test_bpe import ref_learn, ref_tokenize, ref_vocab
+    from vsphere_event_streaming_spark.functions.bpe import (
+        bpe_token_counts,
+        learn_bpe,
+        word_vocab,
+    )
+
+    texts = [" ".join(ws) for ws in corpus]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = learn_bpe(word_vocab(docs), k)
+    want = ref_learn(ref_vocab(texts), k)
+    assert got == want
+    out = {
+        r.doc_id: (r.n_words, r.bpe_tokens)
+        for r in bpe_token_counts(docs, got).collect()
+    }
+    import re as _re
+
+    for i, t in enumerate(texts):
+        ws = _re.findall(r"[a-z]+", t.lower())
+        assert out[i] == (
+            len(ws),
+            sum(len(ref_tokenize(w, want)) for w in ws),
+        )

@@ -997,3 +997,45 @@ def test_incremental_semantic_dedup_stream_matches_batch(spark, tmp_path):
     )
     assert q.awaitTermination(120)
     assert read_semantic_decisions(spark, dec).count() == n
+
+
+def test_incremental_bpe_vocab_stream(spark, tmp_path):
+    """L12''' streaming form: documents streamed in per-file epochs
+    build a BpeVocab whose retrain is BIT-IDENTICAL to a from-scratch
+    train over the whole corpus — the tokenizer-refresh topology."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.bpe import (
+        BpeVocab,
+        DEFAULT_MERGES,
+        learn_bpe,
+        word_vocab,
+    )
+    from vsphere_event_streaming_spark.streaming.bpe_stream import (
+        start_incremental_bpe_vocab,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    in_dir = f"{tmp_path}/in"
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{b}")
+    q = start_incremental_bpe_vocab(
+        spark,
+        in_dir + "/part*",
+        f"{tmp_path}/vocab",
+        f"{tmp_path}/ckpt",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    streamed = BpeVocab(spark, f"{tmp_path}/vocab")
+    assert streamed.train(DEFAULT_MERGES) == learn_bpe(
+        word_vocab(docs), DEFAULT_MERGES
+    )
+    # streamed counts == batch counts, word for word
+    got = {r.word: r.cnt for r in streamed.vocab().collect()}
+    want = {r.word: r.cnt for r in word_vocab(docs).collect()}
+    assert got == want
