@@ -97,3 +97,29 @@ def test_frame_banded_equals_brute_force(spark):
         if max(ds) <= k:
             want.add((min(ia, ib), max(ia, ib), max(ds)))
     assert got == want
+
+
+def test_max_fp_freq_excludes_degenerate_groups(spark):
+    """max_fp_freq: a degenerate fingerprint (occurring over the cap)
+    is excluded from banded pairing — the remaining pair set equals
+    brute force over the kept rows, and the excluded rows are exactly
+    the over-cap fingerprint groups (routable to the exact tier)."""
+    n_bits, k, cap = 63, 2, 10
+    rows = _mk_rows(n_bits, n=60, seed=31)
+    const = 0x123456789ABCD
+    rows += [(200 + i, const) for i in range(40)]  # degenerate group
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_pairs(
+            df, "id", "h", k, n_bits=n_bits, max_fp_freq=cap
+        ).collect()
+    }
+    from collections import Counter
+
+    freq = Counter(h for _, h in rows)
+    kept = [(i, h) for i, h in rows if freq[h] <= cap]
+    assert got == _brute(kept, k)
+    # no cap -> the degenerate group floods the result quadratically
+    full = hamming_pairs(df, "id", "h", k, n_bits=n_bits).count()
+    assert full >= len(got) + (40 * 39) // 2

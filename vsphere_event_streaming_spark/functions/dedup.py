@@ -874,6 +874,7 @@ def hamming_pairs(
     hash_col: str,
     max_hamming: int,
     n_bits: int = 64,
+    max_fp_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, hamming) within Hamming distance
     ``max_hamming`` over an arbitrary-width integer fingerprint — the
@@ -890,6 +891,26 @@ def hamming_pairs(
     SQL oracle can check it. The input table should be persisted by
     the caller when its lineage is expensive (a decode pipeline): the
     self-join reads it twice.
+
+    ``max_fp_freq`` (optional) excludes DEGENERATE fingerprints from
+    the pairing: a fingerprint value occurring more than the cap times
+    (the all-zero image, digital silence — "empty content" classes at
+    crawl scale) is a c²-pair bucket that says nothing about
+    near-duplication; such rows are dropped from the banded join
+    (the stop-shingle-prune precedent, jaccard_pairs_pruned). Recall
+    contract: members of an excluded group still pair EXACTLY (their
+    fingerprints are equal) — route them through the exact tier
+    (``groupBy(fingerprint)``), which is O(c) where pairing is O(c²).
+    The frequency table is fingerprint-valued (Zipf-head-bounded) and
+    broadcast. Measured negative result, recorded so it is not
+    re-tried blind (SCALE.md "banded pairing under skew"): an
+    exactness-preserving triangular hot-BUCKET split (group-pair cells
+    per oversized band bucket) was implemented and A/B'd — audio 10×:
+    15.1 s unsplit vs 21-65 s split (caps 5000/2000/500); a 150k-row
+    poisoned single bucket: 28.8 s vs 244 s — codegen enumerates
+    >100 M candidates/s per task, Spark broadcast-mis-plans the
+    duplicated probe sides, and no tested scale was skew-bound, so the
+    split was dropped in favor of this upstream exclusion.
     """
     if not 0 < n_bits <= 63:
         # 63, not 64: band values are extracted with shiftright on a
@@ -924,6 +945,19 @@ def hamming_pairs(
             f"fp_{side}",
             F.col("probe.band_idx").alias("band_idx"),
             F.col("probe.band_val").alias("band_val"),
+        )
+
+    if max_fp_freq is not None:
+        freq = (
+            table.groupBy(F.col(hash_col).alias("__fp"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > max_fp_freq)
+            .select("__fp")
+        )
+        table = table.join(
+            F.broadcast(freq),
+            table[hash_col] == freq["__fp"],
+            "left_anti",
         )
 
     a, b = probe_rows("a"), probe_rows("b")
