@@ -393,3 +393,32 @@ def test_driver_guard_flags_tz_aware_vs_naive_timestamp():
     assert err is not None and "dtype divergence" in err, err
     # same tz on both sides stays clean
     assert driver_guard(aware.copy(), aware.copy()) is None
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py's HEADLINE list is driver-executed — a renamed or
+    mistyped query there fails at bench time, after the round's work
+    is done. Pin it to the registry here instead."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    qs = load_all()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench HEADLINE names not registered: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicates"
+
+
+def test_tools_import_cleanly():
+    """tools/scale_probe.py and tools/plan_audit.py are driver-run
+    evidence generators — an import error from a refactor (renamed
+    function, moved constant) must fail here, not in the next
+    evidence run. (sys.path already has tools/ for selfcheck.)"""
+    import importlib
+
+    for mod in ("scale_probe", "plan_audit"):
+        importlib.import_module(mod)
