@@ -128,16 +128,16 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries in
     # isolation — the tool for root-causing a single query's nominal
     # regression without the full set's JVM co-tenancy (VERDICT_r5 #4).
+    queries = load_all()
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         names = [n.strip() for n in only.split(",") if n.strip()]
-        unknown = [n for n in names if n not in load_all()]
+        unknown = [n for n in names if n not in queries]
         if unknown:
             raise SystemExit(f"unknown bench queries: {unknown}")
         headline = names
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = load_all()
 
     # Untimed warmup: first query pays JVM/JIT/codegen + parquet footer
     # costs (~2 s) that say nothing about plan quality; standard warm-run

@@ -170,6 +170,11 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         offset_col="shuffle_pos",
         start=0,
     ).drop("skey")
+    # persisted for the same reason as scrubbed/selected: BPE training,
+    # token counting (twice inside bpe_token_counts), the counted join,
+    # and the step-6 shuffle_pos join all consume the ranked frame —
+    # unpersisted, each re-runs the two-phase rank window
+    shuffled = shuffled.persist()
     # the packing budget is metered in TRAINED-subword tokens (L32 ∘
     # L14, q_pack_bpe's shape): train the merge table on the selected
     # corpus, count each doc's BPE tokens, pack on those — the budget
@@ -206,6 +211,7 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
     }
     scrubbed.unpersist()
     selected.unpersist()
+    shuffled.unpersist()
     release_cached()
     return summary
 

@@ -126,10 +126,11 @@ def learn_bpe(
     Tie-break (c DESC, x ASC, y ASC) is the cross-engine contract —
     the DuckDB oracle and the pure-Python reference order identically.
     """
-    cur = vocab.withColumn("r", spaced_repr(F.col("word")))
-    cur.persist()
+    base = vocab.withColumn("r", spaced_repr(F.col("word")))
+    base.persist()
     try:
         merges: list[tuple[str, str]] = []
+        cur = base
         for _ in range(num_merges):
             best = (
                 _pair_counts(cur)
@@ -144,7 +145,9 @@ def learn_bpe(
             cur = cur.withColumn("r", merge_expr(F.col("r"), x, y))
         return merges
     finally:
-        vocab.unpersist()
+        # the frame WE persisted — not the caller's vocab (releasing a
+        # caller's cache, or leaking ours, were both one variable away)
+        base.unpersist()
 
 
 def apply_bpe(word: Column, merges: list[tuple[str, str]]) -> Column:

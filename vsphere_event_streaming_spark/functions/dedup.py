@@ -868,6 +868,35 @@ class LshIndex:
         return out
 
 
+def _band_structs(hash_col: str, max_hamming: int, n_bits: int):
+    """The pigeonhole band decomposition shared by the pairing family:
+    ``max_hamming + 1`` (band_idx, band_val) structs over ``n_bits``,
+    the last band absorbing the remainder bits. Validates the width
+    bounds (63, not 64: band values extract with shiftright on a
+    signed long)."""
+    if not 0 < n_bits <= 63:
+        raise ValueError(f"n_bits must be in (0, 63]: {n_bits}")
+    if not 0 <= max_hamming < n_bits:
+        raise ValueError(
+            f"max_hamming must be in [0, {n_bits}): {max_hamming}"
+        )
+    n_bands = max_hamming + 1
+    width = n_bits // n_bands
+    bands = []
+    for i in range(n_bands):
+        shift = i * width
+        nb = width if i < n_bands - 1 else n_bits - shift
+        bands.append(
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col(hash_col), shift)
+                .bitwiseAND(F.lit((1 << nb) - 1))
+                .alias("band_val"),
+            )
+        )
+    return bands
+
+
 def hamming_pairs(
     table: DataFrame,
     id_col: str,
@@ -912,30 +941,9 @@ def hamming_pairs(
     duplicated probe sides, and no tested scale was skew-bound, so the
     split was dropped in favor of this upstream exclusion.
     """
-    if not 0 < n_bits <= 63:
-        # 63, not 64: band values are extracted with shiftright on a
-        # signed long; a sign bit would need unsigned handling
-        raise ValueError(f"n_bits must be in (0, 63]: {n_bits}")
-    if not 0 <= max_hamming < n_bits:
-        raise ValueError(
-            f"max_hamming must be in [0, {n_bits}): {max_hamming}"
-        )
-    n_bands = max_hamming + 1
-    width = n_bits // n_bands
+    bands = _band_structs(hash_col, max_hamming, n_bits)
 
     def probe_rows(side: str) -> DataFrame:
-        bands = []
-        for i in range(n_bands):
-            shift = i * width
-            nb = width if i < n_bands - 1 else n_bits - shift
-            bands.append(
-                F.struct(
-                    F.lit(i).alias("band_idx"),
-                    F.shiftright(F.col(hash_col), shift)
-                    .bitwiseAND(F.lit((1 << nb) - 1))
-                    .alias("band_val"),
-                )
-            )
         return table.select(
             F.col(id_col).alias(f"id_{side}"),
             F.col(hash_col).alias(f"fp_{side}"),
@@ -1007,29 +1015,18 @@ def hamming_pairs_frames(
     die in codegen, not be shuffled: with the filter after the
     distinct the 10× probe took 583 s; with it inline, ~8 s for the
     same 1.95 M result pairs (tools/scale_probe.py
-    ``video_hamming_pairs``)."""
-    if not 0 < n_bits <= 63:
-        raise ValueError(f"n_bits must be in (0, 63]: {n_bits}")
-    if not 0 <= max_hamming < n_bits:
-        raise ValueError(
-            f"max_hamming must be in [0, {n_bits}): {max_hamming}"
-        )
-    n_bands = max_hamming + 1
-    width = n_bits // n_bands
+    ``video_hamming_pairs``).
+
+    Frame-set semantics: distances aggregate over frame indices
+    present on BOTH clips (inner joins on ``frame_col``) — for clips
+    with differing frame sets, a clip that prefixes a longer one can
+    pair with it. q_dedup_video's clips all sample the identical
+    index set (and its oracle computes the same intersection); pass
+    equal-length clips, or pre-filter on frame count, when that
+    prefix behavior is not wanted."""
+    bands = _band_structs(hash_col, max_hamming, n_bits)
 
     def probe_rows(side: str) -> DataFrame:
-        bands = []
-        for i in range(n_bands):
-            shift = i * width
-            nb = width if i < n_bands - 1 else n_bits - shift
-            bands.append(
-                F.struct(
-                    F.lit(i).alias("band_idx"),
-                    F.shiftright(F.col(hash_col), shift)
-                    .bitwiseAND(F.lit((1 << nb) - 1))
-                    .alias("band_val"),
-                )
-            )
         return table.select(
             F.col(id_col).alias(f"id_{side}"),
             F.col(frame_col).alias("__f"),

@@ -2430,11 +2430,14 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, merges)
 
 
-#: Hamming threshold for image near-dup pairing. The dHash occupies
-#: bit positions 0-62 (8 rows x 7 column comparisons, every 8th bit
-#: structurally zero), so banding runs over 63 bits.
+#: Hamming threshold for image near-dup pairing. The dHash is DENSE
+#: over bit positions 0-55 (7 rows x 8 column comparisons on the 7x9
+#: grid), so banding runs over 56 bits — the r6 code-review corrected
+#: this from 63, which wasted 7 permanently-zero bits of the last
+#: band's discriminative width (results identical either way:
+#: pigeonhole completeness only needs the bands to COVER the hash).
 MEDIA_MAX_HAMMING = 2
-MEDIA_HASH_BITS = 63
+MEDIA_HASH_BITS = 56
 
 
 def _dedup_media_oracle() -> str:

@@ -48,15 +48,19 @@ def query(name: str, oracle: str | None = None):
 # PRIORITY pins each round's rotation plan; tests/test_registry.py
 # (WINDOW_R6) enforces the pinned membership.
 #
-# r6 rotation (VERDICT_r5 next-round #1): every one of the 150
-# registered queries now holds a driver-green row, so the window's job
-# this round is evidence FRESHNESS — it takes exactly the 50 stalest
-# queries: the 34 whose newest driver row is r1 (all 16 TPC-H shapes +
-# 18 singles) and 14 of the 16 whose newest row is r3, plus the two
-# r6-new queries (q_bpe_tokens, q_dedup_media) which displace the two
+# r6 rotation (VERDICT_r5 next-round #1): every pre-r6 query holds a
+# driver-green row, so the window's job this round is evidence
+# FRESHNESS — the 34 queries whose newest driver row is r1 (all 16
+# TPC-H shapes + 18 singles), 11 of the 16 whose newest row is r3,
+# and the five r6-new queries (q_bpe_tokens, q_dedup_media,
+# q_dedup_audio, q_pack_bpe, q_dedup_video), which displace the five
 # most-redundantly-covered r3 slots per the verdict's displacement
 # rule (q_count — A2 also holds the pytest 204-path; q_typename —
-# shares operators/envelope.py with q_eventclass, which stays in).
+# shares operators/envelope.py with q_eventclass, which stays in;
+# q_grouping_sets — A5 also held by q_rollup r4-green + q_cube
+# in-window; q_lag_gap — W4 also held by in-window q_running_sum;
+# q_json_extract — JSON surface also held by q_variant_json r5-green
+# + in-window q_decode_roundtrip). 34 + 11 + 5 = 50.
 # The two permanent rows-only checks (q_knn_ivf, q_approx_aggs) leave
 # the window for good (VERDICT_r5 "What's wrong" #1): their `no_oracle`
 # rows can never go green and their evidence lives in pytest
