@@ -110,6 +110,46 @@ HEADLINE = [
     "q_pack_bpe",
     # r6 additions (3): clip-level video near-dup (frame-aligned bands)
     "q_dedup_video",
+    # r7 additions: degenerate-robust media dedup (banded ∪ exact
+    # tier), document-splitting chunked packing, full-alphabet BPE
+    "q_dedup_media_robust",
+    "q_pack_chunked",
+    "q_bpe_tokens_full",
+]
+
+#: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —
+#: never add or remove a query from this list. The full HEADLINE set
+#: grows every round inside one JVM, which manufactures 1.5-2×
+#: phantom per-query "regressions" from co-tenancy (GC + Arrow-pool
+#: pressure from later decode-heavy additions); the spine is timed in
+#: its own matched-load pass (same 20 queries, same order, same
+#: warm-up state every round), so spine-total round-over-round is the
+#: official performance ratio. The full set remains reported for
+#: coverage visibility, not for ratios. Cross-section: log model,
+#: broadcast + as-of joins, hash agg, window, 4 TPC-H shapes, LSH +
+#: SimHash dedup, exact + quantized ANN, tokenization, the composed
+#: selection pipeline, image + audio decode, trained BPE.
+SPINE = [
+    "q_last_page",
+    "q_offset_assign",
+    "q_envelope",
+    "q_join_broadcast",
+    "q_join_asof",
+    "q_group_agg",
+    "q_running_sum",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q6",
+    "q_tpch_q18",
+    "q_dedup_lsh_verified",
+    "q_dedup_simhash_hamming",
+    "q_knn_topk",
+    "q_knn_sq",
+    "q_text_tokens",
+    "q_pipeline_select",
+    "q_media_phash",
+    "q_audio_fingerprint",
+    "q_bpe_tokens",
 ]
 
 
@@ -165,53 +205,72 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Codegen warmup, same rationale: whole-stage codegen compiles one
-    # generated class per unique plan shape (~0.5-1.5 s per query,
-    # cached by source text). Run every headline query once at the
-    # smallest SF untimed — identical plan shapes hit the compile
-    # cache, so the measured runs time execution at the benchmark SF,
-    # not janino. Warm-engine / cold-data: nothing row-level is cached
-    # (different files + clearCache between runs).
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and os.path.realpath(
-        warm_dir
-    ) != os.path.realpath(sf_dir):
-        for name in headline:
-            queries[name].fn(spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            spark.catalog.clearCache()
+    def codegen_warm(names: list[str]) -> None:
+        # Codegen warmup: whole-stage codegen compiles one generated
+        # class per unique plan shape (~0.5-1.5 s per query, cached by
+        # source text). Run each query once at the smallest SF untimed
+        # — identical plan shapes hit the compile cache, so measured
+        # runs time execution at the benchmark SF, not janino.
+        # Warm-engine / cold-data: nothing row-level is cached
+        # (different files + clearCache between runs).
+        warm_dir = "/root/testdata/sf0.001"
+        if os.path.isdir(warm_dir) and os.path.realpath(
+            warm_dir
+        ) != os.path.realpath(sf_dir):
+            for name in names:
+                queries[name].fn(spark, warm_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                spark.catalog.clearCache()
 
-    # Each query is timed twice and the MIN reported (hyperfine-style):
-    # this machine shows intermittent multi-second ambient contention
-    # spikes, and min-of-2 measures the plan rather than the co-tenant.
-    timings: dict[str, float] = {}
-    for name in headline:
-        best = None
-        for _ in range(2):
-            df = queries[name].fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            # measure queries in isolation: persisted intermediates
-            # (dedup shingle tables etc.) must not occupy memory for
-            # later queries or the second trial
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+    def timed_pass(names: list[str]) -> dict[str, float]:
+        # Each query is timed twice and the MIN reported
+        # (hyperfine-style): this machine shows intermittent
+        # multi-second ambient contention spikes, and min-of-2
+        # measures the plan rather than the co-tenant.
+        timings: dict[str, float] = {}
+        for name in names:
+            best = None
+            for _ in range(2):
+                df = queries[name].fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                # measure queries in isolation: persisted
+                # intermediates (dedup shingle tables etc.) must not
+                # occupy memory for later queries or the second trial
+                spark.catalog.clearCache()
+            timings[name] = round(best, 3)
+        return timings
+
+    # The spine runs FIRST, immediately after the fixed warmups and
+    # warmed only on its own (frozen) membership — the JVM state under
+    # it is identical every round regardless of how HEADLINE grows, so
+    # spine totals are the round-over-round comparable (VERDICT_r6 #2).
+    spine_block = None
+    if not prefix and not only:
+        codegen_warm(SPINE)
+        spine_timings = timed_pass(SPINE)
+        spine_block = {
+            "total_sec": round(sum(spine_timings.values()), 3),
+            "queries": spine_timings,
+        }
+
+    codegen_warm(headline)
+    timings = timed_pass(headline)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if spine_block is not None:
+        out["spine"] = spine_block
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -123,3 +123,38 @@ def test_max_fp_freq_excludes_degenerate_groups(spark):
     # no cap -> the degenerate group floods the result quadratically
     full = hamming_pairs(df, "id", "h", k, n_bits=n_bits).count()
     assert full >= len(got) + (40 * 39) // 2
+
+
+def test_hamming_pairs_robust_two_tier(spark):
+    """hamming_pairs_robust == brute force over kept rows ∪ star
+    pairs (min-id rep ↔ member, hamming 0) of each over-cap group —
+    the VERDICT_r6 #3 composition, with TWO distinct degenerate
+    groups so the star tier's per-group rep is exercised."""
+    from vsphere_event_streaming_spark.functions.dedup import (
+        hamming_pairs_robust,
+    )
+
+    n_bits, k, cap = 63, 2, 5
+    rows = _mk_rows(n_bits, n=50, seed=77)
+    g1, g2 = 0x0F0F0F0F0F0F0F, 0x123123123123
+    rows += [(300 + i, g1) for i in range(12)]
+    rows += [(400 + i, g2) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_pairs_robust(
+            df, "id", "h", k, n_bits=n_bits, max_fp_freq=cap
+        ).collect()
+    }
+    from collections import Counter
+
+    freq = Counter(h for _, h in rows)
+    kept = [(i, h) for i, h in rows if freq[h] <= cap]
+    want = set(_brute(kept, k))
+    for const, base, n in ((g1, 300, 12), (g2, 400, 8)):
+        rep = min(i for i, h in rows if h == const)
+        want |= {(rep, i, 0) for i, h in rows if h == const and i != rep}
+    assert got == want
+    # star not clique: each degenerate group adds c-1 rows, not c(c-1)/2
+    n_zero = sum(1 for *_, d in got if d == 0)
+    assert n_zero <= len(_brute(kept, 0)) + 11 + 7

@@ -32,17 +32,88 @@ from selfcheck import driver_guard  # noqa: E402  (tools/selfcheck.py)
 #: Size of the driver's correctness truncation window (observed r1-r5).
 DRIVER_WINDOW = 50
 
-#: The r6 window, verbatim (VERDICT_r5 #1): evidence freshness — the
-#: 34 queries whose newest driver row is r1 (all 16 TPC-H shapes + 18
-#: singles), 11 of the 16 r3-stale queries, and the five r6-new
-#: operators (which displace the five most-redundant r3 slots per the
-#: verdict's displacement rule). The two permanent rows-only checks
-#: (q_knn_ivf, q_approx_aggs) are OUT of the window for good — their
-#: no_oracle rows can never go green; evidence lives in pytest.
-#: Independent literal (NOT derived from PRIORITY) so reordering
-#: PRIORITY can't silently redefine the window.
-WINDOW_R6 = (
-    # r1-stale: the 16 TPC-H shapes
+#: The r7 window, verbatim (VERDICT_r6 #1): the 50 stalest-evidence
+#: queries — all 5 whose newest driver row is r3, 42 of the 48 whose
+#: newest row is r4 (six deferred to r8, each with other in-window or
+#: r5/r6-green family coverage — rationale in registry.py), and the
+#: three r7-new queries, which displace deferred-r4 slots (never r3
+#: ones). Independent literal (NOT derived from PRIORITY) so
+#: reordering PRIORITY can't silently redefine the window.
+WINDOW_R7 = (
+    # r3-stale re-greens (the five stragglers)
+    "q_count",
+    "q_typename",
+    "q_grouping_sets",
+    "q_lag_gap",
+    "q_json_extract",
+    # r4-stale re-greens (42 of 48)
+    "q_array_funcs",
+    "q_bitwise_funcs",
+    "q_boilerplate_scrub",
+    "q_casts",
+    "q_contamination",
+    "q_count_distinct",
+    "q_dataset_mix",
+    "q_dedup_exact",
+    "q_dedup_lsh_verified",
+    "q_dedup_simhash_hamming",
+    "q_envelope",
+    "q_except",
+    "q_group_agg",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_range",
+    "q_join_semi",
+    "q_join_smj",
+    "q_knn_hyperplane_probed",
+    "q_knn_sq",
+    "q_knn_topk",
+    "q_last_page",
+    "q_map_funcs",
+    "q_null_funcs",
+    "q_offset_assign",
+    "q_pii_scrub",
+    "q_point_lookup",
+    "q_quality_lm",
+    "q_quality_repetition",
+    "q_range",
+    "q_replay_from",
+    "q_retention",
+    "q_rollup",
+    "q_search_bm25",
+    "q_string_funcs",
+    "q_time_funcs",
+    "q_tumbling_agg",
+    "q_udf_cosine",
+    "q_udtf_props",
+    "q_word_pmi",
+    # r7-new
+    "q_dedup_media_robust",
+    "q_pack_chunked",
+    "q_bpe_tokens_full",
+)
+
+#: Queries expected to be rows-only (oracle=None) inside the window —
+#: none since r6: both permanent rows-only checks were rotated out
+#: (their no_oracle driver rows could never go green).
+ROWS_ONLY_IN_WINDOW = ()
+
+#: The permanent rows-only checks — must stay registered (a user can
+#: still run them) but OUT of the window (their driver rows are dead
+#: slots); their correctness evidence is pytest
+#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute).
+ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
+
+#: Queries rotated out of the window in r7 — every one holds a
+#: driver-green value-hash row from r4-r6 and must stay registered
+#: and oracled (selfcheck covers them every round) even though the
+#: driver window no longer records them. Includes the six DEFERRED
+#: r4 rows (q_union, q_ordered_replay, q_knn_hyperplane,
+#: q_dedup_semantic, q_multimodal_decode, q_text_tokens) — first in
+#: line for the r8 window.
+ROTATED_OUT_R7 = (
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q4",
@@ -59,7 +130,6 @@ WINDOW_R6 = (
     "q_tpch_q18",
     "q_tpch_q19",
     "q_tpch_q22",
-    # r1-stale singles
     "q_percentile",
     "q_window_analytics",
     "q_cube",
@@ -78,13 +148,11 @@ WINDOW_R6 = (
     "q_subquery_scalar",
     "q_sample",
     "q_profile",
-    # r6-new
     "q_bpe_tokens",
     "q_dedup_media",
     "q_dedup_audio",
     "q_pack_bpe",
     "q_dedup_video",
-    # r3-stale re-greens
     "q_eventclass",
     "q_math_funcs",
     "q_running_sum",
@@ -96,29 +164,6 @@ WINDOW_R6 = (
     "q_chain_agg",
     "q_rank",
     "q_intersect",
-)
-
-#: Queries expected to be rows-only (oracle=None) inside the window —
-#: none since r6: both permanent rows-only checks were rotated out
-#: (their no_oracle driver rows could never go green).
-ROWS_ONLY_IN_WINDOW = ()
-
-#: The permanent rows-only checks — must stay registered (a user can
-#: still run them) but OUT of the window (their driver rows are dead
-#: slots); their correctness evidence is pytest
-#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute).
-ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
-
-#: Queries rotated out of the window in r6 — every one holds a
-#: driver-green value-hash row from r3-r5 and must stay registered
-#: and oracled (selfcheck covers them every round) even though the
-#: driver window no longer records them.
-ROTATED_OUT_R6 = (
-    "q_count",
-    "q_typename",
-    "q_grouping_sets",
-    "q_lag_gap",
-    "q_json_extract",
     "q_pack_sequences",
     "q_vector_sq",
     "q_repeated_spans",
@@ -167,53 +212,11 @@ ROTATED_OUT_R6 = (
     "q_chunk_text",
     "q_top_words",
     "q_sketch_cms",
-    "q_envelope",
-    "q_point_lookup",
-    "q_replay_from",
-    "q_range",
-    "q_offset_assign",
-    "q_last_page",
     "q_ordered_replay",
-    "q_retention",
-    "q_join_broadcast",
-    "q_join_smj",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_range",
-    "q_join_asof",
-    "q_group_agg",
-    "q_count_distinct",
-    "q_rollup",
     "q_union",
-    "q_except",
-    "q_string_funcs",
-    "q_time_funcs",
-    "q_bitwise_funcs",
-    "q_casts",
-    "q_null_funcs",
-    "q_array_funcs",
-    "q_map_funcs",
-    "q_udf_cosine",
-    "q_dedup_exact",
-    "q_dedup_lsh_verified",
-    "q_knn_topk",
     "q_text_tokens",
     "q_multimodal_decode",
-    "q_udtf_props",
-    "q_tumbling_agg",
-    "q_contamination",
-    "q_pii_scrub",
-    "q_quality_repetition",
     "q_knn_hyperplane",
-    "q_search_bm25",
-    "q_word_pmi",
-    "q_knn_hyperplane_probed",
-    "q_dedup_simhash_hamming",
-    "q_dataset_mix",
-    "q_knn_sq",
-    "q_boilerplate_scrub",
-    "q_quality_lm",
     "q_dedup_semantic",
 )
 
@@ -228,16 +231,16 @@ def test_every_priority_name_is_registered():
     assert not missing, f"PRIORITY names not registered: {missing}"
 
 
-def test_r6_window_is_exactly_the_rotation_plan():
-    """The first DRIVER_WINDOW registry entries must be WINDOW_R6 as a
+def test_r7_window_is_exactly_the_rotation_plan():
+    """The first DRIVER_WINDOW registry entries must be WINDOW_R7 as a
     set (order within the window is free; membership is the contract —
     the driver records exactly these 50)."""
-    assert len(WINDOW_R6) == DRIVER_WINDOW
-    assert len(set(WINDOW_R6)) == DRIVER_WINDOW
+    assert len(WINDOW_R7) == DRIVER_WINDOW
+    assert len(set(WINDOW_R7)) == DRIVER_WINDOW
     got = set(PRIORITY[:DRIVER_WINDOW])
-    assert got == set(WINDOW_R6), (
-        f"window drift: unexpected={sorted(got - set(WINDOW_R6))}, "
-        f"missing={sorted(set(WINDOW_R6) - got)}"
+    assert got == set(WINDOW_R7), (
+        f"window drift: unexpected={sorted(got - set(WINDOW_R7))}, "
+        f"missing={sorted(set(WINDOW_R7) - got)}"
     )
 
 
@@ -252,7 +255,7 @@ def test_window_entries_have_oracles():
     qs = load_all()
     no_oracle = [
         n
-        for n in WINDOW_R6
+        for n in WINDOW_R7
         if qs[n].oracle is None and n not in ROWS_ONLY_IN_WINDOW
     ]
     assert not no_oracle, f"window queries without oracle SQL: {no_oracle}"
@@ -278,12 +281,12 @@ def test_window_and_rotated_out_partition_the_registry():
     query, with no overlaps — nothing can silently fall out of all
     evidence tiers."""
     qs = load_all()
-    union = set(WINDOW_R6) | set(ROTATED_OUT_R6) | set(ROWS_ONLY_OFF_WINDOW)
+    union = set(WINDOW_R7) | set(ROTATED_OUT_R7) | set(ROWS_ONLY_OFF_WINDOW)
     assert union == set(qs), (
         f"uncovered={sorted(set(qs) - union)}, "
         f"phantom={sorted(union - set(qs))}"
     )
-    total = len(WINDOW_R6) + len(ROTATED_OUT_R6) + len(ROWS_ONLY_OFF_WINDOW)
+    total = len(WINDOW_R7) + len(ROTATED_OUT_R7) + len(ROWS_ONLY_OFF_WINDOW)
     assert total == len(qs), "tiers overlap"
 
 
@@ -294,7 +297,7 @@ def test_rotated_out_queries_stay_registered_and_oracled():
     compare."""
     qs = load_all()
     idx = {n: i for i, n in enumerate(PRIORITY)}
-    for n in ROTATED_OUT_R6:
+    for n in ROTATED_OUT_R7:
         assert n in qs, f"rotated-out query {n} lost its registration"
         assert qs[n].oracle is not None, f"rotated-out query {n} lost its oracle"
         assert idx[n] >= DRIVER_WINDOW, (

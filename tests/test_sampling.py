@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from vsphere_event_streaming_spark.functions.sampling import (
+    pack_chunked,
     pack_sequences,
     stratified_sample,
 )
@@ -87,6 +88,79 @@ def test_pack_sequences_arithmetic(corpus):
         )
         assert packs[0] == 0
         assert set(packs) == set(range(packs[-1] + 1))
+
+
+def test_pack_chunked_properties(spark):
+    """VERDICT_r6 #4 contract: (a) every pack holds exactly the
+    budget — the stratum's LAST pack excepted; (b) each doc's spans
+    partition its tokens (contiguous, start 0, end n); (c) a doc's
+    first span lands in the pack pack_sequences assigns it. Fixture
+    includes docs LONGER than the budget (must split across ≥3
+    packs), a zero-token doc, and exact-boundary docs."""
+    budget = 10
+    rows = [
+        (0, "en", 4),
+        (1, "en", 35),   # > 3× budget: spans ≥ 4 packs
+        (2, "en", 0),    # zero-token doc keeps one empty span
+        (3, "en", 10),   # exactly one budget
+        (4, "en", 1),
+        (5, "de", 7),
+        (6, "de", 7),
+        (7, "de", 26),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n long"
+    )
+    spans = pack_chunked(
+        docs, budget, n_tokens_col="n", text_col="n"
+    ).collect()
+    n_of = {r[0]: r[2] for r in rows}
+
+    # (b) spans partition each doc
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_of)
+    for doc_id, ss in by_doc.items():
+        ss.sort(key=lambda r: r.pack_id)
+        assert ss[0].tok_start == 0
+        assert ss[-1].tok_end == n_of[doc_id]
+        for a, b in zip(ss, ss[1:]):
+            assert a.tok_end == b.tok_start
+            assert b.pack_id == a.pack_id + 1
+        for s in ss[:-1]:
+            assert s.tok_end > s.tok_start  # only last span may be empty
+    assert len(by_doc[1]) == 4  # 35 tokens from offset 4: packs 0-3
+
+    # (a) every pack == budget except the stratum's last
+    per_pack: dict[tuple, int] = {}
+    for r in spans:
+        k = (r.lang, r.pack_id)
+        per_pack[k] = per_pack.get(k, 0) + (r.tok_end - r.tok_start)
+    for lang in {r[1] for r in rows}:
+        packs = sorted(k[1] for k in per_pack if k[0] == lang)
+        assert packs == list(range(len(packs)))  # no gaps in the grid
+        for p in packs[:-1]:
+            assert per_pack[(lang, p)] == budget, (lang, p)
+        assert per_pack[(lang, packs[-1])] <= budget
+
+    # (c) first-span pack == pack_sequences assignment
+    whole = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(
+            docs, budget, n_tokens_col="n", text_col="n"
+        ).collect()
+    }
+    for doc_id, ss in by_doc.items():
+        assert min(s.pack_id for s in ss) == whole[doc_id], doc_id
+
+
+def test_pack_chunked_rejects_bad_budget(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", 3)], "doc_id long, lang string, n long"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        pack_chunked(docs, 0, n_tokens_col="n")
 
 
 def test_pack_sequences_rejects_bad_budget(corpus):

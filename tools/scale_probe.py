@@ -300,7 +300,8 @@ def _tpch_q1_shape(li):
 
 def _media_pairs_shape(docs):
     """q_dedup_media's exact shape: real PNG roundtrip dHash into the
-    63-bit Hamming-banded pairing (persisted hash table, released by
+    56-bit (MEDIA_HASH_BITS) Hamming-banded pairing (persisted hash
+    table, released by
     the caller's release_cached)."""
     from vsphere_event_streaming_spark.functions.dedup import (
         _persist,

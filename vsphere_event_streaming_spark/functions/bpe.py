@@ -55,6 +55,19 @@ MARKER = "·"
 #: marker (and the space separator) can never appear inside a token.
 WORD_RE = "[a-z]+"
 
+#: The widened alphabet (VERDICT_r6 #5): digits and the apostrophe
+#: join the letter runs — "don't", "2024", "gpt4" tokenize as single
+#: words instead of being dropped or split. Case is folded
+#: (``lower()``) BEFORE extraction in both engines, so [A-Z] needs no
+#: class entry and the vocabulary stays case-insensitive — the
+#: documented case-folding contract. Marker safety is unchanged: the
+#: marker (U+00B7) and the space separator are both outside
+#: [a-z0-9'], so a merge pattern still cannot match across token
+#: boundaries, and the chr(10) merge-list separator cannot appear in
+#: any token. The apostrophe is doubled when the class is injected
+#: into a DuckDB string literal (see :func:`bpe_oracle_ctes`).
+WORD_RE_FULL = "[a-z0-9']+"
+
 #: Merge count for the declared query — small enough that the DuckDB
 #: oracle's K chained CTE blocks stay readable, large enough that the
 #: merge table contains second-order merges (pairs whose halves are
@@ -62,14 +75,17 @@ WORD_RE = "[a-z]+"
 DEFAULT_MERGES = 12
 
 
-def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def word_vocab(
+    docs: DataFrame, text_col: str = "text", word_re: str = WORD_RE
+) -> DataFrame:
     """(word, cnt): the corpus word-frequency table — the single
-    corpus pass BPE training needs."""
+    corpus pass BPE training needs. ``word_re`` selects the training
+    alphabet (:data:`WORD_RE` or :data:`WORD_RE_FULL`)."""
     return (
         docs.select(
             F.explode(
                 F.regexp_extract_all(
-                    F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+                    F.lower(F.col(text_col)), F.lit(word_re), F.lit(0)
                 )
             ).alias("word")
         )
@@ -165,6 +181,7 @@ def bpe_token_counts(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    word_re: str = WORD_RE,
 ) -> DataFrame:
     """(doc_id, n_words, bpe_tokens): per-document subword token
     counts under a learned merge table.
@@ -174,7 +191,7 @@ def bpe_token_counts(
     side is vocabulary-bounded, so Spark broadcasts it at any corpus
     size. Docs with no [a-z] words keep (0, 0) via the left join.
     """
-    vtok = word_vocab(docs, text_col).select(
+    vtok = word_vocab(docs, text_col, word_re).select(
         "word",
         F.size(apply_bpe(F.col("word"), merges)).alias("wtoks"),
     )
@@ -183,7 +200,7 @@ def bpe_token_counts(
             id_col,
             F.explode(
                 F.regexp_extract_all(
-                    F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+                    F.lower(F.col(text_col)), F.lit(word_re), F.lit(0)
                 )
             ).alias("word"),
         )
@@ -213,12 +230,14 @@ def bpe_token_counts(
     )
 
 
-def bpe_oracle_sql(num_merges: int = DEFAULT_MERGES) -> str:
+def bpe_oracle_sql(
+    num_merges: int = DEFAULT_MERGES, word_re: str = WORD_RE
+) -> str:
     """DuckDB SQL replaying training AND application — the
     :func:`bpe_oracle_ctes` chain plus the final per-doc projection."""
     return (
         "WITH"
-        + bpe_oracle_ctes(num_merges)
+        + bpe_oracle_ctes(num_merges, word_re)
         + """
 SELECT doc.doc_id,
        coalesce(p.n_words, CAST(0 AS BIGINT)) AS n_words,
@@ -227,9 +246,14 @@ FROM documents doc LEFT JOIN per_doc p USING (doc_id)"""
     )
 
 
-def bpe_oracle_ctes(num_merges: int = DEFAULT_MERGES) -> str:
+def bpe_oracle_ctes(
+    num_merges: int = DEFAULT_MERGES, word_re: str = WORD_RE
+) -> str:
     """The oracle's CTE chain (no leading WITH, no final SELECT), so
     composed queries (sequence packing on BPE budgets) can extend it.
+    ``word_re`` is injected into the two extraction literals with its
+    apostrophes doubled (SQL string escaping — WORD_RE_FULL contains
+    one).
 
     Training: K chained MATERIALIZED CTE blocks (materialized because
     each ``w{k}`` is referenced twice — inlining would re-evaluate the
@@ -242,11 +266,12 @@ def bpe_oracle_ctes(num_merges: int = DEFAULT_MERGES) -> str:
     chr(10) separator — newline can never appear in a token) folded
     over each vocabulary word with ``list_reduce``.
     """
+    sql_re = word_re.replace("'", "''")
     blocks = [
         f"""
 corpus AS MATERIALIZED (
   SELECT w AS word, count(*) AS cnt FROM (
-    SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS w
+    SELECT unnest(regexp_extract_all(lower(text), '{sql_re}')) AS w
     FROM documents
   ) GROUP BY 1
 ),
@@ -299,7 +324,7 @@ vtok AS MATERIALIZED (
 ),
 docw AS MATERIALIZED (
   SELECT doc_id, w AS word, count(*) AS occ FROM (
-    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS w
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{sql_re}')) AS w
     FROM documents
   ) GROUP BY 1, 2
 ),
@@ -345,9 +370,9 @@ class BpeVocab:
     ) -> int:
         """Count the batch's words and persist them as an idempotent
         partition directory. Returns distinct words written."""
-        from .dedup import LshIndex
+        from .dedup import batch_partition_dir
 
-        part_dir = LshIndex._partition_dir(batch_id)  # validates token
+        part_dir = batch_partition_dir(batch_id)  # validates token
         counts = word_vocab(docs, text_col).localCheckpoint(eager=True)
         n = counts.count()
         counts.write.mode("overwrite").parquet(
@@ -357,7 +382,18 @@ class BpeVocab:
 
     def vocab(self) -> DataFrame:
         """The merged word-frequency table over every ingested batch —
-        exactly the full-corpus ``word_vocab`` by count additivity."""
+        exactly the full-corpus ``word_vocab`` by count additivity.
+
+        Raises a typed error on a store with no ingested batches
+        (rather than the opaque AnalysisException a bare
+        ``read.parquet`` on a nonexistent path produces)."""
+        import os
+
+        if not os.path.isdir(self.path):
+            raise ValueError(
+                f"BpeVocab store has no ingested batches: {self.path!r}"
+                " — call add_batch() first"
+            )
         return (
             self.spark.read.parquet(self.path)
             .groupBy("word")

@@ -748,6 +748,21 @@ def _band_table(sig: DataFrame, band_size: int) -> DataFrame:
     return sig.select("id", F.explode(band_keys).alias("band_key"))
 
 
+def batch_partition_dir(batch_id: str) -> str:
+    """``batch_id=<token>`` partition-directory name shared by every
+    incremental store in the engine (:class:`LshIndex`,
+    ``vectors.VectorLshIndex``/``IvfIndex``, ``bpe.BpeVocab``) —
+    validates the id is a filesystem-safe token so a hostile/garbled
+    batch id can't escape the store's directory."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", batch_id):
+        raise ValueError(
+            f"batch_id must be a filesystem-safe token: {batch_id!r}"
+        )
+    return f"batch_id={batch_id}"
+
+
 class LshIndex:
     """Persistent MinHash-LSH index for INCREMENTAL near-dup.
 
@@ -790,15 +805,9 @@ class LshIndex:
             "id long, band_key string"
         ).parquet(self.path)
 
-    @staticmethod
-    def _partition_dir(batch_id: str) -> str:
-        import re
-
-        if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", batch_id):
-            raise ValueError(
-                f"batch_id must be a filesystem-safe token: {batch_id!r}"
-            )
-        return f"batch_id={batch_id}"
+    # thin alias kept for callers/tests addressing it through the
+    # class; the shared definition is module-level batch_partition_dir
+    _partition_dir = staticmethod(batch_partition_dir)
 
     def add_batch(
         self,
@@ -902,7 +911,7 @@ def hamming_pairs(
     id_col: str,
     hash_col: str,
     max_hamming: int,
-    n_bits: int = 64,
+    n_bits: int = 63,
     max_fp_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, hamming) within Hamming distance
@@ -982,6 +991,75 @@ def hamming_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def hamming_pairs_robust(
+    table: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    n_bits: int,
+    max_fp_freq: int,
+) -> DataFrame:
+    """Degenerate-robust near-dup pairing (VERDICT_r6 #3): the
+    ``max_fp_freq`` exclusion composed with its documented exact-tier
+    recall route, in one result —
+
+    - **banded tier**: :func:`hamming_pairs` over rows whose
+      fingerprint occurs ≤ ``max_fp_freq`` times (the banded
+      equi-join + exact ``bit_count`` verify);
+    - **exact tier**: every over-cap ("degenerate") fingerprint group
+      — the all-zero image, digital silence — pairs STAR-wise to its
+      minimum-id member: ``(rep, member, 0)`` rows, one per member.
+
+    The star form is what keeps the degenerate class O(c) instead of
+    O(c²): equal fingerprints are an EQUIVALENCE CLASS, so c-1
+    representative pairs carry the same cluster structure as the
+    c(c-1)/2 pairwise rows (downstream keeper-selection /
+    connected-components reconstruct the clique from the star —
+    ``operators/graph.py`` precedent), while a poisoned 150k-row
+    bucket emits 150k rows, not 11 billion. Time for the degenerate
+    class is one groupBy + one broadcast join — it no longer scales
+    with c² (measured: SCALE.md "degenerate-robust pairing").
+
+    Recall contract vs plain :func:`hamming_pairs`: intra-group
+    duplicate structure is fully restored at hamming 0; the only
+    pairs not reported are degenerate-member ↔ near-but-unequal
+    fingerprints — exactly the "says nothing about near-duplication"
+    class the exclusion exists to drop. The two tiers are disjoint
+    (banded rows exclude degenerate fingerprints entirely), so the
+    union needs no dedup and an exact SQL oracle mirrors each tier
+    directly.
+    """
+    banded = hamming_pairs(
+        table,
+        id_col,
+        hash_col,
+        max_hamming,
+        n_bits=n_bits,
+        max_fp_freq=max_fp_freq,
+    )
+    deg = (
+        table.groupBy(F.col(hash_col).alias("__fp"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(id_col).alias("__rep"),
+        )
+        .filter(F.col("__c") > max_fp_freq)
+        .select("__fp", "__rep")
+    )
+    exact = (
+        table.join(
+            F.broadcast(deg), table[hash_col] == deg["__fp"]
+        )
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(
+            F.col("__rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return banded.unionByName(exact)
 
 
 def hamming_pairs_frames(

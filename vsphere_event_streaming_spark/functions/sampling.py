@@ -114,6 +114,99 @@ def pack_sequences(
     )
 
 
+def pack_chunked(
+    docs: DataFrame,
+    budget_tokens: int,
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Document-SPLITTING sequence packing (VERDICT_r6 #4): where
+    :func:`pack_sequences` assigns each whole doc to the pack its
+    first token lands in, this emits one ``(pack_id, tok_start,
+    tok_end)`` span per pack a doc intersects — what real trainers
+    do: a doc longer than the budget (or straddling a boundary)
+    splits across packs at token granularity, so every pack holds
+    EXACTLY ``budget_tokens`` tokens (the stratum's last pack
+    excepted).
+
+    Pure window arithmetic, same single shuffle as the parent: the
+    per-stratum running sum places each doc at stream offset
+    ``[start, start + n)``; packs are the fixed grid ``[k·B,
+    (k+1)·B)``; the spans are the grid cells the doc's interval
+    intersects (``explode(sequence(first, last))`` — at most
+    ``n/B + 1`` rows per doc, so output rows ≈ docs + total_tokens/B).
+    Zero-token docs keep one empty span at their offset's pack, so
+    every doc stays represented (the pack_sequences contract).
+
+    Spans partition each doc by construction: consecutive spans are
+    cut at grid boundaries, ``tok_start`` of the first is 0 and
+    ``tok_end`` of the last is ``n``. The double division is exact
+    below 2^53 stream tokens per stratum (~25T tokens is 2^44.5) —
+    and mirrors the DuckDB oracle's arithmetic exactly.
+
+    Returns (part_col, order_col, pack_id, tok_start, tok_end).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tokens = (
+        F.col(n_tokens_col)
+        if n_tokens_col is not None
+        else token_count(F.col(text_col))
+    )
+    d = docs.select(
+        part_col,
+        order_col,
+        n_tokens.cast("bigint").alias("n_tokens"),
+    )
+    cum = F.sum("n_tokens").over(w)
+    base = d.select(
+        part_col,
+        order_col,
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("tok_offset"),
+        cum.alias("cum"),
+    )
+    b = float(budget_tokens)
+    first = F.floor(
+        F.col("tok_offset").cast("double") / F.lit(b)
+    ).cast("bigint")
+    last = F.greatest(
+        first,
+        F.floor(
+            (F.col("cum") - F.lit(1)).cast("double") / F.lit(b)
+        ).cast("bigint"),
+    )
+    return (
+        base.withColumn("pack_id", F.explode(F.sequence(first, last)))
+        .select(
+            part_col,
+            order_col,
+            "pack_id",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.col("pack_id") * F.lit(budget_tokens)
+                - F.col("tok_offset"),
+            )
+            .cast("bigint")
+            .alias("tok_start"),
+            F.least(
+                F.col("n_tokens"),
+                (F.col("pack_id") + F.lit(1)) * F.lit(budget_tokens)
+                - F.col("tok_offset"),
+            )
+            .cast("bigint")
+            .alias("tok_end"),
+        )
+    )
+
+
 def corpus_split(
     df: DataFrame,
     fractions: dict[str, float],

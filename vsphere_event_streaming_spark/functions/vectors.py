@@ -636,9 +636,9 @@ class VectorLshIndex:
         returns without re-reading an index that now contains the
         batch itself.
         """
-        from .dedup import LshIndex, _persist
+        from .dedup import _persist, batch_partition_dir
 
-        part_dir = LshIndex._partition_dir(batch_id)  # validates token
+        part_dir = batch_partition_dir(batch_id)  # validates token
         new = _persist(
             batch.select(
                 F.col(id_col).cast("long").alias("vec_id"),
@@ -736,9 +736,9 @@ class IvfIndex:
     ) -> int:
         """Assign a batch to the frozen centroids and append it as its
         own idempotent partition directory. Returns rows written."""
-        from .dedup import LshIndex
+        from .dedup import batch_partition_dir
 
-        part_dir = LshIndex._partition_dir(batch_id)  # validates token
+        part_dir = batch_partition_dir(batch_id)  # validates token
         assigned = assign_centroids(
             batch.select(
                 F.col(id_col).cast("long").alias("vec_id"),

@@ -2430,6 +2430,40 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, merges)
 
 
+@query(
+    "q_bpe_tokens_full",
+    oracle=_bpe.bpe_oracle_sql(word_re=_bpe.WORD_RE_FULL),
+)
+def q_bpe_tokens_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bpe_tokens over the WIDENED training alphabet (VERDICT_r6
+    #5): words are lowercased ``[a-z0-9']+`` runs — digits and
+    apostrophes join the stream ("don't", "2024", "gpt4" are single
+    words), with case folded before extraction in both engines. The
+    marker-safety argument is unchanged (U+00B7 and space are outside
+    the alphabet); the apostrophe is SQL-escaped where the class is
+    injected into the DuckDB literals. Same 12-merge training, same
+    chained-CTE oracle replaying training + application, both sides
+    running the widened regex — the driver corpus happens to be pure
+    [a-z] words so its values coincide with q_bpe_tokens there; the
+    behavioral difference (digits/apostrophe words surviving) is
+    pinned by tests/test_bpe.py::
+    test_full_alphabet_differs_on_digit_corpus.
+
+    Scale shape identical to q_bpe_tokens: one corpus pass,
+    O(num_merges) driver state, codegen application, broadcast
+    vocabulary join."""
+    from ..functions.bpe import (
+        WORD_RE_FULL,
+        bpe_token_counts,
+        learn_bpe,
+        word_vocab,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(word_vocab(docs, word_re=WORD_RE_FULL))
+    return bpe_token_counts(docs, merges, word_re=WORD_RE_FULL)
+
+
 #: Hamming threshold for image near-dup pairing. The dHash is DENSE
 #: over bit positions 0-55 (7 rows x 8 column comparisons on the 7x9
 #: grid), so banding runs over 56 bits — the r6 code-review corrected
@@ -2467,7 +2501,8 @@ def q_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: decode is Arrow mapInPandas with 8 bytes/doc out; the
     hash table is persisted (the self-join must not re-decode); the
     pairing is the banded equi-join of simhash_pairs_hamming
-    generalized to 63 bits — constant probe rows per image, never
+    generalized to MEDIA_HASH_BITS (56, the dHash's dense span) —
+    constant probe rows per image, never
     all-pairs. The oracle replays the dHash from the cell arithmetic
     and takes the exact O(n²) pair set, sound because banding+verify
     is exactly the thresholded set."""
@@ -2479,6 +2514,77 @@ def q_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = _dedup_persist(phash_images(media))
     return hamming_pairs(
         ph, "media_id", "phash", MEDIA_MAX_HAMMING, n_bits=MEDIA_HASH_BITS
+    )
+
+
+#: Degenerate-fingerprint cap for the robust pairing: a pHash value
+#: occurring more than this many times is routed to the exact tier.
+#: 3 triggers on the driver corpus at BOTH SFs (largest groups are
+#: 4-5 docs), so the declared row exercises both tiers, not just the
+#: banded one.
+MEDIA_ROBUST_FP_CAP = 3
+
+
+def _dedup_media_robust_oracle() -> str:
+    """Two-tier mirror of hamming_pairs_robust: banded tier = exact
+    all-pairs Hamming over NON-degenerate fingerprints (sound because
+    banding+verify is exactly that set); exact tier = star pairs
+    (group-min rep, member, 0) of each over-cap fingerprint group."""
+    return f"""
+    WITH ph AS ({_media_phash_oracle()}),
+    freq AS (
+      SELECT phash, count(*) AS c, min(doc_id) AS rep
+      FROM ph GROUP BY 1
+    ),
+    deg AS (SELECT phash, rep FROM freq WHERE c > {MEDIA_ROBUST_FP_CAP}),
+    kept AS (
+      SELECT p.* FROM ph p LEFT JOIN deg d USING (phash)
+      WHERE d.phash IS NULL
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM kept a JOIN kept b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {MEDIA_MAX_HAMMING}
+    UNION ALL
+    SELECT d.rep AS id_a, p.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+    FROM ph p JOIN deg d USING (phash)
+    WHERE p.doc_id <> d.rep
+    """
+
+
+@query("q_dedup_media_robust", oracle=_dedup_media_robust_oracle())
+def q_dedup_media_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-robust media near-dup (VERDICT_r6 #3): q_dedup_media
+    with the ``max_fp_freq`` skew lever ENGAGED and its recall route
+    composed in — over-cap ("degenerate") pHash groups leave the
+    banded join and come back as exact star pairs (group-min rep ↔
+    member, hamming 0). The cap (3) actually triggers on the driver
+    corpus, so this row checks both tiers: the banded equi-join +
+    bit_count verify over non-degenerate hashes AND the groupBy-based
+    exact tier.
+
+    Scale shape: this is the form to RUN at crawl scale, where
+    empty/constant content classes produce c²-pair buckets — the
+    banded join's per-bucket cost is capped by the exclusion, and the
+    degenerate class costs one groupBy + broadcast join with O(c)
+    output (star, not clique: equal fingerprints are an equivalence
+    class). SCALE.md "degenerate-robust pairing" measures a poisoned
+    150k-row bucket: time flat vs c where the unguarded join scales
+    c²."""
+    from ..functions.dedup import hamming_pairs_robust
+    from ..functions.multimodal import phash_images, synth_cell_png_payloads
+    from ..tables import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    media = synth_cell_png_payloads(docs, "doc_id", "text")
+    ph = _dedup_persist(phash_images(media))
+    return hamming_pairs_robust(
+        ph,
+        "media_id",
+        "phash",
+        MEDIA_MAX_HAMMING,
+        n_bits=MEDIA_HASH_BITS,
+        max_fp_freq=MEDIA_ROBUST_FP_CAP,
     )
 
 
@@ -2590,8 +2696,79 @@ def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_chunked_oracle() -> str:
+    return (
+        "WITH"
+        + _bpe.bpe_oracle_ctes()
+        + f""",
+    t AS (
+      SELECT d.lang, d.doc_id,
+             coalesce(p.bpe_tokens, CAST(0 AS BIGINT)) AS n_tokens
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ), c AS (
+      SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    ), s AS (
+      SELECT lang, doc_id, n_tokens, cum - n_tokens AS tok_offset,
+             CAST(floor((cum - n_tokens)::DOUBLE / {BPE_PACK_BUDGET})
+                  AS BIGINT) AS first_pack,
+             greatest(
+               CAST(floor((cum - n_tokens)::DOUBLE / {BPE_PACK_BUDGET})
+                    AS BIGINT),
+               CAST(floor((cum - 1)::DOUBLE / {BPE_PACK_BUDGET})
+                    AS BIGINT)) AS last_pack
+      FROM c
+    ), e AS (
+      SELECT lang, doc_id, n_tokens, tok_offset,
+             unnest(generate_series(first_pack, last_pack)) AS pack_id
+      FROM s
+    )
+    SELECT lang, doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(greatest(0, pack_id * {BPE_PACK_BUDGET} - tok_offset)
+                AS BIGINT) AS tok_start,
+           CAST(least(n_tokens,
+                      (pack_id + 1) * {BPE_PACK_BUDGET} - tok_offset)
+                AS BIGINT) AS tok_end
+    FROM e
+    """
+    )
+
+
+@query("q_pack_chunked", oracle=_pack_chunked_oracle())
+def q_pack_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-SPLITTING sequence packing on the trained-BPE budget
+    (VERDICT_r6 #4, L14' ∘ L32): q_pack_bpe assigns whole docs to
+    packs, so a doc straddling a boundary overflows its pack — this
+    emits per-pack token spans instead, cut at exact multiples of
+    BPE_PACK_BUDGET in the per-language stream: every pack holds
+    exactly the budget (each stratum's last pack excepted), and a
+    doc's spans partition its tokens. The oracle replays BPE training,
+    application, the packing window, AND the span grid
+    (generate_series over intersected packs) in one statement.
+
+    Scale shape: the parents' shuffles only (vocabulary-bounded
+    training + broadcast application + one per-stratum window); the
+    explode adds ≈ total_tokens/budget rows, no new exchange."""
+    from ..functions.bpe import bpe_token_counts, learn_bpe, word_vocab
+    from ..functions.sampling import pack_chunked
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(word_vocab(docs))
+    counted = docs.join(
+        bpe_token_counts(docs, merges).select("doc_id", "bpe_tokens"),
+        "doc_id",
+    )
+    return pack_chunked(
+        counted, BPE_PACK_BUDGET, n_tokens_col="bpe_tokens"
+    )
+
+
 #: Clip-level threshold: every sampled frame within this Hamming
-#: distance (frame hashes use the 63-bit dHash layout).
+#: distance (frame hashes use the MEDIA_HASH_BITS=56-bit dHash layout).
 VIDEO_MAX_HAMMING = 4
 
 

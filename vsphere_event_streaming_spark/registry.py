@@ -46,29 +46,99 @@ def query(name: str, oracle: str | None = None):
 # Registry order is driver-visible: the verify driver checks queries in
 # registration order and its CORRECTNESS window records the first 50.
 # PRIORITY pins each round's rotation plan; tests/test_registry.py
-# (WINDOW_R6) enforces the pinned membership.
+# (WINDOW_R7) enforces the pinned membership.
 #
-# r6 rotation (VERDICT_r5 next-round #1): every pre-r6 query holds a
-# driver-green row, so the window's job this round is evidence
-# FRESHNESS — the 34 queries whose newest driver row is r1 (all 16
-# TPC-H shapes + 18 singles), 11 of the 16 whose newest row is r3,
-# and the five r6-new queries (q_bpe_tokens, q_dedup_media,
-# q_dedup_audio, q_pack_bpe, q_dedup_video), which displace the five
-# most-redundantly-covered r3 slots per the verdict's displacement
-# rule (q_count — A2 also holds the pytest 204-path; q_typename —
-# shares operators/envelope.py with q_eventclass, which stays in;
-# q_grouping_sets — A5 also held by q_rollup r4-green + q_cube
-# in-window; q_lag_gap — W4 also held by in-window q_running_sum;
-# q_json_extract — JSON surface also held by q_variant_json r5-green
-# + in-window q_decode_roundtrip). 34 + 11 + 5 = 50.
-# The two permanent rows-only checks (q_knn_ivf, q_approx_aggs) leave
-# the window for good (VERDICT_r5 "What's wrong" #1): their `no_oracle`
-# rows can never go green and their evidence lives in pytest
-# (test_approx_aggs.py, test_pipeline.py IVF recall). Everything
-# rotated out keeps its oracle and is exact-value-checked every round
-# by tools/selfcheck.py.
+# r7 rotation (VERDICT_r6 next-round #1): after r6's 50/50, the
+# stalest driver evidence is the 5 r3-row queries and the 48 r4-row
+# queries — 53 candidates for 50 slots. The window takes all 5 r3
+# rows + 42 r4 rows + the three r7-new queries
+# (q_dedup_media_robust, q_pack_chunked, q_bpe_tokens_full), which
+# displace deferred-r4 slots, never r3 ones; the six deferred r4
+# rows (q_union, q_ordered_replay, q_knn_hyperplane,
+# q_dedup_semantic, q_multimodal_decode, q_text_tokens — family
+# rationale inline below) rotate in next round. After r7 lands, no
+# registered query's newest driver row is older than r4, and the
+# five r3 stragglers go green at r7.
+# The two permanent rows-only checks (q_knn_ivf, q_approx_aggs) stay
+# out of the window for good (VERDICT_r5 "What's wrong" #1): their
+# `no_oracle` rows can never go green and their evidence lives in
+# pytest (test_approx_aggs.py, test_pipeline.py IVF recall).
+# Everything rotated out keeps its oracle and is exact-value-checked
+# every round by tools/selfcheck.py.
 PRIORITY: tuple[str, ...] = (
-    # ---- r6 driver window (first 50) ----
+    # ---- r7 driver window (first 50) — VERDICT_r6 #1: the 50
+    # stalest queries. The 5 whose newest driver row is r3:
+    "q_count",
+    "q_typename",
+    "q_grouping_sets",
+    "q_lag_gap",
+    "q_json_extract",
+    # ... plus 42 of the 48 whose newest driver row is r4. Six r4
+    # rows are DEFERRED to r8, each with other in-window or
+    # r5/r6-green family coverage, none its operator's sole oracle:
+    # q_union (§2.7 also held by in-window q_except + r6-green
+    # q_intersect), q_ordered_replay (ordering also held by in-window
+    # q_last_page + the wire-level pytest tier), q_knn_hyperplane
+    # (subsumed by in-window q_knn_hyperplane_probed — same operator,
+    # probed superset — plus q_knn_topk/q_knn_sq), q_dedup_semantic
+    # (embedding near-dup family: in-window q_dedup_lsh_verified/
+    # q_dedup_exact/q_dedup_simhash_hamming + r5-green q_dedup_embed),
+    # q_multimodal_decode (decode surface exercised by r5-green
+    # q_media_phash/q_audio_fingerprint + the r6 media-dedup trio +
+    # in-window q_dedup_media_robust), q_text_tokens (§2.10 surface:
+    # in-window q_udf_cosine/q_udtf_props; token counting also via
+    # r6-green q_bpe_tokens + in-window q_bpe_tokens_full):
+    "q_array_funcs",
+    "q_bitwise_funcs",
+    "q_boilerplate_scrub",
+    "q_casts",
+    "q_contamination",
+    "q_count_distinct",
+    "q_dataset_mix",
+    "q_dedup_exact",
+    "q_dedup_lsh_verified",
+    "q_dedup_simhash_hamming",
+    "q_envelope",
+    "q_except",
+    "q_group_agg",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_range",
+    "q_join_semi",
+    "q_join_smj",
+    "q_knn_hyperplane_probed",
+    "q_knn_sq",
+    "q_knn_topk",
+    "q_last_page",
+    "q_map_funcs",
+    "q_null_funcs",
+    "q_offset_assign",
+    "q_pii_scrub",
+    "q_point_lookup",
+    "q_quality_lm",
+    "q_quality_repetition",
+    "q_range",
+    "q_replay_from",
+    "q_retention",
+    "q_rollup",
+    "q_search_bm25",
+    "q_string_funcs",
+    "q_time_funcs",
+    "q_tumbling_agg",
+    "q_udf_cosine",
+    "q_udtf_props",
+    "q_word_pmi",
+    # ... and the three r7-new queries, displacing deferred-r4 slots
+    # (never r3 ones), per the verdict's displacement rule:
+    "q_dedup_media_robust",
+    "q_pack_chunked",
+    "q_bpe_tokens_full",
+    # ---- out of the r7 window ----
+    # Every query below holds a driver-green value-hash row from
+    # r4-r6 (histogram in VERDICT_r6) and keeps its oracle —
+    # tools/selfcheck.py exact-value-checks all of them every round.
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q4",
@@ -85,7 +155,6 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q18",
     "q_tpch_q19",
     "q_tpch_q22",
-    # r1-stale singles
     "q_percentile",
     "q_window_analytics",
     "q_cube",
@@ -104,13 +173,11 @@ PRIORITY: tuple[str, ...] = (
     "q_subquery_scalar",
     "q_sample",
     "q_profile",
-    # r6-new operators (displace two r3 slots)
     "q_bpe_tokens",
     "q_dedup_media",
     "q_dedup_audio",
     "q_pack_bpe",
     "q_dedup_video",
-    # r3-stale re-greens
     "q_eventclass",
     "q_math_funcs",
     "q_running_sum",
@@ -122,16 +189,8 @@ PRIORITY: tuple[str, ...] = (
     "q_chain_agg",
     "q_rank",
     "q_intersect",
-    # ---- window ends; displaced r3 slots (r3-green, selfcheck-covered) ----
-    "q_count",
-    "q_typename",
-    "q_grouping_sets",
-    "q_lag_gap",
-    "q_json_extract",
-    # permanent rows-only checks (evidence in pytest)
     "q_knn_ivf",
     "q_approx_aggs",
-    # r5-green
     "q_pack_sequences",
     "q_vector_sq",
     "q_repeated_spans",
@@ -180,54 +239,11 @@ PRIORITY: tuple[str, ...] = (
     "q_chunk_text",
     "q_top_words",
     "q_sketch_cms",
-    # r2-r4-green
-    "q_envelope",
-    "q_point_lookup",
-    "q_replay_from",
-    "q_range",
-    "q_offset_assign",
-    "q_last_page",
     "q_ordered_replay",
-    "q_retention",
-    "q_join_broadcast",
-    "q_join_smj",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_range",
-    "q_join_asof",
-    "q_group_agg",
-    "q_count_distinct",
-    "q_rollup",
     "q_union",
-    "q_except",
-    "q_string_funcs",
-    "q_time_funcs",
-    "q_bitwise_funcs",
-    "q_casts",
-    "q_null_funcs",
-    "q_array_funcs",
-    "q_map_funcs",
-    "q_udf_cosine",
-    "q_dedup_exact",
-    "q_dedup_lsh_verified",
-    "q_knn_topk",
     "q_text_tokens",
     "q_multimodal_decode",
-    "q_udtf_props",
-    "q_tumbling_agg",
-    "q_contamination",
-    "q_pii_scrub",
-    "q_quality_repetition",
     "q_knn_hyperplane",
-    "q_search_bm25",
-    "q_word_pmi",
-    "q_knn_hyperplane_probed",
-    "q_dedup_simhash_hamming",
-    "q_dataset_mix",
-    "q_knn_sq",
-    "q_boilerplate_scrub",
-    "q_quality_lm",
     "q_dedup_semantic",
 )
 
