@@ -596,3 +596,82 @@ def test_embeddings_only_oracles_agree_on_nasty_vectors(spark, tmp_path):
         except Exception as e:  # pragma: no cover - diagnostic path
             failures.append((name, f"EXCEPTION {type(e).__name__}: {e}"))
     assert not failures, failures
+
+
+#: The media near-dup pairing queries (VERDICT_r6 #8) — named here so
+#: the parametrization below makes their fuzz coverage visible in the
+#: test IDs, on top of their automatic membership in the
+#: documents-only family (asserted next).
+MEDIA_PAIRING = (
+    "q_dedup_media",
+    "q_dedup_audio",
+    "q_dedup_video",
+    "q_dedup_media_robust",
+)
+
+
+def test_media_pairing_queries_are_in_the_fuzz_family():
+    """The generic nasty-documents fuzz (empty/CJK/markup docs — the
+    zero-fingerprint class) must auto-discover every media pairing
+    query; a refactor that moves one off the documents-only oracle
+    shape loses that coverage silently without this pin."""
+    names = _documents_only_queries()
+    missing = [n for n in MEDIA_PAIRING if n not in names]
+    assert not missing, missing
+
+
+@pytest.fixture(scope="module")
+def poisoned_dir(spark, tmp_path_factory):
+    """Degenerate-class corpus: 120 byte-identical docs (one pHash /
+    audio-fp / frame-hash value repeated 120×, far above
+    MEDIA_ROBUST_FP_CAP), 8 empty-ish docs (the zero-fingerprint
+    class), and a handful of distinct near-dup texts — the skew
+    scenario max_fp_freq exists for, at a size the all-pairs oracle
+    can still verify exactly."""
+    d = tmp_path_factory.mktemp("poisoned")
+    rows = [(i, "same exact content every time", "en", "src0") for i in range(120)]
+    rows += [(200 + i, "", "en", "src1") for i in range(4)]
+    rows += [(210 + i, " \t ", "de", "src1") for i in range(4)]
+    rows += [
+        (300, "a slightly different document body", "en", "src2"),
+        (301, "a slightly different document bodY", "en", "src2"),
+        (302, "wholly unrelated words in this one", "fr", "src3"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", MEDIA_PAIRING)
+def test_media_pairing_on_poisoned_degenerate_corpus(
+    spark, poisoned_dir, name
+):
+    """Each media pairing query vs its all-pairs oracle on the
+    poisoned corpus: the 120-dup group floods the banded join's
+    buckets (and, for q_dedup_media_robust, exercises the exact star
+    tier at real degenerate scale) while the empty docs walk the
+    zero-fingerprint path through the real codecs."""
+    qs = load_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{poisoned_dir}/documents.parquet/*.parquet'"
+    )
+    df = qs[name].fn(spark, poisoned_dir)
+    cols = sorted(df.columns)
+    spark_rows = [[r[c] for c in cols] for r in df.collect()]
+    res = con.sql(qs[name].oracle)
+    idx = [list(res.columns).index(c) for c in cols]
+    duck_rows = [[r[i] for i in idx] for r in res.fetchall()]
+    err = compare(spark_rows, duck_rows, cols, abs_tol=1.01e-6)
+    assert err is None, err
+    if name == "q_dedup_media_robust":
+        # the degenerate group must arrive as a STAR (119 rows at
+        # hamming 0 from the 120-dup class), not a 7140-pair clique
+        zero = [r for r in spark_rows if r[cols.index("hamming")] == 0]
+        assert len(zero) < 1000, len(zero)

@@ -433,6 +433,36 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"SinglePartition",
         ],
     ],
+    # skew-robust media pairing (r7): banded tier + exact star tier —
+    # the degenerate-group join must be a BROADCAST of the (tiny,
+    # Zipf-bounded) over-cap fingerprint head, never a shuffle or a
+    # pair-producing nested loop
+    "q_dedup_media_robust": [
+        [r"MapInPandas", r"Generate", r"BroadcastHashJoin"],
+        [
+            r"BatchEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+        ],
+    ],
+    # document-splitting packing (r7): one per-stratum window + the
+    # grid-cell explode (Generate) — still no Python, no cartesian,
+    # no single-partition global sort
+    "q_pack_chunked": [
+        [r"Window", r"Generate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SinglePartition",
+        ],
+    ],
+    # full-alphabet BPE (r7): same plan contract as q_bpe_tokens —
+    # broadcast vocabulary join, no Python stage
+    "q_bpe_tokens_full": [
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+    ],
 }
 
 
