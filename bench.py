@@ -115,6 +115,21 @@ HEADLINE = [
     "q_dedup_media_robust",
     "q_pack_chunked",
     "q_bpe_tokens_full",
+    # r7 additions (4): the trained-model tier. Training runs ONCE per
+    # (process, corpus) — per-corpus memos in queries/model_queries.py
+    # pay the driver-looped training aggregates on first use (the
+    # train-once/apply-many shape real pipelines have), so the timed
+    # rows below measure the APPLICATION path only (codegen scoring /
+    # eval aggregate / PR sweep / projection; timed_pass starts its
+    # clock after fn() returns, so driver-side training inside query
+    # construction is untimed by design). The full training cost is
+    # measured separately: scale_probe's logreg_train_score (8.3 s at
+    # sf0.1, 2.0x at 10x rows) and pca_gram_project (0.72 s, 1.2x) —
+    # SCALE.md.
+    "q_quality_classifier",
+    "q_classifier_eval",
+    "q_classifier_pr",
+    "q_embed_pca",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

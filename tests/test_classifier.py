@@ -1,0 +1,334 @@
+"""Trained-model tier (L34/L34'/L35): three-way training parity
+(Spark == DuckDB chained-CTE replay == pure-Python reference, all
+BIT-IDENTICAL — the L32 BPE test pattern), learning-quality floors,
+and the determinism devices (clamps, quantization) under adversarial
+magnitudes."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from vsphere_event_streaming_spark.functions.classifier import (
+    G_CLAMP,
+    MICRO,
+    Z_CLAMP,
+    gram_micro,
+    logreg_oracle,
+    pca_oracle,
+    power_iteration,
+    train_logreg,
+    train_logreg_reference,
+)
+from vsphere_event_streaming_spark.queries.model_queries import (
+    LOGREG_ITERS,
+    LOGREG_LR,
+    POS_WEIGHT,
+    PCA_ITERS,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+EMB = f"{SF_DIR}/embeddings.parquet"
+
+
+def _rows():
+    con = duckdb.connect()
+    out = con.sql(
+        f"SELECT embedding, label FROM '{EMB}' ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return [(list(v), lab) for v, lab in out]
+
+
+def _duck_weights(iters, lr_num, lr_den, pos_weight):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{EMB}'")
+    got = dict(
+        con.sql(
+            logreg_oracle(
+                iters=iters,
+                lr_num=lr_num,
+                lr_den=lr_den,
+                pos_weight=pos_weight,
+            )
+            + f"SELECT dim, wi FROM w{iters}"
+        ).fetchall()
+    )
+    con.close()
+    return [got[i + 1] for i in range(len(got))]
+
+
+def test_logreg_three_way_training_parity(spark):
+    """Spark training, the DuckDB chained-CTE replay, and the pure
+    Python reference must produce bit-identical micro-unit weights at
+    the declared hyperparameters."""
+    emb = spark.read.parquet(EMB)
+    kw = dict(
+        iters=LOGREG_ITERS,
+        lr_num=LOGREG_LR[0],
+        lr_den=LOGREG_LR[1],
+        pos_weight=POS_WEIGHT,
+    )
+    w_spark = train_logreg(emb, **kw)
+    w_py = train_logreg_reference(_rows(), **kw)
+    w_duck = _duck_weights(**kw)
+    assert w_spark == w_py == w_duck
+    assert any(w != 0 for w in w_spark)  # it actually moved
+
+
+def test_logreg_training_reduces_loss():
+    """Squared-residual loss after training must be below the
+    zero-weight starting point (the all-0.5 predictor) — the model
+    demonstrably learns on the driver corpus."""
+    rows = _rows()
+    w = train_logreg_reference(
+        rows,
+        iters=LOGREG_ITERS,
+        lr_num=LOGREG_LR[0],
+        lr_den=LOGREG_LR[1],
+        pos_weight=POS_WEIGHT,
+    )
+    wf = [wi / MICRO for wi in w]
+
+    def sigmoid(z):
+        zc = max(-Z_CLAMP, min(Z_CLAMP, z))
+        return 0.5 + zc / (2.0 * (1.0 + abs(zc)))
+
+    def loss(weights):
+        tot = 0.0
+        for v, lab in rows:
+            x = list(v) + [1.0]
+            y = 1.0 if lab == 0 else 0.0
+            p = sigmoid(sum(a * b for a, b in zip(x, weights)))
+            tot += (p - y) ** 2
+        return tot / len(rows)
+
+    assert loss(wf) < loss([0.0] * len(wf))
+
+
+def test_logreg_ranks_positive_class_higher():
+    """AUC of the trained scores vs the (label == 0) target must beat
+    chance by a wide margin — the filter actually separates."""
+    rows = _rows()
+    w = train_logreg_reference(
+        rows,
+        iters=LOGREG_ITERS,
+        lr_num=LOGREG_LR[0],
+        lr_den=LOGREG_LR[1],
+        pos_weight=POS_WEIGHT,
+    )
+    wf = [wi / MICRO for wi in w]
+
+    def sigmoid(z):
+        zc = max(-Z_CLAMP, min(Z_CLAMP, z))
+        return 0.5 + zc / (2.0 * (1.0 + abs(zc)))
+
+    scored = sorted(
+        (
+            sigmoid(sum(a * b for a, b in zip(list(v) + [1.0], wf))),
+            1 if lab == 0 else 0,
+        )
+        for v, lab in rows
+    )
+    n1 = sum(y for _, y in scored)
+    n0 = len(scored) - n1
+    rank_sum = sum(i for i, (_, y) in enumerate(scored, 1) if y)
+    auc = (rank_sum - n1 * (n1 + 1) / 2) / (n1 * n0)
+    assert auc > 0.7, auc
+
+
+def test_logreg_adversarial_magnitudes_stay_deterministic(spark):
+    """1e12-magnitude and 1e-12 vectors (the fuzz classes): the clamps
+    must keep every quantized gradient finite and in-range, and Spark
+    must still match the pure-Python reference bit-for-bit."""
+    rows = [
+        ([1e12, -1e12, 3.5, 0.0], 0),
+        ([1e-12, 2e-12, -1.0, 1e12], 1),
+        ([0.0, 0.0, 0.0, 0.0], 2),
+        ([-5.0, 4.0, 1e12, -2.0], 0),
+        ([1.0, 1.0, 1.0, 1.0], None),
+    ]
+    df = spark.createDataFrame(
+        [(i, v, lab) for i, (v, lab) in enumerate(rows)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    kw = dict(iters=5, lr_num=3, lr_den=1, pos_weight=9)
+    w_spark = train_logreg(df, **kw)
+    # float32 storage rounds the values; replay via the same parquet
+    # dtype path the reference uses
+    f32 = [
+        ([float(x) for x in r["embedding"]], r["label"])
+        for r in df.orderBy("vec_id").collect()
+    ]
+    w_py = train_logreg_reference(f32, **kw)
+    assert w_spark == w_py
+    assert all(abs(x) < 2**62 for x in w_spark)
+
+
+def test_logreg_warmstart_continuation_parity(spark):
+    """The incremental cadence (VERDICT-documented boundary, realized):
+    continuing K iterations from a K-iteration checkpoint must be
+    BIT-IDENTICAL to 2K from scratch — in all three engines, the
+    warm-started DuckDB replay included (w0 = checkpoint VALUES)."""
+    emb = spark.read.parquet(EMB)
+    kw = dict(lr_num=LOGREG_LR[0], lr_den=LOGREG_LR[1], pos_weight=POS_WEIGHT)
+    half = LOGREG_ITERS // 2
+    w_ckpt = train_logreg(emb, iters=half, **kw)
+    w_cont = train_logreg(emb, iters=half, init_w_micro=w_ckpt, **kw)
+    w_full = train_logreg(emb, iters=LOGREG_ITERS, **kw)
+    assert w_cont == w_full
+    # pure-Python continuation
+    rows = _rows()
+    assert (
+        train_logreg_reference(
+            rows, iters=half, init_w_micro=w_ckpt, **kw
+        )
+        == w_full
+    )
+    # DuckDB replay of the warm-started run
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{EMB}'")
+    got = dict(
+        con.sql(
+            logreg_oracle(
+                iters=half,
+                lr_num=kw["lr_num"],
+                lr_den=kw["lr_den"],
+                pos_weight=kw["pos_weight"],
+                init_w_micro=w_ckpt,
+            )
+            + f"SELECT dim, wi FROM w{half}"
+        ).fetchall()
+    )
+    con.close()
+    assert [got[i + 1] for i in range(len(got))] == w_full
+
+
+def test_logreg_warmstart_dim_mismatch_raises(spark):
+    emb = spark.read.parquet(EMB)
+    with pytest.raises(ValueError, match="init_w_micro"):
+        train_logreg(emb, iters=1, init_w_micro=[0, 0, 0])
+
+
+def test_logreg_empty_table_raises(spark):
+    df = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        train_logreg(df)
+
+
+def test_pca_three_way_parity(spark):
+    """Gram + power iteration: Spark == DuckDB replay == pure Python,
+    bit-identical component."""
+    emb = spark.read.parquet(EMB)
+    g_spark = gram_micro(emb)
+    rows = _rows()
+    xs = [
+        [max(-G_CLAMP, min(G_CLAMP, float(x))) for x in v]
+        for v, _ in rows
+    ]
+    d = len(xs[0])
+    g_py: dict[tuple[int, int], int] = {}
+    for x in xs:
+        for i in range(d):
+            for j in range(d):
+                g_py[(i, j)] = g_py.get((i, j), 0) + math.floor(
+                    x[i] * x[j] * MICRO
+                )
+    assert g_spark == g_py
+    v_py = power_iteration(g_py, d, iters=PCA_ITERS)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{EMB}'")
+    v_duck = con.sql(
+        pca_oracle(iters=PCA_ITERS) + f"SELECT v FROM v{PCA_ITERS}"
+    ).fetchall()[0][0]
+    con.close()
+    assert v_py == list(v_duck)
+    # unit norm (within float tolerance) and a dominant direction
+    nrm = math.sqrt(sum(x * x for x in v_py))
+    assert abs(nrm - 1.0) < 1e-9
+
+
+def test_pca_component_dominates_random_direction():
+    """The trained component must capture more variance than the
+    all-ones direction — power iteration actually converged toward
+    the top eigenvector."""
+    rows = _rows()
+    xs = [
+        [max(-G_CLAMP, min(G_CLAMP, float(x))) for x in v]
+        for v, _ in rows
+    ]
+    d = len(xs[0])
+    g: dict[tuple[int, int], int] = {}
+    for x in xs:
+        for i in range(d):
+            for j in range(d):
+                g[(i, j)] = g.get((i, j), 0) + math.floor(
+                    x[i] * x[j] * MICRO
+                )
+    v = power_iteration(g, d, iters=PCA_ITERS)
+
+    def quad(u):
+        nrm = math.sqrt(sum(x * x for x in u))
+        un = [x / nrm for x in u]
+        return sum(
+            g.get((i, j), 0) * un[i] * un[j]
+            for i in range(d)
+            for j in range(d)
+        )
+
+    assert quad(v) > quad([1.0] * d)
+
+
+def test_power_iteration_degenerate_zero_gram():
+    assert power_iteration({}, 0) == []
+    assert power_iteration({(i, j): 0 for i in range(3) for j in range(3)}, 3) == [
+        0.0,
+        0.0,
+        0.0,
+    ]
+
+
+def test_gram_store_incremental_equals_from_scratch(spark, tmp_path):
+    """Batch-split Gram ingest must train the BIT-IDENTICAL component
+    to a from-scratch run over the union (cell additivity), and a
+    replayed batch must overwrite, not double-count."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        GramStore,
+        gram_micro,
+    )
+
+    emb = spark.read.parquet(EMB)
+    store = GramStore(spark, str(tmp_path / "gram"))
+    for b in range(3):
+        store.add_batch(
+            emb.filter((emb.vec_id % 3) == b).select("embedding"),
+            f"b{b}",
+        )
+    # replay batch 1 (crash-retry): idempotent partition overwrite
+    store.add_batch(
+        emb.filter((emb.vec_id % 3) == 1).select("embedding"), "b1"
+    )
+    assert store.gram() == gram_micro(emb)
+    d = len(_rows()[0][0])
+    assert store.train(iters=PCA_ITERS) == power_iteration(
+        gram_micro(emb), d, iters=PCA_ITERS
+    )
+
+
+def test_gram_store_empty_raises(spark, tmp_path):
+    from vsphere_event_streaming_spark.functions.classifier import GramStore
+
+    with pytest.raises(ValueError, match="no ingested batches"):
+        GramStore(spark, str(tmp_path / "nope")).gram()
+
+
+def test_gram_store_rejects_hostile_batch_id(spark, tmp_path):
+    from vsphere_event_streaming_spark.functions.classifier import GramStore
+
+    emb = spark.read.parquet(EMB).limit(5)
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        GramStore(spark, str(tmp_path / "g")).add_batch(emb, "../esc")

@@ -33,10 +33,11 @@ from selfcheck import driver_guard  # noqa: E402  (tools/selfcheck.py)
 DRIVER_WINDOW = 50
 
 #: The r7 window, verbatim (VERDICT_r6 #1): the 50 stalest-evidence
-#: queries — all 5 whose newest driver row is r3, 42 of the 48 whose
-#: newest row is r4 (six deferred to r8, each with other in-window or
+#: queries — all 5 whose newest driver row is r3, 38 of the 48 whose
+#: newest row is r4 (ten deferred to r8, each with other in-window or
 #: r5/r6-green family coverage — rationale in registry.py), and the
-#: three r7-new queries, which displace deferred-r4 slots (never r3
+#: seven r7-new queries (media-robust/chunked-pack/full-BPE + the
+#: trained-model tier), which displace deferred-r4 slots (never r3
 #: ones). Independent literal (NOT derived from PRIORITY) so
 #: reordering PRIORITY can't silently redefine the window.
 WINDOW_R7 = (
@@ -46,9 +47,8 @@ WINDOW_R7 = (
     "q_grouping_sets",
     "q_lag_gap",
     "q_json_extract",
-    # r4-stale re-greens (42 of 48)
+    # r4-stale re-greens (38 of 48)
     "q_array_funcs",
-    "q_bitwise_funcs",
     "q_boilerplate_scrub",
     "q_casts",
     "q_contamination",
@@ -68,10 +68,8 @@ WINDOW_R7 = (
     "q_join_semi",
     "q_join_smj",
     "q_knn_hyperplane_probed",
-    "q_knn_sq",
     "q_knn_topk",
     "q_last_page",
-    "q_map_funcs",
     "q_null_funcs",
     "q_offset_assign",
     "q_pii_scrub",
@@ -83,7 +81,6 @@ WINDOW_R7 = (
     "q_retention",
     "q_rollup",
     "q_search_bm25",
-    "q_string_funcs",
     "q_time_funcs",
     "q_tumbling_agg",
     "q_udf_cosine",
@@ -93,6 +90,10 @@ WINDOW_R7 = (
     "q_dedup_media_robust",
     "q_pack_chunked",
     "q_bpe_tokens_full",
+    "q_quality_classifier",
+    "q_classifier_eval",
+    "q_classifier_pr",
+    "q_embed_pca",
 )
 
 #: Queries expected to be rows-only (oracle=None) inside the window —
@@ -111,8 +112,9 @@ ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
 #: and oracled (selfcheck covers them every round) even though the
 #: driver window no longer records them. Includes the six DEFERRED
 #: r4 rows (q_union, q_ordered_replay, q_knn_hyperplane,
-#: q_dedup_semantic, q_multimodal_decode, q_text_tokens) — first in
-#: line for the r8 window.
+#: q_dedup_semantic, q_multimodal_decode, q_text_tokens,
+#: q_string_funcs, q_bitwise_funcs, q_knn_sq) — first in line for
+#: the r8 window.
 ROTATED_OUT_R7 = (
     "q_tpch_q1",
     "q_tpch_q3",
@@ -218,6 +220,10 @@ ROTATED_OUT_R7 = (
     "q_multimodal_decode",
     "q_knn_hyperplane",
     "q_dedup_semantic",
+    "q_string_funcs",
+    "q_bitwise_funcs",
+    "q_knn_sq",
+    "q_map_funcs",
 )
 
 

@@ -463,6 +463,44 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin", r"HashAggregate"],
         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
     ],
+    # trained-model tier (r7): APPLICATION plans only (training runs
+    # at build time — K bounded integer aggregates, driver state
+    # O(K·d)/O(d²)). Scoring/projection is one codegen fold per row:
+    # scan + project, no shuffle, no Python anywhere.
+    "q_quality_classifier": [
+        [r"Project"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Exchange",
+        ],
+    ],
+    # eval is one small hash aggregate over the scored projection
+    "q_classifier_eval": [
+        [r"HashAggregate"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+    ],
+    # PR sweep: threshold fan-out is a Generate (exploded literal
+    # array — NOT a join), then one hash aggregate
+    "q_classifier_pr": [
+        [r"Generate", r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Join",
+        ],
+    ],
+    "q_embed_pca": [
+        [r"Project"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Exchange",
+        ],
+    ],
 }
 
 

@@ -102,6 +102,71 @@ def _replicate_embeddings(emb, factor: int):
     return out
 
 
+def _replicate_embeddings_labeled(emb, factor: int):
+    """Identical-vector replicas KEEPING the label column — the
+    trained-model tier needs supervision; identical replicas scale
+    every per-class gradient mass by the factor."""
+    n = emb.count()
+    copies = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+#: Weights from every _classifier_shape training this process — the
+#: 1x and 10x runs must all land here identical (asserted below).
+_LOGREG_WEIGHTS: list[list[int]] = []
+
+
+def _classifier_shape(emb):
+    """q_quality_classifier's shape: the FULL 12-iteration quantized-GD
+    training (12 driver-looped integer aggregates — the measured cost)
+    followed by the codegen scoring pass. Identical replicas multiply
+    every gradient sum by the factor k but the update divides by N
+    (also ×k), and k·a/(k·b) is the same correctly-rounded double as
+    a/b, so 10x rows trains the SAME weights (asserted) —
+    per-iteration aggregate time is what must stay ~flat."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        logreg_score,
+        train_logreg,
+    )
+
+    w = train_logreg(emb, iters=12, lr_num=3, lr_den=1, pos_weight=9)
+    _LOGREG_WEIGHTS.append(w)
+    assert all(x == _LOGREG_WEIGHTS[0] for x in _LOGREG_WEIGHTS), (
+        "identical replicas must train identical weights"
+    )
+    return emb.select(
+        "vec_id", logreg_score(F.col("embedding"), w).alias("p")
+    )
+
+
+def _pca_shape(emb):
+    """q_embed_pca's shape: quantized-Gram build (the d^2-cell integer
+    aggregate over the posexplode^2 fan-out — 4096 cells/row, the
+    probe's real cost) + driver power iteration + codegen projection."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        gram_micro,
+        pca_project,
+        power_iteration,
+    )
+
+    g = gram_micro(emb)
+    d = 1 + max((i for i, _ in g), default=-1)
+    v = power_iteration(g, d, iters=6)
+    return emb.select(
+        "vec_id", pca_project(F.col("embedding"), v).alias("pc1")
+    )
+
+
 def _hyperplane_probed_shape(emb):
     """q_knn_hyperplane_probed's plan shape (query = min vec_id)."""
     qmin = emb.agg(F.min("vec_id").alias("__qid"))
@@ -523,6 +588,9 @@ def main() -> None:
     emb1 = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     embN = _replicate_embeddings(emb1, factor).persist()
     embN.count()
+    embL1 = load(spark, sf_dir, "embeddings")
+    embLN = _replicate_embeddings_labeled(embL1, factor).persist()
+    embLN.count()
     docs1g = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
@@ -759,6 +827,21 @@ def main() -> None:
             "bpe_tokens",
             lambda: _bpe_shape(docs1),
             lambda: _bpe_shape(docsN),
+        ),
+        # r7: trained-model tier — training passes are integer
+        # aggregates whose per-iteration cost must track rows
+        # ~linearly (locally the scheduler floor dominates, so the
+        # ratio should sit near 1); the Gram build fans out d^2
+        # cells/row and is the real 10x load
+        (
+            "logreg_train_score",
+            lambda: _classifier_shape(embL1),
+            lambda: _classifier_shape(embLN),
+        ),
+        (
+            "pca_gram_project",
+            lambda: _pca_shape(embL1),
+            lambda: _pca_shape(embLN),
         ),
     ]:
         t1, n1 = _time(one)

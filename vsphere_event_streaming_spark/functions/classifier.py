@@ -1,0 +1,517 @@
+"""Deterministically-trained linear models over embedding columns
+(SURVEY §2.11 L34/L35) — the data-selection models real pipelines
+train on corpus features: a logistic quality classifier (the
+GPT-3/CCNet-style binary filter, one-vs-rest here) and a top
+principal component (power iteration) for embedding whitening /
+projection.
+
+Both TRAININGS are exactly oracle-replayable (the L32 trained-BPE
+precedent): every cross-row reduction is an integer sum (order-free),
+and every per-row float step is an IEEE-correctly-rounded operation
+sequence both engines execute identically (add/mul/div/abs/sqrt/
+floor, plus the deterministic left-to-right list fold that
+``vectors.dot`` and DuckDB ``list_dot_product`` share — relied on by
+every oracled cosine query since r4). Determinism devices, each a
+published technique rather than a hack:
+
+- **quantized gradients / quantized Gram**: per-row contributions are
+  clamped then ``floor(x * 1e6)``-quantized to BIGINT micro-units, so
+  the only order-sensitive float sums become exact integer sums
+  (stochastic-rounding-free fixed-point accumulation);
+- **per-coordinate gradient clipping** at ±1e3 (standard) bounds the
+  quantized magnitude so sums stay far below 2^53/BIGINT range even
+  with adversarial 1e12-magnitude fuzz vectors;
+- **logit clamp** at ±30 before the link;
+- **rational sigmoid** ``σ(z) ≈ 0.5 + z/(2(1+|z|))`` (the "fast
+  sigmoid"): add/mul/div/abs only — bit-identical across engines,
+  unlike libm ``exp`` whose rounding the IEEE standard does not pin;
+- **integer weight state**: weights live as BIGINT micro-units; the
+  update ``w -= floor(Σg·lr_num / (N·lr_den))`` is exact integer
+  arithmetic both engines reproduce digit-for-digit.
+
+Scale shape (100 TB): training is K passes over the corpus, each ONE
+hash aggregate with map-side combine producing d+1 (classifier) or
+d² (Gram) integer cells — driver state is O(K·d) / O(d²) scalars,
+exactly the L32 BPE posture (bounded driver collects, no
+data-proportional state). Application is a per-row fold — one codegen
+projection, no shuffle, no Python.
+
+Reference behavior parity note: the reference engine
+(`/root/reference`) has no ML surface; these operators extend the
+engine's LLM-data-pipeline tier (project north star), not the
+reference's API.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .vectors import dot
+
+#: Fixed-point scale for weights and quantized gradients (micro-units).
+MICRO = 1_000_000
+#: Logit clamp before the rational sigmoid.
+Z_CLAMP = 30.0
+#: Per-coordinate gradient clip (and PCA input winsorization) bound.
+G_CLAMP = 1000.0
+#: Upper bound on supported embedding width for the d-generic oracle's
+#: static dim series (the driver corpus is 64-dim; fuzz uses 8).
+MAX_DIM = 4096
+
+
+def augmented(vec: Column) -> Column:
+    """``embedding ++ [1.0]`` as array<double> — the bias becomes the
+    last coordinate so one weight vector carries (w, b) uniformly."""
+    return F.concat(
+        vec.cast("array<double>"), F.array(F.lit(1.0).cast("double"))
+    )
+
+
+def _clamp(col: Column, bound: float) -> Column:
+    return F.greatest(F.lit(-bound), F.least(F.lit(bound), col))
+
+
+def rational_sigmoid(z: Column) -> Column:
+    """0.5 + z/(2(1+|z|)) after the ±Z_CLAMP logit clamp — every op
+    IEEE-correctly-rounded, so Spark and DuckDB produce the same bits
+    (libm exp would not)."""
+    zc = _clamp(z, Z_CLAMP)
+    return F.lit(0.5) + zc / (F.lit(2.0) * (F.lit(1.0) + F.abs(zc)))
+
+
+def _weights_lit(w_micro: list[int]) -> Column:
+    # w/MICRO in Python is the same correctly-rounded double DuckDB's
+    # wi/1000000.0 yields — exact literal parity with the oracle CTE.
+    return F.array(
+        *[F.lit(w / MICRO).cast("double") for w in w_micro]
+    )
+
+
+def logreg_score(vec: Column, w_micro: list[int]) -> Column:
+    """p = σ(clamp(w·x̂)) with the trained micro-unit weights — one
+    codegen fold per row, no shuffle, no Python."""
+    z = dot(augmented(vec), _weights_lit(w_micro))
+    return rational_sigmoid(z)
+
+
+def train_logreg(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    positive_label: int = 0,
+    iters: int = 8,
+    lr_num: int = 1,
+    lr_den: int = 2,
+    pos_weight: int = 1,
+    init_w_micro: list[int] | None = None,
+) -> list[int]:
+    """Full-batch gradient-descent logistic regression, returned as
+    d+1 BIGINT micro-unit weights (bias last). ``pos_weight`` scales
+    the positive class's gradient by an integer factor — the standard
+    imbalanced-corpus reweighting (a 10%-positive quality corpus
+    otherwise trains an all-negative predictor); applied BEFORE the
+    clamp so determinism is untouched.
+
+    ``init_w_micro`` warm-starts from previously-trained micro-unit
+    weights — the classifier's INCREMENTAL form. The gradient depends
+    on the current weights, so (unlike the Gram/BPE stores) batch
+    contributions are not additive; the cadence story is instead:
+    retrain warm-started on the grown corpus. The update is a pure
+    function of (weights, corpus), so continuing K more iterations
+    from a K-iteration checkpoint is BIT-IDENTICAL to training 2K
+    from scratch (asserted in ``tests/test_classifier.py``) —
+    checkpoint/resume costs nothing in reproducibility.
+
+    Each iteration is ONE integer hash aggregate over the corpus
+    (posexplode → groupBy(dim) → exact BIGINT sums, map-side
+    combined); the driver holds O(iters·d) scalars — the L32 BPE
+    driver-state posture. The exact computation (clamps, quantization,
+    update) is replayed verbatim by :func:`logreg_oracle` as chained
+    DuckDB CTEs, so a corpus change that flips any weight's last
+    micro-unit digit flips the driver value hash.
+    """
+    from ..tables import spread
+
+    base = spread(
+        emb.select(
+            augmented(F.col(vec_col)).alias("x"),
+            F.when(F.col(label_col) == positive_label, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+        ),
+        min_partitions=8,
+    ).persist()
+    try:
+        n = base.count()
+        if n == 0:
+            raise ValueError("cannot train on an empty embeddings table")
+        d = len(base.first()["x"])
+        if init_w_micro is not None and len(init_w_micro) != d:
+            raise ValueError(
+                f"init_w_micro has {len(init_w_micro)} weights for"
+                f" {d}-dim augmented vectors"
+            )
+        w = list(init_w_micro) if init_w_micro is not None else [0] * d
+        wgt = F.when(
+            F.col("y") == 1.0, F.lit(float(pos_weight))
+        ).otherwise(F.lit(1.0))
+        spark = emb.sparkSession
+        for _ in range(iters):
+            # One pass per iteration: per-row residual g behind a
+            # Generate barrier, then a 65-key integer groupBy. The
+            # posexplode is deliberate (NOT a d-wide aggregate):
+            # CollapseProject would inline the interpreted dot fold
+            # into every one of d agg expressions, re-evaluating it
+            # d× per row (measured 1.4 s/iter vs 0.8); Generate
+            # evaluates g once per input row and carries it. Weights
+            # ride in as a broadcast 1-row frame, NOT literals —
+            # literal weights change the generated code every
+            # iteration and force a codegen recompile per step
+            # (w/MICRO in Python is the same correctly-rounded double
+            # the oracle's wi/1000000.0 yields, so determinism is
+            # unchanged).
+            wdf = spark.createDataFrame(
+                [([wi / MICRO for wi in w],)], "w array<double>"
+            )
+            p = rational_sigmoid(dot(F.col("x"), F.col("w")))
+            ex = base.join(F.broadcast(wdf)).select(
+                ((p - F.col("y")) * wgt).alias("g"),
+                F.posexplode(F.col("x")).alias("pos", "xj"),
+            )
+            q = F.floor(
+                _clamp(F.col("g") * F.col("xj"), G_CLAMP)
+                * F.lit(float(MICRO))
+            )
+            sums = {
+                r["pos"]: r["s"]
+                for r in ex.groupBy("pos")
+                .agg(F.sum(q).alias("s"))
+                .collect()
+            }
+            for j in range(d):
+                gsum = int(sums.get(j) or 0)
+                w[j] -= math.floor(gsum * lr_num / (n * lr_den))
+        return w
+    finally:
+        base.unpersist()
+
+
+def _dim_series(src: str, alias: str = "dim") -> str:
+    """d-generic dim index source for the oracle: a series sized by
+    the data's own max width (NOT a static 4096-row series — a d×d
+    self-join of that would nested-loop billions of rows in DuckDB)."""
+    return (
+        f"(SELECT unnest(generate_series(1,"
+        f" (SELECT max(len(x)) FROM {src}))) AS {alias})"
+    )
+
+
+def logreg_oracle(
+    iters: int = 8,
+    lr_num: int = 1,
+    lr_den: int = 2,
+    positive_label: int = 0,
+    pos_weight: int = 1,
+    init_w_micro: list[int] | None = None,
+) -> str:
+    """The training replay as a chained-CTE prefix (no final SELECT):
+    ``WITH e, n, xd, w0, p1, w1, ..., p{K+1}`` — append a final SELECT
+    over ``e``/``p{K+1}``/``w{iters}`` to build a query oracle.
+
+    ``p{k}`` scores every row with ``w{k-1}``; ``w{k}`` applies the
+    quantized-gradient update. The last scoring CTE ``p{iters+1}``
+    carries the FINAL model's per-row probabilities. ``init_w_micro``
+    replays a warm-started run: ``w0`` becomes the checkpoint VALUES
+    instead of zeros (the :func:`train_logreg` continuation parity).
+    """
+    sig = "0.5 + zc/(2.0*(1.0+abs(zc)))"
+    if init_w_micro is None:
+        w0 = (
+            "w0 AS MATERIALIZED "
+            "(SELECT DISTINCT dim, CAST(0 AS BIGINT) AS wi FROM xd)"
+        )
+    else:
+        vals = ", ".join(
+            f"({i + 1}, CAST({wi} AS BIGINT))"
+            for i, wi in enumerate(init_w_micro)
+        )
+        w0 = (
+            f"w0 AS MATERIALIZED (SELECT * FROM (VALUES {vals})"
+            " t(dim, wi))"
+        )
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_append(embedding::DOUBLE[], 1.0) AS x,
+         CASE WHEN label = {positive_label} THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings
+)""",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM e)",
+        f"""xd AS MATERIALIZED (
+  SELECT vec_id, d.dim, x[d.dim] AS xj
+  FROM e JOIN {_dim_series("e")} d ON d.dim <= len(e.x)
+)""",
+        w0,
+    ]
+    for k in range(1, iters + 2):
+        prev_w = f"w{k - 1}"
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT vec_id, y, {sig} AS p
+  FROM (SELECT vec_id, y,
+          greatest(-{Z_CLAMP}, least({Z_CLAMP},
+            list_dot_product(x,
+              (SELECT list(wi/1000000.0 ORDER BY dim) FROM {prev_w})))) AS zc
+        FROM e) z
+)"""
+        )
+        if k == iters + 1:
+            break
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT xd.dim,
+         w.wi - CAST(floor(
+           (sum(CAST(floor(
+              greatest(-{G_CLAMP}, least({G_CLAMP},
+                ((p.p - p.y)
+                 * (CASE WHEN p.y = 1.0 THEN {pos_weight}.0 ELSE 1.0 END))
+                * xd.xj))
+              * {MICRO}.0) AS BIGINT)) * {lr_num})
+           / ((SELECT n FROM nn) * {lr_den}.0)) AS BIGINT) AS wi
+  FROM xd JOIN p{k} p USING (vec_id) JOIN {prev_w} w ON w.dim = xd.dim
+  GROUP BY xd.dim, w.wi
+)"""
+        )
+    return "WITH\n" + ",\n".join(parts)
+
+
+def train_logreg_reference(
+    rows: list[tuple[list[float], int]],
+    positive_label: int = 0,
+    iters: int = 8,
+    lr_num: int = 1,
+    lr_den: int = 2,
+    pos_weight: int = 1,
+    init_w_micro: list[int] | None = None,
+) -> list[int]:
+    """Pure-Python reference (the L32 three-way-parity pattern): must
+    produce BIT-IDENTICAL micro-unit weights to :func:`train_logreg`
+    — Python floats are IEEE doubles and ``sum``-free explicit left
+    folds mirror the engine's fold order."""
+
+    def sigmoid(z: float) -> float:
+        zc = max(-Z_CLAMP, min(Z_CLAMP, z))
+        return 0.5 + zc / (2.0 * (1.0 + abs(zc)))
+
+    xs = [(list(v) + [1.0], 1.0 if lab == positive_label else 0.0)
+          for v, lab in rows]
+    if not xs:
+        raise ValueError("cannot train on an empty embeddings table")
+    n = len(xs)
+    d = len(xs[0][0])
+    w = list(init_w_micro) if init_w_micro is not None else [0] * d
+    for _ in range(iters):
+        wf = [wi / MICRO for wi in w]
+        gsum = [0] * d
+        for x, y in xs:
+            z = 0.0
+            for xj, wj in zip(x, wf):
+                z = z + xj * wj
+            g = (sigmoid(z) - y) * (
+                float(pos_weight) if y == 1.0 else 1.0
+            )
+            for j in range(d):
+                gj = max(-G_CLAMP, min(G_CLAMP, g * x[j]))
+                gsum[j] += math.floor(gj * MICRO)
+        for j in range(d):
+            w[j] -= math.floor(gsum[j] * lr_num / (n * lr_den))
+    return w
+
+
+# ======================================================================
+# L35: top principal component by power iteration over a quantized Gram
+# ======================================================================
+
+
+def winsorized(vec: Column) -> Column:
+    """Per-coordinate clamp to ±G_CLAMP (winsorized PCA — the robust
+    preprocessing that also bounds the quantized Gram)."""
+    return F.transform(
+        vec.cast("array<double>"), lambda x: _clamp(x, G_CLAMP)
+    )
+
+
+def gram_cells(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The d×d Gram matrix of the winsorized embeddings as a cell
+    frame ``(i, j, g)`` with ``g = Σ floor(xᵢ·xⱼ·1e6)`` exact BIGINT —
+    ONE pass, one integer hash aggregate (map-side combined), d² rows
+    out regardless of corpus size. Integer cells are ADDITIVE, which
+    is what makes the Gram (and therefore PCA) incrementally
+    trainable (:class:`GramStore`)."""
+    w = emb.select(winsorized(F.col(vec_col)).alias("x"))
+    ex = w.select(
+        F.posexplode(F.col("x")).alias("i", "xi"), F.col("x")
+    ).select(
+        F.col("i"), F.posexplode(F.col("x")).alias("j", "xj"), F.col("xi")
+    )
+    cell = F.floor(F.col("xi") * F.col("xj") * F.lit(float(MICRO)))
+    return ex.groupBy("i", "j").agg(F.sum(cell).alias("g"))
+
+
+def gram_micro(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> dict[tuple[int, int], int]:
+    """:func:`gram_cells` collected to O(d²) driver cells."""
+    return {
+        (r["i"], r["j"]): int(r["g"])
+        for r in gram_cells(emb, vec_col).collect()
+    }
+
+
+class GramStore:
+    """Persistent incremental Gram store — the PCA family's
+    incremental form, completing the story every trained artifact in
+    this engine tells (text LSH ``dedup.LshIndex``, vector LSH
+    ``vectors.VectorLshIndex``, IVF ``vectors.IvfIndex``, BPE
+    ``bpe.BpeVocab``): state grows batch-by-batch without recomputing
+    history.
+
+    What makes PCA incrementally trainable: power iteration consumes
+    ONLY the Gram matrix, and the quantized Gram cells are exact
+    BIGINT sums over rows — additive across batches — so the merged
+    store's Gram is bit-identical to the from-scratch Gram over the
+    batches' union, and a retrain over it yields the bit-identical
+    component (asserted in ``tests/test_classifier.py``). Per-batch
+    state is d² integers regardless of batch size.
+
+    Same crash contract as the other stores: a batch write OVERWRITES
+    its own ``batch_id=`` partition directory (idempotent replay).
+    """
+
+    def __init__(self, spark, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def add_batch(
+        self, emb: DataFrame, batch_id: str, vec_col: str = "embedding"
+    ) -> int:
+        """Aggregate the batch's Gram cells and persist them as an
+        idempotent partition directory. Returns cells written (≤ d²)."""
+        from .dedup import batch_partition_dir
+
+        part_dir = batch_partition_dir(batch_id)  # validates token
+        cells = gram_cells(emb, vec_col).localCheckpoint(eager=True)
+        n = cells.count()
+        cells.write.mode("overwrite").parquet(f"{self.path}/{part_dir}")
+        return n
+
+    def gram(self) -> dict[tuple[int, int], int]:
+        """The merged Gram over every ingested batch — exactly the
+        full-corpus :func:`gram_micro` by cell additivity."""
+        import os
+
+        if not os.path.isdir(self.path):
+            raise ValueError(
+                f"GramStore has no ingested batches: {self.path!r}"
+                " — call add_batch() first"
+            )
+        out = (
+            self.spark.read.parquet(self.path)
+            .groupBy("i", "j")
+            .agg(F.sum("g").alias("g"))
+            .collect()
+        )
+        return {(r["i"], r["j"]): int(r["g"]) for r in out}
+
+    def train(self, iters: int = 6) -> list[float]:
+        """Top component over the merged Gram — bit-identical to a
+        from-scratch :func:`power_iteration` over the batches' union."""
+        g = self.gram()
+        d = 1 + max((i for i, _ in g), default=-1)
+        return power_iteration(g, d, iters=iters)
+
+
+def power_iteration(
+    gram: dict[tuple[int, int], int], d: int, iters: int = 6
+) -> list[float]:
+    """Top eigenvector of the micro-unit Gram by fixed-iteration power
+    iteration from the all-ones start — explicit left folds so DuckDB's
+    ``list_dot_product`` replay is bit-identical. O(d²) driver work."""
+    if d == 0:
+        return []
+    g = [[float(gram.get((i, j), 0)) for j in range(d)] for i in range(d)]
+    v = [1.0 / math.sqrt(float(d))] * d
+    for _ in range(iters):
+        u = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc = acc + g[i][j] * v[j]
+            u.append(acc)
+        nrm = 0.0
+        for ui in u:
+            nrm = nrm + ui * ui
+        nrm = math.sqrt(nrm)
+        if nrm == 0.0:
+            return u  # degenerate (all-zero Gram): projection is 0
+        v = [ui / nrm for ui in u]
+    return v
+
+
+def pca_project(vec: Column, v: list[float]) -> Column:
+    """Per-row projection onto the trained component — one codegen
+    fold, no shuffle."""
+    return dot(
+        winsorized(vec), F.array(*[F.lit(x).cast("double") for x in v])
+    )
+
+
+def pca_oracle(iters: int = 6) -> str:
+    """Chained-CTE training replay for the PCA power iteration (no
+    final SELECT): ``WITH we, gd, gr, dd, v0, v1, ..., v{iters}`` where
+    each ``v{k}`` is ONE row holding the component as a DOUBLE list.
+    The Gram rows fold through ``list_dot_product`` in j order and the
+    norm folds in i order — exactly :func:`power_iteration`'s loops."""
+    parts = [
+        """we AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> greatest(-1000.0, least(1000.0, x))) AS x
+  FROM embeddings
+)""",
+        f"""gd AS MATERIALIZED (
+  SELECT i.dim AS i, j.dim AS j,
+         sum(CAST(floor(x[i.dim] * x[j.dim] * {MICRO}.0) AS BIGINT)) AS g
+  FROM we
+  JOIN {_dim_series("we")} i ON i.dim <= len(we.x)
+  JOIN {_dim_series("we")} j ON j.dim <= len(we.x)
+  GROUP BY i.dim, j.dim
+)""",
+        """gr AS MATERIALIZED (
+  SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS grow FROM gd GROUP BY i
+)""",
+        "dd AS MATERIALIZED (SELECT count(*) AS d FROM gr)",
+        """v0 AS MATERIALIZED (
+  SELECT list(1.0 / sqrt((SELECT CAST(d AS DOUBLE) FROM dd)) ORDER BY i) AS v
+  FROM gr
+)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""u{k} AS MATERIALIZED (
+  SELECT list(list_dot_product(grow, (SELECT v FROM v{k - 1})) ORDER BY i) AS u
+  FROM gr
+)""",
+        )
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+  SELECT CASE WHEN sqrt(list_dot_product(u, u)) = 0.0 THEN u
+              ELSE list_transform(u, e -> e / sqrt(list_dot_product(u, u)))
+         END AS v
+  FROM u{k}
+)""",
+        )
+    return "WITH\n" + ",\n".join(parts)

@@ -73,9 +73,16 @@ PRIORITY: tuple[str, ...] = (
     "q_grouping_sets",
     "q_lag_gap",
     "q_json_extract",
-    # ... plus 42 of the 48 whose newest driver row is r4. Six r4
+    # ... plus 38 of the 48 whose newest driver row is r4. Ten r4
     # rows are DEFERRED to r8, each with other in-window or
-    # r5/r6-green family coverage, none its operator's sole oracle:
+    # r5/r6-green family coverage, none its operator's sole oracle
+    # (the four r7-new trained-model queries displace four more
+    # deferred-r4 slots per the verdict's displacement rule:
+    # q_string_funcs + q_bitwise_funcs + q_map_funcs (§2.8 scalar
+    # family: in-window q_time_funcs/q_casts/q_null_funcs/
+    # q_array_funcs + r6-green q_math_funcs), q_knn_sq (ANN family:
+    # in-window q_knn_topk/q_knn_hyperplane_probed + r5/r6-green IVF
+    # tier)):
     # q_union (§2.7 also held by in-window q_except + r6-green
     # q_intersect), q_ordered_replay (ordering also held by in-window
     # q_last_page + the wire-level pytest tier), q_knn_hyperplane
@@ -89,7 +96,6 @@ PRIORITY: tuple[str, ...] = (
     # in-window q_udf_cosine/q_udtf_props; token counting also via
     # r6-green q_bpe_tokens + in-window q_bpe_tokens_full):
     "q_array_funcs",
-    "q_bitwise_funcs",
     "q_boilerplate_scrub",
     "q_casts",
     "q_contamination",
@@ -109,10 +115,8 @@ PRIORITY: tuple[str, ...] = (
     "q_join_semi",
     "q_join_smj",
     "q_knn_hyperplane_probed",
-    "q_knn_sq",
     "q_knn_topk",
     "q_last_page",
-    "q_map_funcs",
     "q_null_funcs",
     "q_offset_assign",
     "q_pii_scrub",
@@ -124,17 +128,20 @@ PRIORITY: tuple[str, ...] = (
     "q_retention",
     "q_rollup",
     "q_search_bm25",
-    "q_string_funcs",
     "q_time_funcs",
     "q_tumbling_agg",
     "q_udf_cosine",
     "q_udtf_props",
     "q_word_pmi",
-    # ... and the three r7-new queries, displacing deferred-r4 slots
+    # ... and the seven r7-new queries, displacing deferred-r4 slots
     # (never r3 ones), per the verdict's displacement rule:
     "q_dedup_media_robust",
     "q_pack_chunked",
     "q_bpe_tokens_full",
+    "q_quality_classifier",
+    "q_classifier_eval",
+    "q_classifier_pr",
+    "q_embed_pca",
     # ---- out of the r7 window ----
     # Every query below holds a driver-green value-hash row from
     # r4-r6 (histogram in VERDICT_r6) and keeps its oracle —
@@ -245,6 +252,10 @@ PRIORITY: tuple[str, ...] = (
     "q_multimodal_decode",
     "q_knn_hyperplane",
     "q_dedup_semantic",
+    "q_string_funcs",
+    "q_bitwise_funcs",
+    "q_knn_sq",
+    "q_map_funcs",
 )
 
 
@@ -263,6 +274,7 @@ def load_all() -> dict[str, QueryDef]:
     from .queries import (  # noqa: F401
         advanced_queries,
         log_queries,
+        model_queries,
         pipeline_queries,
         relational_queries,
         scalar_queries,
