@@ -130,6 +130,9 @@ HEADLINE = [
     "q_classifier_eval",
     "q_classifier_pr",
     "q_embed_pca",
+    # exact rank-sum AUC + calibration bins over the memoized scores
+    "q_classifier_auc",
+    "q_classifier_calibration",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

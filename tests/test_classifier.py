@@ -332,3 +332,43 @@ def test_gram_store_rejects_hostile_batch_id(spark, tmp_path):
     emb = spark.read.parquet(EMB).limit(5)
     with pytest.raises(ValueError, match="filesystem-safe"):
         GramStore(spark, str(tmp_path / "g")).add_batch(emb, "../esc")
+
+
+def test_auc_rank_sum_equals_pairwise_definition(spark):
+    """q_classifier_auc's doubled concordant-pair integer must equal
+    the O(n²) pairwise AUC definition (full credit for p_pos > p_neg,
+    half for ties) — validated on the sf0.001 scores where n² is
+    affordable. Guards the cumulative-window rank-sum rewrite."""
+    from vsphere_event_streaming_spark.queries import model_queries as mq
+
+    row = mq.q_classifier_auc(spark, SF_DIR).first()
+    sc = mq._scored(spark, SF_DIR).select("y", "p").collect()
+    pos = [r["p"] for r in sc if r["y"] == 1.0]
+    neg = [r["p"] for r in sc if r["y"] == 0.0]
+    num2 = sum(
+        2 if pp > pn else (1 if pp == pn else 0)
+        for pp in pos
+        for pn in neg
+    )
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["auc_num2"] == num2
+    assert row["auc"] == round(num2 / (2.0 * len(pos) * len(neg)), 6)
+    assert 0.5 < row["auc"] <= 1.0  # the trained model actually ranks
+
+
+def test_calibration_bins_partition_the_corpus(spark):
+    """Calibration cells must partition every scored row exactly once,
+    and each bin's micro-quantized score sum must sit inside the bin's
+    [bin/10, (bin+1)/10) interval scaled by its row count."""
+    from vsphere_event_streaming_spark.queries import model_queries as mq
+
+    rows = mq.q_classifier_calibration(spark, SF_DIR).collect()
+    n_total = sum(r["n"] for r in rows)
+    assert n_total == mq._scored(spark, SF_DIR).count()
+    assert len({r["bin"] for r in rows}) == len(rows)
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["pos"] <= r["n"]
+        lo = r["bin"] / 10.0 * MICRO * r["n"]
+        hi = (r["bin"] + 1) / 10.0 * MICRO * r["n"]
+        assert lo - r["n"] <= r["sum_p_micro"] < hi

@@ -33,11 +33,12 @@ from selfcheck import driver_guard  # noqa: E402  (tools/selfcheck.py)
 DRIVER_WINDOW = 50
 
 #: The r7 window, verbatim (VERDICT_r6 #1): the 50 stalest-evidence
-#: queries — all 5 whose newest driver row is r3, 38 of the 48 whose
-#: newest row is r4 (ten deferred to r8, each with other in-window or
+#: queries — all 5 whose newest driver row is r3, 36 of the 48 whose
+#: newest row is r4 (twelve deferred to r8, each with other in-window or
 #: r5/r6-green family coverage — rationale in registry.py), and the
-#: seven r7-new queries (media-robust/chunked-pack/full-BPE + the
-#: trained-model tier), which displace deferred-r4 slots (never r3
+#: nine r7-new queries (media-robust/chunked-pack/full-BPE + the
+#: trained-model tier incl. AUC/calibration), which displace
+#: deferred-r4 slots (never r3
 #: ones). Independent literal (NOT derived from PRIORITY) so
 #: reordering PRIORITY can't silently redefine the window.
 WINDOW_R7 = (
@@ -47,8 +48,7 @@ WINDOW_R7 = (
     "q_grouping_sets",
     "q_lag_gap",
     "q_json_extract",
-    # r4-stale re-greens (38 of 48)
-    "q_array_funcs",
+    # r4-stale re-greens (36 of 48)
     "q_boilerplate_scrub",
     "q_casts",
     "q_contamination",
@@ -60,7 +60,6 @@ WINDOW_R7 = (
     "q_envelope",
     "q_except",
     "q_group_agg",
-    "q_join_anti",
     "q_join_asof",
     "q_join_broadcast",
     "q_join_left",
@@ -94,6 +93,8 @@ WINDOW_R7 = (
     "q_classifier_eval",
     "q_classifier_pr",
     "q_embed_pca",
+    "q_classifier_auc",
+    "q_classifier_calibration",
 )
 
 #: Queries expected to be rows-only (oracle=None) inside the window —
@@ -113,8 +114,8 @@ ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
 #: driver window no longer records them. Includes the six DEFERRED
 #: r4 rows (q_union, q_ordered_replay, q_knn_hyperplane,
 #: q_dedup_semantic, q_multimodal_decode, q_text_tokens,
-#: q_string_funcs, q_bitwise_funcs, q_knn_sq) — first in line for
-#: the r8 window.
+#: q_string_funcs, q_bitwise_funcs, q_knn_sq, q_map_funcs,
+#: q_array_funcs, q_join_anti) — first in line for the r8 window.
 ROTATED_OUT_R7 = (
     "q_tpch_q1",
     "q_tpch_q3",
@@ -224,6 +225,8 @@ ROTATED_OUT_R7 = (
     "q_bitwise_funcs",
     "q_knn_sq",
     "q_map_funcs",
+    "q_array_funcs",
+    "q_join_anti",
 )
 
 

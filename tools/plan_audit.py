@@ -501,6 +501,30 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Exchange",
         ],
     ],
+    # exact AUC: corpus collapses through a hash aggregate to the
+    # distinct-score table BEFORE the (documented exact-tier)
+    # cumulative window; no join, no Python
+    "q_classifier_auc": [
+        [r"HashAggregate", r"Window"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Join",
+        ],
+    ],
+    # calibration: ONE hash aggregate (the binned scale path) — no
+    # window, no join, no Python
+    "q_classifier_calibration": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Join",
+            r"Window",
+        ],
+    ],
 }
 
 

@@ -210,6 +210,137 @@ def q_classifier_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# L34''': exact AUC (tie-corrected rank-sum / Mann-Whitney)
+# ======================================================================
+@query(
+    "q_classifier_auc",
+    oracle=logreg_oracle(
+        iters=LOGREG_ITERS,
+        lr_num=LOGREG_LR[0],
+        lr_den=LOGREG_LR[1],
+        positive_label=POSITIVE_LABEL,
+        pos_weight=POS_WEIGHT,
+    )
+    + f""",
+g AS MATERIALIZED (
+  SELECT p AS s,
+         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+         CAST(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS cneg
+  FROM p{LOGREG_ITERS + 1} GROUP BY p
+),
+c AS MATERIALIZED (
+  SELECT cpos, cneg,
+         COALESCE(sum(cneg) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS nb
+  FROM g
+)
+SELECT CAST(sum(cpos) AS BIGINT) AS n_pos,
+       CAST(sum(cneg) AS BIGINT) AS n_neg,
+       CAST(sum(cpos * 2 * nb + cpos * cneg) AS BIGINT) AS auc_num2,
+       round(CAST(sum(cpos * 2 * nb + cpos * cneg) AS DOUBLE)
+             / (2.0 * sum(cpos) * sum(cneg)), 6) AS auc
+FROM c
+""",
+)
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC of the trained classifier, tie-corrected
+    (Mann-Whitney): doubled concordant-pair count
+    ``auc_num2 = Σ_s cpos(s)·(2·negatives_below(s) + cneg(s))`` stays
+    an exact BIGINT — each tied score group contributes its positives
+    × strictly-lower negatives in full plus half credit for tied
+    pairs — so the only float op is the single final division (the
+    same correctly-rounded double in both engines).
+
+    Scale shape: the pairwise definition is O(n²); this is the
+    rank-sum form — one hash aggregate collapses the corpus to the
+    DISTINCT-score table, and the cumulative window runs over THAT
+    (bounded by score cardinality, not corpus rows). The
+    unpartitioned window is the exact tier, documented: an unbounded-
+    cardinality score column would first be quantized, which is
+    exactly what q_classifier_calibration's binned form demonstrates
+    (the repo's exact-vs-scale tier precedent: all-pairs Jaccard vs
+    banded LSH)."""
+    from pyspark.sql import Window
+
+    sc = _scored(spark, sf_dir)
+    g = sc.groupBy(F.col("p").alias("s")).agg(
+        F.sum((F.col("y") == 1.0).cast("long")).alias("cpos"),
+        F.sum((F.col("y") == 0.0).cast("long")).alias("cneg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "cpos",
+        "cneg",
+        F.coalesce(F.sum("cneg").over(w), F.lit(0)).alias("nb"),
+    )
+    num2 = F.col("cpos") * 2 * F.col("nb") + F.col("cpos") * F.col("cneg")
+    return c.agg(
+        F.sum("cpos").alias("n_pos"),
+        F.sum("cneg").alias("n_neg"),
+        F.sum(num2).alias("auc_num2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.round(
+            F.col("auc_num2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ======================================================================
+# L34'''': calibration (reliability) bins — the binned scale path
+# ======================================================================
+@query(
+    "q_classifier_calibration",
+    oracle=logreg_oracle(
+        iters=LOGREG_ITERS,
+        lr_num=LOGREG_LR[0],
+        lr_den=LOGREG_LR[1],
+        positive_label=POSITIVE_LABEL,
+        pos_weight=POS_WEIGHT,
+    )
+    + f"""
+SELECT CAST(least(9, floor(p * 10)) AS INT) AS bin,
+       count(*) AS n,
+       CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       CAST(sum(CAST(floor(p * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS sum_p_micro
+FROM p{LOGREG_ITERS + 1}
+GROUP BY 1
+""",
+)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram cells: per predicted-probability decile,
+    row count, positive count, and the micro-quantized score sum
+    (``Σ floor(p·1e6)`` — an exact BIGINT, so the 'mean predicted'
+    numerator is order-free; a raw float sum would be
+    order-sensitive and unhashable). ONE hash aggregate with map-side
+    combine — this is the binned scale path the exact AUC's docstring
+    points at: it survives any corpus size because cells, not rows,
+    bound the output."""
+    sc = _scored(spark, sf_dir)
+    return sc.groupBy(
+        F.least(F.lit(9), F.floor(F.col("p") * 10))
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("y") == 1.0).cast("long")).alias("pos"),
+        F.sum(F.floor(F.col("p") * 1000000.0).cast("long")).alias(
+            "sum_p_micro"
+        ),
+    )
+
+
+# ======================================================================
 # L35: top-principal-component projection (power iteration)
 # ======================================================================
 @query(

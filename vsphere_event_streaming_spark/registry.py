@@ -73,16 +73,16 @@ PRIORITY: tuple[str, ...] = (
     "q_grouping_sets",
     "q_lag_gap",
     "q_json_extract",
-    # ... plus 38 of the 48 whose newest driver row is r4. Ten r4
+    # ... plus 36 of the 48 whose newest driver row is r4. Twelve r4
     # rows are DEFERRED to r8, each with other in-window or
     # r5/r6-green family coverage, none its operator's sole oracle
-    # (the four r7-new trained-model queries displace four more
+    # (the six r7-new trained-model queries displace six more
     # deferred-r4 slots per the verdict's displacement rule:
-    # q_string_funcs + q_bitwise_funcs + q_map_funcs (§2.8 scalar
-    # family: in-window q_time_funcs/q_casts/q_null_funcs/
-    # q_array_funcs + r6-green q_math_funcs), q_knn_sq (ANN family:
+    # q_string_funcs + q_bitwise_funcs + q_map_funcs + q_array_funcs
+    # (§2.8 scalar family: in-window q_time_funcs/q_casts/
+    # q_null_funcs + r6-green q_math_funcs), q_knn_sq (ANN family:
     # in-window q_knn_topk/q_knn_hyperplane_probed + r5/r6-green IVF
-    # tier)):
+    # tier), q_join_anti (J4 family held by in-window q_join_semi)):
     # q_union (§2.7 also held by in-window q_except + r6-green
     # q_intersect), q_ordered_replay (ordering also held by in-window
     # q_last_page + the wire-level pytest tier), q_knn_hyperplane
@@ -95,7 +95,6 @@ PRIORITY: tuple[str, ...] = (
     # in-window q_dedup_media_robust), q_text_tokens (§2.10 surface:
     # in-window q_udf_cosine/q_udtf_props; token counting also via
     # r6-green q_bpe_tokens + in-window q_bpe_tokens_full):
-    "q_array_funcs",
     "q_boilerplate_scrub",
     "q_casts",
     "q_contamination",
@@ -107,7 +106,6 @@ PRIORITY: tuple[str, ...] = (
     "q_envelope",
     "q_except",
     "q_group_agg",
-    "q_join_anti",
     "q_join_asof",
     "q_join_broadcast",
     "q_join_left",
@@ -133,7 +131,7 @@ PRIORITY: tuple[str, ...] = (
     "q_udf_cosine",
     "q_udtf_props",
     "q_word_pmi",
-    # ... and the seven r7-new queries, displacing deferred-r4 slots
+    # ... and the nine r7-new queries, displacing deferred-r4 slots
     # (never r3 ones), per the verdict's displacement rule:
     "q_dedup_media_robust",
     "q_pack_chunked",
@@ -142,6 +140,8 @@ PRIORITY: tuple[str, ...] = (
     "q_classifier_eval",
     "q_classifier_pr",
     "q_embed_pca",
+    "q_classifier_auc",
+    "q_classifier_calibration",
     # ---- out of the r7 window ----
     # Every query below holds a driver-green value-hash row from
     # r4-r6 (histogram in VERDICT_r6) and keeps its oracle —
@@ -256,6 +256,8 @@ PRIORITY: tuple[str, ...] = (
     "q_bitwise_funcs",
     "q_knn_sq",
     "q_map_funcs",
+    "q_array_funcs",
+    "q_join_anti",
 )
 
 
