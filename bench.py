@@ -133,6 +133,9 @@ HEADLINE = [
     # exact rank-sum AUC + calibration bins over the memoized scores
     "q_classifier_auc",
     "q_classifier_calibration",
+    # trained k-means assignment (application path; training probed
+    # in SCALE.md via scale_probe's kmeans_train_assign)
+    "q_kmeans_cluster",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

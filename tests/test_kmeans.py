@@ -1,0 +1,148 @@
+"""Trained k-means (L36): three-way training parity (Spark == DuckDB
+chained-CTE replay == pure-Python reference, BIT-IDENTICAL — the
+L32/L34 pattern), clustering-quality floors, deterministic
+tie-breaking on duplicate vectors/centroids, and the empty-cluster /
+floor-division edge cases the oracle must mirror."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from vsphere_event_streaming_spark.functions.kmeans import (
+    kmeans_assign,
+    kmeans_oracle,
+    train_kmeans,
+    train_kmeans_reference,
+)
+from vsphere_event_streaming_spark.functions.classifier import MICRO
+from vsphere_event_streaming_spark.queries.model_queries import (
+    K_CLUSTERS,
+    KMEANS_ITERS,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+EMB = f"{SF_DIR}/embeddings.parquet"
+
+
+def _rows():
+    con = duckdb.connect()
+    out = con.sql(f"SELECT vec_id, embedding FROM '{EMB}'").fetchall()
+    con.close()
+    return [(i, list(v)) for i, v in out]
+
+
+def _duck(sql_suffix: str):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{EMB}'")
+    out = con.sql(
+        kmeans_oracle(k=K_CLUSTERS, iters=KMEANS_ITERS) + sql_suffix
+    ).fetchall()
+    con.close()
+    return out
+
+
+def test_kmeans_three_way_training_parity(spark):
+    """Spark training, the DuckDB chained-CTE replay, and the pure
+    Python reference must produce bit-identical micro-unit centroids
+    at the declared hyperparameters."""
+    emb = spark.read.parquet(EMB)
+    cm_spark = train_kmeans(emb, k=K_CLUSTERS, iters=KMEANS_ITERS)
+    cm_py = train_kmeans_reference(
+        _rows(), k=K_CLUSTERS, iters=KMEANS_ITERS
+    )
+    duck = _duck(f"SELECT cid, cm FROM c{KMEANS_ITERS} ORDER BY cid")
+    cm_duck = [list(c) for _, c in duck]
+    assert cm_spark == cm_py == cm_duck
+    # the model moved off its seed: at least one centroid differs
+    # from the quantized lowest-id vectors
+    seeds = sorted(_rows())[:K_CLUSTERS]
+    seed_cm = [
+        [math.floor(v * MICRO) for v in x] for _, x in seeds
+    ]
+    assert cm_spark != seed_cm
+
+
+def test_kmeans_assignment_matches_oracle_and_uses_clusters(spark):
+    """Spark-side application (literal-centroid argmin) must agree
+    row-for-row with the oracle's final assignment CTE, and the
+    trained model must actually partition the corpus (>1 cluster,
+    every cid in range)."""
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(EMB)
+    cm = train_kmeans(emb, k=K_CLUSTERS, iters=KMEANS_ITERS)
+    a_spark = {
+        r["vec_id"]: r["cid"]
+        for r in emb.select(
+            "vec_id", kmeans_assign(F.col("embedding"), cm).alias("cid")
+        ).collect()
+    }
+    a_duck = dict(_duck(f"SELECT vec_id, cid FROM a{KMEANS_ITERS + 1}"))
+    assert a_spark == a_duck
+    used = set(a_spark.values())
+    assert len(used) > 1
+    assert all(0 <= c < K_CLUSTERS for c in used)
+
+
+def test_kmeans_reference_duplicate_vectors_tie_break_low_cid():
+    """Duplicate seed vectors produce duplicate centroids; every
+    member must tie-break to the LOWER cid (the lexicographic
+    (dist, cid) rule both engines implement)."""
+    rows = [(i, [1.0, 1.0]) for i in range(4)] + [
+        (i, [10.0, 10.0]) for i in range(4, 8)
+    ]
+    cm = train_kmeans_reference(rows, k=2, iters=2)
+    # seeds are rows 0 and 1 (identical) -> cluster 1 starts empty
+    # and keeps its seed; cluster 0 absorbs the [1,1] group after
+    # the far group pulls nothing (all [1,1] tie to cid 0)
+    assert cm[1] == [MICRO, MICRO]  # unchanged duplicate seed
+
+
+def test_kmeans_reference_negative_coordinates_floor_division():
+    """Negative coordinate sums exercise the floor-vs-trunc split the
+    oracle's _FLOORDIV guards: centroid of {-1.5, -2.0} along dim 0
+    is floor((-1500000 + -2000000)/2) = -1750000 exactly."""
+    rows = [(0, [-1.5]), (1, [-2.0])]
+    cm = train_kmeans_reference(rows, k=1, iters=1)
+    assert cm[0] == [-1750000]
+
+
+def test_kmeans_reference_negative_floor_division_odd_split():
+    """An odd negative sum must floor (toward -inf), not truncate:
+    {-1.5, -2.0, -2.0} -> floor(-5500000/3) = -1833334 (trunc would
+    give -1833333)."""
+    rows = [(0, [-1.5]), (1, [-2.0]), (2, [-2.0])]
+    cm = train_kmeans_reference(rows, k=1, iters=1)
+    assert cm[0] == [math.floor(-5500000 / 3)] == [-1833334]
+
+
+def test_kmeans_oracle_floor_division_matches_python():
+    """The oracle's spelled-out floor division must reproduce the
+    odd-negative-sum centroid digit-for-digit in DuckDB itself."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        "(0, [-1.5]::DOUBLE[], 0), (1, [-2.0]::DOUBLE[], 0), "
+        "(2, [-2.0]::DOUBLE[], 0)) t(vec_id, embedding, label)"
+    )
+    got = con.sql(
+        kmeans_oracle(k=1, iters=1) + "SELECT cm FROM c1"
+    ).fetchone()[0]
+    con.close()
+    assert list(got) == [-1833334]
+
+
+def test_kmeans_empty_table_raises(spark):
+    emb = spark.read.parquet(EMB).limit(0)
+    with pytest.raises(ValueError, match="empty"):
+        train_kmeans(emb, k=2, iters=1)
+
+
+def test_kmeans_fewer_rows_than_k(spark):
+    """n < k trains n centroids in both engines (LIMIT k yields n)."""
+    rows = [(0, [1.0, 2.0]), (1, [5.0, 6.0])]
+    cm = train_kmeans_reference(rows, k=8, iters=2)
+    assert len(cm) == 2

@@ -33,10 +33,10 @@ from selfcheck import driver_guard  # noqa: E402  (tools/selfcheck.py)
 DRIVER_WINDOW = 50
 
 #: The r7 window, verbatim (VERDICT_r6 #1): the 50 stalest-evidence
-#: queries — all 5 whose newest driver row is r3, 36 of the 48 whose
-#: newest row is r4 (twelve deferred to r8, each with other in-window or
-#: r5/r6-green family coverage — rationale in registry.py), and the
-#: nine r7-new queries (media-robust/chunked-pack/full-BPE + the
+#: queries — all 5 whose newest driver row is r3, 35 of the 48 whose
+#: newest row is r4 (thirteen deferred to r8, each with other in-window
+#: or r5/r6-green family coverage — rationale in registry.py), and the
+#: ten r7-new queries (media-robust/chunked-pack/full-BPE + the
 #: trained-model tier incl. AUC/calibration), which displace
 #: deferred-r4 slots (never r3
 #: ones). Independent literal (NOT derived from PRIORITY) so
@@ -48,7 +48,7 @@ WINDOW_R7 = (
     "q_grouping_sets",
     "q_lag_gap",
     "q_json_extract",
-    # r4-stale re-greens (36 of 48)
+    # r4-stale re-greens (35 of 48)
     "q_boilerplate_scrub",
     "q_casts",
     "q_contamination",
@@ -67,7 +67,6 @@ WINDOW_R7 = (
     "q_join_semi",
     "q_join_smj",
     "q_knn_hyperplane_probed",
-    "q_knn_topk",
     "q_last_page",
     "q_null_funcs",
     "q_offset_assign",
@@ -95,6 +94,7 @@ WINDOW_R7 = (
     "q_embed_pca",
     "q_classifier_auc",
     "q_classifier_calibration",
+    "q_kmeans_cluster",
 )
 
 #: Queries expected to be rows-only (oracle=None) inside the window —
@@ -115,7 +115,8 @@ ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
 #: r4 rows (q_union, q_ordered_replay, q_knn_hyperplane,
 #: q_dedup_semantic, q_multimodal_decode, q_text_tokens,
 #: q_string_funcs, q_bitwise_funcs, q_knn_sq, q_map_funcs,
-#: q_array_funcs, q_join_anti) — first in line for the r8 window.
+#: q_array_funcs, q_join_anti, q_knn_topk) — first in line for the
+#: r8 window.
 ROTATED_OUT_R7 = (
     "q_tpch_q1",
     "q_tpch_q3",
@@ -227,6 +228,7 @@ ROTATED_OUT_R7 = (
     "q_map_funcs",
     "q_array_funcs",
     "q_join_anti",
+    "q_knn_topk",
 )
 
 

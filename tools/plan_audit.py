@@ -525,6 +525,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Window",
         ],
     ],
+    # k-means application: per-row literal-centroid argmin projection
+    # (training runs at build time) — scan + project only
+    "q_kmeans_cluster": [
+        [r"Project"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Exchange",
+            r"Join",
+        ],
+    ],
 }
 
 

@@ -16,6 +16,7 @@ Usage: python tools/scale_probe.py [sf_dir] [factor]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -146,6 +147,32 @@ def _classifier_shape(emb):
     )
     return emb.select(
         "vec_id", logreg_score(F.col("embedding"), w).alias("p")
+    )
+
+
+#: Centroids from every _kmeans_shape training this process — 1x and
+#: 10x must land identical: replicas scale each cluster's integer sum
+#: AND count by the factor, and floor(k·s/(k·n)) == floor(s/n).
+_KMEANS_CENTROIDS: list[list[list[int]]] = []
+
+
+def _kmeans_shape(emb):
+    """q_kmeans_cluster's shape: the FULL 4-iteration Lloyd's training
+    (per iteration: broadcast-centroid argmin projection + ONE
+    k·d-cell integer aggregate — the measured cost) followed by the
+    literal-centroid assignment projection."""
+    from vsphere_event_streaming_spark.functions.kmeans import (
+        kmeans_assign,
+        train_kmeans,
+    )
+
+    cm = train_kmeans(emb, k=8, iters=4, id_col="vec_id")
+    _KMEANS_CENTROIDS.append(cm)
+    assert all(c == _KMEANS_CENTROIDS[0] for c in _KMEANS_CENTROIDS), (
+        "identical replicas must train identical centroids"
+    )
+    return emb.select(
+        "vec_id", kmeans_assign(F.col("embedding"), cm).alias("cid")
     )
 
 
@@ -597,6 +624,12 @@ def main() -> None:
     docsNg = _replicate_docs(docs1g, factor, extra_cols=("lang",)).persist()
     docsNg.count()
 
+    # SPARK_GRAFT_PROBE_ONLY=a,b runs a subset (the bench's
+    # SPARK_GRAFT_BENCH_ONLY convention) — new probes shouldn't cost
+    # a full sweep to validate.
+    only_env = os.environ.get("SPARK_GRAFT_PROBE_ONLY", "").strip()
+    only = {s.strip() for s in only_env.split(",") if s.strip()}
+
     results = {}
     for name, one, many in [
         (
@@ -843,7 +876,18 @@ def main() -> None:
             lambda: _pca_shape(embL1),
             lambda: _pca_shape(embLN),
         ),
+        # r7: trained k-means — per-iteration cost is the argmin
+        # projection (rows-linear) + a k·d-cell aggregate; replica
+        # ids offset upward so the lowest-id seeds are unchanged and
+        # the 10x centroids must be bit-identical (asserted)
+        (
+            "kmeans_train_assign",
+            lambda: _kmeans_shape(emb1),
+            lambda: _kmeans_shape(embN),
+        ),
     ]:
+        if only and name not in only:
+            continue
         t1, n1 = _time(one)
         release_cached()  # dedup intermediates must not subsidize the Nx run
         tN, nN = _time(many)

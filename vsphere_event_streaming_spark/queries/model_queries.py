@@ -31,6 +31,7 @@ from ..functions.classifier import (
     power_iteration,
     train_logreg,
 )
+from ..functions.kmeans import kmeans_assign, kmeans_oracle, train_kmeans
 from ..registry import query
 from ..session import tune
 from ..tables import load
@@ -47,6 +48,8 @@ LOGREG_LR = (3, 1)  # lr_num / lr_den
 POS_WEIGHT = 9
 PCA_ITERS = 6
 POSITIVE_LABEL = 0
+K_CLUSTERS = 8
+KMEANS_ITERS = 4
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -371,4 +374,43 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.round(pca_project(F.col("embedding"), v), 6).alias("pc1"),
+    )
+
+
+#: Trained-centroids memo, same contract as _WEIGHTS_MEMO.
+_KMEANS_MEMO: dict[str, list[list[int]]] = {}
+
+
+# ======================================================================
+# L36: trained k-means clustering (Lloyd's, training oracle-replayed)
+# ======================================================================
+@query(
+    "q_kmeans_cluster",
+    oracle=kmeans_oracle(k=K_CLUSTERS, iters=KMEANS_ITERS)
+    + f"""
+SELECT e.vec_id, e.label, a.cid
+FROM e JOIN a{KMEANS_ITERS + 1} a USING (vec_id)
+""",
+)
+def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment under a k-means model trained by
+    KMEANS_ITERS Lloyd's iterations over the winsorized embeddings
+    (functions/kmeans.py) — the real trained artifact behind the IVF
+    family's documented centroid stand-in. Training is one pass per
+    iteration (broadcast-centroid argmin + a k·d-cell integer
+    aggregate, O(k·d) driver state); application is a per-row
+    literal-centroid argmin projection — no shuffle, no Python. The
+    oracle replays seeding, every assignment and every integer
+    centroid update digit-for-digit, then outputs the final model's
+    assignments, so a corpus change that flips one centroid's last
+    micro-unit digit flips the driver value hash."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cm = _KMEANS_MEMO.get(sf_dir)
+    if cm is None:
+        cm = train_kmeans(emb, k=K_CLUSTERS, iters=KMEANS_ITERS)
+        _KMEANS_MEMO[sf_dir] = cm
+    return emb.select(
+        "vec_id",
+        "label",
+        kmeans_assign(F.col("embedding"), cm).alias("cid"),
     )

@@ -73,16 +73,18 @@ PRIORITY: tuple[str, ...] = (
     "q_grouping_sets",
     "q_lag_gap",
     "q_json_extract",
-    # ... plus 36 of the 48 whose newest driver row is r4. Twelve r4
-    # rows are DEFERRED to r8, each with other in-window or
+    # ... plus 35 of the 48 whose newest driver row is r4. Thirteen
+    # r4 rows are DEFERRED to r8, each with other in-window or
     # r5/r6-green family coverage, none its operator's sole oracle
-    # (the six r7-new trained-model queries displace six more
+    # (the seven r7-new trained-model queries displace seven more
     # deferred-r4 slots per the verdict's displacement rule:
     # q_string_funcs + q_bitwise_funcs + q_map_funcs + q_array_funcs
     # (§2.8 scalar family: in-window q_time_funcs/q_casts/
     # q_null_funcs + r6-green q_math_funcs), q_knn_sq (ANN family:
     # in-window q_knn_topk/q_knn_hyperplane_probed + r5/r6-green IVF
-    # tier), q_join_anti (J4 family held by in-window q_join_semi)):
+    # tier), q_join_anti (J4 family held by in-window q_join_semi),
+    # q_knn_topk (ANN family: in-window q_knn_hyperplane_probed +
+    # r5/r6-green IVF/SQ tiers)):
     # q_union (§2.7 also held by in-window q_except + r6-green
     # q_intersect), q_ordered_replay (ordering also held by in-window
     # q_last_page + the wire-level pytest tier), q_knn_hyperplane
@@ -113,7 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "q_join_semi",
     "q_join_smj",
     "q_knn_hyperplane_probed",
-    "q_knn_topk",
     "q_last_page",
     "q_null_funcs",
     "q_offset_assign",
@@ -131,7 +132,7 @@ PRIORITY: tuple[str, ...] = (
     "q_udf_cosine",
     "q_udtf_props",
     "q_word_pmi",
-    # ... and the nine r7-new queries, displacing deferred-r4 slots
+    # ... and the ten r7-new queries, displacing deferred-r4 slots
     # (never r3 ones), per the verdict's displacement rule:
     "q_dedup_media_robust",
     "q_pack_chunked",
@@ -142,6 +143,7 @@ PRIORITY: tuple[str, ...] = (
     "q_embed_pca",
     "q_classifier_auc",
     "q_classifier_calibration",
+    "q_kmeans_cluster",
     # ---- out of the r7 window ----
     # Every query below holds a driver-green value-hash row from
     # r4-r6 (histogram in VERDICT_r6) and keeps its oracle —
@@ -258,6 +260,7 @@ PRIORITY: tuple[str, ...] = (
     "q_map_funcs",
     "q_array_funcs",
     "q_join_anti",
+    "q_knn_topk",
 )
 
 
