@@ -18,6 +18,10 @@ Stages (each is an independently-oracled operator — see COVERAGE.md):
                         column runs.
  2. boilerplate scrub — cut segments shared verbatim across docs (L16)
  3. scoring           — bigram-LM quality + DSIR importance (L17/L20)
+ 3b. distillation     — logistic classifier over feature-hashed
+                        embeddings trained to reproduce the LM gate
+                        (L34 ∘ L19, the CCNet/FastText pattern);
+                        agreement rate reported in the summary
  4. selection         — score floors + per-language mixing gate (L21)
  5. order + pack      — reproducible shuffle (L25), sequence packing
                         into token-budgeted packs (L14)
@@ -54,11 +58,16 @@ from vsphere_event_streaming_spark.functions.sampling import (  # noqa: E402
 from vsphere_event_streaming_spark.functions.text import (  # noqa: E402
     bigram_lm_scores,
     boilerplate_scrub,
+    hash_embed,
     importance_weights,
     md5_hash,
     pii_counts,
     repetition_profile,
     strip_markup,
+)
+from vsphere_event_streaming_spark.functions.classifier import (  # noqa: E402
+    logreg_score,
+    train_logreg,
 )
 from vsphere_event_streaming_spark.log.model import (  # noqa: E402
     assign_offsets,
@@ -144,6 +153,39 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
     scrubbed = scrubbed.persist()
     lm = bigram_lm_scores(scrubbed).select("doc_id", "avg_logp")
     iw = importance_weights(scrubbed, DSIR_TARGET_SOURCE)
+
+    # -- 3b. distill the LM gate into a linear scorer (L34) -------------
+    # The CCNet/FastText pattern: the expensive scorer (here the
+    # bigram LM) labels a training set; a logistic classifier over
+    # feature-hashed embeddings (L19) learns to reproduce the gate, so
+    # at crawl scale the cheap per-row fold scores everything while
+    # the teacher only ever scores a sample. Reported as an agreement
+    # rate; a production pipeline would gate unseen batches with it
+    # (the streaming serve path, streaming/model_stream.py).
+    feats = hash_embed(scrubbed).join(
+        lm.select(
+            "doc_id",
+            (F.col("avg_logp") >= F.lit(SELECT_MIN_LOGP))
+            .cast("int")
+            .alias("label"),
+        ),
+        "doc_id",
+    )
+    w = train_logreg(
+        feats, positive_label=1, iters=8, lr_num=3, lr_den=1, pos_weight=2
+    )
+    distill_agreement = (
+        feats.select(
+            (
+                (logreg_score(F.col("embedding"), w) >= 0.5).cast("int")
+                == F.col("label")
+            )
+            .cast("double")
+            .alias("ok")
+        )
+        .agg(F.avg("ok").alias("a"))
+        .first()["a"]
+    )
     selected = (
         stratified_sample(scrubbed, MIX_RATES, seed=MIX_SEED)
         .join(lm, "doc_id")
@@ -206,6 +248,7 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         "input_docs": docs.count(),
         "after_hygiene": scrubbed.count(),
         "selected": selected.count(),
+        "distill_agreement": round(distill_agreement, 3),
         "packs": out.select("lang", "pack_id").distinct().count(),
         "written_docs": out.count(),
     }

@@ -1039,3 +1039,89 @@ def test_incremental_bpe_vocab_stream(spark, tmp_path):
     got = {r.word: r.cnt for r in streamed.vocab().collect()}
     want = {r.word: r.cnt for r in word_vocab(docs).collect()}
     assert got == want
+
+
+def test_streaming_classifier_scoring_parity(spark, tmp_path):
+    """L34 serve path: frozen trained weights score an embedding
+    stream as a stateless projection; streamed scores must equal the
+    batch scores row-for-row (same expression tree), and the keep
+    gate must match the batch threshold cut."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.classifier import (
+        logreg_score,
+        train_logreg,
+    )
+    from vsphere_event_streaming_spark.streaming.model_stream import (
+        start_streaming_scoring,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    w = train_logreg(emb, iters=4, lr_num=3, lr_den=1, pos_weight=9)
+    in_dir = f"{tmp_path}/in"
+    for b in range(3):
+        emb.filter(F.col("vec_id") % 3 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{b}")
+    q = start_streaming_scoring(
+        spark,
+        in_dir + "/part*",
+        w,
+        f"{tmp_path}/ckpt",
+        query_name="t_model_scores",
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vec_id: (r.p, r.keep)
+        for r in spark.sql("SELECT * FROM t_model_scores").collect()
+    }
+    want = {
+        r.vec_id: (r.p, r.keep)
+        for r in emb.select(
+            "vec_id",
+            logreg_score(F.col("embedding"), w).alias("p"),
+            (logreg_score(F.col("embedding"), w) >= 0.5)
+            .cast("int")
+            .alias("keep"),
+        ).collect()
+    }
+    assert got == want
+    assert any(k for _, k in got.values()) and not all(
+        k for _, k in got.values()
+    )
+
+
+def test_incremental_gram_stream(spark, tmp_path):
+    """L35 train path: embedding batches streamed in per-file epochs
+    build a GramStore whose merged Gram — and therefore the retrained
+    component — is BIT-IDENTICAL to from-scratch over the union."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.classifier import (
+        GramStore,
+        gram_micro,
+        power_iteration,
+    )
+    from vsphere_event_streaming_spark.streaming.model_stream import (
+        start_incremental_gram,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    in_dir = f"{tmp_path}/in"
+    for b in range(3):
+        emb.filter(F.col("vec_id") % 3 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{b}")
+    q = start_incremental_gram(
+        spark,
+        in_dir + "/part*",
+        f"{tmp_path}/gram",
+        f"{tmp_path}/ckpt",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    store = GramStore(spark, f"{tmp_path}/gram")
+    assert store.gram() == gram_micro(emb)
+    g = gram_micro(emb)
+    d = 1 + max(i for i, _ in g)
+    assert store.train(iters=6) == power_iteration(g, d, iters=6)

@@ -1,0 +1,109 @@
+"""Streaming forms of the trained-model tier (SURVEY §2.11
+L34/L35, streaming forms): score an embedding stream with an
+offline-trained classifier, and stream Gram-cell batches into the
+incremental PCA store.
+
+Two topologies, matching how real pipelines split train and serve:
+
+- **Serve path** (:func:`streaming_scores`): the trained micro-unit
+  weights are frozen literals, and scoring is a PURE PROJECTION —
+  `logreg_score` / `kmeans_assign` are stateless per-row folds, so
+  they compose with `readStream` directly (no foreachBatch, no state
+  store, watermark-free). Batch/stream score parity is exact by
+  construction (same expression tree); asserted in
+  ``tests/test_streaming.py``.
+- **Train path** (:func:`start_incremental_gram`): the quantized Gram
+  cells are ADDITIVE BIGINTs, so the PCA store ingests per-epoch cell
+  batches through the same idempotent ``batch_id=`` partition
+  contract as every other index family (``bpe_stream`` /
+  ``dedup_stream``): a replayed epoch overwrites its own partition
+  and cannot double-count. Retraining over the streamed store is
+  bit-identical to from-scratch over everything ingested
+  (``GramStore.train``).
+
+At 100 TB: the serve path is the quality-filter stage of an ingest
+topology (score-and-gate each crawl batch as it lands); the train
+path refreshes the projection on a cadence while frozen weights keep
+serving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.classifier import GramStore, logreg_score
+
+#: Schema of streamed embedding batches (the driver corpus's layout).
+EMB_STREAM_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def streaming_scores(
+    stream: DataFrame, w_micro: list[int], threshold: float = 0.5
+) -> DataFrame:
+    """Classifier scores + keep/drop gate over a streaming embeddings
+    frame — a stateless projection, legal in any output mode."""
+    p = logreg_score(F.col("embedding"), w_micro)
+    return stream.select(
+        "vec_id",
+        "label",
+        p.alias("p"),
+        (p >= F.lit(threshold)).cast("int").alias("keep"),
+    )
+
+
+def start_streaming_scoring(
+    spark: SparkSession,
+    input_dir: str,
+    w_micro: list[int],
+    checkpoint_dir: str,
+    query_name: str = "model_scores",
+    threshold: float = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream embedding parquet batches through the trained
+    classifier into a memory sink (test/demo harness; production
+    would writeStream to parquet/Kafka — the projection is
+    sink-agnostic)."""
+    stream = spark.readStream.schema(EMB_STREAM_SCHEMA).parquet(input_dir)
+    writer = (
+        streaming_scores(stream, w_micro, threshold=threshold)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_incremental_gram(
+    spark: SparkSession,
+    input_dir: str,
+    gram_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    batch_prefix: str = "b",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream ``(vec_id, embedding, label)`` parquet batches into a
+    :class:`GramStore` — same foreachBatch/epoch-idempotence contract
+    as ``bpe_stream.start_incremental_bpe_vocab`` (checkpoint_dir and
+    gram_dir are one unit; fresh checkpoint ⇒ fresh batch_prefix)."""
+    store = GramStore(spark, gram_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        store.add_batch(batch_df, batch_id=f"{batch_prefix}{epoch_id}")
+
+    reader = spark.readStream.schema(EMB_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
