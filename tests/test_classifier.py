@@ -372,3 +372,32 @@ def test_calibration_bins_partition_the_corpus(spark):
         lo = r["bin"] / 10.0 * MICRO * r["n"]
         hi = (r["bin"] + 1) / 10.0 * MICRO * r["n"]
         assert lo - r["n"] <= r["sum_p_micro"] < hi
+
+
+def test_oracle_weight_update_division_exact_above_2_53():
+    """The logreg oracle's weight update must use exact integer floor
+    division: the former float path (floor(HUGEINT/DOUBLE)) rounds the
+    numerator before dividing and is verifiably wrong at 2^53+1 —
+    the gradient-sum magnitude a ~3e6-row worst-case corpus reaches
+    (per-row cap G_CLAMP*MICRO = 1e12 micro-units... at lr_num=3)."""
+    con = duckdb.connect()
+    for num, den in [
+        (2**53 + 1, 3),
+        (-(2**53 + 1), 3),
+        (-7, 2),
+        (7, 2),
+        (2**60 + 7, 12),
+    ]:
+        got = con.sql(
+            f"SELECT CAST({num} AS HUGEINT) // {den}"
+            f" - CASE WHEN CAST({num} AS HUGEINT) % {den} <> 0"
+            f" AND CAST({num} AS HUGEINT) < 0 THEN 1 ELSE 0 END"
+        ).fetchone()[0]
+        assert int(got) == num // den, (num, den)
+    # and the OLD float path really is wrong there (regression lock)
+    bad = con.sql(
+        f"SELECT CAST(floor(CAST({2**53 + 1} AS HUGEINT) / 3.0)"
+        " AS BIGINT)"
+    ).fetchone()[0]
+    assert int(bad) != (2**53 + 1) // 3
+    con.close()

@@ -111,8 +111,8 @@ ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
 #: Queries rotated out of the window in r7 — every one holds a
 #: driver-green value-hash row from r4-r6 and must stay registered
 #: and oracled (selfcheck covers them every round) even though the
-#: driver window no longer records them. Includes the six DEFERRED
-#: r4 rows (q_union, q_ordered_replay, q_knn_hyperplane,
+#: driver window no longer records them. Includes the thirteen
+#: DEFERRED r4 rows (q_union, q_ordered_replay, q_knn_hyperplane,
 #: q_dedup_semantic, q_multimodal_decode, q_text_tokens,
 #: q_string_funcs, q_bitwise_funcs, q_knn_sq, q_map_funcs,
 #: q_array_funcs, q_join_anti, q_knn_topk) — first in line for the

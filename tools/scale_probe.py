@@ -85,34 +85,19 @@ def _replicate_docs(docs, factor: int, extra_cols: tuple[str, ...] = ()):
     return out
 
 
-def _replicate_embeddings(emb, factor: int):
+def _replicate_embeddings(emb, factor: int, extra_cols: tuple[str, ...] = ()):
     """Key-shifted replicas with IDENTICAL vectors: every replica
     lands in its original's LSH bucket, so bucket populations grow by
-    the full factor — the worst case for the bucket equi-join."""
+    the full factor — the worst case for the bucket equi-join. Ids
+    shift UPWARD so lowest-id seeds/queries are unchanged.
+    ``extra_cols`` carries supervision (the trained-model probes pass
+    ("label",)) — the _replicate_docs convention."""
     n = emb.count()
     copies = [
         emb.select(
             (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
             "embedding",
-        )
-        for i in range(factor)
-    ]
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    return out
-
-
-def _replicate_embeddings_labeled(emb, factor: int):
-    """Identical-vector replicas KEEPING the label column — the
-    trained-model tier needs supervision; identical replicas scale
-    every per-class gradient mass by the factor."""
-    n = emb.count()
-    copies = [
-        emb.select(
-            (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
-            "embedding",
-            "label",
+            *extra_cols,
         )
         for i in range(factor)
     ]
@@ -615,20 +600,24 @@ def main() -> None:
     emb1 = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     embN = _replicate_embeddings(emb1, factor).persist()
     embN.count()
-    embL1 = load(spark, sf_dir, "embeddings")
-    embLN = _replicate_embeddings_labeled(embL1, factor).persist()
-    embLN.count()
+    # SPARK_GRAFT_PROBE_ONLY=a,b runs a subset (the bench's
+    # SPARK_GRAFT_BENCH_ONLY convention) — new probes shouldn't cost
+    # a full sweep to validate.
+    only_env = os.environ.get("SPARK_GRAFT_PROBE_ONLY", "").strip()
+    only = {t.strip() for t in only_env.split(",") if t.strip()}
+
+    model_probes = {"logreg_train_score", "pca_gram_project"}
+    if not only or only & model_probes:
+        embL1 = load(spark, sf_dir, "embeddings")
+        embLN = _replicate_embeddings(
+            embL1, factor, extra_cols=("label",)
+        ).persist()
+        embLN.count()
     docs1g = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
     docsNg = _replicate_docs(docs1g, factor, extra_cols=("lang",)).persist()
     docsNg.count()
-
-    # SPARK_GRAFT_PROBE_ONLY=a,b runs a subset (the bench's
-    # SPARK_GRAFT_BENCH_ONLY convention) — new probes shouldn't cost
-    # a full sweep to validate.
-    only_env = os.environ.get("SPARK_GRAFT_PROBE_ONLY", "").strip()
-    only = {s.strip() for s in only_env.split(",") if s.strip()}
 
     results = {}
     for name, one, many in [

@@ -26,8 +26,12 @@ published technique rather than a hack:
   sigmoid"): add/mul/div/abs only — bit-identical across engines,
   unlike libm ``exp`` whose rounding the IEEE standard does not pin;
 - **integer weight state**: weights live as BIGINT micro-units; the
-  update ``w -= floor(Σg·lr_num / (N·lr_den))`` is exact integer
-  arithmetic both engines reproduce digit-for-digit.
+  update ``w -= (Σg·lr_num) // (N·lr_den)`` is EXACT integer floor
+  division on both sides (the oracle spells out floor semantics over
+  DuckDB's truncating ``//``, the kmeans._FLOORDIV pattern) — a
+  float division would round the >2^53 numerator a 100 TB corpus
+  produces before dividing, diverging from Python's correctly-rounded
+  true quotient.
 
 Scale shape (100 TB): training is K passes over the corpus, each ONE
 hash aggregate with map-side combine producing d+1 (classifier) or
@@ -57,11 +61,6 @@ MICRO = 1_000_000
 Z_CLAMP = 30.0
 #: Per-coordinate gradient clip (and PCA input winsorization) bound.
 G_CLAMP = 1000.0
-#: Upper bound on supported embedding width for the d-generic oracle's
-#: static dim series (the driver corpus is 64-dim; fuzz uses 8).
-MAX_DIM = 4096
-
-
 def augmented(vec: Column) -> Column:
     """``embedding ++ [1.0]`` as array<double> — the bias becomes the
     last coordinate so one weight vector carries (w, b) uniformly."""
@@ -193,7 +192,10 @@ def train_logreg(
             }
             for j in range(d):
                 gsum = int(sums.get(j) or 0)
-                w[j] -= math.floor(gsum * lr_num / (n * lr_den))
+                # exact integer floor division — int/int float
+                # division would round a >2^53 numerator before
+                # dividing and diverge from the oracle
+                w[j] -= (gsum * lr_num) // (n * lr_den)
         return w
     finally:
         base.unpersist()
@@ -270,19 +272,28 @@ def logreg_oracle(
         )
         if k == iters + 1:
             break
+        # exact integer floor division (the kmeans._FLOORDIV pattern;
+        # DuckDB's // truncates toward zero, and dividing via DOUBLE
+        # would round a >2^53 numerator before dividing): NUM/DEN with
+        # DEN = N·lr_den > 0, floor = trunc - [remainder≠0 and NUM<0]
+        num = f"(gs.g * {lr_num})"
+        den = f"((SELECT n FROM nn) * {lr_den})"
         parts.append(
             f"""w{k} AS MATERIALIZED (
-  SELECT xd.dim,
-         w.wi - CAST(floor(
-           (sum(CAST(floor(
-              greatest(-{G_CLAMP}, least({G_CLAMP},
-                ((p.p - p.y)
-                 * (CASE WHEN p.y = 1.0 THEN {pos_weight}.0 ELSE 1.0 END))
-                * xd.xj))
-              * {MICRO}.0) AS BIGINT)) * {lr_num})
-           / ((SELECT n FROM nn) * {lr_den}.0)) AS BIGINT) AS wi
-  FROM xd JOIN p{k} p USING (vec_id) JOIN {prev_w} w ON w.dim = xd.dim
-  GROUP BY xd.dim, w.wi
+  SELECT gs.dim,
+         CAST(w.wi - ({num} // {den}
+                 - CASE WHEN {num} % {den} <> 0 AND {num} < 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS wi
+  FROM (SELECT xd.dim,
+               sum(CAST(floor(
+                 greatest(-{G_CLAMP}, least({G_CLAMP},
+                   ((p.p - p.y)
+                    * (CASE WHEN p.y = 1.0 THEN {pos_weight}.0 ELSE 1.0 END))
+                   * xd.xj))
+                 * {MICRO}.0) AS BIGINT)) AS g
+        FROM xd JOIN p{k} p USING (vec_id)
+        GROUP BY xd.dim) gs
+  JOIN {prev_w} w ON w.dim = gs.dim
 )"""
         )
     return "WITH\n" + ",\n".join(parts)
@@ -327,7 +338,7 @@ def train_logreg_reference(
                 gj = max(-G_CLAMP, min(G_CLAMP, g * x[j]))
                 gsum[j] += math.floor(gj * MICRO)
         for j in range(d):
-            w[j] -= math.floor(gsum[j] * lr_num / (n * lr_den))
+            w[j] -= (gsum[j] * lr_num) // (n * lr_den)
     return w
 
 

@@ -173,15 +173,14 @@ def train_kmeans(
         base.unpersist()
 
 
-def kmeans_assign(
-    vec: Column, cm: list[list[int]], vec_col_xx: Column | None = None
-) -> Column:
+def kmeans_assign(vec: Column, cm: list[list[int]]) -> Column:
     """Per-row cluster id under the trained micro-unit centroids —
     a literal-centroid argmin projection (one-time compile; no
-    shuffle, no Python). Pass a precomputed ``xx`` column to avoid
-    re-folding x·x once per centroid."""
+    shuffle, no Python). ``xx`` is computed internally from the
+    WINSORIZED vector — a caller-supplied unwinsorized x·x would
+    silently misassign out-of-clamp rows, so it isn't a parameter."""
     wx = winsorized(vec)
-    xx = vec_col_xx if vec_col_xx is not None else dot(wx, wx)
+    xx = dot(wx, wx)
     cent = F.array(
         *[
             F.struct(
