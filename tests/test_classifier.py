@@ -401,3 +401,66 @@ def test_oracle_weight_update_division_exact_above_2_53():
     ).fetchone()[0]
     assert int(bad) != (2**53 + 1) // 3
     con.close()
+
+
+def test_pca_second_component_three_way_parity_and_orthogonal(spark):
+    """The deflated+re-orthogonalized second component must be
+    bit-identical between the Python trainer and the DuckDB replay,
+    orthogonal to v1 at machine epsilon (the Gram-Schmidt step makes
+    this exact by construction), unit-norm, and a genuinely different
+    direction."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        deflated_second_component,
+    )
+
+    emb = spark.read.parquet(EMB)
+    g = gram_micro(emb)
+    d = 1 + max(i for i, _ in g)
+    v1 = power_iteration(g, d, iters=PCA_ITERS)
+    v2 = deflated_second_component(g, d, iters=PCA_ITERS)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{EMB}'")
+    v2_duck = list(
+        con.sql(
+            pca_oracle(iters=PCA_ITERS, components=2)
+            + "SELECT v FROM v2f"
+        ).fetchone()[0]
+    )
+    con.close()
+    assert v2 == v2_duck
+    assert abs(sum(a * b for a, b in zip(v1, v2))) < 1e-12
+    assert abs(sum(x * x for x in v2) - 1.0) < 1e-9
+    assert sum(abs(a - b) for a, b in zip(v1, v2)) > 0.1
+
+
+def test_pca_second_component_rank1_degenerate():
+    """A rank-1 Gram (every row a multiple of one vector) has no
+    second direction: deflation leaves ~nothing and the projection
+    must come back as the degenerate near-zero vector, not NaN."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        deflated_second_component,
+    )
+
+    # gram of 100 copies of x = [1, 2]: G = 100 * x xᵀ (micro-units)
+    g = {
+        (0, 0): 100_000_000,
+        (0, 1): 200_000_000,
+        (1, 0): 200_000_000,
+        (1, 1): 400_000_000,
+    }
+    v2 = deflated_second_component(g, 2, iters=6)
+    assert v2 == [0.0, 0.0]  # explicit zero: no second direction
+    # ... and the oracle takes the SAME branch on a 2-dim rank-1
+    # corpus (100 identical [1,2] embeddings)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT range AS vec_id,"
+        " [1.0, 2.0]::DOUBLE[] AS embedding, 0 AS label FROM range(100)"
+    )
+    got = list(
+        con.sql(
+            pca_oracle(iters=6, components=2) + "SELECT v FROM v2f"
+        ).fetchone()[0]
+    )
+    con.close()
+    assert got == [0.0, 0.0]

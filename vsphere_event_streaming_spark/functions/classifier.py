@@ -445,15 +445,11 @@ class GramStore:
         return power_iteration(g, d, iters=iters)
 
 
-def power_iteration(
-    gram: dict[tuple[int, int], int], d: int, iters: int = 6
-) -> list[float]:
-    """Top eigenvector of the micro-unit Gram by fixed-iteration power
-    iteration from the all-ones start — explicit left folds so DuckDB's
-    ``list_dot_product`` replay is bit-identical. O(d²) driver work."""
-    if d == 0:
-        return []
-    g = [[float(gram.get((i, j), 0)) for j in range(d)] for i in range(d)]
+def _power_iter_mat(g: list[list[float]], iters: int) -> list[float]:
+    """Fixed-iteration power iteration over a dense float matrix from
+    the all-ones start — explicit left folds so DuckDB's
+    ``list_dot_product`` replay is bit-identical."""
+    d = len(g)
     v = [1.0 / math.sqrt(float(d))] * d
     for _ in range(iters):
         u = []
@@ -467,9 +463,82 @@ def power_iteration(
             nrm = nrm + ui * ui
         nrm = math.sqrt(nrm)
         if nrm == 0.0:
-            return u  # degenerate (all-zero Gram): projection is 0
+            return u  # degenerate (all-zero matrix): projection is 0
         v = [ui / nrm for ui in u]
     return v
+
+
+def _gram_matrix(
+    gram: dict[tuple[int, int], int], d: int
+) -> list[list[float]]:
+    return [
+        [float(gram.get((i, j), 0)) for j in range(d)] for i in range(d)
+    ]
+
+
+def power_iteration(
+    gram: dict[tuple[int, int], int], d: int, iters: int = 6
+) -> list[float]:
+    """Top eigenvector of the micro-unit Gram by fixed-iteration power
+    iteration. O(d²) driver work."""
+    if d == 0:
+        return []
+    return _power_iter_mat(_gram_matrix(gram, d), iters)
+
+
+def deflated_second_component(
+    gram: dict[tuple[int, int], int], d: int, iters: int = 6
+) -> list[float]:
+    """Second principal component by Hotelling deflation:
+    ``G₂ = G − λ·v₁v₁ᵀ`` with ``λ = v₁ᵀGv₁`` (the Rayleigh quotient of
+    the unit v₁), then the same fixed power iteration over G₂ — real
+    whitening needs more than one direction. Every float op is an
+    explicit left fold with the same order as the oracle's
+    ``list_dot_product`` replay (``u = Gv₁`` folds j, ``λ = v₁·u``
+    folds i, each deflated cell is ``g − (λ·v₁ᵢ)·v₁ⱼ``), so v₂ is
+    bit-identical across engines. O(d²) driver work, no extra corpus
+    pass — deflation reuses the one trained Gram."""
+    if d == 0:
+        return []
+    g = _gram_matrix(gram, d)
+    v1 = _power_iter_mat(g, iters)
+    u = []
+    for i in range(d):
+        acc = 0.0
+        for j in range(d):
+            acc = acc + g[i][j] * v1[j]
+        u.append(acc)
+    lam = 0.0
+    for i in range(d):
+        lam = lam + v1[i] * u[i]
+    g2 = [
+        [g[i][j] - lam * v1[i] * v1[j] for j in range(d)]
+        for i in range(d)
+    ]
+    w = _power_iter_mat(g2, iters)
+    # Gram–Schmidt re-orthogonalization against v₁: fixed-iteration
+    # power iteration leaves a residual v₁ overlap bounded by the
+    # spectral gap (measured −0.083 at 6 iterations on the driver
+    # corpus); one exact projection removes it by construction.
+    ov = 0.0
+    for i in range(d):
+        ov = ov + v1[i] * w[i]
+    r = [w[i] - ov * v1[i] for i in range(d)]
+    nrm = 0.0
+    for ri in r:
+        nrm = nrm + ri * ri
+    nrm = math.sqrt(nrm)
+    if nrm < 1e-9:
+        # rank-1 Gram: deflation leaves only float-cancellation
+        # residue PARALLEL to v₁ (−ε·v₁v₁ᵀ), which normalization
+        # would amplify back to ±v₁ — so a genuinely absent second
+        # direction comes back as the explicit zero vector (pc2 = 0
+        # for every row). The residual norm of a REAL component is
+        # O(1) (√(1−overlap²)), 9+ orders above the cutoff; the same
+        # literal comparison runs in the oracle, so the branch is
+        # engine-identical.
+        return [0.0] * d
+    return [ri / nrm for ri in r]
 
 
 def pca_project(vec: Column, v: list[float]) -> Column:
@@ -480,12 +549,18 @@ def pca_project(vec: Column, v: list[float]) -> Column:
     )
 
 
-def pca_oracle(iters: int = 6) -> str:
+def pca_oracle(iters: int = 6, components: int = 1) -> str:
     """Chained-CTE training replay for the PCA power iteration (no
     final SELECT): ``WITH we, gd, gr, dd, v0, v1, ..., v{iters}`` where
     each ``v{k}`` is ONE row holding the component as a DOUBLE list.
     The Gram rows fold through ``list_dot_product`` in j order and the
-    norm folds in i order — exactly :func:`power_iteration`'s loops."""
+    norm folds in i order — exactly :func:`power_iteration`'s loops.
+
+    With ``components=2`` the chain continues through the Hotelling
+    deflation (``uZ``/``lam``/``g2d``/``gr2`` then ``v2_0 ...
+    v2_{iters}``), replaying :func:`deflated_second_component`: the
+    Rayleigh λ folds exactly like the Python loops, and each deflated
+    cell is ``g − (λ·v₁ᵢ)·v₁ⱼ`` in the same operation order."""
     parts = [
         """we AS MATERIALIZED (
   SELECT vec_id, label,
@@ -524,5 +599,71 @@ def pca_oracle(iters: int = 6) -> str:
          END AS v
   FROM u{k}
 )""",
+        )
+    if components >= 2:
+        parts.append(
+            f"""uZ AS MATERIALIZED (
+  SELECT list(list_dot_product(grow, (SELECT v FROM v{iters}))
+              ORDER BY i) AS u
+  FROM gr
+)"""
+        )
+        parts.append(
+            f"""lam AS MATERIALIZED (
+  SELECT list_dot_product((SELECT v FROM v{iters}), u) AS l FROM uZ
+)"""
+        )
+        parts.append(
+            f"""g2d AS MATERIALIZED (
+  SELECT gd.i, gd.j,
+         CAST(gd.g AS DOUBLE)
+           - (SELECT l FROM lam)
+             * (SELECT v FROM v{iters})[gd.i]
+             * (SELECT v FROM v{iters})[gd.j] AS g
+  FROM gd
+)"""
+        )
+        parts.append(
+            """gr2 AS MATERIALIZED (
+  SELECT i, list(g ORDER BY j) AS grow FROM g2d GROUP BY i
+)"""
+        )
+        parts.append("v2_0 AS MATERIALIZED (SELECT v FROM v0)")
+        for k in range(1, iters + 1):
+            parts.append(
+                f"""u2_{k} AS MATERIALIZED (
+  SELECT list(list_dot_product(grow, (SELECT v FROM v2_{k - 1}))
+              ORDER BY i) AS u
+  FROM gr2
+)"""
+            )
+            parts.append(
+                f"""v2_{k} AS MATERIALIZED (
+  SELECT CASE WHEN sqrt(list_dot_product(u, u)) = 0.0 THEN u
+              ELSE list_transform(u, e -> e / sqrt(list_dot_product(u, u)))
+         END AS v
+  FROM u2_{k}
+)"""
+            )
+        parts.append(
+            f"""ov AS MATERIALIZED (
+  SELECT list_dot_product((SELECT v FROM v{iters}),
+                          (SELECT v FROM v2_{iters})) AS o
+)"""
+        )
+        parts.append(
+            f"""v2r AS MATERIALIZED (
+  SELECT list_transform(b.v, (x, i) -> x - o.o * a.v[i]) AS u
+  FROM v{iters} a, v2_{iters} b, ov o
+)"""
+        )
+        parts.append(
+            """v2f AS MATERIALIZED (
+  SELECT CASE WHEN sqrt(list_dot_product(u, u)) < 1e-9
+              THEN list_transform(u, e -> 0.0)
+              ELSE list_transform(u, e -> e / sqrt(list_dot_product(u, u)))
+         END AS v
+  FROM v2r
+)"""
         )
     return "WITH\n" + ",\n".join(parts)
