@@ -136,6 +136,7 @@ HEADLINE = [
     # trained k-means assignment (application path; training probed
     # in SCALE.md via scale_probe's kmeans_train_assign)
     "q_kmeans_cluster",
+    "q_kmeans_sizes",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

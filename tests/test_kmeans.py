@@ -146,3 +146,27 @@ def test_kmeans_fewer_rows_than_k(spark):
     rows = [(0, [1.0, 2.0]), (1, [5.0, 6.0])]
     cm = train_kmeans_reference(rows, k=8, iters=2)
     assert len(cm) == 2
+
+
+def test_kmeans_sizes_partition_the_corpus(spark):
+    """Cluster sizes must sum to the corpus row count, mirror the
+    assignment query's per-cid counts exactly, and every distance
+    envelope must be ordered (min <= max, min >= 0 up to float
+    cancellation of the expanded square)."""
+    from collections import Counter
+
+    from vsphere_event_streaming_spark.queries import model_queries as mq
+
+    sizes = {
+        r["cid"]: (r["n"], r["min_d_micro"], r["max_d_micro"])
+        for r in mq.q_kmeans_sizes(spark, SF_DIR).collect()
+    }
+    assigned = Counter(
+        r["cid"]
+        for r in mq.q_kmeans_cluster(spark, SF_DIR).collect()
+    )
+    assert {c: n for c, (n, _, _) in sizes.items()} == dict(assigned)
+    assert sum(n for n, _, _ in sizes.values()) == 500
+    for cid, (n, lo, hi) in sizes.items():
+        assert lo <= hi
+        assert lo >= -1  # floor() of tiny negative cancellation noise

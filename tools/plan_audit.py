@@ -525,6 +525,16 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Window",
         ],
     ],
+    # k-means diagnostics: argmin projection -> ONE k-key hash agg
+    "q_kmeans_sizes": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Join",
+        ],
+    ],
     # k-means application: per-row literal-centroid argmin projection
     # (training runs at build time) — scan + project only
     "q_kmeans_cluster": [

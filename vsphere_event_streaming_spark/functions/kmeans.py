@@ -49,6 +49,7 @@ __all__ = [
     "train_kmeans",
     "train_kmeans_reference",
     "kmeans_assign",
+    "kmeans_assign_detail",
     "kmeans_oracle",
 ]
 
@@ -68,11 +69,11 @@ def _self_dot(cf: list[float]) -> float:
 
 
 def _assign_col(cent: Column, x: Column, xx: Column) -> Column:
-    """argmin_(dist, cid) over an array<struct<cid,c,cc>> column —
-    struct comparison is lexicographic in Spark, mirroring the
-    oracle's ``ORDER BY dist, cid`` and the reference's strict-<
-    scan. dist = xx - 2·(x·c) + cc, every op shared-fold/correctly
-    rounded."""
+    """The winning ``struct<d, c>`` by argmin_(dist, cid) over an
+    array<struct<cid,c,cc>> column — struct comparison is
+    lexicographic in Spark, mirroring the oracle's ``ORDER BY dist,
+    cid`` and the reference's strict-< scan. dist = xx - 2·(x·c) +
+    cc, every op shared-fold/correctly rounded."""
     return F.array_min(
         F.transform(
             cent,
@@ -83,7 +84,7 @@ def _assign_col(cent: Column, x: Column, xx: Column) -> Column:
                 s["cid"].alias("c"),
             ),
         )
-    )["c"]
+    )
 
 
 def _centroid_frame(spark, cm: list[list[int]]):
@@ -137,9 +138,9 @@ def train_kmeans(
         for _ in range(iters):
             cdf = _centroid_frame(spark, cm)
             a = base.join(F.broadcast(cdf)).select(
-                _assign_col(
-                    F.col("cent"), F.col("x"), F.col("xx")
-                ).alias("cid"),
+                _assign_col(F.col("cent"), F.col("x"), F.col("xx"))[
+                    "c"
+                ].alias("cid"),
                 F.col("x"),
             )
             # Generate barrier: cid is evaluated once per input row
@@ -173,12 +174,13 @@ def train_kmeans(
         base.unpersist()
 
 
-def kmeans_assign(vec: Column, cm: list[list[int]]) -> Column:
-    """Per-row cluster id under the trained micro-unit centroids —
-    a literal-centroid argmin projection (one-time compile; no
-    shuffle, no Python). ``xx`` is computed internally from the
-    WINSORIZED vector — a caller-supplied unwinsorized x·x would
-    silently misassign out-of-clamp rows, so it isn't a parameter."""
+def kmeans_assign_detail(vec: Column, cm: list[list[int]]) -> Column:
+    """The winning ``struct<d: double, c: int>`` (squared distance +
+    cluster id) under the trained micro-unit centroids — a
+    literal-centroid argmin projection (one-time compile; no shuffle,
+    no Python). ``xx`` is computed internally from the WINSORIZED
+    vector — a caller-supplied unwinsorized x·x would silently
+    misassign out-of-clamp rows, so it isn't a parameter."""
     wx = winsorized(vec)
     xx = dot(wx, wx)
     cent = F.array(
@@ -199,6 +201,12 @@ def kmeans_assign(vec: Column, cm: list[list[int]]) -> Column:
         ]
     )
     return _assign_col(cent, wx, xx)
+
+
+def kmeans_assign(vec: Column, cm: list[list[int]]) -> Column:
+    """Per-row cluster id: :func:`kmeans_assign_detail`'s ``c``
+    field."""
+    return kmeans_assign_detail(vec, cm)["c"]
 
 
 def train_kmeans_reference(
@@ -290,8 +298,9 @@ def kmeans_oracle(k: int = 8, iters: int = 4) -> str:
         )
         parts.append(
             f"""a{t} AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, d FROM (
     SELECT ex.vec_id, c.cid,
+           ex.xx - 2.0*list_dot_product(ex.x, c.c) + c.cc AS d,
            row_number() OVER (PARTITION BY ex.vec_id ORDER BY
              ex.xx - 2.0*list_dot_product(ex.x, c.c) + c.cc,
              c.cid) AS rn

@@ -32,7 +32,12 @@ from ..functions.classifier import (
     power_iteration,
     train_logreg,
 )
-from ..functions.kmeans import kmeans_assign, kmeans_oracle, train_kmeans
+from ..functions.kmeans import (
+    kmeans_assign,
+    kmeans_assign_detail,
+    kmeans_oracle,
+    train_kmeans,
+)
 from ..registry import query
 from ..session import tune
 from ..tables import load
@@ -415,13 +420,56 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid update digit-for-digit, then outputs the final model's
     assignments, so a corpus change that flips one centroid's last
     micro-unit digit flips the driver value hash."""
+    emb, cm = _kmeans_model(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        "label",
+        kmeans_assign(F.col("embedding"), cm).alias("cid"),
+    )
+
+
+def _kmeans_model(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cm = _KMEANS_MEMO.get(sf_dir)
     if cm is None:
         cm = train_kmeans(emb, k=K_CLUSTERS, iters=KMEANS_ITERS)
         _KMEANS_MEMO[sf_dir] = cm
-    return emb.select(
-        "vec_id",
-        "label",
-        kmeans_assign(F.col("embedding"), cm).alias("cid"),
+    return emb, cm
+
+
+# ======================================================================
+# L36': k-means cluster diagnostics (sizes + distance envelopes)
+# ======================================================================
+@query(
+    "q_kmeans_sizes",
+    oracle=kmeans_oracle(k=K_CLUSTERS, iters=KMEANS_ITERS)
+    + f"""
+SELECT cid,
+       count(*) AS n,
+       min(CAST(floor(d * 1000000.0) AS BIGINT)) AS min_d_micro,
+       max(CAST(floor(d * 1000000.0) AS BIGINT)) AS max_d_micro
+FROM a{KMEANS_ITERS + 1}
+GROUP BY cid
+""",
+)
+def q_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster diagnostics of the trained k-means model: member
+    count and the micro-quantized min/max squared distance — the
+    compactness envelope a clustering-quality gate reads (skewed
+    sizes or a blown-out max distance flag a bad fit). min/max of
+    exact BIGINTs, never a float sum, so the cells are hash-stable
+    AND overflow-free at any corpus size (an inertia SUM would
+    exceed BIGINT at ~1e9 rows x the 2.6e14 per-row micro bound).
+    One k-key hash aggregate over the assignment projection."""
+    emb, cm = _kmeans_model(spark, sf_dir)
+    a = kmeans_assign_detail(F.col("embedding"), cm)
+    dm = F.floor(a["d"] * F.lit(1000000.0)).cast("long")
+    return (
+        emb.select(a["c"].alias("cid"), dm.alias("dm"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("dm").alias("min_d_micro"),
+            F.max("dm").alias("max_d_micro"),
+        )
     )

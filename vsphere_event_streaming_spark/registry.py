@@ -261,6 +261,9 @@ PRIORITY: tuple[str, ...] = (
     "q_array_funcs",
     "q_join_anti",
     "q_knn_topk",
+    # r7-new, declared OUT of the window (no free slot without
+    # deferring a sole-oracle row); oracled, so selfcheck covers it
+    "q_kmeans_sizes",
 )
 
 
