@@ -137,6 +137,7 @@ HEADLINE = [
     # in SCALE.md via scale_probe's kmeans_train_assign)
     "q_kmeans_cluster",
     "q_kmeans_sizes",
+    "q_cluster_balanced",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -170,3 +170,33 @@ def test_kmeans_sizes_partition_the_corpus(spark):
     for cid, (n, lo, hi) in sizes.items():
         assert lo <= hi
         assert lo >= -1  # floor() of tiny negative cancellation noise
+
+
+def test_cluster_balanced_budgets(spark):
+    """The balanced sample must keep small clusters whole (rate 1) and
+    shrink over-cap clusters toward cap = ceil(N/k) (hash-bucket
+    variance allowed), never growing any cluster."""
+    from collections import Counter
+
+    from vsphere_event_streaming_spark.queries import model_queries as mq
+
+    full = Counter(
+        r["cid"] for r in mq.q_kmeans_cluster(spark, SF_DIR).collect()
+    )
+    kept = Counter(
+        r["cid"] for r in mq.q_cluster_balanced(spark, SF_DIR).collect()
+    )
+    n = sum(full.values())
+    cap = -(-n // K_CLUSTERS)
+    assert set(kept) <= set(full)
+    for cid, nf in full.items():
+        nk = kept.get(cid, 0)
+        assert nk <= nf
+        if nf <= cap:
+            assert nk == nf, f"under-cap cluster {cid} lost rows"
+        else:
+            # binomial(n_f, cap/n_f): mean cap, allow 5 sigma
+            import math as m
+
+            sigma = m.sqrt(nf * (cap / nf) * (1 - cap / nf))
+            assert abs(nk - cap) <= 5 * sigma + 1, (cid, nf, nk, cap)

@@ -232,6 +232,7 @@ ROTATED_OUT_R7 = (
     # r7-new, declared OUT of the window (no free slot without
     # deferring a sole-oracle row); oracled, so selfcheck covers it
     "q_kmeans_sizes",
+    "q_cluster_balanced",
 )
 
 

@@ -525,6 +525,17 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Window",
         ],
     ],
+    # cluster-balanced sampling: size agg broadcasts back; the keep
+    # filter is codegen md5 arithmetic — no Python, no cartesian
+    "q_cluster_balanced": [
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SortMergeJoin",
+        ],
+    ],
     # k-means diagnostics: argmin projection -> ONE k-key hash agg
     "q_kmeans_sizes": [
         [r"HashAggregate"],

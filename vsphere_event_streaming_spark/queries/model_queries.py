@@ -473,3 +473,65 @@ def q_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dm").alias("max_d_micro"),
         )
     )
+
+
+# ======================================================================
+# L37: cluster-balanced downsampling (diversity-preserving selection)
+# ======================================================================
+def _cbal_oracle() -> str:
+    from ..functions.sampling import SAMPLE_MOD
+    from ..functions.text import HASH_MOD
+
+    k1 = KMEANS_ITERS + 1
+    return (
+        kmeans_oracle(k=K_CLUSTERS, iters=KMEANS_ITERS)
+        + f""",
+sz AS MATERIALIZED (SELECT cid, count(*) AS n_c FROM a{k1} GROUP BY cid),
+cap AS MATERIALIZED (
+  SELECT (count(*) + {K_CLUSTERS} - 1) // {K_CLUSTERS} AS cap FROM e
+)
+SELECT e.vec_id, e.label, a.cid
+FROM e JOIN a{k1} a USING (vec_id) JOIN sz ON sz.cid = a.cid
+WHERE ((('0x' || substr(md5('cbal:' || CAST(e.vec_id AS VARCHAR)), 1, 15))::BIGINT
+        % {HASH_MOD}) % {SAMPLE_MOD})
+      < least({SAMPLE_MOD},
+              (SELECT cap FROM cap) * {SAMPLE_MOD} // sz.n_c)
+"""
+    )
+
+
+@query("q_cluster_balanced", oracle=_cbal_oracle())
+def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced downsampling over the trained k-means model:
+    keep each row with per-cluster probability min(1, cap/n_c) where
+    cap = ceil(N/k) — over-represented clusters (near-duplicate blobs,
+    boilerplate basins) shrink toward the per-cluster budget while
+    small clusters survive whole, the SSL-prototypes/SemDeDup-style
+    diversity-preserving selection. Every quantity is an exact
+    integer (rate in SAMPLE_MOD micro-units via integral division —
+    operands positive, so Spark's `div` and DuckDB's `//` agree) and
+    the keep decision is the content-keyed md5 bucket (L13's trick),
+    so the whole selection — including TRAINING the model that shapes
+    it — is replayed digit-for-digit by the oracle. Plan: assignment
+    projection → k-row size aggregate broadcast back → one codegen
+    filter; no data-sized shuffle beyond the k·d training aggregates."""
+    from ..functions.sampling import SAMPLE_MOD, keep_bucket
+
+    emb, cm = _kmeans_model(spark, sf_dir)
+    n_total = emb.count()
+    cap = (n_total + K_CLUSTERS - 1) // K_CLUSTERS
+    assigned = emb.select(
+        "vec_id",
+        "label",
+        kmeans_assign(F.col("embedding"), cm).alias("cid"),
+    )
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_c"))
+    rate = F.least(
+        F.lit(SAMPLE_MOD).cast("long"),
+        F.expr(f"{cap} * {SAMPLE_MOD} div n_c"),
+    )
+    return (
+        assigned.join(F.broadcast(sizes), "cid")
+        .filter(keep_bucket(F.col("vec_id"), "cbal") < rate)
+        .select("vec_id", "label", "cid")
+    )

@@ -264,6 +264,7 @@ PRIORITY: tuple[str, ...] = (
     # r7-new, declared OUT of the window (no free slot without
     # deferring a sole-oracle row); oracled, so selfcheck covers it
     "q_kmeans_sizes",
+    "q_cluster_balanced",
 )
 
 
