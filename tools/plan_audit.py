@@ -525,15 +525,17 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Window",
         ],
     ],
-    # cluster-balanced sampling: size agg broadcasts back; the keep
-    # filter is codegen md5 arithmetic — no Python, no cartesian
+    # cluster-balanced sampling: ONE scan — assignment projection +
+    # literal-CASE keep filter (rates collected once at build time);
+    # no join, no shuffle, no Python
     "q_cluster_balanced": [
-        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"Project"],
         [
             r"BatchEvalPython",
             r"ArrowEvalPython",
             r"CartesianProduct",
-            r"SortMergeJoin",
+            r"Join",
+            r"Exchange",
         ],
     ],
     # k-means diagnostics: argmin projection -> ONE k-key hash agg

@@ -61,6 +61,8 @@ MICRO = 1_000_000
 Z_CLAMP = 30.0
 #: Per-coordinate gradient clip (and PCA input winsorization) bound.
 G_CLAMP = 1000.0
+
+
 def augmented(vec: Column) -> Column:
     """``embedding ++ [1.0]`` as array<double> — the bias becomes the
     last coordinate so one weight vector carries (w, b) uniformly."""
@@ -487,7 +489,10 @@ def power_iteration(
 
 
 def deflated_second_component(
-    gram: dict[tuple[int, int], int], d: int, iters: int = 6
+    gram: dict[tuple[int, int], int],
+    d: int,
+    iters: int = 6,
+    v1: list[float] | None = None,
 ) -> list[float]:
     """Second principal component by Hotelling deflation:
     ``G₂ = G − λ·v₁v₁ᵀ`` with ``λ = v₁ᵀGv₁`` (the Rayleigh quotient of
@@ -501,7 +506,10 @@ def deflated_second_component(
     if d == 0:
         return []
     g = _gram_matrix(gram, d)
-    v1 = _power_iter_mat(g, iters)
+    if v1 is None:
+        # caller may pass its already-trained v1 (same iters!) to
+        # avoid re-running the first component's iteration
+        v1 = _power_iter_mat(g, iters)
     u = []
     for i in range(d):
         acc = 0.0

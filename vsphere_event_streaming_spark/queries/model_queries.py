@@ -379,9 +379,10 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     if vs is None:
         g = gram_micro(emb)
         d = 1 + max((i for i, _ in g), default=-1)
+        v1 = power_iteration(g, d, iters=PCA_ITERS)
         vs = (
-            power_iteration(g, d, iters=PCA_ITERS),
-            deflated_second_component(g, d, iters=PCA_ITERS),
+            v1,
+            deflated_second_component(g, d, iters=PCA_ITERS, v1=v1),
         )
         _PCA_MEMO[sf_dir] = vs
     v1, v2 = vs
@@ -500,6 +501,12 @@ WHERE ((('0x' || substr(md5('cbal:' || CAST(e.vec_id AS VARCHAR)), 1, 15))::BIGI
     )
 
 
+#: Per-cluster keep rates (SAMPLE_MOD micro-units), memoized with the
+#: model: rates derive from the k-row size aggregate collected ONCE at
+#: build time — not a per-call count job, and never a data-sized join.
+_CBAL_MEMO: dict[str, dict[int, int]] = {}
+
+
 @query("q_cluster_balanced", oracle=_cbal_oracle())
 def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced downsampling over the trained k-means model:
@@ -507,31 +514,43 @@ def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = ceil(N/k) — over-represented clusters (near-duplicate blobs,
     boilerplate basins) shrink toward the per-cluster budget while
     small clusters survive whole, the SSL-prototypes/SemDeDup-style
-    diversity-preserving selection. Every quantity is an exact
-    integer (rate in SAMPLE_MOD micro-units via integral division —
-    operands positive, so Spark's `div` and DuckDB's `//` agree) and
-    the keep decision is the content-keyed md5 bucket (L13's trick),
-    so the whole selection — including TRAINING the model that shapes
-    it — is replayed digit-for-digit by the oracle. Plan: assignment
-    projection → k-row size aggregate broadcast back → one codegen
-    filter; no data-sized shuffle beyond the k·d training aggregates."""
+    diversity-preserving selection. The rates are exact Python
+    integers computed from the ONE k-row size aggregate at build time
+    (arbitrary precision — an in-plan ``cap * SAMPLE_MOD`` INT
+    product would silently wrap under non-ANSI Spark at cap >= 2148,
+    i.e. ~17k rows) and ride into the plan as a literal CASE (the
+    stratified_sample precedent); the keep decision is the
+    content-keyed md5 bucket, so the whole selection — including
+    TRAINING the model that shapes it — is replayed digit-for-digit
+    by the oracle (DuckDB's integral ops are 128-bit, agreeing with
+    Python on all positive operands). Plan: ONE scan — assignment
+    projection + codegen filter, no join, no shuffle."""
     from ..functions.sampling import SAMPLE_MOD, keep_bucket
 
     emb, cm = _kmeans_model(spark, sf_dir)
-    n_total = emb.count()
-    cap = (n_total + K_CLUSTERS - 1) // K_CLUSTERS
-    assigned = emb.select(
+    rates = _CBAL_MEMO.get(sf_dir)
+    if rates is None:
+        sizes = {
+            r["cid"]: r["n"]
+            for r in emb.select(
+                kmeans_assign(F.col("embedding"), cm).alias("cid")
+            )
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_total = sum(sizes.values())
+        cap = (n_total + K_CLUSTERS - 1) // K_CLUSTERS
+        rates = {
+            cid: min(SAMPLE_MOD, cap * SAMPLE_MOD // n)
+            for cid, n in sizes.items()
+        }
+        _CBAL_MEMO[sf_dir] = rates
+    thr = F.lit(0)
+    for cid, rm in sorted(rates.items()):
+        thr = F.when(F.col("cid") == cid, F.lit(rm)).otherwise(thr)
+    return emb.select(
         "vec_id",
         "label",
         kmeans_assign(F.col("embedding"), cm).alias("cid"),
-    )
-    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_c"))
-    rate = F.least(
-        F.lit(SAMPLE_MOD).cast("long"),
-        F.expr(f"{cap} * {SAMPLE_MOD} div n_c"),
-    )
-    return (
-        assigned.join(F.broadcast(sizes), "cid")
-        .filter(keep_bucket(F.col("vec_id"), "cbal") < rate)
-        .select("vec_id", "label", "cid")
-    )
+    ).filter(keep_bucket(F.col("vec_id"), "cbal") < thr)
