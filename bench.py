@@ -293,7 +293,33 @@ def main() -> None:
     }
     if spine_block is not None:
         out["spine"] = spine_block
+    # The driver records only the LAST 2000 bytes of stdout and parses
+    # the JSON line it finds there; r7's single line (75 queries +
+    # spine) outgrew that buffer and lost its head (`BENCH_r07.json
+    # parsed: null` — VERDICT_r7 #3). So: the full-set JSON goes out
+    # FIRST (and to bench_full.json beside this script for archival),
+    # and the LAST line is a compact, always-<1KB object — totals +
+    # the frozen 20-query spine, the official round-over-round
+    # instrument — guaranteed to survive the tail capture whole.
     print(json.dumps(out))
+    try:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        )
+        with open(full_path, "w") as fh:
+            json.dump(out, fh)
+    except OSError:
+        pass  # archival only; never fail the bench over it
+    if spine_block is not None:
+        compact = {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": spine_block["queries"],
+            "sf": sf,
+            "spine": spine_block,
+        }
+        print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -502,15 +502,24 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         ],
     ],
     # exact AUC: corpus collapses through a hash aggregate to the
-    # distinct-score table BEFORE the (documented exact-tier)
-    # cumulative window; no join, no Python
+    # distinct-score table, then the W1 two-phase cumulative
+    # (VERDICT_r7 #4): the data-sized window is PARTITIONED by the
+    # score-grid bucket (windowspecdefinition(bkt, s ...)), the
+    # cross-bucket prefix rides in on a broadcast join of the tiny
+    # ≤AUC_BUCKETS-row base table — an unpartitioned window ordered
+    # directly by s (the old single-partition WindowExec) must NOT
+    # appear
     "q_classifier_auc": [
-        [r"HashAggregate", r"Window"],
+        [
+            r"HashAggregate",
+            r"windowspecdefinition\(bkt#\d+, s#\d+",
+            r"BroadcastHashJoin",
+        ],
         [
             r"BatchEvalPython",
             r"ArrowEvalPython",
             r"CartesianProduct",
-            r"Join",
+            r"windowspecdefinition\(s#\d+",
         ],
     ],
     # calibration: ONE hash aggregate (the binned scale path) — no
@@ -525,17 +534,24 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Window",
         ],
     ],
-    # cluster-balanced sampling: ONE scan — assignment projection +
-    # literal-CASE keep filter (rates collected once at build time);
-    # no join, no shuffle, no Python
+    # cluster-balanced sampling: ONE scan — the k×d argmin assignment
+    # sits behind a one-row Generate barrier and the keep filter reads
+    # it via a literal rate-array lookup (rates collected once at
+    # build time); no join, no shuffle, no Python — and the argmin is
+    # evaluated EXACTLY ONCE per row (VERDICT_r7 #1: the old
+    # literal-CASE predicate let filter pushdown substitute the
+    # assignment into all 8 branches + the projection — array_min ×9,
+    # 5x the assignment cost; `(?s)array_min.*array_min` rejects any
+    # second occurrence anywhere in the plan)
     "q_cluster_balanced": [
-        [r"Project"],
+        [r"Generate explode", r"array_min"],
         [
             r"BatchEvalPython",
             r"ArrowEvalPython",
             r"CartesianProduct",
             r"Join",
             r"Exchange",
+            r"(?s)array_min.*array_min",
         ],
     ],
     # k-means diagnostics: argmin projection -> ONE k-key hash agg

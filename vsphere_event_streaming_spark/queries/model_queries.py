@@ -56,6 +56,10 @@ PCA_ITERS = 6
 POSITIVE_LABEL = 0
 K_CLUSTERS = 8
 KMEANS_ITERS = 4
+#: Grid cells for the exact-AUC two-phase cumulative (q_classifier_auc):
+#: bounds the tiny prefix-sum table and the window parallelism. Purely a
+#: physical knob — the result is exact for ANY value ≥ 1.
+AUC_BUCKETS = 128
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -263,13 +267,19 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pairwise definition is O(n²); this is the
     rank-sum form — one hash aggregate collapses the corpus to the
-    DISTINCT-score table, and the cumulative window runs over THAT
-    (bounded by score cardinality, not corpus rows). The
-    unpartitioned window is the exact tier, documented: an unbounded-
-    cardinality score column would first be quantized, which is
-    exactly what q_classifier_calibration's binned form demonstrates
-    (the repo's exact-vs-scale tier precedent: all-pairs Jaccard vs
-    banded LSH)."""
+    DISTINCT-score table, and the cumulative negatives-below count
+    runs over THAT via the W1 two-phase pattern (VERDICT_r7 #4; a
+    64-dim logistic score is effectively continuous, so the distinct
+    table ≈ the corpus and the old ``Window.orderBy(s)`` form
+    single-partitioned it — Spark's WindowExec warning). Here scores
+    land on a fixed AUC_BUCKETS-cell grid (p ∈ [0,1] by
+    construction): the cross-bucket prefix comes from a tiny
+    ≤AUC_BUCKETS-row aggregate (its unpartitioned window is over
+    that aggregate, the intentional-and-free W1 shape) broadcast
+    back, and the within-bucket cumulative is a window PARTITIONED
+    by bucket — every stage is parallel in the bucket count. The
+    final integer aggregates are identical, so the oracle is
+    unchanged."""
     from pyspark.sql import Window
 
     sc = _scored(spark, sf_dir)
@@ -277,11 +287,45 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("y") == 1.0).cast("long")).alias("cpos"),
         F.sum((F.col("y") == 0.0).cast("long")).alias("cneg"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    c = g.select(
-        "cpos",
-        "cneg",
-        F.coalesce(F.sum("cneg").over(w), F.lit(0)).alias("nb"),
+    gb = g.withColumn(
+        "bkt",
+        F.least(
+            F.lit(AUC_BUCKETS - 1), F.floor(F.col("s") * AUC_BUCKETS)
+        ).cast("int"),
+    )
+    # tiny side: per-bucket negative totals -> exclusive prefix sum
+    # (≤ AUC_BUCKETS rows; the unpartitioned window here is the W1
+    # tiny-prefix-sum shape, free by construction)
+    tiny = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = (
+        gb.groupBy(F.col("bkt").alias("__b"))
+        .agg(F.sum("cneg").alias("__bneg"))
+        .select(
+            "__b",
+            F.coalesce(F.sum("__bneg").over(tiny), F.lit(0)).alias(
+                "__base"
+            ),
+        )
+    )
+    # data side: within-bucket cumulative, partitioned by bucket
+    wb = (
+        Window.partitionBy("bkt")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        gb.withColumn(
+            "__nb_local",
+            F.coalesce(F.sum("cneg").over(wb), F.lit(0)),
+        )
+        .join(F.broadcast(bases), F.col("bkt") == F.col("__b"))
+        .select(
+            "cpos",
+            "cneg",
+            (F.col("__base") + F.col("__nb_local")).alias("nb"),
+        )
     )
     num2 = F.col("cpos") * 2 * F.col("nb") + F.col("cpos") * F.col("cneg")
     return c.agg(
@@ -518,13 +562,23 @@ def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers computed from the ONE k-row size aggregate at build time
     (arbitrary precision — an in-plan ``cap * SAMPLE_MOD`` INT
     product would silently wrap under non-ANSI Spark at cap >= 2148,
-    i.e. ~17k rows) and ride into the plan as a literal CASE (the
-    stratified_sample precedent); the keep decision is the
-    content-keyed md5 bucket, so the whole selection — including
-    TRAINING the model that shapes it — is replayed digit-for-digit
-    by the oracle (DuckDB's integral ops are 128-bit, agreeing with
-    Python on all positive operands). Plan: ONE scan — assignment
-    projection + codegen filter, no join, no shuffle."""
+    i.e. ~17k rows) and ride into the plan as a literal rate ARRAY
+    indexed by cid; the keep decision is the content-keyed md5
+    bucket, so the whole selection — including TRAINING the model
+    that shapes it — is replayed digit-for-digit by the oracle
+    (DuckDB's integral ops are 128-bit, agreeing with Python on all
+    positive operands). Plan: ONE scan — assignment projection +
+    codegen filter, no join, no shuffle.
+
+    The assignment sits behind a one-row Generate barrier (the L34
+    lesson, functions/classifier.py) and the keep predicate
+    references ``cid`` exactly once via the array lookup: VERDICT_r7
+    #1 measured the previous literal-CASE form at 5x this query's
+    assignment cost because Catalyst's filter pushdown substituted
+    the full k×d argmin into the projection plus every one of the 8
+    CASE branches (``array_min`` ×9 in the executed plan). The
+    barrier stops the substitution, so the argmin is evaluated ONCE
+    per row (plan-audited: exactly one ``array_min``)."""
     from ..functions.sampling import SAMPLE_MOD, keep_bucket
 
     emb, cm = _kmeans_model(spark, sf_dir)
@@ -546,11 +600,17 @@ def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             for cid, n in sizes.items()
         }
         _CBAL_MEMO[sf_dir] = rates
-    thr = F.lit(0)
-    for cid, rm in sorted(rates.items()):
-        thr = F.when(F.col("cid") == cid, F.lit(rm)).otherwise(thr)
-    return emb.select(
+    rate_arr = F.array(
+        *[F.lit(rates.get(c, 0)) for c in range(K_CLUSTERS)]
+    )
+    assigned = emb.select(
         "vec_id",
         "label",
-        kmeans_assign(F.col("embedding"), cm).alias("cid"),
-    ).filter(keep_bucket(F.col("vec_id"), "cbal") < thr)
+        F.explode(
+            F.array(kmeans_assign(F.col("embedding"), cm))
+        ).alias("cid"),
+    )
+    return assigned.filter(
+        keep_bucket(F.col("vec_id"), "cbal")
+        < F.get(rate_arr, F.col("cid"))
+    )
