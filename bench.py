@@ -138,6 +138,12 @@ HEADLINE = [
     "q_kmeans_cluster",
     "q_kmeans_sizes",
     "q_cluster_balanced",
+    # r8 additions: top-4 PCA projection (application path), the
+    # k-means ∘ LM-quality stratification composition, and the
+    # trained-cell IVF (q_knn_ivf already listed above now runs over
+    # trained centroids)
+    "q_embed_pca_topm",
+    "q_cluster_quality",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

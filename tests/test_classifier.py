@@ -464,3 +464,88 @@ def test_pca_second_component_rank1_degenerate():
     )
     con.close()
     assert got == [0.0, 0.0]
+
+
+def test_pca_topm_first_two_match_and_pairwise_orthogonal(spark):
+    """pca_topm must reproduce power_iteration / deflated_second_
+    component BIT-IDENTICALLY for its first two components (same
+    folds, VERDICT_r7 #6), every component must be unit-norm, and the
+    four components pairwise orthogonal (each Gram-Schmidt projection
+    is exact by construction; later pairs accumulate only the float
+    residue of the sequential projections)."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        deflated_second_component,
+        pca_topm,
+    )
+    from vsphere_event_streaming_spark.queries.model_queries import (
+        PCA_TOPM,
+    )
+
+    emb = spark.read.parquet(EMB)
+    g = gram_micro(emb)
+    d = 1 + max(i for i, _ in g)
+    comps = pca_topm(g, d, iters=PCA_ITERS, m=PCA_TOPM)
+    assert len(comps) == PCA_TOPM
+    assert comps[0] == power_iteration(g, d, iters=PCA_ITERS)
+    assert comps[1] == deflated_second_component(g, d, iters=PCA_ITERS)
+    for c in comps:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+    for a in range(PCA_TOPM):
+        for b in range(a + 1, PCA_TOPM):
+            dot_ab = sum(
+                x * y for x, y in zip(comps[a], comps[b])
+            )
+            assert abs(dot_ab) < 1e-9, (a, b, dot_ab)
+
+
+def test_pca_topm_duckdb_replay_bit_identical(spark):
+    """Every one of the four components must replay bit-identically
+    through the chained-CTE oracle (deflation + power iteration +
+    modified Gram-Schmidt + zero cutoff, all exact)."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        pca_topm,
+        pca_topm_oracle,
+    )
+    from vsphere_event_streaming_spark.queries.model_queries import (
+        PCA_TOPM,
+    )
+
+    emb = spark.read.parquet(EMB)
+    g = gram_micro(emb)
+    d = 1 + max(i for i, _ in g)
+    comps = pca_topm(g, d, iters=PCA_ITERS, m=PCA_TOPM)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{EMB}'")
+    prefix = pca_topm_oracle(iters=PCA_ITERS, m=PCA_TOPM)
+    names = [f"v{PCA_ITERS}"] + [
+        f"vf{c}" for c in range(2, PCA_TOPM + 1)
+    ]
+    for c, name in enumerate(names):
+        got = list(
+            con.sql(prefix + f"\nSELECT v FROM {name}").fetchone()[0]
+        )
+        assert got == comps[c], f"component {c + 1} diverged"
+    con.close()
+
+
+def test_pca_topm_rank_exhaustion_is_absorbing():
+    """On a rank-2 Gram, components 3 and 4 must both collapse to the
+    explicit zero vector (once rank is exhausted, deflation leaves
+    the Gram unchanged and Gram-Schmidt removes every real
+    direction), never NaN."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        pca_topm,
+    )
+
+    # 100 copies of [1, 2, 0] + 50 copies of [0, 0, 3]: rank 2
+    g = {
+        (0, 0): 100_000_000,
+        (0, 1): 200_000_000,
+        (1, 0): 200_000_000,
+        (1, 1): 400_000_000,
+        (2, 2): 450_000_000,
+    }
+    comps = pca_topm(g, 3, iters=6, m=4)
+    assert comps[2] == [0.0, 0.0, 0.0]
+    assert comps[3] == [0.0, 0.0, 0.0]
+    assert all(abs(sum(x * x for x in comps[c]) - 1.0) < 1e-9 for c in (0, 1))

@@ -675,3 +675,46 @@ def test_media_pairing_on_poisoned_degenerate_corpus(
         # hamming 0 from the 120-dup class), not a 7140-pair clique
         zero = [r for r in spark_rows if r[cols.index("hamming")] == 0]
         assert len(zero) < 1000, len(zero)
+
+
+def test_cluster_quality_agrees_on_joint_nasty_corpus(spark, tmp_path):
+    """q_cluster_quality joins TWO tables (k-means cells over
+    embeddings ∘ LM floor over documents), so neither single-table
+    fuzz family auto-discovers it (the media-pairing pin precedent).
+    Joint corpus: the nasty vectors (zero/antiparallel/1e12 rows —
+    winsorization territory) keyed against the nasty word-soup docs,
+    with PARTIAL id overlap so the inner doc join and the left LM
+    join both exercise their miss paths identically in both
+    engines."""
+    import duckdb as _duckdb
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        _nasty_embeddings(),
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    rows = [(i, t, lg, s, len(t)) for i, t, lg, s in NASTY]
+    # ids 0..16 overlap the nasty vec_ids 0..40 partially; -1/100 dangle
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    qs = load_all()
+    name = "q_cluster_quality"
+    df = qs[name].fn(spark, d)
+    cols = sorted(df.columns)
+    spark_rows = [[r[c] for c in cols] for r in df.collect()]
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{d}/embeddings.parquet/*.parquet'"
+    )
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    res = con.sql(qs[name].oracle)
+    idx = [list(res.columns).index(c) for c in cols]
+    duck_rows = [[r[i] for i in idx] for r in res.fetchall()]
+    err = compare(spark_rows, duck_rows, cols, abs_tol=1.01e-6)
+    assert err is None, err
+    assert spark_rows, "joint fuzz corpus produced no clusters"

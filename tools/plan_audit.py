@@ -576,6 +576,30 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Join",
         ],
     ],
+    # top-4 PCA application: four codegen folds per row, still scan +
+    # project only — adding components must not add shuffles or Python
+    "q_embed_pca_topm": [
+        [r"Project"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Exchange",
+            r"Join",
+        ],
+    ],
+    # k-means ∘ LM-quality stratification: the cluster assignment is a
+    # codegen projection feeding an id equi-join (never a cartesian),
+    # the LM tier's count tables broadcast, and the result is a k-cell
+    # hash aggregate; no Python anywhere
+    "q_cluster_quality": [
+        [r"HashAggregate", r"BroadcastHashJoin"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+        ],
+    ],
 }
 
 

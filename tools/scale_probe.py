@@ -521,9 +521,12 @@ def _ivf_stream_probe(
     import tempfile
     from contextlib import redirect_stdout
 
+    from vsphere_event_streaming_spark.functions.kmeans import (
+        kmeans_centroid_frame,
+        train_kmeans,
+    )
     from vsphere_event_streaming_spark.functions.vectors import (
         IvfIndex,
-        deterministic_centroids,
         ivf_topk,
     )
 
@@ -538,7 +541,11 @@ def _ivf_stream_probe(
         .persist()
     )
     n = corpus.count()
-    cents = deterministic_centroids(emb, 10)
+    # trained cells (VERDICT_r7 #5), frozen before the timed ingest —
+    # training cost is _kmeans_shape's own probe, not this one's
+    cents = kmeans_centroid_frame(
+        spark, train_kmeans(emb, k=8, iters=4)
+    )
     path = tempfile.mkdtemp(prefix=f"ivf_probe_{tag}_")
     try:
         t0 = time.perf_counter()

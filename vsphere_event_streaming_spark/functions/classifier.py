@@ -675,3 +675,171 @@ def pca_oracle(iters: int = 6, components: int = 1) -> str:
 )"""
         )
     return "WITH\n" + ",\n".join(parts)
+
+
+def pca_topm(
+    gram: dict[tuple[int, int], int],
+    d: int,
+    iters: int = 6,
+    m: int = 2,
+) -> list[list[float]]:
+    """Top-m principal components by repeated Hotelling deflation with
+    modified Gram–Schmidt (VERDICT_r7 #6 — 2 components is below what
+    whitening needs). Generalizes :func:`power_iteration` (m=1) /
+    :func:`deflated_second_component` (m=2) with the SAME float-op
+    order, so components 1–2 are bit-identical to those functions:
+
+    - component 1 is the raw power-iteration output (no projection,
+      no re-normalization — re-normalizing a normalized vector moves
+      last bits);
+    - each later component runs the same fixed power iteration over
+      ``G_c = G_{c-1} − λ·v v^T`` (λ the Rayleigh quotient of the
+      previous FINAL component over G_{c-1}), then one sequential
+      Gram–Schmidt projection per previous component (modified GS:
+      each projection sees the already-reduced residual), then the
+      <1e-9 zero-vector cutoff for exhausted rank (once a component
+      collapses to zero, λ=0 leaves the Gram unchanged and every
+      later component collapses the same way — rank exhaustion is
+      absorbing).
+
+    O(m·d²) driver work on the ONE trained Gram — no extra corpus
+    pass. Every fold replays in :func:`pca_topm_oracle`.
+    """
+    if d == 0:
+        return [[] for _ in range(m)]
+    g = _gram_matrix(gram, d)
+    comps: list[list[float]] = []
+    for c in range(m):
+        w = _power_iter_mat(g, iters)
+        if comps:
+            r = list(w)
+            for vt in comps:
+                ov = 0.0
+                for i in range(d):
+                    ov = ov + vt[i] * r[i]
+                r = [r[i] - ov * vt[i] for i in range(d)]
+            nrm = 0.0
+            for ri in r:
+                nrm = nrm + ri * ri
+            nrm = math.sqrt(nrm)
+            v = [0.0] * d if nrm < 1e-9 else [ri / nrm for ri in r]
+        else:
+            v = w
+        comps.append(v)
+        if c + 1 < m:
+            u = []
+            for i in range(d):
+                acc = 0.0
+                for j in range(d):
+                    acc = acc + g[i][j] * v[j]
+                u.append(acc)
+            lam = 0.0
+            for i in range(d):
+                lam = lam + v[i] * u[i]
+            g = [
+                [g[i][j] - lam * v[i] * v[j] for j in range(d)]
+                for i in range(d)
+            ]
+    return comps
+
+
+def pca_topm_oracle(iters: int = 6, m: int = 2) -> str:
+    """Chained-CTE replay of :func:`pca_topm` (no final SELECT).
+
+    Extends :func:`pca_oracle`'s chain uniformly: component 1 is the
+    ``v0..v{iters}`` power iteration over ``gr``; each component
+    ``c ≥ 2`` appends ``ul{c}``/``lam{c}`` (Rayleigh quotient of the
+    previous final component over the previous Gram), the deflated
+    cells ``gd{c}``/rows ``gr{c}``, its own power iteration
+    ``pv{c}_0..pv{c}_{iters}``, the sequential modified-Gram–Schmidt
+    residuals ``rr{c}_1..rr{c}_{c-1}`` (one projection per previous
+    FINAL component, in component order — the same left folds as the
+    Python loop), and the normalized-or-zero final ``vf{c}``. The
+    final component names for projection are ``v{iters}`` (c=1) and
+    ``vf{c}`` (c ≥ 2)."""
+    parts = [pca_oracle(iters=iters, components=1)]
+
+    def final(c: int) -> str:
+        return f"v{iters}" if c == 1 else f"vf{c}"
+
+    for c in range(2, m + 1):
+        prev_rows = "gr" if c == 2 else f"gr{c - 1}"
+        prev_cells_g = (
+            "CAST(gd.g AS DOUBLE)" if c == 2 else f"gd{c - 1}.g"
+        )
+        prev_cells = "gd" if c == 2 else f"gd{c - 1}"
+        pf = final(c - 1)
+        parts.append(
+            f"""ul{c} AS MATERIALIZED (
+  SELECT list(list_dot_product(grow, (SELECT v FROM {pf}))
+              ORDER BY i) AS u
+  FROM {prev_rows}
+)"""
+        )
+        parts.append(
+            f"""lam{c} AS MATERIALIZED (
+  SELECT list_dot_product((SELECT v FROM {pf}), u) AS l FROM ul{c}
+)"""
+        )
+        parts.append(
+            f"""gd{c} AS MATERIALIZED (
+  SELECT {prev_cells}.i, {prev_cells}.j,
+         {prev_cells_g}
+           - (SELECT l FROM lam{c})
+             * (SELECT v FROM {pf})[{prev_cells}.i]
+             * (SELECT v FROM {pf})[{prev_cells}.j] AS g
+  FROM {prev_cells}
+)"""
+        )
+        parts.append(
+            f"""gr{c} AS MATERIALIZED (
+  SELECT i, list(g ORDER BY j) AS grow FROM gd{c} GROUP BY i
+)"""
+        )
+        parts.append(f"pv{c}_0 AS MATERIALIZED (SELECT v FROM v0)")
+        for k in range(1, iters + 1):
+            parts.append(
+                f"""pu{c}_{k} AS MATERIALIZED (
+  SELECT list(list_dot_product(grow, (SELECT v FROM pv{c}_{k - 1}))
+              ORDER BY i) AS u
+  FROM gr{c}
+)"""
+            )
+            parts.append(
+                f"""pv{c}_{k} AS MATERIALIZED (
+  SELECT CASE WHEN sqrt(list_dot_product(u, u)) = 0.0 THEN u
+              ELSE list_transform(u, e -> e / sqrt(list_dot_product(u, u)))
+         END AS v
+  FROM pu{c}_{k}
+)"""
+            )
+        # sequential modified Gram–Schmidt: rr{c}_0 is the power-iter
+        # output; each rr{c}_{t} subtracts the projection onto the
+        # t-th previous FINAL component from the running residual
+        parts.append(
+            f"rr{c}_0 AS MATERIALIZED (SELECT v AS u FROM pv{c}_{iters})"
+        )
+        for t in range(1, c):
+            vt = final(t)
+            parts.append(
+                f"""ov{c}_{t} AS MATERIALIZED (
+  SELECT list_dot_product((SELECT v FROM {vt}),
+                          (SELECT u FROM rr{c}_{t - 1})) AS o
+)"""
+            )
+            parts.append(
+                f"""rr{c}_{t} AS MATERIALIZED (
+  SELECT list_transform(b.u, (x, i) -> x - o.o * a.v[i]) AS u
+  FROM {vt} a, rr{c}_{t - 1} b, ov{c}_{t} o
+)"""
+            )
+        parts.append(
+            f"""vf{c} AS MATERIALIZED (
+  SELECT CASE WHEN sqrt(list_dot_product(u, u)) < 1e-9
+              THEN list_transform(u, e -> 0.0)
+              ELSE list_transform(u, e -> e / sqrt(list_dot_product(u, u)))
+         END AS v
+  FROM rr{c}_{c - 1}
+)"""
+        )
+    return ",\n".join(parts)

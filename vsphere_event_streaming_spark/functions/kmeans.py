@@ -50,6 +50,7 @@ __all__ = [
     "train_kmeans_reference",
     "kmeans_assign",
     "kmeans_assign_detail",
+    "kmeans_centroid_frame",
     "kmeans_oracle",
 ]
 
@@ -58,6 +59,18 @@ def _centroid_floats(cm: list[int]) -> list[float]:
     # micro/MICRO in Python is the same correctly-rounded double
     # DuckDB's m/1000000.0 yields — exact literal parity.
     return [m / MICRO for m in cm]
+
+
+def kmeans_centroid_frame(spark, cm: list[list[int]]) -> DataFrame:
+    """The trained micro-unit centroids as the ``(centroid_id, cvec)``
+    frame the IVF family consumes (``vectors.ivf_topk`` /
+    ``IvfIndex``) — the bridge that retires the documented
+    ``deterministic_centroids`` stand-in (VERDICT_r7 #5): IVF cells
+    anchored on a real trained model instead of the lowest-id rows."""
+    return spark.createDataFrame(
+        [(cid, _centroid_floats(row)) for cid, row in enumerate(cm)],
+        "centroid_id long, cvec array<double>",
+    )
 
 
 def _self_dot(cf: list[float]) -> float:

@@ -29,6 +29,8 @@ from ..functions.classifier import (
     logreg_score,
     pca_oracle,
     pca_project,
+    pca_topm,
+    pca_topm_oracle,
     power_iteration,
     train_logreg,
 )
@@ -438,6 +440,60 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Components for the top-m PCA tier (q_embed_pca_topm): what a
+#: whitening / 2-D-plus visualization stage actually consumes.
+PCA_TOPM = 4
+
+#: Top-m components memo, same contract as _PCA_MEMO.
+_PCA_TOPM_MEMO: dict[str, list[list[float]]] = {}
+
+
+# ======================================================================
+# L35': top-m principal components (repeated deflation + modified GS)
+# ======================================================================
+@query(
+    "q_embed_pca_topm",
+    oracle=pca_topm_oracle(iters=PCA_ITERS, m=PCA_TOPM)
+    + f"""
+SELECT vec_id, label,
+       round(list_dot_product(x, (SELECT v FROM v{PCA_ITERS})), 6) AS pc1,
+       round(list_dot_product(x, (SELECT v FROM vf2)), 6) AS pc2,
+       round(list_dot_product(x, (SELECT v FROM vf3)), 6) AS pc3,
+       round(list_dot_product(x, (SELECT v FROM vf4)), 6) AS pc4
+FROM we
+""",
+)
+def q_embed_pca_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection onto the corpus's top FOUR principal components
+    (VERDICT_r7 #6): the L35 machinery generalized by repeated
+    Hotelling deflation with modified Gram–Schmidt at every step
+    (functions/classifier.py::pca_topm) — pc1/pc2 are bit-identical
+    to q_embed_pca's (same folds), pc3/pc4 extend the basis to what
+    whitening needs. Still ONE integer Gram pass over the corpus
+    (shared with q_embed_pca through the memo structure), O(m·d²)
+    driver arithmetic, and a single codegen projection per row — no
+    shuffle, no Python. The oracle replays every deflation, power
+    iteration, Gram–Schmidt projection and the rank-exhaustion zero
+    cutoff exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comps = _PCA_TOPM_MEMO.get(sf_dir)
+    if comps is None:
+        g = gram_micro(emb)
+        d = 1 + max((i for i, _ in g), default=-1)
+        comps = pca_topm(g, d, iters=PCA_ITERS, m=PCA_TOPM)
+        _PCA_TOPM_MEMO[sf_dir] = comps
+    return emb.select(
+        "vec_id",
+        "label",
+        *[
+            F.round(pca_project(F.col("embedding"), comps[c]), 6).alias(
+                f"pc{c + 1}"
+            )
+            for c in range(PCA_TOPM)
+        ],
+    )
+
+
 #: Trained-centroids memo, same contract as _WEIGHTS_MEMO.
 _KMEANS_MEMO: dict[str, list[list[int]]] = {}
 
@@ -613,4 +669,84 @@ def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.filter(
         keep_bucket(F.col("vec_id"), "cbal")
         < F.get(rate_arr, F.col("cid"))
+    )
+
+
+# ======================================================================
+# L38: per-cluster quality stratification (L36 ∘ L21)
+# ======================================================================
+def _cluster_quality_oracle() -> str:
+    from .pipeline_queries import (
+        _DUCK_WORDS,
+        _lm_cte_sql,
+        SELECT_MIN_LOGP,
+    )
+
+    return (
+        kmeans_oracle(k=K_CLUSTERS, iters=KMEANS_ITERS)
+        + f""",
+w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+{_lm_cte_sql()}
+SELECT a.cid,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN coalesce(lm.avg_logp, -1000000.0)
+                          >= {SELECT_MIN_LOGP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN coalesce(lm.avg_logp, -1000000.0)
+                          >= {SELECT_MIN_LOGP} THEN d.n_chars ELSE 0 END)
+            AS BIGINT) AS chars_pass
+FROM a{KMEANS_ITERS + 1} a
+JOIN documents d ON d.doc_id = a.vec_id
+LEFT JOIN lm ON lm.doc_id = a.vec_id
+GROUP BY a.cid
+"""
+    )
+
+
+@query("q_cluster_quality", oracle=_cluster_quality_oracle())
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster quality stratification (VERDICT_r7 #7 — L36 ∘
+    L21): compose the trained k-means clusters over the embeddings
+    with the bigram-LM quality floor over the paired documents
+    (doc_id ≡ vec_id in this corpus) into ONE Catalyst plan, and
+    report per-cluster total docs, quality-passing docs, and passing
+    characters. This is the balanced-selection complement to
+    q_pipeline_select: where that query answers "what survives the
+    gates per LANGUAGE", this answers it per SEMANTIC CLUSTER — the
+    stratification a curriculum/mixture designer reads to see which
+    embedding basins the quality filter is starving.
+
+    Scale shape: the assignment is the codegen literal-centroid
+    argmin projection (no shuffle on the embeddings side until the
+    id join), the LM floor reuses the L17 machinery (per-doc
+    distinct-gram joins against broadcastable count tables), both
+    sides join on the id (co-partitionable at scale), and the final
+    aggregate is k cells. Docs too short to have bigrams carry no LM
+    score and fail the floor by the same -1e6 coalesce in both
+    engines. avg_logp is rounded to 6dp on BOTH sides before the
+    threshold compare (the L17 contract), so the gate cannot flip on
+    float residue."""
+    from .pipeline_queries import LM_ALPHA, SELECT_MIN_LOGP
+    from ..functions.text import bigram_lm_scores
+
+    emb, cm = _kmeans_model(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    lm = bigram_lm_scores(docs, LM_ALPHA).select("doc_id", "avg_logp")
+    assigned = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        kmeans_assign(F.col("embedding"), cm).alias("cid"),
+    )
+    passing = F.coalesce(F.col("avg_logp"), F.lit(-1000000.0)) >= F.lit(
+        SELECT_MIN_LOGP
+    )
+    joined = (
+        assigned.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .join(lm, "doc_id", "left")
+    )
+    return joined.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(passing.cast("long")).alias("n_pass"),
+        F.sum(
+            F.when(passing, F.col("n_chars")).otherwise(F.lit(0))
+        ).alias("chars_pass"),
     )

@@ -46,19 +46,33 @@ def query(name: str, oracle: str | None = None):
 # Registry order is driver-visible: the verify driver checks queries in
 # registration order and its CORRECTNESS window records the first 50.
 # PRIORITY pins each round's rotation plan; tests/test_registry.py
-# (WINDOW_R7) enforces the pinned membership.
+# (WINDOW_R8) enforces the pinned membership.
 #
-# r7 rotation (VERDICT_r6 next-round #1): after r6's 50/50, the
-# stalest driver evidence is the 5 r3-row queries and the 48 r4-row
-# queries — 53 candidates for 50 slots. The window takes all 5 r3
-# rows + 42 r4 rows + the three r7-new queries
-# (q_dedup_media_robust, q_pack_chunked, q_bpe_tokens_full), which
-# displace deferred-r4 slots, never r3 ones; the six deferred r4
-# rows (q_union, q_ordered_replay, q_knn_hyperplane,
-# q_dedup_semantic, q_multimodal_decode, q_text_tokens — family
-# rationale inline below) rotate in next round. After r7 lands, no
-# registered query's newest driver row is older than r4, and the
-# five r3 stragglers go green at r7.
+# r8 rotation (VERDICT_r7 next-round #3): the window takes every query
+# whose newest driver evidence is older than r5 or absent — the 13
+# r4-DEFERRED rows from r7's plan, the two r7-new rows that had no
+# free slot (q_kmeans_sizes, q_cluster_balanced — first driver rows),
+# and the two r8-new queries (q_embed_pca_topm, q_cluster_quality) —
+# then fills to 50 with 33 of the 48 r5-stale rows. The FIFTEEN
+# deferred r5 rows (first in line for r9) each have in-window or
+# fresher family coverage, none its operator's sole oracle:
+# q_dedup_near_char (near-dup family: in-window q_dedup_near/
+# q_dedup_near_pruned), q_dedup_simhash_pairs (SimHash family:
+# r7-green q_dedup_simhash_hamming + r6 q_dedup_simhash),
+# q_join_asof_fwd + q_join_asof_tol (J6 family: r7-green q_join_asof),
+# q_media_phash_jpeg (media decode: in-window q_media_phash +
+# q_multimodal_decode + the r6/r7 media-dedup tier),
+# q_multimodal_meta (in-window q_multimodal_decode), q_pivot (A3:
+# r7-green q_group_agg + r6 q_conditional_agg), q_quality_score
+# (quality family: r7-green q_quality_lm/q_quality_repetition),
+# q_range_frame (W4: r6-green q_running_sum/q_window_analytics),
+# q_salted_agg + q_salted_join (skew forms of in-window/r7-green
+# agg+join families, plan-audited), q_sessionize (T6: in-window
+# q_session_window + q_sliding_agg), q_text_ngrams (text family:
+# in-window q_token_count/q_top_words/q_text_tokens), q_udaf_gmean
+# (§2.10: r7-green q_udf_cosine/q_udtf_props + in-window
+# q_cogroup_recon/q_grouped_map_stats), q_variant_json (JSON family:
+# r7-green q_json_extract).
 # The two permanent rows-only checks (q_knn_ivf, q_approx_aggs) stay
 # out of the window for good (VERDICT_r5 "What's wrong" #1): their
 # `no_oracle` rows can never go green and their evidence lives in
@@ -66,37 +80,72 @@ def query(name: str, oracle: str | None = None):
 # Everything rotated out keeps its oracle and is exact-value-checked
 # every round by tools/selfcheck.py.
 PRIORITY: tuple[str, ...] = (
-    # ---- r7 driver window (first 50) — VERDICT_r6 #1: the 50
-    # stalest queries. The 5 whose newest driver row is r3:
+    # ---- r8 driver window (first 50) ----
+    # the 13 r4-DEFERRED rows (r7's displacement debt, repaid):
+    "q_union",
+    "q_ordered_replay",
+    "q_knn_hyperplane",
+    "q_dedup_semantic",
+    "q_multimodal_decode",
+    "q_text_tokens",
+    "q_string_funcs",
+    "q_bitwise_funcs",
+    "q_map_funcs",
+    "q_array_funcs",
+    "q_knn_sq",
+    "q_join_anti",
+    "q_knn_topk",
+    # the two r7-new rows getting their FIRST driver evidence:
+    "q_kmeans_sizes",
+    "q_cluster_balanced",
+    # the two r8-new queries (top-m PCA, per-cluster quality):
+    "q_embed_pca_topm",
+    "q_cluster_quality",
+    # ... and 33 of the 48 r5-stale rows (15 deferred to r9,
+    # rationale above):
+    "q_audio_fingerprint",
+    "q_chunk_text",
+    "q_cogroup_recon",
+    "q_corpus_split",
+    "q_curriculum_order",
+    "q_dedup_embed",
+    "q_dedup_groups",
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_dedup_near_pruned",
+    "q_fingerprint",
+    "q_grouped_map_stats",
+    "q_importance_weight",
+    "q_join_full",
+    "q_join_range_binned",
+    "q_lang_id",
+    "q_markup_strip",
+    "q_media_phash",
+    "q_pack_sequences",
+    "q_pipeline_guarded",
+    "q_pipeline_select",
+    "q_repeated_spans",
+    "q_session_window",
+    "q_sketch_cms",
+    "q_sliding_agg",
+    "q_text_hash_embed",
+    "q_text_knn",
+    "q_token_count",
+    "q_top_words",
+    "q_training_shuffle",
+    "q_url_domains",
+    "q_vector_sq",
+    "q_video_frames",
+    # ---- out of the r8 window ----
+    # Every query below holds a driver-green value-hash row from
+    # r4-r7 (histogram in VERDICT_r7) or is a permanent rows-only
+    # check; tools/selfcheck.py exact-value-checks every oracled one
+    # each round.
     "q_count",
     "q_typename",
     "q_grouping_sets",
     "q_lag_gap",
     "q_json_extract",
-    # ... plus 35 of the 48 whose newest driver row is r4. Thirteen
-    # r4 rows are DEFERRED to r8, each with other in-window or
-    # r5/r6-green family coverage, none its operator's sole oracle
-    # (the seven r7-new trained-model queries displace seven more
-    # deferred-r4 slots per the verdict's displacement rule:
-    # q_string_funcs + q_bitwise_funcs + q_map_funcs + q_array_funcs
-    # (§2.8 scalar family: in-window q_time_funcs/q_casts/
-    # q_null_funcs + r6-green q_math_funcs), q_knn_sq (ANN family:
-    # in-window q_knn_topk/q_knn_hyperplane_probed + r5/r6-green IVF
-    # tier), q_join_anti (J4 family held by in-window q_join_semi),
-    # q_knn_topk (ANN family: in-window q_knn_hyperplane_probed +
-    # r5/r6-green IVF/SQ tiers)):
-    # q_union (§2.7 also held by in-window q_except + r6-green
-    # q_intersect), q_ordered_replay (ordering also held by in-window
-    # q_last_page + the wire-level pytest tier), q_knn_hyperplane
-    # (subsumed by in-window q_knn_hyperplane_probed — same operator,
-    # probed superset — plus q_knn_topk/q_knn_sq), q_dedup_semantic
-    # (embedding near-dup family: in-window q_dedup_lsh_verified/
-    # q_dedup_exact/q_dedup_simhash_hamming + r5-green q_dedup_embed),
-    # q_multimodal_decode (decode surface exercised by r5-green
-    # q_media_phash/q_audio_fingerprint + the r6 media-dedup trio +
-    # in-window q_dedup_media_robust), q_text_tokens (§2.10 surface:
-    # in-window q_udf_cosine/q_udtf_props; token counting also via
-    # r6-green q_bpe_tokens + in-window q_bpe_tokens_full):
     "q_boilerplate_scrub",
     "q_casts",
     "q_contamination",
@@ -132,8 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "q_udf_cosine",
     "q_udtf_props",
     "q_word_pmi",
-    # ... and the ten r7-new queries, displacing deferred-r4 slots
-    # (never r3 ones), per the verdict's displacement rule:
     "q_dedup_media_robust",
     "q_pack_chunked",
     "q_bpe_tokens_full",
@@ -144,10 +191,6 @@ PRIORITY: tuple[str, ...] = (
     "q_classifier_auc",
     "q_classifier_calibration",
     "q_kmeans_cluster",
-    # ---- out of the r7 window ----
-    # Every query below holds a driver-green value-hash row from
-    # r4-r6 (histogram in VERDICT_r6) and keeps its oracle —
-    # tools/selfcheck.py exact-value-checks all of them every round.
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q4",
@@ -200,71 +243,21 @@ PRIORITY: tuple[str, ...] = (
     "q_intersect",
     "q_knn_ivf",
     "q_approx_aggs",
-    "q_pack_sequences",
-    "q_vector_sq",
-    "q_repeated_spans",
-    "q_importance_weight",
-    "q_pipeline_select",
-    "q_media_phash",
     "q_media_phash_jpeg",
-    "q_video_frames",
-    "q_audio_fingerprint",
-    "q_text_hash_embed",
-    "q_text_knn",
-    "q_training_shuffle",
-    "q_curriculum_order",
     "q_multimodal_meta",
-    "q_sliding_agg",
-    "q_session_window",
     "q_udaf_gmean",
-    "q_cogroup_recon",
-    "q_grouped_map_stats",
-    "q_dedup_minhash",
-    "q_dedup_near",
-    "q_dedup_near_pruned",
     "q_dedup_near_char",
     "q_dedup_simhash_pairs",
-    "q_dedup_embed",
-    "q_lang_id",
     "q_quality_score",
-    "q_fingerprint",
-    "q_token_count",
     "q_text_ngrams",
     "q_join_asof_fwd",
     "q_join_asof_tol",
-    "q_join_range_binned",
     "q_salted_agg",
     "q_salted_join",
-    "q_pipeline_guarded",
-    "q_markup_strip",
-    "q_url_domains",
-    "q_corpus_split",
-    "q_dedup_groups",
-    "q_join_full",
     "q_pivot",
     "q_range_frame",
     "q_variant_json",
     "q_sessionize",
-    "q_chunk_text",
-    "q_top_words",
-    "q_sketch_cms",
-    "q_ordered_replay",
-    "q_union",
-    "q_text_tokens",
-    "q_multimodal_decode",
-    "q_knn_hyperplane",
-    "q_dedup_semantic",
-    "q_string_funcs",
-    "q_bitwise_funcs",
-    "q_knn_sq",
-    "q_map_funcs",
-    "q_array_funcs",
-    "q_join_anti",
-    "q_knn_topk",
-    # r7-new, declared OUT of the window (no free slot without
-    # deferring a sole-oracle row); oracled, so selfcheck covers it
-    "q_kmeans_sizes",
-    "q_cluster_balanced",
 )
 
 
