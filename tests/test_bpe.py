@@ -299,3 +299,41 @@ def test_bpe_vocab_rejects_bad_batch_id(spark, tmp_path):
     docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError, match="filesystem-safe"):
         idx.add_batch(docs, "../evil")
+
+
+def test_bpe_vocab_pins_training_alphabet(spark, tmp_path):
+    """ADVICE r7: counts under different alphabets are not additive —
+    a store built under WORD_RE must refuse a WORD_RE_FULL handle (at
+    construction AND at ingest), and a full-alphabet store must train
+    over the widened stream it was pinned to."""
+    from vsphere_event_streaming_spark.functions.bpe import (
+        WORD_RE_FULL,
+        BpeVocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "don't stop 42 times"), (2, "stop don't go 42")],
+        "doc_id long, text string",
+    )
+    path = f"{tmp_path}/bpe_vocab_alpha"
+    narrow = BpeVocab(spark, path)
+    narrow.add_batch(docs, "b0")
+    with pytest.raises(ValueError, match="alphabet"):
+        BpeVocab(spark, path, word_re=WORD_RE_FULL)
+
+    # a separate full-alphabet store counts apostrophes/digits and
+    # matches the from-scratch full-alphabet vocabulary exactly
+    full_path = f"{tmp_path}/bpe_vocab_full"
+    full = BpeVocab(spark, full_path, word_re=WORD_RE_FULL)
+    full.add_batch(docs.filter(F.col("doc_id") == 1), "b0")
+    full.add_batch(docs.filter(F.col("doc_id") == 2), "b1")
+    merged = {r.word: r.cnt for r in full.vocab().collect()}
+    want = {
+        r.word: r.cnt
+        for r in word_vocab(docs, word_re=WORD_RE_FULL).collect()
+    }
+    assert merged == want
+    assert "don't" in merged and "42" in merged
+    # narrow store never saw them
+    narrow_words = {r.word for r in narrow.vocab().collect()}
+    assert "don't" not in narrow_words and "42" not in narrow_words

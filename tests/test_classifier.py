@@ -549,3 +549,38 @@ def test_pca_topm_rank_exhaustion_is_absorbing():
     assert comps[2] == [0.0, 0.0, 0.0]
     assert comps[3] == [0.0, 0.0, 0.0]
     assert all(abs(sum(x * x for x in comps[c]) - 1.0) < 1e-9 for c in (0, 1))
+
+
+def test_model_memo_refreshes_on_in_place_corpus_rewrite(spark, tmp_path):
+    """ADVICE r7: the trained-model memos must key on the corpus
+    FINGERPRINT, not the bare path — a corpus rewritten in place under
+    the same sf_dir must train a fresh model, not serve the stale one."""
+    from vsphere_event_streaming_spark.queries.model_queries import (
+        _corpus_key,
+        q_kmeans_cluster,
+    )
+
+    d = str(tmp_path)
+    rows1 = [(i, [float(i % 5), float(i % 3)], i % 2) for i in range(40)]
+    spark.createDataFrame(
+        rows1, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    k1 = _corpus_key(d)
+    a1 = {
+        r["vec_id"]: r["cid"]
+        for r in q_kmeans_cluster(spark, d).collect()
+    }
+    # in-place rewrite: same path, different corpus
+    rows2 = [(i, [float(-(i % 7)), float(i % 11)], i % 2) for i in range(40)]
+    spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    k2 = _corpus_key(d)
+    assert k1 != k2, "fingerprint failed to see the in-place rewrite"
+    a2 = {
+        r["vec_id"]: r["cid"]
+        for r in q_kmeans_cluster(spark, d).collect()
+    }
+    assert a1 != a2, (
+        "rewritten corpus served the stale memoized model"
+    )

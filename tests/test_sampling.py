@@ -168,6 +168,39 @@ def test_pack_sequences_rejects_bad_budget(corpus):
         pack_sequences(corpus, 0)
 
 
+def test_pack_negative_token_counts_clamp_to_empty_span(spark):
+    """ADVICE r7: a negative caller-supplied token count must not
+    silently invert a span (tok_end < tok_start) or shift later docs'
+    offsets — it clamps to the zero-token contract: one empty span,
+    and the stream offsets of the following docs are unaffected."""
+    docs = spark.createDataFrame(
+        [(1, "en", 4), (2, "en", -7), (3, "en", 5)],
+        "doc_id long, lang string, n long",
+    )
+    spans = sorted(
+        (r.doc_id, r.pack_id, r.tok_start, r.tok_end)
+        for r in pack_chunked(docs, 6, n_tokens_col="n").collect()
+    )
+    for _, _, s, e in spans:
+        assert s <= e, spans
+    # doc 2 keeps exactly one EMPTY span; doc 3 starts at offset 4
+    # (doc 2 contributes nothing), so it splits 2 + 3 over packs 0/1
+    assert spans == [
+        (1, 0, 0, 4),
+        (2, 0, 0, 0),
+        (3, 0, 0, 2),
+        (3, 1, 2, 5),
+    ], spans
+    # the whole-doc packer obeys the same clamp
+    whole = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(
+            docs, 6, n_tokens_col="n", text_col="n"
+        ).collect()
+    }
+    assert whole == {1: 0, 2: 0, 3: 0}
+
+
 def test_corpus_split_partition_properties(spark):
     """Split is exhaustive, ~proportional, append-stable (a doc's
     split never changes when the corpus grows), and rejects bad

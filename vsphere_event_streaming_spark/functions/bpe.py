@@ -359,21 +359,61 @@ class BpeVocab:
     Same crash contract as the other indexes: a batch write OVERWRITES
     its own ``batch_id=`` partition directory, so a replayed batch
     converges instead of double-counting.
+
+    The training ALPHABET (``word_re``) is part of the store's
+    identity (ADVICE r7): counts taken under different alphabets are
+    not additive (a ``[a-z]+`` batch silently drops the digits and
+    apostrophes a ``WORD_RE_FULL`` batch counts), so the constructor
+    pins it, the first ``add_batch`` persists it as an ``_ALPHABET``
+    marker beside the partitions, and every later open of the same
+    path validates against the marker — mixing alphabets raises
+    instead of merging garbage.
     """
 
-    def __init__(self, spark, path: str) -> None:
+    #: Alphabet marker filename, written once beside the batch dirs.
+    ALPHABET_FILE = "_ALPHABET"
+
+    def __init__(self, spark, path: str, word_re: str = WORD_RE) -> None:
         self.spark = spark
         self.path = path
+        self.word_re = word_re
+        self._check_alphabet(create=False)
+
+    def _check_alphabet(self, create: bool) -> None:
+        """Validate this handle's alphabet against the store marker;
+        with ``create=True``, write the marker if absent (first
+        ingest)."""
+        import os
+
+        marker = os.path.join(self.path, self.ALPHABET_FILE)
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                stored = fh.read().strip()
+            if stored != self.word_re:
+                raise ValueError(
+                    f"BpeVocab store {self.path!r} was built with"
+                    f" alphabet {stored!r}; refusing to mix with"
+                    f" {self.word_re!r} — counts under different"
+                    " alphabets are not additive"
+                )
+        elif create:
+            os.makedirs(self.path, exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write(self.word_re)
 
     def add_batch(
         self, docs: DataFrame, batch_id: str, text_col: str = "text"
     ) -> int:
-        """Count the batch's words and persist them as an idempotent
-        partition directory. Returns distinct words written."""
+        """Count the batch's words under the store's pinned alphabet
+        and persist them as an idempotent partition directory.
+        Returns distinct words written."""
         from .dedup import batch_partition_dir
 
         part_dir = batch_partition_dir(batch_id)  # validates token
-        counts = word_vocab(docs, text_col).localCheckpoint(eager=True)
+        self._check_alphabet(create=True)
+        counts = word_vocab(
+            docs, text_col, self.word_re
+        ).localCheckpoint(eager=True)
         n = counts.count()
         counts.write.mode("overwrite").parquet(
             f"{self.path}/{part_dir}"
@@ -394,7 +434,10 @@ class BpeVocab:
                 f"BpeVocab store has no ingested batches: {self.path!r}"
                 " — call add_batch() first"
             )
+        self._check_alphabet(create=False)
         return (
+            # the leading-underscore _ALPHABET marker is invisible to
+            # the parquet reader (Spark's hidden-file convention)
             self.spark.read.parquet(self.path)
             .groupBy("word")
             .agg(F.sum("cnt").alias("cnt"))

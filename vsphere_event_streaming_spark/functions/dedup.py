@@ -913,6 +913,7 @@ def hamming_pairs(
     max_hamming: int,
     n_bits: int = 63,
     max_fp_freq: int | None = None,
+    exclude_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, hamming) within Hamming distance
     ``max_hamming`` over an arbitrary-width integer fingerprint — the
@@ -949,6 +950,13 @@ def hamming_pairs(
     >100 M candidates/s per task, Spark broadcast-mis-plans the
     duplicated probe sides, and no tested scale was skew-bound, so the
     split was dropped in favor of this upstream exclusion.
+
+    ``exclude_fps`` (optional, single ``__fp`` column) supplies the
+    over-cap fingerprint frame precomputed — :func:`hamming_pairs_robust`
+    already aggregates it for its star tier, and recomputing it here
+    scanned the persisted hash table twice (ADVICE r7). When given, it
+    replaces the internal frequency aggregate; ``max_fp_freq`` then
+    only documents the cap the caller applied.
     """
     bands = _band_structs(hash_col, max_hamming, n_bits)
 
@@ -964,16 +972,17 @@ def hamming_pairs(
             F.col("probe.band_val").alias("band_val"),
         )
 
-    if max_fp_freq is not None:
-        freq = (
+    if exclude_fps is None and max_fp_freq is not None:
+        exclude_fps = (
             table.groupBy(F.col(hash_col).alias("__fp"))
             .agg(F.count(F.lit(1)).alias("__c"))
             .filter(F.col("__c") > max_fp_freq)
             .select("__fp")
         )
+    if exclude_fps is not None:
         table = table.join(
-            F.broadcast(freq),
-            table[hash_col] == freq["__fp"],
+            F.broadcast(exclude_fps),
+            table[hash_col] == exclude_fps["__fp"],
             "left_anti",
         )
 
@@ -1031,14 +1040,11 @@ def hamming_pairs_robust(
     union needs no dedup and an exact SQL oracle mirrors each tier
     directly.
     """
-    banded = hamming_pairs(
-        table,
-        id_col,
-        hash_col,
-        max_hamming,
-        n_bits=n_bits,
-        max_fp_freq=max_fp_freq,
-    )
+    # ONE frequency aggregate serves both tiers (ADVICE r7: computing
+    # it separately inside hamming_pairs scanned the persisted hash
+    # table twice): the over-cap frame is Zipf-head-tiny, so persist()
+    # costs nothing and both the banded tier's anti-join and the star
+    # tier's broadcast read the same cached rows.
     deg = (
         table.groupBy(F.col(hash_col).alias("__fp"))
         .agg(
@@ -1047,6 +1053,16 @@ def hamming_pairs_robust(
         )
         .filter(F.col("__c") > max_fp_freq)
         .select("__fp", "__rep")
+        .persist()
+    )
+    banded = hamming_pairs(
+        table,
+        id_col,
+        hash_col,
+        max_hamming,
+        n_bits=n_bits,
+        max_fp_freq=max_fp_freq,
+        exclude_fps=deg.select("__fp"),
     )
     exact = (
         table.join(

@@ -96,8 +96,15 @@ def pack_sequences(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # A caller-supplied count column is untrusted: a negative count
+    # would silently invert spans (tok_end < tok_start) and shift
+    # every later doc's offset in the stratum (ADVICE r7). Clamp to
+    # 0 — the zero-token contract already keeps such a doc
+    # represented with one empty span, the only sane reading of
+    # corrupt input (the derived token_count path is non-negative by
+    # construction).
     n_tokens = (
-        F.col(n_tokens_col)
+        F.greatest(F.lit(0), F.col(n_tokens_col))
         if n_tokens_col is not None
         else token_count(F.col(text_col))
     )
@@ -155,8 +162,15 @@ def pack_chunked(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # A caller-supplied count column is untrusted: a negative count
+    # would silently invert spans (tok_end < tok_start) and shift
+    # every later doc's offset in the stratum (ADVICE r7). Clamp to
+    # 0 — the zero-token contract already keeps such a doc
+    # represented with one empty span, the only sane reading of
+    # corrupt input (the derived token_count path is non-negative by
+    # construction).
     n_tokens = (
-        F.col(n_tokens_col)
+        F.greatest(F.lit(0), F.col(n_tokens_col))
         if n_tokens_col is not None
         else token_count(F.col(text_col))
     )

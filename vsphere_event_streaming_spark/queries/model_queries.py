@@ -69,20 +69,46 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load(spark, sf_dir, name)
 
 
-#: Trained-model memos keyed by corpus dir (weights/components are
-#: plain Python numbers — session-independent). Safe because every
-#: caller (driver, selfcheck, bench, fuzz tmp dirs) treats an sf_dir
-#: as immutable; rewriting parquet in place under the same path would
-#: serve stale models. Gives every query in the tier the
+#: Trained-model memos keyed by CORPUS FINGERPRINT (weights/components
+#: are plain Python numbers — session-independent): sf_dir plus the
+#: embeddings parquet's (path, mtime_ns, size) census, so a corpus
+#: rewritten IN PLACE under the same path trains fresh instead of
+#: serving a stale model (ADVICE r7 — the plain-sf_dir key was an
+#: unguarded documented hazard). Gives every query in the tier the
 #: train-once/apply-many shape real pipelines have (bench times the
 #: application path; training cost is probed in SCALE.md).
-_WEIGHTS_MEMO: dict[str, list[int]] = {}
-_PCA_MEMO: dict[str, tuple[list[float], list[float]]] = {}
+_WEIGHTS_MEMO: dict[tuple, list[int]] = {}
+_PCA_MEMO: dict[tuple, tuple[list[float], list[float]]] = {}
+
+
+def _corpus_key(sf_dir: str) -> tuple:
+    """Memo key: the embeddings table's file census. A parquet
+    dataset is a file or a directory of part files; stat'ing every
+    part (name, mtime_ns, size) fingerprints an in-place rewrite in
+    either layout. O(#files) stat calls — trivial next to training."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    entries: list[tuple] = []
+    try:
+        if os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, name))
+                entries.append((name, st.st_mtime_ns, st.st_size))
+        else:
+            st = os.stat(path)
+            entries.append(("", st.st_mtime_ns, st.st_size))
+    except OSError:
+        # unreadable/missing: fall back to the bare dir key — the
+        # subsequent read will raise the real error with context
+        pass
+    return (sf_dir, tuple(entries))
 
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    w = _WEIGHTS_MEMO.get(sf_dir)
+    ck = _corpus_key(sf_dir)
+    w = _WEIGHTS_MEMO.get(ck)
     if w is None:
         w = train_logreg(
             emb,
@@ -92,7 +118,7 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             lr_den=LOGREG_LR[1],
             pos_weight=POS_WEIGHT,
         )
-        _WEIGHTS_MEMO[sf_dir] = w
+        _WEIGHTS_MEMO[ck] = w
     return emb.select(
         F.col("vec_id"),
         F.col("label"),
@@ -421,7 +447,8 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     both iterations + deflation + re-orthogonalization +
     projections, all exactly."""
     emb = _t(spark, sf_dir, "embeddings")
-    vs = _PCA_MEMO.get(sf_dir)
+    ck = _corpus_key(sf_dir)
+    vs = _PCA_MEMO.get(ck)
     if vs is None:
         g = gram_micro(emb)
         d = 1 + max((i for i, _ in g), default=-1)
@@ -430,7 +457,7 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             v1,
             deflated_second_component(g, d, iters=PCA_ITERS, v1=v1),
         )
-        _PCA_MEMO[sf_dir] = vs
+        _PCA_MEMO[ck] = vs
     v1, v2 = vs
     return emb.select(
         "vec_id",
@@ -444,8 +471,8 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: whitening / 2-D-plus visualization stage actually consumes.
 PCA_TOPM = 4
 
-#: Top-m components memo, same contract as _PCA_MEMO.
-_PCA_TOPM_MEMO: dict[str, list[list[float]]] = {}
+#: Top-m components memo, same fingerprint-keyed contract as _PCA_MEMO.
+_PCA_TOPM_MEMO: dict[tuple, list[list[float]]] = {}
 
 
 # ======================================================================
@@ -476,12 +503,13 @@ def q_embed_pca_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration, Gram–Schmidt projection and the rank-exhaustion zero
     cutoff exactly."""
     emb = _t(spark, sf_dir, "embeddings")
-    comps = _PCA_TOPM_MEMO.get(sf_dir)
+    ck = _corpus_key(sf_dir)
+    comps = _PCA_TOPM_MEMO.get(ck)
     if comps is None:
         g = gram_micro(emb)
         d = 1 + max((i for i, _ in g), default=-1)
         comps = pca_topm(g, d, iters=PCA_ITERS, m=PCA_TOPM)
-        _PCA_TOPM_MEMO[sf_dir] = comps
+        _PCA_TOPM_MEMO[ck] = comps
     return emb.select(
         "vec_id",
         "label",
@@ -494,8 +522,8 @@ def q_embed_pca_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Trained-centroids memo, same contract as _WEIGHTS_MEMO.
-_KMEANS_MEMO: dict[str, list[list[int]]] = {}
+#: Trained-centroids memo, same fingerprint-keyed contract as _WEIGHTS_MEMO.
+_KMEANS_MEMO: dict[tuple, list[list[int]]] = {}
 
 
 # ======================================================================
@@ -531,10 +559,11 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_model(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    cm = _KMEANS_MEMO.get(sf_dir)
+    ck = _corpus_key(sf_dir)
+    cm = _KMEANS_MEMO.get(ck)
     if cm is None:
         cm = train_kmeans(emb, k=K_CLUSTERS, iters=KMEANS_ITERS)
-        _KMEANS_MEMO[sf_dir] = cm
+        _KMEANS_MEMO[ck] = cm
     return emb, cm
 
 
@@ -604,7 +633,7 @@ WHERE ((('0x' || substr(md5('cbal:' || CAST(e.vec_id AS VARCHAR)), 1, 15))::BIGI
 #: Per-cluster keep rates (SAMPLE_MOD micro-units), memoized with the
 #: model: rates derive from the k-row size aggregate collected ONCE at
 #: build time — not a per-call count job, and never a data-sized join.
-_CBAL_MEMO: dict[str, dict[int, int]] = {}
+_CBAL_MEMO: dict[tuple, dict[int, int]] = {}
 
 
 @query("q_cluster_balanced", oracle=_cbal_oracle())
@@ -638,7 +667,8 @@ def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.sampling import SAMPLE_MOD, keep_bucket
 
     emb, cm = _kmeans_model(spark, sf_dir)
-    rates = _CBAL_MEMO.get(sf_dir)
+    ck = _corpus_key(sf_dir)
+    rates = _CBAL_MEMO.get(ck)
     if rates is None:
         sizes = {
             r["cid"]: r["n"]
@@ -655,7 +685,7 @@ def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             cid: min(SAMPLE_MOD, cap * SAMPLE_MOD // n)
             for cid, n in sizes.items()
         }
-        _CBAL_MEMO[sf_dir] = rates
+        _CBAL_MEMO[ck] = rates
     rate_arr = F.array(
         *[F.lit(rates.get(c, 0)) for c in range(K_CLUSTERS)]
     )

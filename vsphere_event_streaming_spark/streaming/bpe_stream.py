@@ -33,6 +33,7 @@ def start_incremental_bpe_vocab(
     available_now: bool = True,
     batch_prefix: str = "b",
     max_files_per_trigger: int | None = None,
+    word_re: str | None = None,
 ) -> StreamingQuery:
     """Stream ``(doc_id, text)`` parquet batches into a BpeVocab.
 
@@ -40,9 +41,16 @@ def start_incremental_bpe_vocab(
     ``vocab_dir`` are one unit — epoch ids are stable only per
     checkpoint; to feed an existing store from a fresh checkpoint,
     pass a fresh ``batch_prefix`` so new epochs land in their own
-    partition namespace.
+    partition namespace. ``word_re`` pins the store's training
+    alphabet (default :data:`~..functions.bpe.WORD_RE`); a resumed
+    stream against a store built under a different alphabet fails at
+    construction (the BpeVocab marker check), not after mixed counts.
     """
-    store = BpeVocab(spark, vocab_dir)
+    store = (
+        BpeVocab(spark, vocab_dir)
+        if word_re is None
+        else BpeVocab(spark, vocab_dir, word_re=word_re)
+    )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         store.add_batch(batch_df, batch_id=f"{batch_prefix}{epoch_id}")
