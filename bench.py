@@ -144,6 +144,8 @@ HEADLINE = [
     # trained centroids)
     "q_embed_pca_topm",
     "q_cluster_quality",
+    # binned mergeable-cell AUC (the streaming monitor form)
+    "q_classifier_auc_binned",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

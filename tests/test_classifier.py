@@ -584,3 +584,56 @@ def test_model_memo_refreshes_on_in_place_corpus_rewrite(spark, tmp_path):
     assert a1 != a2, (
         "rewritten corpus served the stale memoized model"
     )
+
+
+def test_binned_auc_cells_merge_and_bound_the_exact_auc(spark):
+    """L34-b's two contracts: (1) the (cpos, cneg) cells are ADDITIVE
+    across corpus splits — cells(A ∪ B) == cells(A) + cells(B)
+    cell-wise, the merge property a streaming monitor accumulates on;
+    (2) |binned − exact| AUC is bounded by the within-bin tie credit,
+    ≤ 1/AUC_BUCKETS."""
+    from vsphere_event_streaming_spark.queries.model_queries import (
+        AUC_BUCKETS,
+        _scored,
+        q_classifier_auc,
+        q_classifier_auc_binned,
+    )
+    import pyspark.sql.functions as F
+
+    exact = q_classifier_auc(spark, SF_DIR).collect()[0]
+    binned = q_classifier_auc_binned(spark, SF_DIR).collect()[0]
+    assert binned["n_pos"] == exact["n_pos"]
+    assert binned["n_neg"] == exact["n_neg"]
+    assert abs(binned["auc"] - exact["auc"]) <= 1.0 / AUC_BUCKETS, (
+        binned["auc"],
+        exact["auc"],
+    )
+
+    def cells_of(df):
+        rows = (
+            df.groupBy(
+                F.least(
+                    F.lit(AUC_BUCKETS - 1),
+                    F.floor(F.col("p") * AUC_BUCKETS),
+                )
+                .cast("int")
+                .alias("bin")
+            )
+            .agg(
+                F.sum((F.col("y") == 1.0).cast("long")).alias("cpos"),
+                F.sum((F.col("y") == 0.0).cast("long")).alias("cneg"),
+            )
+            .collect()
+        )
+        return {r["bin"]: (r["cpos"], r["cneg"]) for r in rows}
+
+    sc = _scored(spark, SF_DIR)
+    whole = cells_of(sc)
+    a = cells_of(sc.filter(F.col("vec_id") % 2 == 0))
+    b = cells_of(sc.filter(F.col("vec_id") % 2 == 1))
+    merged = {}
+    for part in (a, b):
+        for k, (cp, cn) in part.items():
+            p0, n0 = merged.get(k, (0, 0))
+            merged[k] = (p0 + cp, n0 + cn)
+    assert merged == whole

@@ -234,6 +234,9 @@ ROTATED_OUT_R8 = (
     "q_range_frame",
     "q_variant_json",
     "q_sessionize",
+    # r8-new, declared OUT of the window (window pinned to the
+    # staleness-repayment plan); oracled — selfcheck + fuzz cover it
+    "q_classifier_auc_binned",
 )
 
 

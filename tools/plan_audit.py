@@ -576,6 +576,22 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Join",
         ],
     ],
+    # binned AUC: ONE hash aggregate to ≤AUC_BUCKETS cells, then the
+    # tiny cumulative over the CELL table (windowspecdefinition(bin
+    # ...) — W1 tiny-prefix shape); no join, no Python, and never a
+    # window ordered on the raw score (that would be the
+    # score-cardinality-sized exact tier's trap)
+    "q_classifier_auc_binned": [
+        [r"HashAggregate", r"windowspecdefinition\(bin#\d+"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Join",
+            r"windowspecdefinition\(s#\d+",
+            r"windowspecdefinition\(p#\d+",
+        ],
+    ],
     # top-4 PCA application: four codegen folds per row, still scan +
     # project only — adding components must not add shuffles or Python
     "q_embed_pca_topm": [

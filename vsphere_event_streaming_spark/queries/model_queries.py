@@ -377,6 +377,103 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# L34-b: binned AUC over mergeable integer cells (the streaming form)
+# ======================================================================
+@query(
+    "q_classifier_auc_binned",
+    oracle=logreg_oracle(
+        iters=LOGREG_ITERS,
+        lr_num=LOGREG_LR[0],
+        lr_den=LOGREG_LR[1],
+        positive_label=POSITIVE_LABEL,
+        pos_weight=POS_WEIGHT,
+    )
+    + f""",
+cells AS MATERIALIZED (
+  SELECT CAST(least({AUC_BUCKETS - 1}, floor(p * {AUC_BUCKETS})) AS INT)
+           AS bin,
+         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+         CAST(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS cneg
+  FROM p{LOGREG_ITERS + 1} GROUP BY 1
+),
+cum AS MATERIALIZED (
+  SELECT cpos, cneg,
+         COALESCE(sum(cneg) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS nb
+  FROM cells
+)
+SELECT CAST(sum(cpos) AS BIGINT) AS n_pos,
+       CAST(sum(cneg) AS BIGINT) AS n_neg,
+       CAST(sum(cpos * 2 * nb + cpos * cneg) AS BIGINT) AS auc_num2,
+       round(CAST(sum(cpos * 2 * nb + cpos * cneg) AS DOUBLE)
+             / (2.0 * sum(cpos) * sum(cneg)), 6) AS auc
+FROM cum
+""",
+)
+def q_classifier_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned AUC over MERGEABLE integer cells — the streaming /
+    monitoring form of q_classifier_auc: scores quantize to the
+    AUC_BUCKETS grid FIRST, the corpus collapses to ≤AUC_BUCKETS
+    (cpos, cneg) cells in ONE map-side-combined hash aggregate, and
+    the same tie-corrected rank-sum formula runs over the cells
+    (within-bin pairs count as ties — a deterministic function of the
+    cells, exact in both engines; |binned − exact| is bounded by the
+    within-bin tie credit, asserted ≤ 1/AUC_BUCKETS in pytest).
+
+    Why it earns its own tier: the cells are ADDITIVE BIGINT counters
+    — cells(A ∪ B) = cells(A) + cells(B) cell-wise (asserted in
+    pytest) — so a streaming serve path accumulates them per epoch as
+    a standard windowed aggregate and the monitor reads AUC from the
+    merged table with no per-row state; the exact tier's
+    distinct-score table can't merge that way. The cumulative window
+    here runs over the ≤AUC_BUCKETS-row CELL table (the W1
+    tiny-prefix shape, free by construction — unlike the exact
+    tier's, which needed the two-phase pattern because its input is
+    score-cardinality-sized)."""
+    from pyspark.sql import Window
+
+    sc = _scored(spark, sf_dir)
+    cells = sc.groupBy(
+        F.least(
+            F.lit(AUC_BUCKETS - 1), F.floor(F.col("p") * AUC_BUCKETS)
+        )
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.sum((F.col("y") == 1.0).cast("long")).alias("cpos"),
+        F.sum((F.col("y") == 0.0).cast("long")).alias("cneg"),
+    )
+    tiny = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = cells.select(
+        "cpos",
+        "cneg",
+        F.coalesce(F.sum("cneg").over(tiny), F.lit(0)).alias("nb"),
+    )
+    num2 = F.col("cpos") * 2 * F.col("nb") + F.col("cpos") * F.col("cneg")
+    return c.agg(
+        F.sum("cpos").alias("n_pos"),
+        F.sum("cneg").alias("n_neg"),
+        F.sum(num2).alias("auc_num2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.round(
+            F.col("auc_num2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ======================================================================
 # L34'''': calibration (reliability) bins — the binned scale path
 # ======================================================================
 @query(

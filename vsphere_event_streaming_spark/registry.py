@@ -258,6 +258,10 @@ PRIORITY: tuple[str, ...] = (
     "q_range_frame",
     "q_variant_json",
     "q_sessionize",
+    # r8-new, declared OUT of the window (the r8 window is pinned to
+    # the staleness-repayment plan above); oracled, so selfcheck and
+    # the embeddings fuzz family cover it until its r9 driver row
+    "q_classifier_auc_binned",
 )
 
 
