@@ -146,6 +146,9 @@ HEADLINE = [
     "q_cluster_quality",
     # binned mergeable-cell AUC (the streaming monitor form)
     "q_classifier_auc_binned",
+    # SemDeDup over trained k-means cells (the published recipe,
+    # training + every pair decision oracle-replayed)
+    "q_dedup_semantic_cells",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

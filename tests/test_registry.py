@@ -237,6 +237,7 @@ ROTATED_OUT_R8 = (
     # r8-new, declared OUT of the window (window pinned to the
     # staleness-repayment plan); oracled — selfcheck + fuzz cover it
     "q_classifier_auc_binned",
+    "q_dedup_semantic_cells",
 )
 
 

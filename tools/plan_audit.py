@@ -576,6 +576,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Join",
         ],
     ],
+    # SemDeDup over trained cells: the cid self-join must be an
+    # equi-join (hash/SMJ), never a cartesian; the cosine verify is a
+    # codegen filter inside the join stage; no Python
+    "q_dedup_semantic_cells": [
+        [r"Join"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+        ],
+    ],
     # binned AUC: ONE hash aggregate to ≤AUC_BUCKETS cells, then the
     # tiny cumulative over the CELL table (windowspecdefinition(bin
     # ...) — W1 tiny-prefix shape); no join, no Python, and never a

@@ -877,3 +877,112 @@ def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(passing, F.col("n_chars")).otherwise(F.lit(0))
         ).alias("chars_pass"),
     )
+
+
+# ======================================================================
+# L18': SemDeDup over TRAINED k-means cells (the published recipe)
+# ======================================================================
+#: The SemDeDup cell model: many small cells (the published recipe
+#: uses cluster counts that grow with the corpus so per-cell pair
+#: work stays bounded), few Lloyd's iterations (cell shape converges
+#: fast; every extra iteration lengthens the replayed CTE chain).
+SEM_K = 64
+SEM_KMEANS_ITERS = 2
+
+#: Cell-model memo, same fingerprint-keyed contract as _KMEANS_MEMO.
+_SEM_KMEANS_MEMO: dict[tuple, list[list[int]]] = {}
+
+
+def _sem_dedup_oracle() -> str:
+    from ..functions.vectors import SEMANTIC_THRESHOLD
+
+    k1 = SEM_KMEANS_ITERS + 1
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return (
+        kmeans_oracle(k=SEM_K, iters=SEM_KMEANS_ITERS)
+        + f""",
+ed AS MATERIALIZED (
+  SELECT e0.vec_id, e0.embedding::DOUBLE[] AS v, a.cid
+  FROM embeddings e0 JOIN a{k1} a USING (vec_id)
+),
+red AS MATERIALIZED (
+  SELECT DISTINCT b.vec_id AS vec_id, TRUE AS dup
+  FROM ed a JOIN ed b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos} >= {SEMANTIC_THRESHOLD}
+)
+SELECT ed.vec_id AS vec_id, ed.cid AS cid,
+       NOT coalesce(dup, FALSE) AS kept
+FROM ed LEFT JOIN red USING (vec_id)
+"""
+    )
+
+
+@query("q_dedup_semantic_cells", oracle=_sem_dedup_oracle())
+def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over TRAINED k-means cells — the published recipe
+    (cluster with k-means, then inside each cluster drop every vector
+    a smaller-id vector covers at cosine >= threshold), now fully
+    oracle-replayable because the cell model's TRAINING replays in
+    DuckDB (the r7 L36 machinery). q_dedup_semantic's docstring
+    documented the sign-LSH bucket as the stand-in it traded for
+    replayability; this query retires that trade: cells are a
+    SEM_K=64 / 2-iteration Lloyd's model (memoized per corpus
+    fingerprint), and the keep/drop rule is the same min-id dominance.
+
+    Scale shape: assignment is the codegen literal-centroid argmin
+    (persisted once — it feeds both self-join sides and the output);
+    the cell self-equi-join's per-cell cost is quadratic in cell
+    size, bounded by growing SEM_K with the corpus (the published
+    recipe's own knob — cells of ~1k vectors at any N); the verify is
+    an exact cosine INSIDE the join stage. At 100 TB the corpus is
+    written partitioned by cid so the self-join is co-located.
+    Cosine runs on the RAW embedding (assignment winsorizes
+    internally); a zero vector yields NaN cosine, which fails the
+    >= threshold gate identically in both engines (fuzz-covered — the
+    embeddings family auto-discovers this oracle)."""
+    from ..functions.dedup import _persist
+    from ..functions.vectors import SEMANTIC_THRESHOLD, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ck = _corpus_key(sf_dir)
+    cm = _SEM_KMEANS_MEMO.get(ck)
+    if cm is None:
+        cm = train_kmeans(emb, k=SEM_K, iters=SEM_KMEANS_ITERS)
+        _SEM_KMEANS_MEMO[ck] = cm
+    s = _persist(
+        emb.select(
+            "vec_id",
+            "embedding",
+            kmeans_assign(F.col("embedding"), cm).alias("cid"),
+        )
+    )
+    a = s.select(
+        F.col("vec_id").alias("__ida"),
+        F.col("embedding").alias("__va"),
+        "cid",
+    )
+    b = s.select(
+        F.col("vec_id").alias("__idb"),
+        F.col("embedding").alias("__vb"),
+        "cid",
+    )
+    redundant = (
+        a.join(b, "cid")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            cosine(F.col("__va"), F.col("__vb"))
+            >= F.lit(SEMANTIC_THRESHOLD)
+        )
+        .select(F.col("__idb").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return s.join(redundant, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
+    )

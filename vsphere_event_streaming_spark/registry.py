@@ -262,6 +262,7 @@ PRIORITY: tuple[str, ...] = (
     # the staleness-repayment plan above); oracled, so selfcheck and
     # the embeddings fuzz family cover it until its r9 driver row
     "q_classifier_auc_binned",
+    "q_dedup_semantic_cells",
 )
 
 
