@@ -1125,3 +1125,87 @@ def test_incremental_gram_stream(spark, tmp_path):
     g = gram_micro(emb)
     d = 1 + max(i for i, _ in g)
     assert store.train(iters=6) == power_iteration(g, d, iters=6)
+
+
+def test_streaming_pca_and_cluster_serve_parity(spark, tmp_path):
+    """L35''/L36 serve paths (r8): frozen trained components /
+    centroids applied to an embedding stream as stateless projections
+    must equal the batch projections row-for-row (same expression
+    tree through readStream)."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.classifier import (
+        gram_micro,
+        pca_project,
+        pca_topm,
+    )
+    from vsphere_event_streaming_spark.functions.kmeans import (
+        kmeans_assign,
+        train_kmeans,
+    )
+    from vsphere_event_streaming_spark.streaming.model_stream import (
+        EMB_STREAM_SCHEMA,
+        streaming_cluster_assignments,
+        streaming_pca_projection,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    g = gram_micro(emb)
+    d = 1 + max(i for i, _ in g)
+    comps = pca_topm(g, d, iters=6, m=4)
+    cm = train_kmeans(emb, k=8, iters=2)
+
+    in_dir = f"{tmp_path}/in"
+    emb.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(EMB_STREAM_SCHEMA).parquet(in_dir)
+
+    q1 = (
+        streaming_pca_projection(stream, comps)
+        .writeStream.format("memory")
+        .queryName("t_pca_serve")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_pca")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+    got = {
+        r.vec_id: (r.pc1, r.pc2, r.pc3, r.pc4)
+        for r in spark.sql("SELECT * FROM t_pca_serve").collect()
+    }
+    want = {
+        r.vec_id: (r.pc1, r.pc2, r.pc3, r.pc4)
+        for r in emb.select(
+            "vec_id",
+            *[
+                F.round(
+                    pca_project(F.col("embedding"), comps[i]), 6
+                ).alias(f"pc{i + 1}")
+                for i in range(4)
+            ],
+        ).collect()
+    }
+    assert got == want
+
+    q2 = (
+        streaming_cluster_assignments(stream, cm)
+        .writeStream.format("memory")
+        .queryName("t_cell_serve")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_cell")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got_c = {
+        r.vec_id: r.cid
+        for r in spark.sql("SELECT * FROM t_cell_serve").collect()
+    }
+    want_c = {
+        r.vec_id: r.cid
+        for r in emb.select(
+            "vec_id", kmeans_assign(F.col("embedding"), cm).alias("cid")
+        ).collect()
+    }
+    assert got_c == want_c
+    assert len(set(got_c.values())) > 1  # a real partition of the corpus

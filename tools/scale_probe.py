@@ -577,6 +577,116 @@ def _ivf_stream_probe(
         shutil.rmtree(path, ignore_errors=True)
 
 
+
+def _auc_cum_shape(spark, n: int):
+    """q_classifier_auc's scale-critical stage in isolation: the
+    cumulative negatives-below count over an n-row DISTINCT-score
+    table (r8, VERDICT_r7 #4). Replicated embeddings collapse to ONE
+    distinct-score table (identical vectors -> identical scores), so
+    this probe synthesizes the n-row table directly — exactly the
+    input whose growth single-partitioned the old ``Window.orderBy``
+    plan. The two-phase form (score-grid buckets, tiny cross-bucket
+    prefix broadcast, bucket-partitioned window) must track n
+    ~linearly."""
+    from pyspark.sql import Window
+
+    B = 128
+    g = spark.range(0, n, 1, 32).select(
+        (F.col("id").cast("double") / F.lit(float(n))).alias("s"),
+        (F.col("id") % 3 == 0).cast("long").alias("cpos"),
+        (F.col("id") % 3 != 0).cast("long").alias("cneg"),
+    )
+    gb = g.withColumn(
+        "bkt",
+        F.least(F.lit(B - 1), F.floor(F.col("s") * B)).cast("int"),
+    )
+    tiny = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        gb.groupBy(F.col("bkt").alias("__b"))
+        .agg(F.sum("cneg").alias("__bneg"))
+        .select(
+            "__b",
+            F.coalesce(F.sum("__bneg").over(tiny), F.lit(0)).alias("__base"),
+        )
+    )
+    wb = (
+        Window.partitionBy("bkt")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        gb.withColumn(
+            "__nb", F.coalesce(F.sum("cneg").over(wb), F.lit(0))
+        )
+        .join(F.broadcast(bases), F.col("bkt") == F.col("__b"))
+        .select(
+            "cpos",
+            "cneg",
+            (F.col("__base") + F.col("__nb")).alias("nb"),
+        )
+    )
+    num2 = F.col("cpos") * 2 * F.col("nb") + F.col("cpos") * F.col("cneg")
+    return c.agg(
+        F.sum("cpos").alias("n_pos"),
+        F.sum("cneg").alias("n_neg"),
+        F.sum(num2).alias("auc_num2"),
+    )
+
+
+def _semantic_cells_shape(emb):
+    """q_dedup_semantic_cells' shape (r8): train the SEM_K=64 cell
+    model, assign (persisted once), pair within cells with the cosine
+    verify inside the join. Identical replicas are the worst case —
+    every replica group is an exact-dup clique inside one cell, so
+    candidate PAIRS grow ~factor^2 while output rows grow by the
+    factor (the jaccard-probe convention: time tracks pairs, not
+    rows)."""
+    from vsphere_event_streaming_spark.functions.dedup import _persist
+    from vsphere_event_streaming_spark.functions.kmeans import (
+        kmeans_assign,
+        train_kmeans,
+    )
+    from vsphere_event_streaming_spark.functions.vectors import (
+        SEMANTIC_THRESHOLD,
+        cosine,
+    )
+
+    cm = train_kmeans(emb, k=64, iters=2)
+    s = _persist(
+        emb.select(
+            "vec_id",
+            "embedding",
+            kmeans_assign(F.col("embedding"), cm).alias("cid"),
+        )
+    )
+    a = s.select(
+        F.col("vec_id").alias("__ida"),
+        F.col("embedding").alias("__va"),
+        "cid",
+    )
+    b = s.select(
+        F.col("vec_id").alias("__idb"),
+        F.col("embedding").alias("__vb"),
+        "cid",
+    )
+    red = (
+        a.join(b, "cid")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            cosine(F.col("__va"), F.col("__vb"))
+            >= F.lit(SEMANTIC_THRESHOLD)
+        )
+        .select(F.col("__idb").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return s.join(red, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
+    )
+
+
 def _time(fn) -> tuple[float, int]:
     t0 = time.perf_counter()
     df = fn()
@@ -880,6 +990,23 @@ def main() -> None:
             "kmeans_train_assign",
             lambda: _kmeans_shape(emb1),
             lambda: _kmeans_shape(embN),
+        ),
+        # r8: the exact-AUC cumulative over the distinct-score table —
+        # the stage the old unpartitioned window single-tasked; the
+        # two-phase form must track the table size ~linearly
+        (
+            "auc_rank_sum_cum",
+            lambda: _auc_cum_shape(spark, 200_000),
+            lambda: _auc_cum_shape(spark, 2_000_000),
+        ),
+        # r8: SemDeDup over trained cells — identical replicas pack
+        # exact-dup cliques into cells, so candidate pairs grow
+        # ~factor^2 (time tracks pairs; the published recipe's knob
+        # is growing SEM_K with the corpus)
+        (
+            "semantic_cells",
+            lambda: _semantic_cells_shape(emb1),
+            lambda: _semantic_cells_shape(embN),
         ),
     ]:
         if only and name not in only:

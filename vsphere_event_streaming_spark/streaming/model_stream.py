@@ -107,3 +107,43 @@ def start_incremental_gram(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_pca_projection(
+    stream: DataFrame, components: list[list[float]]
+) -> DataFrame:
+    """Top-m PCA projection over a streaming embeddings frame — the
+    r8 serve-path twin of :func:`streaming_scores` for the L35''
+    artifact: the trained components are frozen literals and each
+    ``pc{i}`` is a stateless codegen fold, so the projection composes
+    with ``readStream`` directly (no state, no watermark) and
+    batch/stream parity is exact by construction (same expression
+    tree; asserted in ``tests/test_streaming.py``)."""
+    from ..functions.classifier import pca_project
+
+    return stream.select(
+        "vec_id",
+        "label",
+        *[
+            F.round(pca_project(F.col("embedding"), v), 6).alias(
+                f"pc{i + 1}"
+            )
+            for i, v in enumerate(components)
+        ],
+    )
+
+
+def streaming_cluster_assignments(
+    stream: DataFrame, cm: list[list[int]]
+) -> DataFrame:
+    """Trained k-means cell assignment over a streaming embeddings
+    frame — the serve path the docstring's topology names: each crawl
+    batch is routed to its cell (IVF partition, curriculum stratum)
+    by the frozen literal-centroid argmin, stateless per row."""
+    from ..functions.kmeans import kmeans_assign
+
+    return stream.select(
+        "vec_id",
+        "label",
+        kmeans_assign(F.col("embedding"), cm).alias("cid"),
+    )
