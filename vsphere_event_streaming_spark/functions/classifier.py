@@ -358,30 +358,67 @@ def winsorized(vec: Column) -> Column:
 
 
 def gram_cells(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """The d×d Gram matrix of the winsorized embeddings as a cell
-    frame ``(i, j, g)`` with ``g = Σ floor(xᵢ·xⱼ·1e6)`` exact BIGINT —
-    ONE pass, one integer hash aggregate (map-side combined), d² rows
-    out regardless of corpus size. Integer cells are ADDITIVE, which
-    is what makes the Gram (and therefore PCA) incrementally
-    trainable (:class:`GramStore`)."""
+    """The UPPER TRIANGLE (j ≥ i) of the d×d Gram matrix of the
+    winsorized embeddings as a cell frame ``(i, j, g)`` with
+    ``g = Σ floor(xᵢ·xⱼ·1e6)`` exact BIGINT — ONE pass, one integer
+    hash aggregate (map-side combined), d(d+1)/2 rows out regardless
+    of corpus size.
+
+    Upper-triangle-only is exact, not an approximation: IEEE
+    multiplication commutes (``xᵢ·xⱼ == xⱼ·xᵢ`` bit-for-bit), so
+    ``cell(i,j) == cell(j,i)`` and the lower triangle is mirrored on
+    the driver (:func:`gram_micro` / :meth:`GramStore.gram`). This
+    HALVES the posexplode² Generate fan-out (d²=4,096 → 2,080 rows
+    per input row at d=64) — the fan was the PCA path's dominant CPU
+    (VERDICT_r7 noted it as the thing to watch if d grows). The
+    second explode runs over ``slice(x, i+1, d−i)`` so the discarded
+    half is never generated, not generated-then-filtered.
+
+    Integer cells are ADDITIVE, which is what makes the Gram (and
+    therefore PCA) incrementally trainable (:class:`GramStore` —
+    whose persisted batches are upper-triangle cells too; do not mix
+    with pre-r8 full-matrix stores)."""
     w = emb.select(winsorized(F.col(vec_col)).alias("x"))
-    ex = w.select(
-        F.posexplode(F.col("x")).alias("i", "xi"), F.col("x")
-    ).select(
-        F.col("i"), F.posexplode(F.col("x")).alias("j", "xj"), F.col("xi")
+    ex = (
+        w.select(F.posexplode(F.col("x")).alias("i", "xi"), F.col("x"))
+        .select(
+            F.col("i"),
+            F.col("xi"),
+            F.posexplode(
+                F.slice(
+                    F.col("x"), F.col("i") + 1, F.size("x") - F.col("i")
+                )
+            ).alias("jo", "xj"),
+        )
+        .select(
+            "i", (F.col("i") + F.col("jo")).alias("j"), "xi", "xj"
+        )
     )
     cell = F.floor(F.col("xi") * F.col("xj") * F.lit(float(MICRO)))
     return ex.groupBy("i", "j").agg(F.sum(cell).alias("g"))
 
 
+def _mirror(cells: dict[tuple[int, int], int]) -> dict[tuple[int, int], int]:
+    """Reflect upper-triangle cells to the full symmetric dict —
+    exact because cell(i,j) == cell(j,i) (commutative multiply)."""
+    out = dict(cells)
+    for (i, j), g in cells.items():
+        if i != j:
+            out[(j, i)] = g
+    return out
+
+
 def gram_micro(
     emb: DataFrame, vec_col: str = "embedding"
 ) -> dict[tuple[int, int], int]:
-    """:func:`gram_cells` collected to O(d²) driver cells."""
-    return {
-        (r["i"], r["j"]): int(r["g"])
-        for r in gram_cells(emb, vec_col).collect()
-    }
+    """:func:`gram_cells` collected and mirrored to the full O(d²)
+    driver cell dict."""
+    return _mirror(
+        {
+            (r["i"], r["j"]): int(r["g"])
+            for r in gram_cells(emb, vec_col).collect()
+        }
+    )
 
 
 class GramStore:
@@ -423,7 +460,9 @@ class GramStore:
 
     def gram(self) -> dict[tuple[int, int], int]:
         """The merged Gram over every ingested batch — exactly the
-        full-corpus :func:`gram_micro` by cell additivity."""
+        full-corpus :func:`gram_micro` by cell additivity (batches
+        hold upper-triangle cells; the mirror happens here, after the
+        merge)."""
         import os
 
         if not os.path.isdir(self.path):
@@ -437,7 +476,7 @@ class GramStore:
             .agg(F.sum("g").alias("g"))
             .collect()
         )
-        return {(r["i"], r["j"]): int(r["g"]) for r in out}
+        return _mirror({(r["i"], r["j"]): int(r["g"]) for r in out})
 
     def train(self, iters: int = 6) -> list[float]:
         """Top component over the merged Gram — bit-identical to a
