@@ -149,6 +149,8 @@ HEADLINE = [
     # SemDeDup over trained k-means cells (the published recipe,
     # training + every pair decision oracle-replayed)
     "q_dedup_semantic_cells",
+    # whitening projection (unit-second-moment top-m components)
+    "q_embed_whiten",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -637,3 +637,55 @@ def test_binned_auc_cells_merge_and_bound_the_exact_auc(spark):
             p0, n0 = merged.get(k, (0, 0))
             merged[k] = (p0 + cp, n0 + cn)
     assert merged == whole
+
+
+def test_pca_topm_detail_lambdas_replay_and_whitening_normalizes(spark):
+    """L35''' foundations: (1) pca_topm_detail's λs must replay
+    BIT-IDENTICALLY through lam{c}/lamF; (2) components stay
+    unchanged vs pca_topm; (3) whitened coordinates have ~unit second
+    moment (that is the point of the tier); (4) a rank-exhausted
+    component whitens to the explicit zero, never Inf/NaN."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        pca_topm,
+        pca_topm_detail,
+        pca_topm_oracle,
+    )
+    from vsphere_event_streaming_spark.queries.model_queries import (
+        PCA_TOPM,
+        q_embed_whiten,
+    )
+
+    emb = spark.read.parquet(EMB)
+    g = gram_micro(emb)
+    d = 1 + max(i for i, _ in g)
+    comps, lams = pca_topm_detail(g, d, iters=PCA_ITERS, m=PCA_TOPM)
+    assert comps == pca_topm(g, d, iters=PCA_ITERS, m=PCA_TOPM)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{EMB}'")
+    prefix = pca_topm_oracle(
+        iters=PCA_ITERS, m=PCA_TOPM, with_final_lambda=True
+    )
+    duck_lams = [
+        con.sql(prefix + f"\nSELECT l FROM lam{c}").fetchone()[0]
+        for c in range(2, PCA_TOPM + 1)
+    ] + [con.sql(prefix + "\nSELECT l FROM lamF").fetchone()[0]]
+    con.close()
+    assert duck_lams == lams
+    assert all(lam > 0 for lam in lams)
+
+    rows = q_embed_whiten(spark, SF_DIR).collect()
+    n = len(rows)
+    for c in range(PCA_TOPM):
+        ms = sum(r[f"w{c + 1}"] ** 2 for r in rows) / n
+        assert abs(ms - 1.0) < 0.05, (c, ms)
+
+    # rank-1 gram: components 2..m are zero, λ=0, whitening yields 0
+    g1 = {
+        (0, 0): 100_000_000,
+        (0, 1): 200_000_000,
+        (1, 0): 200_000_000,
+        (1, 1): 400_000_000,
+    }
+    comps1, lams1 = pca_topm_detail(g1, 2, iters=6, m=3)
+    assert comps1[1] == [0.0, 0.0] and comps1[2] == [0.0, 0.0]
+    assert lams1[1] == 0.0 and lams1[2] == 0.0

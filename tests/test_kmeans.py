@@ -200,3 +200,37 @@ def test_cluster_balanced_budgets(spark):
 
             sigma = m.sqrt(nf * (cap / nf) * (1 - cap / nf))
             assert abs(nk - cap) <= 5 * sigma + 1, (cid, nf, nk, cap)
+
+
+def test_kmeans_warmstart_continuation_parity(spark):
+    """L36-warm (r8, the L34-warm precedent): Lloyd's iteration is a
+    pure function of (centroids, corpus), so 2 iterations continued
+    from a 2-iteration checkpoint must be BIT-IDENTICAL to 4 from
+    scratch — in the engine, the pure-Python reference, AND the
+    warm-started DuckDB replay (c0 = checkpoint VALUES)."""
+    emb = spark.read.parquet(EMB)
+    half = train_kmeans(emb, k=K_CLUSTERS, iters=2)
+    full = train_kmeans(emb, k=K_CLUSTERS, iters=4)
+    cont = train_kmeans(emb, k=K_CLUSTERS, iters=2, init_cm=half)
+    assert cont == full
+    assert half != full  # the continuation actually moved
+    # pure-Python warm start agrees
+    cont_py = train_kmeans_reference(
+        _rows(), k=K_CLUSTERS, iters=2, init_cm=half
+    )
+    assert cont_py == full
+    # warm-started DuckDB replay agrees
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{EMB}'")
+    duck = con.sql(
+        kmeans_oracle(k=K_CLUSTERS, iters=2, init_cm=half)
+        + "SELECT cid, cm FROM c2 ORDER BY cid"
+    ).fetchall()
+    con.close()
+    assert [list(c) for _, c in duck] == full
+
+
+def test_kmeans_warmstart_k_mismatch_raises(spark):
+    emb = spark.read.parquet(EMB)
+    with pytest.raises(ValueError, match="init_cm"):
+        train_kmeans(emb, k=K_CLUSTERS, iters=1, init_cm=[[0, 0]])

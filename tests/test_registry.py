@@ -238,6 +238,7 @@ ROTATED_OUT_R8 = (
     # staleness-repayment plan); oracled — selfcheck + fuzz cover it
     "q_classifier_auc_binned",
     "q_dedup_semantic_cells",
+    "q_embed_whiten",
 )
 
 

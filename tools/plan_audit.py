@@ -616,6 +616,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Join",
         ],
     ],
+    # whitening: same scan+project shape — the λ scaling is a literal
+    # division, never a second pass or a join
+    "q_embed_whiten": [
+        [r"Project"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Exchange",
+            r"Join",
+        ],
+    ],
     # k-means ∘ LM-quality stratification: the cluster assignment is a
     # codegen projection feeding an id equi-join (never a cartesian),
     # the LM tier's count tables broadcast, and the result is a k-cell

@@ -744,10 +744,28 @@ def pca_topm(
     O(m·d²) driver work on the ONE trained Gram — no extra corpus
     pass. Every fold replays in :func:`pca_topm_oracle`.
     """
+    return pca_topm_detail(gram, d, iters=iters, m=m)[0]
+
+
+def pca_topm_detail(
+    gram: dict[tuple[int, int], int],
+    d: int,
+    iters: int = 6,
+    m: int = 2,
+) -> tuple[list[list[float]], list[float]]:
+    """:func:`pca_topm` plus each component's Rayleigh quotient
+    ``λ_c = v_cᵀ G_c v_c`` over its own deflated Gram — the
+    eigenvalue estimates a WHITENING projection divides by
+    (``E[(x·v_c)²] = λ_c/(MICRO·N)`` for the micro-unit Gram).
+    Components are bit-identical to :func:`pca_topm` (same folds; the
+    λ of the last component is computed but never deflates
+    anything). λ folds exactly as the oracle's ``lam{c}``/``lamF``
+    CTEs: ``u = G_c·v_c`` over j, then ``λ = v_c·u`` over i."""
     if d == 0:
-        return [[] for _ in range(m)]
+        return [[] for _ in range(m)], [0.0] * m
     g = _gram_matrix(gram, d)
     comps: list[list[float]] = []
+    lams: list[float] = []
     for c in range(m):
         w = _power_iter_mat(g, iters)
         if comps:
@@ -765,24 +783,27 @@ def pca_topm(
         else:
             v = w
         comps.append(v)
+        u = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc = acc + g[i][j] * v[j]
+            u.append(acc)
+        lam = 0.0
+        for i in range(d):
+            lam = lam + v[i] * u[i]
+        lams.append(lam)
         if c + 1 < m:
-            u = []
-            for i in range(d):
-                acc = 0.0
-                for j in range(d):
-                    acc = acc + g[i][j] * v[j]
-                u.append(acc)
-            lam = 0.0
-            for i in range(d):
-                lam = lam + v[i] * u[i]
             g = [
                 [g[i][j] - lam * v[i] * v[j] for j in range(d)]
                 for i in range(d)
             ]
-    return comps
+    return comps, lams
 
 
-def pca_topm_oracle(iters: int = 6, m: int = 2) -> str:
+def pca_topm_oracle(
+    iters: int = 6, m: int = 2, with_final_lambda: bool = False
+) -> str:
     """Chained-CTE replay of :func:`pca_topm` (no final SELECT).
 
     Extends :func:`pca_oracle`'s chain uniformly: component 1 is the
@@ -795,7 +816,14 @@ def pca_topm_oracle(iters: int = 6, m: int = 2) -> str:
     FINAL component, in component order — the same left folds as the
     Python loop), and the normalized-or-zero final ``vf{c}``. The
     final component names for projection are ``v{iters}`` (c=1) and
-    ``vf{c}`` (c ≥ 2)."""
+    ``vf{c}`` (c ≥ 2).
+
+    ``with_final_lambda`` appends ``ulF``/``lamF`` — the Rayleigh
+    quotient of the LAST final component over the last deflated Gram
+    — completing the eigenvalue set the whitening tier divides by:
+    ``λ_c`` is ``lam{c+1}`` for ``c < m`` and ``lamF`` for
+    ``c = m`` (each ``lam{c}`` CTE is component c−1's λ, computed
+    where the deflation needs it)."""
     parts = [pca_oracle(iters=iters, components=1)]
 
     def final(c: int) -> str:
@@ -879,6 +907,21 @@ def pca_topm_oracle(iters: int = 6, m: int = 2) -> str:
               ELSE list_transform(u, e -> e / sqrt(list_dot_product(u, u)))
          END AS v
   FROM rr{c}_{c - 1}
+)"""
+        )
+    if with_final_lambda:
+        last_rows = "gr" if m == 1 else f"gr{m}"
+        lastf = f"v{iters}" if m == 1 else f"vf{m}"
+        parts.append(
+            f"""ulF AS MATERIALIZED (
+  SELECT list(list_dot_product(grow, (SELECT v FROM {lastf}))
+              ORDER BY i) AS u
+  FROM {last_rows}
+)"""
+        )
+        parts.append(
+            f"""lamF AS MATERIALIZED (
+  SELECT list_dot_product((SELECT v FROM {lastf}), u) AS l FROM ulF
 )"""
         )
     return ",\n".join(parts)

@@ -120,6 +120,7 @@ def train_kmeans(
     iters: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    init_cm: list[list[int]] | None = None,
 ) -> list[list[int]]:
     """Lloyd's k-means over the winsorized embeddings, returned as k
     BIGINT micro-unit centroid lists. Each iteration: assignment is a
@@ -128,7 +129,18 @@ def train_kmeans(
     (k·d cells out, map-side combined) — the L34 training posture:
     bounded passes, O(k·d) driver state, no Python on the corpus.
     The exact computation is replayed verbatim by
-    :func:`kmeans_oracle`."""
+    :func:`kmeans_oracle`.
+
+    ``init_cm`` warm-starts from a checkpointed model (r8, the
+    L34-warm precedent): the iteration is a pure function of
+    (centroids, corpus), so K iterations continued from a
+    K-iteration checkpoint are BIT-IDENTICAL to 2K from scratch
+    (asserted in tests, including the warm-started DuckDB replay via
+    ``kmeans_oracle(init_cm=...)``) — the honest incremental story
+    for an assignment-dependent update that, like the logreg
+    gradient, is not batch-additive: retrain on a cadence from the
+    last checkpoint, and between retrains the frozen centroids keep
+    serving (streaming_cluster_assignments)."""
     from ..tables import spread
 
     base = spread(
@@ -140,12 +152,21 @@ def train_kmeans(
     ).select("vid", "x", dot(F.col("x"), F.col("x")).alias("xx"))
     base = base.persist()
     try:
-        init = base.orderBy("vid").limit(k).select("x").collect()
-        if not init:
-            raise ValueError("cannot train k-means on an empty table")
-        cm = [
-            [math.floor(v * MICRO) for v in r["x"]] for r in init
-        ]
+        if init_cm is not None:
+            if len(init_cm) != k:
+                raise ValueError(
+                    f"init_cm has {len(init_cm)} centroids for k={k}"
+                )
+            cm = [list(row) for row in init_cm]
+        else:
+            init = base.orderBy("vid").limit(k).select("x").collect()
+            if not init:
+                raise ValueError(
+                    "cannot train k-means on an empty table"
+                )
+            cm = [
+                [math.floor(v * MICRO) for v in r["x"]] for r in init
+            ]
         d = len(cm[0])
         spark = emb.sparkSession
         for _ in range(iters):
@@ -223,12 +244,17 @@ def kmeans_assign(vec: Column, cm: list[list[int]]) -> Column:
 
 
 def train_kmeans_reference(
-    rows: list[tuple[int, list[float]]], k: int = 8, iters: int = 4
+    rows: list[tuple[int, list[float]]],
+    k: int = 8,
+    iters: int = 4,
+    init_cm: list[list[int]] | None = None,
 ) -> list[list[int]]:
     """Pure-Python reference — must produce BIT-IDENTICAL micro-unit
     centroids to :func:`train_kmeans` (the three-way-parity pattern):
     explicit left folds, strict-< argmin scan in ascending cid order
-    (≡ lexicographic (dist, cid) min), Python floor division."""
+    (≡ lexicographic (dist, cid) min), Python floor division.
+    ``init_cm`` warm-starts from a checkpoint, mirroring
+    :func:`train_kmeans`."""
     xs = []
     for _, v in sorted(rows, key=lambda r: r[0]):
         x = [max(-G_CLAMP, min(G_CLAMP, float(c))) for c in v]
@@ -238,7 +264,10 @@ def train_kmeans_reference(
         xs.append((x, acc))
     if not xs:
         raise ValueError("cannot train k-means on an empty table")
-    cm = [[math.floor(v * MICRO) for v in x] for x, _ in xs[:k]]
+    if init_cm is not None:
+        cm = [list(row) for row in init_cm]
+    else:
+        cm = [[math.floor(v * MICRO) for v in x] for x, _ in xs[:k]]
     d = len(cm[0])
     for _ in range(iters):
         cf = [_centroid_floats(row) for row in cm]
@@ -273,7 +302,11 @@ _FLOORDIV = (
 )
 
 
-def kmeans_oracle(k: int = 8, iters: int = 4) -> str:
+def kmeans_oracle(
+    k: int = 8,
+    iters: int = 4,
+    init_cm: list[list[int]] | None = None,
+) -> str:
     """The training replay as a chained-CTE prefix (no final SELECT):
     ``WITH e, ex, c0, cf1, a1, u1, c1, ..., a{iters+1}`` — append a
     final SELECT over ``e``/``a{iters+1}`` to build a query oracle.
@@ -283,7 +316,25 @@ def kmeans_oracle(k: int = 8, iters: int = 4) -> str:
     cid`` row_number (the lexicographic argmin); ``u{t}``/``c{t}``
     apply the exact integer update, empty clusters keeping their
     previous centroid. The final ``a{iters+1}`` carries the trained
-    model's assignments."""
+    model's assignments. ``init_cm`` replays a warm-started run:
+    ``c0`` becomes the checkpoint VALUES instead of the lowest-id
+    seeding (the logreg_oracle init_w_micro precedent)."""
+    if init_cm is None:
+        c0 = f"""c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
+         list_transform(x,
+           v -> CAST(floor(v * {MICRO}.0) AS BIGINT)) AS cm
+  FROM (SELECT vec_id, x FROM e ORDER BY vec_id LIMIT {k})
+)"""
+    else:
+        vals = ", ".join(
+            f"({cid}, [{', '.join(f'CAST({m} AS BIGINT)' for m in row)}])"
+            for cid, row in enumerate(init_cm)
+        )
+        c0 = (
+            f"c0 AS MATERIALIZED (SELECT * FROM (VALUES {vals})"
+            " t(cid, cm))"
+        )
     parts = [
         """e AS MATERIALIZED (
   SELECT vec_id, label,
@@ -293,12 +344,7 @@ def kmeans_oracle(k: int = 8, iters: int = 4) -> str:
 )""",
         "ex AS MATERIALIZED (SELECT vec_id, x,"
         " list_dot_product(x, x) AS xx FROM e)",
-        f"""c0 AS MATERIALIZED (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
-         list_transform(x,
-           v -> CAST(floor(v * {MICRO}.0) AS BIGINT)) AS cm
-  FROM (SELECT vec_id, x FROM e ORDER BY vec_id LIMIT {k})
-)""",
+        c0,
     ]
     for t in range(1, iters + 2):
         parts.append(

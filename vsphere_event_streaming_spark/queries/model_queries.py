@@ -986,3 +986,91 @@ def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
     )
+
+
+# ======================================================================
+# L35''': whitening projection (unit-second-moment components)
+# ======================================================================
+#: Whitened-components memo, same fingerprint-keyed contract as
+#: _PCA_MEMO: (components, lambdas, n_rows).
+_WHITEN_MEMO: dict[tuple, tuple[list[list[float]], list[float], int]] = {}
+
+
+def _whiten_oracle() -> str:
+    from ..functions.classifier import pca_topm_oracle
+
+    prefix = pca_topm_oracle(
+        iters=PCA_ITERS, m=PCA_TOPM, with_final_lambda=True
+    )
+    names = [f"v{PCA_ITERS}"] + [
+        f"vf{c}" for c in range(2, PCA_TOPM + 1)
+    ]
+    lam_names = [f"lam{c}" for c in range(2, PCA_TOPM + 1)] + ["lamF"]
+    cols = []
+    for c, (vn, ln) in enumerate(zip(names, lam_names)):
+        cols.append(
+            f"""CASE WHEN (SELECT l FROM {ln}) <= 0.0 THEN 0.0
+            ELSE round(list_dot_product(x, (SELECT v FROM {vn}))
+                 / sqrt((SELECT l FROM {ln})
+                        / (1000000.0 * (SELECT n FROM cnt))), 6)
+       END AS w{c + 1}"""
+        )
+    return (
+        prefix
+        + """,
+cnt AS MATERIALIZED (SELECT count(*) AS n FROM we)
+SELECT vec_id, label,
+       """
+        + ",\n       ".join(cols)
+        + "\nFROM we\n"
+    )
+
+
+@query("q_embed_whiten", oracle=_whiten_oracle())
+def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHITENING projection onto the top-PCA_TOPM components: each
+    coordinate is the component projection divided by its estimated
+    RMS ``sqrt(λ_c/(MICRO·N))`` — the unit-second-moment rescaling a
+    whitening preprocessing stage applies before cosine/classifier
+    layers (λ_c is component c's Rayleigh quotient over its own
+    deflated Gram, the exact eigenvalue estimate the fixed power
+    iteration converged to; the micro-unit Gram makes
+    ``E[(x·v_c)²] ≈ λ_c/(MICRO·N)``). A rank-exhausted zero component
+    carries λ=0 and whitens to the explicit 0.0 in both engines
+    (guarded division, never Inf/NaN).
+
+    Still ZERO extra corpus passes beyond the one trained Gram: the
+    λs fall out of pca_topm_detail's existing deflation arithmetic
+    (bit-identical to the oracle's lam{c}/lamF CTEs — proven in
+    pytest), N is one count, and application is PCA_TOPM codegen
+    folds per row scaled by literals — no shuffle, no Python."""
+    from ..functions.classifier import pca_topm_detail
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ck = _corpus_key(sf_dir)
+    entry = _WHITEN_MEMO.get(ck)
+    if entry is None:
+        g = gram_micro(emb)
+        d = 1 + max((i for i, _ in g), default=-1)
+        comps, lams = pca_topm_detail(
+            g, d, iters=PCA_ITERS, m=PCA_TOPM
+        )
+        entry = (comps, lams, emb.count())
+        _WHITEN_MEMO[ck] = entry
+    comps, lams, n = entry
+    import math as _math
+
+    cols = []
+    for c in range(PCA_TOPM):
+        if lams[c] <= 0.0:
+            cols.append(F.lit(0.0).alias(f"w{c + 1}"))
+        else:
+            scale = _math.sqrt(lams[c] / (1000000.0 * n))
+            cols.append(
+                F.round(
+                    pca_project(F.col("embedding"), comps[c])
+                    / F.lit(scale),
+                    6,
+                ).alias(f"w{c + 1}")
+            )
+    return emb.select("vec_id", "label", *cols)

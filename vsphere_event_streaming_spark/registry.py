@@ -263,6 +263,7 @@ PRIORITY: tuple[str, ...] = (
     # the embeddings fuzz family cover it until its r9 driver row
     "q_classifier_auc_binned",
     "q_dedup_semantic_cells",
+    "q_embed_whiten",
 )
 
 
