@@ -652,10 +652,14 @@ def _semantic_cells_shape(emb):
         SEMANTIC_THRESHOLD,
         cosine,
     )
+    from vsphere_event_streaming_spark.tables import spread
 
     cm = train_kmeans(emb, k=64, iters=2)
+    # spread before the argmin, mirroring the declared query: the 1x
+    # input is a single-partition persisted frame and the k=64
+    # interpreted argmin must not serialize on one thread
     s = _persist(
-        emb.select(
+        spread(emb).select(
             "vec_id",
             "embedding",
             kmeans_assign(F.col("embedding"), cm).alias("cid"),

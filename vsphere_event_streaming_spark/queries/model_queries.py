@@ -946,6 +946,7 @@ def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings family auto-discovers this oracle)."""
     from ..functions.dedup import _persist
     from ..functions.vectors import SEMANTIC_THRESHOLD, cosine
+    from ..tables import spread
 
     emb = _t(spark, sf_dir, "embeddings")
     ck = _corpus_key(sf_dir)
@@ -953,8 +954,13 @@ def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cm is None:
         cm = train_kmeans(emb, k=SEM_K, iters=SEM_KMEANS_ITERS)
         _SEM_KMEANS_MEMO[ck] = cm
+    # spread BEFORE the argmin: the test tables are single-row-group
+    # parquet (one scan partition), and the k=64 interpreted-HOF
+    # argmin is the query's dominant CPU — measured 2.4 s serialized
+    # on one thread vs ~0.2 s spread across the cores (the
+    # q_dedup_semantic precedent; verify-skill gotcha)
     s = _persist(
-        emb.select(
+        spread(emb).select(
             "vec_id",
             "embedding",
             kmeans_assign(F.col("embedding"), cm).alias("cid"),
