@@ -23,6 +23,12 @@ Stages (each is an independently-oracled operator — see COVERAGE.md):
                         (L34 ∘ L19, the CCNet/FastText pattern);
                         agreement rate reported in the summary
  4. selection         — score floors + per-language mixing gate (L21)
+ 4b. semantic diversity — SemDeDup over trained k-means cells
+                        (L18'/L36): inside each cell of a model
+                        trained ON THE SELECTED DOCS' hash-embedded
+                        features, drop every doc a smaller-id doc
+                        covers at high cosine — the near-duplicate
+                        basins the exact/media dedups can't see
  5. order + pack      — reproducible shuffle (L25), sequence packing
                         into token-budgeted packs (L14)
  6. write             — parquet partitioned by (lang, pack_id)
@@ -198,6 +204,60 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         .persist()
     )
 
+    # -- 4b. semantic diversity: SemDeDup over trained cells (L18') --------
+    # The r8 tier composed in: cluster the SELECTED docs' feature-hash
+    # embeddings with a k-means model trained on exactly those docs,
+    # then inside each cell drop every doc a smaller-id doc covers at
+    # cosine >= 0.95 (hash embeddings of near-identical text are
+    # near-parallel; the high cut targets residual near-dups, not
+    # topical neighbors). Same min-id dominance rule as
+    # q_dedup_semantic_cells.
+    from vsphere_event_streaming_spark.functions.kmeans import (
+        kmeans_assign,
+        train_kmeans,
+    )
+    from vsphere_event_streaming_spark.functions.vectors import cosine
+
+    # localCheckpoint, not persist: the features' logical plan embeds
+    # the whole upstream pipeline, and Lloyd's re-plans its input once
+    # per iteration — without truncating the lineage here the repeated
+    # giant plans OOM the driver heap (measured), while a checkpoint
+    # makes every training plan start from the materialized frame
+    sel_feats = (
+        feats.select("doc_id", "embedding")
+        .join(selected.select("doc_id"), "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    cm_cells = train_kmeans(sel_feats, k=16, iters=2, id_col="doc_id")
+    assigned = sel_feats.select(
+        "doc_id",
+        "embedding",
+        kmeans_assign(F.col("embedding"), cm_cells).alias("cid"),
+    ).persist()
+    a_side = assigned.select(
+        F.col("doc_id").alias("__ida"),
+        F.col("embedding").alias("__va"),
+        "cid",
+    )
+    b_side = assigned.select(
+        F.col("doc_id").alias("__idb"),
+        F.col("embedding").alias("__vb"),
+        "cid",
+    )
+    sem_redundant = (
+        a_side.join(b_side, "cid")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(0.95))
+        .select(F.col("__idb").alias("doc_id"))
+        .distinct()
+    )
+    n_before_sem = selected.count()
+    selected = selected.join(
+        sem_redundant, "doc_id", "left_anti"
+    ).persist()
+    semantic_dropped = n_before_sem - selected.count()
+    assigned.unpersist()
+
     # -- 5. order + pack -------------------------------------------------
     # reproducible training shuffle (L25): dense position in the
     # seed-keyed md5 order, via the two-phase range rank; packing then
@@ -248,6 +308,7 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         "input_docs": docs.count(),
         "after_hygiene": scrubbed.count(),
         "selected": selected.count(),
+        "semantic_dropped": semantic_dropped,
         "distill_agreement": round(distill_agreement, 3),
         "packs": out.select("lang", "pack_id").distinct().count(),
         "written_docs": out.count(),

