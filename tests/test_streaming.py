@@ -1209,3 +1209,93 @@ def test_streaming_pca_and_cluster_serve_parity(spark, tmp_path):
     }
     assert got_c == want_c
     assert len(set(got_c.values())) > 1  # a real partition of the corpus
+
+
+def test_incremental_auc_cell_stream(spark, tmp_path):
+    """L34-b monitor path (r8): embedding batches streamed in per-file
+    epochs score through the frozen classifier into an AucCellStore
+    whose merged cells — and therefore the running AUC — are
+    BIT-IDENTICAL to the batch binned AUC over the union; a replayed
+    batch overwrites instead of double-counting."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.classifier import (
+        AucCellStore,
+        auc_cells,
+        auc_from_cells,
+        logreg_score,
+        train_logreg,
+    )
+    from vsphere_event_streaming_spark.streaming.model_stream import (
+        start_incremental_auc_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    w = train_logreg(emb, iters=4, lr_num=3, lr_den=1, pos_weight=9)
+    in_dir = f"{tmp_path}/in"
+    for b in range(3):
+        emb.filter(F.col("vec_id") % 3 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{b}")
+    q = start_incremental_auc_cells(
+        spark,
+        in_dir + "/part*",
+        f"{tmp_path}/cells",
+        f"{tmp_path}/ckpt",
+        w_micro=w,
+        max_files_per_trigger=1,  # one epoch per batch dir
+    )
+    q.awaitTermination(120)
+    store = AucCellStore(spark, f"{tmp_path}/cells")
+
+    scored = emb.select(
+        F.when(F.col("label") == 0, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        logreg_score(F.col("embedding"), w).alias("p"),
+    )
+    want_cells = {
+        r["bin"]: (r["cpos"], r["cneg"])
+        for r in auc_cells(scored).collect()
+    }
+    got_cells = {
+        r["bin"]: (r["cpos"], r["cneg"])
+        for r in store.cells().collect()
+    }
+    assert got_cells == want_cells
+    want = auc_from_cells(auc_cells(scored)).collect()[0]
+    got = store.auc().collect()[0]
+    assert (got["n_pos"], got["n_neg"], got["auc_num2"], got["auc"]) == (
+        want["n_pos"], want["n_neg"], want["auc_num2"], want["auc"]
+    )
+    assert 0.5 < got["auc"] <= 1.0
+
+    # replayed batch: cells must not double (manual store with pinned
+    # batch ids — the streamed store's epoch→file order is not
+    # guaranteed to match the %3 split)
+    def scored_batch(b: int):
+        return emb.filter(F.col("vec_id") % 3 == b).select(
+            F.when(F.col("label") == 0, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+            logreg_score(F.col("embedding"), w).alias("p"),
+        )
+
+    man = AucCellStore(spark, f"{tmp_path}/cells_manual")
+    for b in range(3):
+        man.add_batch(scored_batch(b), f"x{b}")
+    assert {
+        r["bin"]: (r["cpos"], r["cneg"])
+        for r in man.cells().collect()
+    } == want_cells
+    man.add_batch(scored_batch(1), "x1")  # replay
+    assert {
+        r["bin"]: (r["cpos"], r["cneg"])
+        for r in man.cells().collect()
+    } == want_cells
+
+    # empty store raises the typed error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no ingested batches"):
+        AucCellStore(spark, f"{tmp_path}/nope").cells()

@@ -934,3 +934,126 @@ def pca_topm_oracle(
 )"""
         )
     return ",\n".join(parts)
+
+
+# ----------------------------------------------------------------------
+# Binned-AUC cells (L34-b): the mergeable evaluation aggregate
+# ----------------------------------------------------------------------
+def auc_cells(
+    scored: DataFrame, n_buckets: int = 128
+) -> DataFrame:
+    """Collapse a scored frame (columns ``y`` ∈ {0.0, 1.0} and
+    ``p`` ∈ [0,1]) to the ≤``n_buckets`` ADDITIVE BIGINT
+    ``(bin, cpos, cneg)`` cells the binned AUC consumes — ONE
+    map-side-combined hash aggregate. Shared by the declared query
+    (q_classifier_auc_binned), the :class:`AucCellStore`, and the
+    streaming ingest, so the three can never drift."""
+    return scored.groupBy(
+        F.least(
+            F.lit(n_buckets - 1), F.floor(F.col("p") * n_buckets)
+        )
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.sum((F.col("y") == 1.0).cast("long")).alias("cpos"),
+        F.sum((F.col("y") == 0.0).cast("long")).alias("cneg"),
+    )
+
+
+def auc_from_cells(cells: DataFrame) -> DataFrame:
+    """Tie-corrected rank-sum AUC over a (bin, cpos, cneg) cell
+    frame: the cumulative negatives-below runs over the ≤n_buckets
+    cell table (the W1 tiny-prefix shape, free by construction), the
+    doubled concordant count stays an exact BIGINT, and the single
+    float division is the same correctly-rounded double in every
+    engine. Returns one row (n_pos, n_neg, auc_num2, auc)."""
+    from pyspark.sql import Window
+
+    tiny = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = cells.select(
+        "cpos",
+        "cneg",
+        F.coalesce(F.sum("cneg").over(tiny), F.lit(0)).alias("nb"),
+    )
+    num2 = (
+        F.col("cpos") * 2 * F.col("nb") + F.col("cpos") * F.col("cneg")
+    )
+    return c.agg(
+        F.sum("cpos").alias("n_pos"),
+        F.sum("cneg").alias("n_neg"),
+        F.sum(num2).alias("auc_num2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.round(
+            F.col("auc_num2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+class AucCellStore:
+    """Persistent incremental binned-AUC store — the EVALUATION
+    tier's incremental form, completing the story every trained
+    artifact in this engine tells (GramStore, BpeVocab, the LSH/IVF
+    indexes): the ``(bin, cpos, cneg)`` cells are additive BIGINTs
+    (``cells(A ∪ B) = cells(A) + cells(B)`` cell-wise — the L34-b
+    contract, pytest-proven), so a monitor ingests each scored crawl
+    batch as cells and reads the running corpus AUC from the merged
+    table with per-batch state ≤ n_buckets integers, never per-row
+    state.
+
+    Same crash contract as the other stores: a batch write OVERWRITES
+    its own ``batch_id=`` partition directory (idempotent replay).
+    """
+
+    def __init__(self, spark, path: str, n_buckets: int = 128) -> None:
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+
+    def add_batch(self, scored: DataFrame, batch_id: str) -> int:
+        """Collapse the scored batch to cells and persist them as an
+        idempotent partition directory. Returns cells written."""
+        from .dedup import batch_partition_dir
+
+        part_dir = batch_partition_dir(batch_id)  # validates token
+        cells = auc_cells(scored, self.n_buckets).localCheckpoint(
+            eager=True
+        )
+        n = cells.count()
+        cells.write.mode("overwrite").parquet(f"{self.path}/{part_dir}")
+        return n
+
+    def cells(self) -> DataFrame:
+        """The merged cells over every ingested batch — exactly the
+        full-corpus :func:`auc_cells` by additivity."""
+        import os
+
+        if not os.path.isdir(self.path):
+            raise ValueError(
+                f"AucCellStore has no ingested batches: {self.path!r}"
+                " — call add_batch() first"
+            )
+        return (
+            self.spark.read.parquet(self.path)
+            .groupBy("bin")
+            .agg(
+                F.sum("cpos").alias("cpos"),
+                F.sum("cneg").alias("cneg"),
+            )
+        )
+
+    def auc(self) -> DataFrame:
+        """The running binned AUC over everything ingested —
+        bit-identical to the full-corpus q_classifier_auc_binned
+        values by cell additivity."""
+        return auc_from_cells(self.cells())

@@ -430,47 +430,14 @@ def q_classifier_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     here runs over the ≤AUC_BUCKETS-row CELL table (the W1
     tiny-prefix shape, free by construction — unlike the exact
     tier's, which needed the two-phase pattern because its input is
-    score-cardinality-sized)."""
-    from pyspark.sql import Window
+    score-cardinality-sized). The cell expression and the rank-sum
+    over cells are the SHARED helpers (functions/classifier.py::
+    auc_cells / auc_from_cells) the incremental AucCellStore and the
+    streaming ingest also consume — one definition, no drift."""
+    from ..functions.classifier import auc_cells, auc_from_cells
 
     sc = _scored(spark, sf_dir)
-    cells = sc.groupBy(
-        F.least(
-            F.lit(AUC_BUCKETS - 1), F.floor(F.col("p") * AUC_BUCKETS)
-        )
-        .cast("int")
-        .alias("bin")
-    ).agg(
-        F.sum((F.col("y") == 1.0).cast("long")).alias("cpos"),
-        F.sum((F.col("y") == 0.0).cast("long")).alias("cneg"),
-    )
-    tiny = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    c = cells.select(
-        "cpos",
-        "cneg",
-        F.coalesce(F.sum("cneg").over(tiny), F.lit(0)).alias("nb"),
-    )
-    num2 = F.col("cpos") * 2 * F.col("nb") + F.col("cpos") * F.col("cneg")
-    return c.agg(
-        F.sum("cpos").alias("n_pos"),
-        F.sum("cneg").alias("n_neg"),
-        F.sum(num2).alias("auc_num2"),
-    ).select(
-        "n_pos",
-        "n_neg",
-        "auc_num2",
-        F.round(
-            F.col("auc_num2").cast("double")
-            / (
-                F.lit(2.0)
-                * F.col("n_pos").cast("double")
-                * F.col("n_neg").cast("double")
-            ),
-            6,
-        ).alias("auc"),
-    )
+    return auc_from_cells(auc_cells(sc, AUC_BUCKETS))
 
 
 # ======================================================================

@@ -147,3 +147,52 @@ def streaming_cluster_assignments(
         "label",
         kmeans_assign(F.col("embedding"), cm).alias("cid"),
     )
+
+
+def start_incremental_auc_cells(
+    spark: SparkSession,
+    input_dir: str,
+    cells_dir: str,
+    checkpoint_dir: str,
+    w_micro: list[int],
+    positive_label: int = 0,
+    n_buckets: int = 128,
+    available_now: bool = True,
+    batch_prefix: str = "b",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream embedding batches through the frozen classifier into an
+    :class:`~..functions.classifier.AucCellStore` — the L34-b
+    monitoring topology: each epoch is scored by the stateless
+    projection, collapsed to ≤n_buckets additive (bin, cpos, cneg)
+    cells, and appended under its own idempotent ``batch_id=``
+    partition; the running corpus AUC reads off the merged cells at
+    any time (``store.auc()``), bit-identical to the batch
+    q_classifier_auc_binned over everything ingested (cell
+    additivity — the same contract as GramStore/BpeVocab; parity
+    asserted in ``tests/test_streaming.py``)."""
+    from ..functions.classifier import AucCellStore
+
+    store = AucCellStore(spark, cells_dir, n_buckets=n_buckets)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = batch_df.select(
+            F.when(
+                F.col("label") == positive_label, F.lit(1.0)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+            logreg_score(F.col("embedding"), w_micro).alias("p"),
+        )
+        store.add_batch(scored, batch_id=f"{batch_prefix}{epoch_id}")
+
+    reader = spark.readStream.schema(EMB_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
