@@ -151,6 +151,8 @@ HEADLINE = [
     "q_dedup_semantic_cells",
     # whitening projection (unit-second-moment top-m components)
     "q_embed_whiten",
+    # temperature-equalized mixture sampling (n^alpha rates in-plan)
+    "q_dataset_mix_temp",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -239,6 +239,7 @@ ROTATED_OUT_R8 = (
     "q_classifier_auc_binned",
     "q_dedup_semantic_cells",
     "q_embed_whiten",
+    "q_dataset_mix_temp",
 )
 
 

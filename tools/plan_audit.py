@@ -576,6 +576,19 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Join",
         ],
     ],
+    # temperature mixture: the k-row rate table rides back on a
+    # BROADCAST join (never a shuffle of the corpus against a 5-row
+    # table), the keep decision is a codegen conditional aggregate;
+    # no Python, no cartesian
+    "q_dataset_mix_temp": [
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SortMergeJoin",
+        ],
+    ],
     # SemDeDup over trained cells: the cid self-join must be an
     # equi-join (hash/SMJ), never a cartesian; the cosine verify is a
     # codegen filter inside the join stage; no Python

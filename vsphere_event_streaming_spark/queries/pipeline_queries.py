@@ -1297,6 +1297,131 @@ def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+# ======================================================================
+# L13': temperature-based mixture sampling (n^alpha source equalizing)
+# ======================================================================
+#: Mixing temperature alpha = 0.5 (sqrt): the GPT-3/T5 recipe — a
+#: stratum's sampling mass ∝ n^alpha, so alpha < 1 upweights small
+#: strata relative to proportional sampling without ever exceeding
+#: rate 1. sqrt is IEEE-correctly-rounded in both engines, which is
+#: why 0.5 (and not an arbitrary alpha needing pow()) is the pinned
+#: exact-replay choice.
+TEMP_MIX_SEED = "tmix1"
+
+
+def _dataset_mix_temp_oracle() -> str:
+    from ..functions.sampling import SAMPLE_MOD
+
+    bucket = (
+        f"((('0x' || substr(md5('{TEMP_MIX_SEED}:' || CAST(doc_id AS"
+        f" VARCHAR)), 1, 15))::BIGINT % {T.HASH_MOD}) % {SAMPLE_MOD})"
+    )
+    return f"""
+    WITH cnt AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    wq AS (
+      SELECT lang, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS w
+      FROM cnt
+    ),
+    tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(n) AS BIGINT) AS tn
+      FROM wq
+    ),
+    rates AS (
+      SELECT lang, n,
+             least(CAST({SAMPLE_MOD} AS BIGINT),
+               CAST(floor({SAMPLE_MOD}.0
+                 * CAST((SELECT tn FROM tot) // 2 AS DOUBLE)
+                 * CAST(w AS DOUBLE)
+                 / CAST(n AS DOUBLE)
+                 / CAST((SELECT tw FROM tot) AS DOUBLE)) AS BIGINT))
+               AS r
+      FROM wq
+    )
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN {bucket} < rates.r THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(max(rates.r) AS BIGINT) AS rate_micro
+    FROM documents d JOIN rates USING (lang)
+    GROUP BY d.lang
+    """
+
+
+@query("q_dataset_mix_temp", oracle=_dataset_mix_temp_oracle())
+def q_dataset_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (alpha=0.5, the GPT-3/T5
+    n^alpha recipe): each language's keep rate is derived IN-PLAN
+    from its own size so that kept mass ∝ sqrt(n) — small languages
+    are upweighted relative to proportional sampling, the standard
+    multilingual-mixture correction — with the total budget pinned at
+    half the corpus. Where q_dataset_mix takes externally-fixed
+    rates, this derives them from the data: rate_micro(lang) =
+    min(SAMPLE_MOD, floor(SAMPLE_MOD · (N//2) · w / n / W)) with
+    w = floor(sqrt(n)·1e6) and W = Σw — integer inputs exact below
+    2^53, then ONE fixed left-assoc chain of IEEE-correctly-rounded
+    double mul/divs (overflow-free at ANY corpus size, unlike a pure
+    BIGINT product which wraps past ~7e4 docs; both engines round
+    identically), floor, and the same content-keyed md5 gate as every
+    sampler in this engine.
+
+    Plan: per-lang count aggregate -> 1-row totals -> k-row rate
+    table broadcast back onto the corpus -> per-lang conditional
+    aggregate. No driver collect, no shuffle beyond the two
+    aggregates, no Python; the keep decision is replayed per-doc by
+    the oracle (the counts only summarize it)."""
+    from ..functions.sampling import SAMPLE_MOD, keep_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    wq = cnt.withColumn(
+        "w",
+        F.floor(
+            F.sqrt(F.col("n").cast("double")) * F.lit(1000000.0)
+        ).cast("long"),
+    )
+    tot = wq.agg(
+        F.sum("w").alias("tw"), F.sum("n").alias("tn")
+    )
+    rates = (
+        wq.join(F.broadcast(tot))
+        .select(
+            "lang",
+            F.least(
+                F.lit(SAMPLE_MOD).cast("long"),
+                # T = tn // 2 as an exact integer-valued double
+                # (tn < 2^53: /2.0 is exact, floor == integer div),
+                # then the SAME left-assoc double chain as the
+                # oracle: ((((1e6 * T) * w) / n) / W)
+                F.floor(
+                    F.lit(float(SAMPLE_MOD))
+                    * F.floor(F.col("tn").cast("double") / F.lit(2.0))
+                    * F.col("w").cast("double")
+                    / F.col("n").cast("double")
+                    / F.col("tw").cast("double")
+                ).cast("long"),
+            ).alias("r"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (
+                    keep_bucket(F.col("doc_id"), TEMP_MIX_SEED)
+                    < F.col("r")
+                ).cast("long")
+            ).alias("n_kept"),
+            F.max("r").alias("rate_micro"),
+        )
+    )
+
+
 SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPLIT_SEED = "split1"
 

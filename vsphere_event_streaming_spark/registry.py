@@ -264,6 +264,7 @@ PRIORITY: tuple[str, ...] = (
     "q_classifier_auc_binned",
     "q_dedup_semantic_cells",
     "q_embed_whiten",
+    "q_dataset_mix_temp",
 )
 
 
