@@ -153,6 +153,8 @@ HEADLINE = [
     "q_embed_whiten",
     # temperature-equalized mixture sampling (n^alpha rates in-plan)
     "q_dataset_mix_temp",
+    # per-language tokenizer fertility over the trained BPE
+    "q_bpe_fertility",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -240,6 +240,7 @@ ROTATED_OUT_R8 = (
     "q_dedup_semantic_cells",
     "q_embed_whiten",
     "q_dataset_mix_temp",
+    "q_bpe_fertility",
 )
 
 

@@ -576,6 +576,17 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Join",
         ],
     ],
+    # BPE fertility: the vocabulary-bounded token table broadcasts
+    # back onto per-doc counts, then one per-language aggregate; no
+    # Python, no cartesian
+    "q_bpe_fertility": [
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+        ],
+    ],
     # temperature mixture: the k-row rate table rides back on a
     # BROADCAST join (never a shuffle of the corpus against a 5-row
     # table), the keep decision is a codegen conditional aggregate;

@@ -2952,3 +2952,68 @@ def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh, "media_id", "frame_idx", "phash", VIDEO_MAX_HAMMING,
         n_bits=MEDIA_HASH_BITS,
     )
+
+
+# ======================================================================
+# L32''': tokenizer fertility (per-language BPE eval)
+# ======================================================================
+@query(
+    "q_bpe_fertility",
+    oracle="WITH"
+    + _bpe.bpe_oracle_ctes(_bpe.DEFAULT_MERGES, _bpe.WORD_RE_FULL)
+    + """
+SELECT doc.lang,
+       CAST(sum(coalesce(p.n_words, 0)) AS BIGINT) AS n_words,
+       CAST(sum(coalesce(p.bpe_tokens, 0)) AS BIGINT) AS bpe_tokens,
+       round(CAST(sum(coalesce(p.bpe_tokens, 0)) AS DOUBLE)
+             / greatest(1, sum(coalesce(p.n_words, 0))), 6) AS fertility
+FROM documents doc LEFT JOIN per_doc p USING (doc_id)
+GROUP BY doc.lang
+""",
+)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — subword tokens per word
+    under the trained full-alphabet merge table, the standard
+    tokenizer-evaluation metric (a language whose fertility blows out
+    is under-served by the learned merges and over-pays its token
+    budget; the number multilingual tokenizer papers report per
+    language). One trained artifact (the L32'' full-alphabet BPE),
+    one per-language aggregate over the per-doc counts; the single
+    float division is guarded by greatest(1, words) so an all-empty
+    language yields fertility 0, not NaN — identically in both
+    engines. The oracle replays BPE TRAINING plus every per-doc count
+    before aggregating, so a corpus change that re-orders one merge
+    flips the value hash."""
+    from ..functions.bpe import (
+        WORD_RE_FULL,
+        bpe_token_counts,
+        learn_bpe,
+        word_vocab,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(word_vocab(docs, word_re=WORD_RE_FULL))
+    counts = bpe_token_counts(docs, merges, word_re=WORD_RE_FULL)
+    return (
+        docs.select("doc_id", "lang")
+        .join(counts, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.coalesce(F.col("n_words"), F.lit(0))).alias(
+                "n_words"
+            ),
+            F.sum(F.coalesce(F.col("bpe_tokens"), F.lit(0))).alias(
+                "bpe_tokens"
+            ),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "bpe_tokens",
+            F.round(
+                F.col("bpe_tokens").cast("double")
+                / F.greatest(F.lit(1).cast("long"), F.col("n_words")),
+                6,
+            ).alias("fertility"),
+        )
+    )

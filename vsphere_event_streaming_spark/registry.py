@@ -265,6 +265,7 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_semantic_cells",
     "q_embed_whiten",
     "q_dataset_mix_temp",
+    "q_bpe_fertility",
 )
 
 
