@@ -32,17 +32,92 @@ from selfcheck import driver_guard  # noqa: E402  (tools/selfcheck.py)
 #: Size of the driver's correctness truncation window (observed r1-r5).
 DRIVER_WINDOW = 50
 
-#: The r8 window, verbatim (VERDICT_r7 #3): every query whose newest
-#: driver evidence is older than r5 or absent — the 13 r4-DEFERRED
-#: rows repaid, the two r7-new rows that had no slot (first driver
-#: rows for q_kmeans_sizes / q_cluster_balanced), the two r8-new
-#: queries (q_embed_pca_topm, q_cluster_quality) — filled to 50 with
-#: 33 of the 48 r5-stale rows (the 15 deferred r5 rows carry their
-#: family-coverage rationale in registry.py and are first in line for
-#: r9). Independent literal (NOT derived from PRIORITY) so reordering
-#: PRIORITY can't silently redefine the window.
-WINDOW_R8 = (
-    # r4-deferred re-greens (the thirteen, repaid)
+#: The r9 window, verbatim (VERDICT_r8 #1): every query whose newest
+#: driver evidence is older than r6 or absent — the 15 r5-DEFERRED
+#: rows repaid, the five r8-new queries getting their first driver
+#: rows (q_classifier_auc_binned, q_dedup_semantic_cells,
+#: q_embed_whiten, q_dataset_mix_temp, q_bpe_fertility) — filled to
+#: 50 with 30 of the 50 r6-stale rows (the 20 deferred r6 rows carry
+#: their family-coverage rationale in registry.py and are first in
+#: line for r10). Independent literal (NOT derived from PRIORITY) so
+#: reordering PRIORITY can't silently redefine the window.
+WINDOW_R9 = (
+    # r5-deferred re-greens (the fifteen, repaid)
+    "q_dedup_near_char",
+    "q_dedup_simhash_pairs",
+    "q_join_asof_fwd",
+    "q_join_asof_tol",
+    "q_media_phash_jpeg",
+    "q_multimodal_meta",
+    "q_pivot",
+    "q_quality_score",
+    "q_range_frame",
+    "q_salted_agg",
+    "q_salted_join",
+    "q_sessionize",
+    "q_text_ngrams",
+    "q_udaf_gmean",
+    "q_variant_json",
+    # r8-new, first driver rows
+    "q_classifier_auc_binned",
+    "q_dedup_semantic_cells",
+    "q_embed_whiten",
+    "q_dataset_mix_temp",
+    "q_bpe_fertility",
+    # r6-stale re-greens (30 of 50)
+    "q_chain_agg",
+    "q_cube",
+    "q_decode_roundtrip",
+    "q_embed_centroid",
+    "q_eventclass",
+    "q_fuzzy_match",
+    "q_histogram",
+    "q_intersect",
+    "q_join_cross",
+    "q_math_funcs",
+    "q_minmax_by",
+    "q_page_json",
+    "q_percentile",
+    "q_pipeline_prep",
+    "q_profile",
+    "q_range_bounds",
+    "q_rank",
+    "q_regexp_funcs",
+    "q_sample",
+    "q_sample_stratified",
+    "q_search_tfidf",
+    "q_string_agg",
+    "q_subquery_scalar",
+    "q_time_window_filter",
+    "q_tpch_q1",
+    "q_tpch_q6",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_try_funcs",
+    "q_window_analytics",
+)
+
+#: Queries expected to be rows-only (oracle=None) inside the window —
+#: none since r6: both permanent rows-only checks were rotated out
+#: (their no_oracle driver rows could never go green).
+ROWS_ONLY_IN_WINDOW = ()
+
+#: The permanent rows-only checks — must stay registered (a user can
+#: still run them) but OUT of the window (their driver rows are dead
+#: slots); their correctness evidence is pytest
+#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute).
+ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
+
+#: Queries rotated out of the window in r9 — every one holds a
+#: driver-green value-hash row from r6-r8 and must stay registered
+#: and oracled (selfcheck covers them every round) even though the
+#: driver window no longer records them. Includes the TWENTY
+#: DEFERRED r6 rows (12 TPC-H shapes + q_dedup_simhash, q_dedup_media,
+#: q_dedup_audio, q_dedup_video, q_bpe_tokens, q_pack_bpe,
+#: q_running_sum, q_conditional_agg) — first in line for the r10
+#: window; per-family rationale in registry.py.
+ROTATED_OUT_R9 = (
+    # newest driver row r8:
     "q_union",
     "q_ordered_replay",
     "q_knn_hyperplane",
@@ -56,13 +131,10 @@ WINDOW_R8 = (
     "q_knn_sq",
     "q_join_anti",
     "q_knn_topk",
-    # r7-new, first driver rows
     "q_kmeans_sizes",
     "q_cluster_balanced",
-    # r8-new
     "q_embed_pca_topm",
     "q_cluster_quality",
-    # r5-stale re-greens (33 of 48)
     "q_audio_fingerprint",
     "q_chunk_text",
     "q_cogroup_recon",
@@ -96,29 +168,7 @@ WINDOW_R8 = (
     "q_url_domains",
     "q_vector_sq",
     "q_video_frames",
-)
-
-#: Queries expected to be rows-only (oracle=None) inside the window —
-#: none since r6: both permanent rows-only checks were rotated out
-#: (their no_oracle driver rows could never go green).
-ROWS_ONLY_IN_WINDOW = ()
-
-#: The permanent rows-only checks — must stay registered (a user can
-#: still run them) but OUT of the window (their driver rows are dead
-#: slots); their correctness evidence is pytest
-#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute).
-ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
-
-#: Queries rotated out of the window in r8 — every one holds a
-#: driver-green value-hash row from r4-r7 and must stay registered
-#: and oracled (selfcheck covers them every round) even though the
-#: driver window no longer records them. Includes the FIFTEEN
-#: DEFERRED r5 rows (q_dedup_near_char, q_dedup_simhash_pairs,
-#: q_join_asof_fwd, q_join_asof_tol, q_media_phash_jpeg,
-#: q_multimodal_meta, q_pivot, q_quality_score, q_range_frame,
-#: q_salted_agg, q_salted_join, q_sessionize, q_text_ngrams,
-#: q_udaf_gmean, q_variant_json) — first in line for the r9 window.
-ROTATED_OUT_R8 = (
+    # newest driver row r7:
     "q_count",
     "q_typename",
     "q_grouping_sets",
@@ -169,11 +219,10 @@ ROTATED_OUT_R8 = (
     "q_classifier_auc",
     "q_classifier_calibration",
     "q_kmeans_cluster",
-    "q_tpch_q1",
+    # newest driver row r6 (the 20 DEFERRED rows):
     "q_tpch_q3",
     "q_tpch_q4",
     "q_tpch_q5",
-    "q_tpch_q6",
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q10",
@@ -181,66 +230,16 @@ ROTATED_OUT_R8 = (
     "q_tpch_q14",
     "q_tpch_q15",
     "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
     "q_tpch_q19",
     "q_tpch_q22",
-    "q_percentile",
-    "q_window_analytics",
-    "q_cube",
-    "q_join_cross",
-    "q_regexp_funcs",
-    "q_try_funcs",
-    "q_sample_stratified",
-    "q_search_tfidf",
-    "q_embed_centroid",
     "q_conditional_agg",
-    "q_pipeline_prep",
-    "q_string_agg",
-    "q_minmax_by",
-    "q_histogram",
-    "q_fuzzy_match",
-    "q_subquery_scalar",
-    "q_sample",
-    "q_profile",
     "q_bpe_tokens",
     "q_dedup_media",
     "q_dedup_audio",
     "q_pack_bpe",
     "q_dedup_video",
-    "q_eventclass",
-    "q_math_funcs",
     "q_running_sum",
     "q_dedup_simhash",
-    "q_time_window_filter",
-    "q_range_bounds",
-    "q_page_json",
-    "q_decode_roundtrip",
-    "q_chain_agg",
-    "q_rank",
-    "q_intersect",
-    "q_media_phash_jpeg",
-    "q_multimodal_meta",
-    "q_udaf_gmean",
-    "q_dedup_near_char",
-    "q_dedup_simhash_pairs",
-    "q_quality_score",
-    "q_text_ngrams",
-    "q_join_asof_fwd",
-    "q_join_asof_tol",
-    "q_salted_agg",
-    "q_salted_join",
-    "q_pivot",
-    "q_range_frame",
-    "q_variant_json",
-    "q_sessionize",
-    # r8-new, declared OUT of the window (window pinned to the
-    # staleness-repayment plan); oracled — selfcheck + fuzz cover it
-    "q_classifier_auc_binned",
-    "q_dedup_semantic_cells",
-    "q_embed_whiten",
-    "q_dataset_mix_temp",
-    "q_bpe_fertility",
 )
 
 
@@ -254,16 +253,16 @@ def test_every_priority_name_is_registered():
     assert not missing, f"PRIORITY names not registered: {missing}"
 
 
-def test_r8_window_is_exactly_the_rotation_plan():
-    """The first DRIVER_WINDOW registry entries must be WINDOW_R8 as a
+def test_r9_window_is_exactly_the_rotation_plan():
+    """The first DRIVER_WINDOW registry entries must be WINDOW_R9 as a
     set (order within the window is free; membership is the contract —
     the driver records exactly these 50)."""
-    assert len(WINDOW_R8) == DRIVER_WINDOW
-    assert len(set(WINDOW_R8)) == DRIVER_WINDOW
+    assert len(WINDOW_R9) == DRIVER_WINDOW
+    assert len(set(WINDOW_R9)) == DRIVER_WINDOW
     got = set(PRIORITY[:DRIVER_WINDOW])
-    assert got == set(WINDOW_R8), (
-        f"window drift: unexpected={sorted(got - set(WINDOW_R8))}, "
-        f"missing={sorted(set(WINDOW_R8) - got)}"
+    assert got == set(WINDOW_R9), (
+        f"window drift: unexpected={sorted(got - set(WINDOW_R9))}, "
+        f"missing={sorted(set(WINDOW_R9) - got)}"
     )
 
 
@@ -278,7 +277,7 @@ def test_window_entries_have_oracles():
     qs = load_all()
     no_oracle = [
         n
-        for n in WINDOW_R8
+        for n in WINDOW_R9
         if qs[n].oracle is None and n not in ROWS_ONLY_IN_WINDOW
     ]
     assert not no_oracle, f"window queries without oracle SQL: {no_oracle}"
@@ -304,12 +303,12 @@ def test_window_and_rotated_out_partition_the_registry():
     query, with no overlaps — nothing can silently fall out of all
     evidence tiers."""
     qs = load_all()
-    union = set(WINDOW_R8) | set(ROTATED_OUT_R8) | set(ROWS_ONLY_OFF_WINDOW)
+    union = set(WINDOW_R9) | set(ROTATED_OUT_R9) | set(ROWS_ONLY_OFF_WINDOW)
     assert union == set(qs), (
         f"uncovered={sorted(set(qs) - union)}, "
         f"phantom={sorted(union - set(qs))}"
     )
-    total = len(WINDOW_R8) + len(ROTATED_OUT_R8) + len(ROWS_ONLY_OFF_WINDOW)
+    total = len(WINDOW_R9) + len(ROTATED_OUT_R9) + len(ROWS_ONLY_OFF_WINDOW)
     assert total == len(qs), "tiers overlap"
 
 
@@ -320,7 +319,7 @@ def test_rotated_out_queries_stay_registered_and_oracled():
     compare."""
     qs = load_all()
     idx = {n: i for i, n in enumerate(PRIORITY)}
-    for n in ROTATED_OUT_R8:
+    for n in ROTATED_OUT_R9:
         assert n in qs, f"rotated-out query {n} lost its registration"
         assert qs[n].oracle is not None, f"rotated-out query {n} lost its oracle"
         assert idx[n] >= DRIVER_WINDOW, (

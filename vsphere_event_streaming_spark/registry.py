@@ -46,33 +46,24 @@ def query(name: str, oracle: str | None = None):
 # Registry order is driver-visible: the verify driver checks queries in
 # registration order and its CORRECTNESS window records the first 50.
 # PRIORITY pins each round's rotation plan; tests/test_registry.py
-# (WINDOW_R8) enforces the pinned membership.
+# (WINDOW_R9) enforces the pinned membership.
 #
-# r8 rotation (VERDICT_r7 next-round #3): the window takes every query
-# whose newest driver evidence is older than r5 or absent — the 13
-# r4-DEFERRED rows from r7's plan, the two r7-new rows that had no
-# free slot (q_kmeans_sizes, q_cluster_balanced — first driver rows),
-# and the two r8-new queries (q_embed_pca_topm, q_cluster_quality) —
-# then fills to 50 with 33 of the 48 r5-stale rows. The FIFTEEN
-# deferred r5 rows (first in line for r9) each have in-window or
-# fresher family coverage, none its operator's sole oracle:
-# q_dedup_near_char (near-dup family: in-window q_dedup_near/
-# q_dedup_near_pruned), q_dedup_simhash_pairs (SimHash family:
-# r7-green q_dedup_simhash_hamming + r6 q_dedup_simhash),
-# q_join_asof_fwd + q_join_asof_tol (J6 family: r7-green q_join_asof),
-# q_media_phash_jpeg (media decode: in-window q_media_phash +
-# q_multimodal_decode + the r6/r7 media-dedup tier),
-# q_multimodal_meta (in-window q_multimodal_decode), q_pivot (A3:
-# r7-green q_group_agg + r6 q_conditional_agg), q_quality_score
-# (quality family: r7-green q_quality_lm/q_quality_repetition),
-# q_range_frame (W4: r6-green q_running_sum/q_window_analytics),
-# q_salted_agg + q_salted_join (skew forms of in-window/r7-green
-# agg+join families, plan-audited), q_sessionize (T6: in-window
-# q_session_window + q_sliding_agg), q_text_ngrams (text family:
-# in-window q_token_count/q_top_words/q_text_tokens), q_udaf_gmean
-# (§2.10: r7-green q_udf_cosine/q_udtf_props + in-window
-# q_cogroup_recon/q_grouped_map_stats), q_variant_json (JSON family:
-# r7-green q_json_extract).
+# r9 rotation (VERDICT_r8 next-round #1): the window takes every query
+# whose newest driver evidence is older than r6 or absent — the 15
+# r5-DEFERRED rows from r8's plan and the 5 r8-new out-of-window
+# queries (first driver rows) — then fills to 50 with 30 of the 50
+# r6-stale rows. The TWENTY deferred r6 rows (first in line for r10)
+# each have in-window or fresher family coverage, none its operator's
+# sole oracle: 12 of the 16 TPC-H shapes (q_tpch_q3/q4/q5/q7/q8/q10/
+# q13/q14/q15/q16/q19/q22 — the family's join/agg machinery is covered
+# in-window by q_tpch_q1/q6/q17/q18 and the r7-green relational tier),
+# q_dedup_simhash (SimHash family: in-window q_dedup_simhash_pairs +
+# r7-green q_dedup_simhash_hamming), q_dedup_media + q_dedup_audio +
+# q_dedup_video (media-dedup family: in-window q_media_phash_jpeg +
+# r7-green q_dedup_media_robust), q_bpe_tokens + q_pack_bpe (BPE
+# family: in-window q_bpe_fertility + r7-green q_bpe_tokens_full),
+# q_running_sum (W4: in-window q_range_frame + r7-green q_lag_gap),
+# q_conditional_agg (A3: in-window q_pivot + r7-green q_group_agg).
 # The two permanent rows-only checks (q_knn_ivf, q_approx_aggs) stay
 # out of the window for good (VERDICT_r5 "What's wrong" #1): their
 # `no_oracle` rows can never go green and their evidence lives in
@@ -80,8 +71,67 @@ def query(name: str, oracle: str | None = None):
 # Everything rotated out keeps its oracle and is exact-value-checked
 # every round by tools/selfcheck.py.
 PRIORITY: tuple[str, ...] = (
-    # ---- r8 driver window (first 50) ----
-    # the 13 r4-DEFERRED rows (r7's displacement debt, repaid):
+    # ---- r9 driver window (first 50) ----
+    # the 15 r5-DEFERRED rows (r8's displacement debt, repaid):
+    "q_dedup_near_char",
+    "q_dedup_simhash_pairs",
+    "q_join_asof_fwd",
+    "q_join_asof_tol",
+    "q_media_phash_jpeg",
+    "q_multimodal_meta",
+    "q_pivot",
+    "q_quality_score",
+    "q_range_frame",
+    "q_salted_agg",
+    "q_salted_join",
+    "q_sessionize",
+    "q_text_ngrams",
+    "q_udaf_gmean",
+    "q_variant_json",
+    # the 5 r8-new queries getting their FIRST driver evidence:
+    "q_classifier_auc_binned",
+    "q_dedup_semantic_cells",
+    "q_embed_whiten",
+    "q_dataset_mix_temp",
+    "q_bpe_fertility",
+    # ... and 30 of the 50 r6-stale rows (20 deferred to r10,
+    # rationale above):
+    "q_chain_agg",
+    "q_cube",
+    "q_decode_roundtrip",
+    "q_embed_centroid",
+    "q_eventclass",
+    "q_fuzzy_match",
+    "q_histogram",
+    "q_intersect",
+    "q_join_cross",
+    "q_math_funcs",
+    "q_minmax_by",
+    "q_page_json",
+    "q_percentile",
+    "q_pipeline_prep",
+    "q_profile",
+    "q_range_bounds",
+    "q_rank",
+    "q_regexp_funcs",
+    "q_sample",
+    "q_sample_stratified",
+    "q_search_tfidf",
+    "q_string_agg",
+    "q_subquery_scalar",
+    "q_time_window_filter",
+    "q_tpch_q1",
+    "q_tpch_q6",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_try_funcs",
+    "q_window_analytics",
+    # ---- out of the r9 window ----
+    # Every query below holds a driver-green value-hash row from
+    # r6-r8 (histogram in VERDICT_r8) or is a permanent rows-only
+    # check; tools/selfcheck.py exact-value-checks every oracled one
+    # each round.
+    # newest driver row r8:
     "q_union",
     "q_ordered_replay",
     "q_knn_hyperplane",
@@ -95,14 +145,10 @@ PRIORITY: tuple[str, ...] = (
     "q_knn_sq",
     "q_join_anti",
     "q_knn_topk",
-    # the two r7-new rows getting their FIRST driver evidence:
     "q_kmeans_sizes",
     "q_cluster_balanced",
-    # the two r8-new queries (top-m PCA, per-cluster quality):
     "q_embed_pca_topm",
     "q_cluster_quality",
-    # ... and 33 of the 48 r5-stale rows (15 deferred to r9,
-    # rationale above):
     "q_audio_fingerprint",
     "q_chunk_text",
     "q_cogroup_recon",
@@ -136,11 +182,7 @@ PRIORITY: tuple[str, ...] = (
     "q_url_domains",
     "q_vector_sq",
     "q_video_frames",
-    # ---- out of the r8 window ----
-    # Every query below holds a driver-green value-hash row from
-    # r4-r7 (histogram in VERDICT_r7) or is a permanent rows-only
-    # check; tools/selfcheck.py exact-value-checks every oracled one
-    # each round.
+    # newest driver row r7:
     "q_count",
     "q_typename",
     "q_grouping_sets",
@@ -191,11 +233,11 @@ PRIORITY: tuple[str, ...] = (
     "q_classifier_auc",
     "q_classifier_calibration",
     "q_kmeans_cluster",
-    "q_tpch_q1",
+    # newest driver row r6 (the 20 DEFERRED rows, first in line
+    # for the r10 window):
     "q_tpch_q3",
     "q_tpch_q4",
     "q_tpch_q5",
-    "q_tpch_q6",
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q10",
@@ -203,69 +245,19 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q14",
     "q_tpch_q15",
     "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
     "q_tpch_q19",
     "q_tpch_q22",
-    "q_percentile",
-    "q_window_analytics",
-    "q_cube",
-    "q_join_cross",
-    "q_regexp_funcs",
-    "q_try_funcs",
-    "q_sample_stratified",
-    "q_search_tfidf",
-    "q_embed_centroid",
     "q_conditional_agg",
-    "q_pipeline_prep",
-    "q_string_agg",
-    "q_minmax_by",
-    "q_histogram",
-    "q_fuzzy_match",
-    "q_subquery_scalar",
-    "q_sample",
-    "q_profile",
     "q_bpe_tokens",
     "q_dedup_media",
     "q_dedup_audio",
     "q_pack_bpe",
     "q_dedup_video",
-    "q_eventclass",
-    "q_math_funcs",
     "q_running_sum",
     "q_dedup_simhash",
-    "q_time_window_filter",
-    "q_range_bounds",
-    "q_page_json",
-    "q_decode_roundtrip",
-    "q_chain_agg",
-    "q_rank",
-    "q_intersect",
+    # permanent rows-only checks (never in the window):
     "q_knn_ivf",
     "q_approx_aggs",
-    "q_media_phash_jpeg",
-    "q_multimodal_meta",
-    "q_udaf_gmean",
-    "q_dedup_near_char",
-    "q_dedup_simhash_pairs",
-    "q_quality_score",
-    "q_text_ngrams",
-    "q_join_asof_fwd",
-    "q_join_asof_tol",
-    "q_salted_agg",
-    "q_salted_join",
-    "q_pivot",
-    "q_range_frame",
-    "q_variant_json",
-    "q_sessionize",
-    # r8-new, declared OUT of the window (the r8 window is pinned to
-    # the staleness-repayment plan above); oracled, so selfcheck and
-    # the embeddings fuzz family cover it until its r9 driver row
-    "q_classifier_auc_binned",
-    "q_dedup_semantic_cells",
-    "q_embed_whiten",
-    "q_dataset_mix_temp",
-    "q_bpe_fertility",
 )
 
 
