@@ -689,3 +689,84 @@ def test_pca_topm_detail_lambdas_replay_and_whitening_normalizes(spark):
     comps1, lams1 = pca_topm_detail(g1, 2, iters=6, m=3)
     assert comps1[1] == [0.0, 0.0] and comps1[2] == [0.0, 0.0]
     assert lams1[1] == 0.0 and lams1[2] == 0.0
+
+
+def test_pca_order_ties_break_on_deflation_index():
+    """pca_order sorts λ descending with the deflation index as the
+    deterministic tie-break — the exact key the oracle's
+    ``ORDER BY lam DESC, c`` replays."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        pca_order,
+    )
+
+    assert pca_order([5.0, 7.0, 7.0]) == [1, 2, 0]
+    assert pca_order([0.0, 0.0]) == [0, 1]
+    assert pca_order([1.0, 3.0, 2.0, 4.0]) == [3, 1, 2, 0]
+
+
+def test_pca_ordered_relabels_by_lambda_and_replays(spark):
+    """VERDICT_r8 #2 pinned: on the driver corpus the FIXED-iteration
+    deflation-order λs are NOT monotone (λ₂ < λ₃ — the motivating
+    mislabel), so (1) the motivation must stay observable, (2) the
+    ordered output must be exactly the λ-sorted permutation with
+    monotone non-increasing λs, and (3) the oracle's ``pord`` CTE must
+    replay the SAME order with bit-identical λs and vectors — an
+    engine that sorted differently would silently swap pc2/pc3."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        pca_order,
+        pca_topm_detail,
+        pca_topm_ordered,
+        pca_topm_ordered_oracle,
+    )
+    from vsphere_event_streaming_spark.queries.model_queries import (
+        PCA_TOPM,
+    )
+
+    emb = spark.read.parquet(EMB)
+    g = gram_micro(emb)
+    d = 1 + max(i for i, _ in g)
+    raw_comps, raw_lams = pca_topm_detail(g, d, iters=PCA_ITERS, m=PCA_TOPM)
+    # the motivation: deflation order mislabels components 2 and 3
+    assert raw_lams[1] < raw_lams[2], (
+        "driver corpus no longer exhibits the λ₂ < λ₃ swap — "
+        "re-pin this test (the ordering itself still holds)"
+    )
+    order = pca_order(raw_lams)
+    assert order == [0, 2, 1, 3]
+
+    comps, lams = pca_topm_ordered(g, d, iters=PCA_ITERS, m=PCA_TOPM)
+    assert lams == sorted(raw_lams, reverse=True)
+    assert all(lams[i] >= lams[i + 1] for i in range(len(lams) - 1))
+    assert comps == [raw_comps[c] for c in order]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{EMB}'")
+    prefix = pca_topm_ordered_oracle(iters=PCA_ITERS, m=PCA_TOPM)
+    rows = con.sql(
+        prefix + "\nSELECT lam, v FROM pord ORDER BY r"
+    ).fetchall()
+    con.close()
+    assert [r[0] for r in rows] == lams
+    assert [list(r[1]) for r in rows] == comps
+
+
+def test_pca_ordered_rank_exhausted_lambdas_sort_last():
+    """Rank-exhausted components carry λ = +0.0 exactly and must sort
+    LAST under the eigenvalue ordering (a zero direction can never
+    outrank a real one), keeping the absorbing-zero contract intact
+    through the relabeling."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        pca_topm_ordered,
+    )
+
+    g1 = {
+        (0, 0): 100_000_000,
+        (0, 1): 200_000_000,
+        (1, 0): 200_000_000,
+        (1, 1): 400_000_000,
+    }
+    comps, lams = pca_topm_ordered(g1, 2, iters=6, m=3)
+    assert lams[0] > 0.0
+    assert lams[1] == 0.0 and lams[2] == 0.0
+    assert comps[1] == [0.0, 0.0] and comps[2] == [0.0, 0.0]
+    assert abs(sum(x * x for x in comps[0]) - 1.0) < 1e-9

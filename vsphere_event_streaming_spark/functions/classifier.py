@@ -936,6 +936,89 @@ def pca_topm_oracle(
     return ",\n".join(parts)
 
 
+def pca_order(lams: list[float]) -> list[int]:
+    """Eigenvalue ordering of the deflation-order components
+    (VERDICT_r8 #2): indices sorted by λ DESCENDING, ties broken on
+    the deflation index ASCENDING. A FIXED iteration count on a
+    nearly-degenerate spectrum can leave adjacent Rayleigh estimates
+    swapped (observed λ₂ < λ₃ by ~1% on the driver corpus), so the
+    "top-m" labels are assigned by the λs themselves, not by
+    deflation order. Both compare operands are bit-identical across
+    engines (same folds), so the sort — and therefore the pc{r}/w{r}
+    labeling — is engine-identical; the oracle runs the same
+    ``ORDER BY lam DESC, c`` in :func:`pca_topm_ordered_oracle`.
+    Rank-exhausted components carry λ = +0.0 exactly (every fold is a
+    product with the explicit zero vector) and sort last."""
+    return sorted(range(len(lams)), key=lambda c: (-lams[c], c))
+
+
+def pca_topm_ordered(
+    gram: dict[tuple[int, int], int],
+    d: int,
+    iters: int = 6,
+    m: int = 2,
+) -> tuple[list[list[float]], list[float]]:
+    """:func:`pca_topm_detail` with components and λs re-labeled in
+    eigenvalue order (λ descending, deflation-index tie-break) — the
+    form the declared queries project with, so pc1 is always the
+    LARGEST-variance direction the fixed iteration found, never just
+    "whatever deflated first". The component VECTORS are untouched
+    (bit-identical to the deflation-order output; only the labels
+    move), so the pairwise-orthogonality and replay guarantees of
+    :func:`pca_topm` carry over unchanged.
+
+    Caveat (documented per VERDICT_r8 #2): on a spectrum with
+    λ₁ ≈ λ₂ the fixed-iteration estimates decide the order, and each
+    component is itself a residual mix of the near-degenerate
+    directions — ordering makes the labels honest about the
+    ESTIMATES, it cannot sharpen the estimates themselves (that would
+    need a convergence test, which this tier deliberately trades away
+    for fixed-replay determinism)."""
+    comps, lams = pca_topm_detail(gram, d, iters=iters, m=m)
+    order = pca_order(lams)
+    return [comps[c] for c in order], [lams[c] for c in order]
+
+
+def pca_topm_ordered_oracle(iters: int = 6, m: int = 2) -> str:
+    """:func:`pca_topm_oracle` (``with_final_lambda=True``) plus the
+    eigenvalue-ordering CTEs replaying :func:`pca_topm_ordered`:
+
+    - ``pcomps``: one row per deflation-order component ``c`` with
+      its λ (component c's λ is ``lam{c+1}`` for c < m, ``lamF`` for
+      c = m — each ``lam{c}`` CTE is component c−1's Rayleigh
+      quotient, computed where the deflation needs it) and its final
+      vector (``v{iters}`` for c=1, ``vf{c}`` after);
+    - ``pord``: ``row_number() OVER (ORDER BY lam DESC, c)`` — the
+      exact sort key of :func:`pca_order`, over bit-identical λs.
+
+    Consumers project with ``(SELECT v FROM pord WHERE r = {r})`` and
+    scale with ``(SELECT lam FROM pord WHERE r = {r})``."""
+    prefix = pca_topm_oracle(iters=iters, m=m, with_final_lambda=True)
+
+    def final(c: int) -> str:
+        return f"v{iters}" if c == 1 else f"vf{c}"
+
+    def lam(c: int) -> str:
+        return f"lam{c + 1}" if c < m else "lamF"
+
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {c} AS c, (SELECT l FROM {lam(c)}) AS lam,"
+        f" (SELECT v FROM {final(c)}) AS v"
+        for c in range(1, m + 1)
+    )
+    return (
+        prefix
+        + f""",
+pcomps AS MATERIALIZED (
+  {rows}
+),
+pord AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY lam DESC, c) AS r, lam, v
+  FROM pcomps
+)"""
+    )
+
+
 # ----------------------------------------------------------------------
 # Binned-AUC cells (L34-b): the mergeable evaluation aggregate
 # ----------------------------------------------------------------------

@@ -29,8 +29,8 @@ from ..functions.classifier import (
     logreg_score,
     pca_oracle,
     pca_project,
-    pca_topm,
-    pca_topm_oracle,
+    pca_topm_ordered,
+    pca_topm_ordered_oracle,
     power_iteration,
     train_logreg,
 )
@@ -544,35 +544,50 @@ _PCA_TOPM_MEMO: dict[tuple, list[list[float]]] = {}
 # ======================================================================
 @query(
     "q_embed_pca_topm",
-    oracle=pca_topm_oracle(iters=PCA_ITERS, m=PCA_TOPM)
-    + f"""
+    oracle=pca_topm_ordered_oracle(iters=PCA_ITERS, m=PCA_TOPM)
+    + "".join(
+        [
+            """
 SELECT vec_id, label,
-       round(list_dot_product(x, (SELECT v FROM v{PCA_ITERS})), 6) AS pc1,
-       round(list_dot_product(x, (SELECT v FROM vf2)), 6) AS pc2,
-       round(list_dot_product(x, (SELECT v FROM vf3)), 6) AS pc3,
-       round(list_dot_product(x, (SELECT v FROM vf4)), 6) AS pc4
-FROM we
-""",
+"""
+        ]
+        + [
+            f"       round(list_dot_product(x, (SELECT v FROM pord"
+            f" WHERE r = {r})), 6) AS pc{r}"
+            + ("," if r < PCA_TOPM else "")
+            + "\n"
+            for r in range(1, PCA_TOPM + 1)
+        ]
+        + ["FROM we\n"]
+    ),
 )
 def q_embed_pca_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection onto the corpus's top FOUR principal components
     (VERDICT_r7 #6): the L35 machinery generalized by repeated
     Hotelling deflation with modified Gram–Schmidt at every step
-    (functions/classifier.py::pca_topm) — pc1/pc2 are bit-identical
-    to q_embed_pca's (same folds), pc3/pc4 extend the basis to what
-    whitening needs. Still ONE integer Gram pass over the corpus
+    (functions/classifier.py::pca_topm), with the components labeled
+    in EIGENVALUE order (VERDICT_r8 #2, classifier.py::pca_order):
+    pc{r} is the r-th largest Rayleigh-quotient direction, λ-sorted
+    with a deflation-index tie-break, so a fixed-iteration estimate
+    swap on a near-degenerate spectrum (observed λ₂ < λ₃ by ~1% on
+    the driver corpus) can no longer mislabel the top directions.
+    pc1 is bit-identical to q_embed_pca's (the dominant direction is
+    deflation component 1 whenever λ₁ is the max, which the power
+    iteration converges to first); later labels follow the λs, not
+    the deflation order. Still ONE integer Gram pass over the corpus
     (shared with q_embed_pca through the memo structure), O(m·d²)
     driver arithmetic, and a single codegen projection per row — no
     shuffle, no Python. The oracle replays every deflation, power
-    iteration, Gram–Schmidt projection and the rank-exhaustion zero
-    cutoff exactly."""
+    iteration, Gram–Schmidt projection, the rank-exhaustion zero
+    cutoff AND the ordering (``ORDER BY lam DESC, c`` over
+    bit-identical λs) exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     ck = _corpus_key(sf_dir)
     comps = _PCA_TOPM_MEMO.get(ck)
     if comps is None:
         g = gram_micro(emb)
         d = 1 + max((i for i, _ in g), default=-1)
-        comps = pca_topm(g, d, iters=PCA_ITERS, m=PCA_TOPM)
+        comps, _ = pca_topm_ordered(g, d, iters=PCA_ITERS, m=PCA_TOPM)
         _PCA_TOPM_MEMO[ck] = comps
     return emb.select(
         "vec_id",
@@ -976,23 +991,19 @@ _WHITEN_MEMO: dict[tuple, tuple[list[list[float]], list[float], int]] = {}
 
 
 def _whiten_oracle() -> str:
-    from ..functions.classifier import pca_topm_oracle
+    from ..functions.classifier import pca_topm_ordered_oracle
 
-    prefix = pca_topm_oracle(
-        iters=PCA_ITERS, m=PCA_TOPM, with_final_lambda=True
-    )
-    names = [f"v{PCA_ITERS}"] + [
-        f"vf{c}" for c in range(2, PCA_TOPM + 1)
-    ]
-    lam_names = [f"lam{c}" for c in range(2, PCA_TOPM + 1)] + ["lamF"]
+    prefix = pca_topm_ordered_oracle(iters=PCA_ITERS, m=PCA_TOPM)
     cols = []
-    for c, (vn, ln) in enumerate(zip(names, lam_names)):
+    for r in range(1, PCA_TOPM + 1):
         cols.append(
-            f"""CASE WHEN (SELECT l FROM {ln}) <= 0.0 THEN 0.0
-            ELSE round(list_dot_product(x, (SELECT v FROM {vn}))
-                 / sqrt((SELECT l FROM {ln})
+            f"""CASE WHEN (SELECT lam FROM pord WHERE r = {r}) <= 0.0
+            THEN 0.0
+            ELSE round(
+                 list_dot_product(x, (SELECT v FROM pord WHERE r = {r}))
+                 / sqrt((SELECT lam FROM pord WHERE r = {r})
                         / (1000000.0 * (SELECT n FROM cnt))), 6)
-       END AS w{c + 1}"""
+       END AS w{r}"""
         )
     return (
         prefix
@@ -1014,16 +1025,20 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     layers (λ_c is component c's Rayleigh quotient over its own
     deflated Gram, the exact eigenvalue estimate the fixed power
     iteration converged to; the micro-unit Gram makes
-    ``E[(x·v_c)²] ≈ λ_c/(MICRO·N)``). A rank-exhausted zero component
-    carries λ=0 and whitens to the explicit 0.0 in both engines
-    (guarded division, never Inf/NaN).
+    ``E[(x·v_c)²] ≈ λ_c/(MICRO·N)``). Components are labeled in
+    EIGENVALUE order (VERDICT_r8 #2): w{r} is the r-th largest-λ
+    direction scaled by ITS OWN λ, the same ``ORDER BY lam DESC, c``
+    relabeling as q_embed_pca_topm, replayed by the oracle's ``pord``
+    CTE. A rank-exhausted zero component carries λ=0, sorts last,
+    and whitens to the explicit 0.0 in both engines (guarded
+    division, never Inf/NaN).
 
     Still ZERO extra corpus passes beyond the one trained Gram: the
     λs fall out of pca_topm_detail's existing deflation arithmetic
     (bit-identical to the oracle's lam{c}/lamF CTEs — proven in
     pytest), N is one count, and application is PCA_TOPM codegen
     folds per row scaled by literals — no shuffle, no Python."""
-    from ..functions.classifier import pca_topm_detail
+    from ..functions.classifier import pca_topm_ordered
 
     emb = _t(spark, sf_dir, "embeddings")
     ck = _corpus_key(sf_dir)
@@ -1031,7 +1046,7 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     if entry is None:
         g = gram_micro(emb)
         d = 1 + max((i for i, _ in g), default=-1)
-        comps, lams = pca_topm_detail(
+        comps, lams = pca_topm_ordered(
             g, d, iters=PCA_ITERS, m=PCA_TOPM
         )
         entry = (comps, lams, emb.count())
