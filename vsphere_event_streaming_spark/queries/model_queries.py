@@ -19,6 +19,8 @@ shuffle, no Python (plan-audited).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,14 +83,22 @@ _WEIGHTS_MEMO: dict[tuple, list[int]] = {}
 _PCA_MEMO: dict[tuple, tuple[list[float], list[float]]] = {}
 
 
-def _corpus_key(sf_dir: str) -> tuple:
-    """Memo key: the embeddings table's file census. A parquet
-    dataset is a file or a directory of part files; stat'ing every
-    part (name, mtime_ns, size) fingerprints an in-place rewrite in
-    either layout. O(#files) stat calls — trivial next to training."""
+def _corpus_key(sf_dir: str, table: str = "embeddings.parquet") -> tuple:
+    """Memo key: the named table's file census. A parquet dataset is
+    a file or a directory of part files; stat'ing every part (name,
+    mtime_ns, size) fingerprints an in-place rewrite in either
+    layout. O(#files) stat calls — trivial next to training.
+
+    An OSError anywhere in the census (unreadable dir, a part file
+    deleted mid-listdir) yields a SENTINEL key, never a partial one:
+    a census truncated at an arbitrary stat could collide with
+    another degraded state and serve a stale model after a partially
+    observed rewrite (ADVICE r8). The sentinel carries a fresh nonce
+    so degraded keys never hit the memo at all — the subsequent read
+    raises the real error with context."""
     import os
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
+    path = os.path.join(sf_dir, table)
     entries: list[tuple] = []
     try:
         if os.path.isdir(path):
@@ -99,10 +109,12 @@ def _corpus_key(sf_dir: str) -> tuple:
             st = os.stat(path)
             entries.append(("", st.st_mtime_ns, st.st_size))
     except OSError:
-        # unreadable/missing: fall back to the bare dir key — the
-        # subsequent read will raise the real error with context
-        pass
-    return (sf_dir, tuple(entries))
+        entries = [("__unreadable__", next(_CORPUS_KEY_NONCE))]
+    return (sf_dir, table, tuple(entries))
+
+
+#: Monotonic nonce for degraded census keys — see :func:`_corpus_key`.
+_CORPUS_KEY_NONCE = itertools.count()
 
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
