@@ -358,6 +358,15 @@ def test_stream_stream_join(spark, tmp_path):
     Two live poll streams join on user_name with an event-time range
     condition; the expected pair set is computed independently from the
     deterministic generator (same role as the reference's vcsim oracle).
+
+    De-flaked per VERDICT_r8 #4: the poll source is BOUNDED (max_key),
+    so ``processAllAvailable()`` blocks until every generated page is
+    polled and joined on both sides — the previous wall-clock polling
+    loop (sleep + 180 s deadline) was timing-margin-sensitive under
+    full-suite co-tenant load. Inner stream-stream joins emit matches
+    in the micro-batch that completes them (watermarks only bound
+    state eviction), so after processAllAvailable() the sink holds the
+    complete pair set with no margin to tune.
     """
     from vsphere_event_streaming_spark.sources.poll_source import (
         _generate_event,
@@ -397,12 +406,8 @@ def test_stream_stream_join(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 180
-        while time.time() < deadline:
-            got = spark.sql("SELECT key, r_key FROM ss_join_test").collect()
-            if len(got) >= len(expected):
-                break
-            time.sleep(0.5)
+        q.processAllAvailable()
+        got = spark.sql("SELECT key, r_key FROM ss_join_test").collect()
     finally:
         q.stop()
         q.awaitTermination(30)
