@@ -228,7 +228,13 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         .join(selected.select("doc_id"), "doc_id", "left_semi")
         .localCheckpoint(eager=True)
     )
-    cm_cells = train_kmeans(sel_feats, k=16, iters=2, id_col="doc_id")
+    # corpus-scaled k (VERDICT_r8 #5): cells average SEM_CELL_TARGET
+    # docs at any corpus size, same knob as q_dedup_semantic_cells
+    from vsphere_event_streaming_spark.queries.model_queries import _sem_k
+
+    cm_cells = train_kmeans(
+        sel_feats, k=_sem_k(sel_feats.count()), iters=2, id_col="doc_id"
+    )
     assigned = sel_feats.select(
         "doc_id",
         "embedding",

@@ -636,13 +636,14 @@ def _auc_cum_shape(spark, n: int):
 
 
 def _semantic_cells_shape(emb):
-    """q_dedup_semantic_cells' shape (r8): train the SEM_K=64 cell
-    model, assign (persisted once), pair within cells with the cosine
-    verify inside the join. Identical replicas are the worst case —
-    every replica group is an exact-dup clique inside one cell, so
-    candidate PAIRS grow ~factor^2 while output rows grow by the
-    factor (the jaccard-probe convention: time tracks pairs, not
-    rows)."""
+    """q_dedup_semantic_cells' shape (r9, corpus-scaled k): train the
+    k = ceil(N/SEM_CELL_TARGET) cell model, assign (persisted once),
+    pair within cells with the cosine verify inside the join. With k
+    GROWING with the corpus (VERDICT_r8 #5), even the identical-
+    replica worst case grows pairs ~linearly here: replicas of one
+    vector must share a cell, but the replicated corpus also has 10x
+    the rows, so 10x the cells keep average cell size flat (the
+    recipe's knob working as published)."""
     from vsphere_event_streaming_spark.functions.dedup import _persist
     from vsphere_event_streaming_spark.functions.kmeans import (
         kmeans_assign,
@@ -652,11 +653,12 @@ def _semantic_cells_shape(emb):
         SEMANTIC_THRESHOLD,
         cosine,
     )
+    from vsphere_event_streaming_spark.queries.model_queries import _sem_k
     from vsphere_event_streaming_spark.tables import spread
 
-    cm = train_kmeans(emb, k=64, iters=2)
+    cm = train_kmeans(emb, k=_sem_k(emb.count()), iters=2)
     # spread before the argmin, mirroring the declared query: the 1x
-    # input is a single-partition persisted frame and the k=64
+    # input is a single-partition persisted frame and the k-literal
     # interpreted argmin must not serialize on one thread
     s = _persist(
         spread(emb).select(
@@ -691,6 +693,51 @@ def _semantic_cells_shape(emb):
         "cid",
         (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
     )
+
+
+def _sem_scaled_pairs(spark, n: int) -> tuple[float, int, int]:
+    """(elapsed, k, candidate_pairs) for the corpus-scaled SemDeDup
+    cell model over n DISTINCT synthetic vectors (pseudorandom sine
+    scatter, so the lowest-id seeds are effectively random points).
+    candidate_pairs is the cell self-join's exact work; with
+    k = ceil(n/SEM_CELL_TARGET) it grows ~linearly in n."""
+    from vsphere_event_streaming_spark.functions.kmeans import (
+        kmeans_assign,
+        train_kmeans,
+    )
+    from vsphere_event_streaming_spark.queries.model_queries import _sem_k
+
+    t0 = time.perf_counter()
+    base = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    F.sin(
+                        F.col("id") * F.lit(12.9898 + 7.13 * d)
+                        + F.lit(d)
+                    )
+                    for d in range(8)
+                ]
+            ).alias("embedding"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    base.count()
+    k = _sem_k(n)
+    cm = train_kmeans(base, k=k, iters=2)
+    sizes = base.select(
+        kmeans_assign(F.col("embedding"), cm).alias("cid")
+    ).groupBy("cid").count()
+    pairs = int(
+        sizes.agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2)
+        ).collect()[0][0]
+    )
+    base.unpersist()
+    return round(time.perf_counter() - t0, 2), k, pairs
 
 
 def _time(fn) -> tuple[float, int]:
@@ -1042,6 +1089,36 @@ def main() -> None:
         "time_ratio": round(tN / t1, 1) if t1 else None,
     }
     print(json.dumps({"ivf_index_stream": results["ivf_index_stream"]}))
+
+    # r9 (VERDICT_r8 #5): per-cell pair cost under the CORPUS-SCALED
+    # SemDeDup k on growing DISTINCT corpora — the flat-cost claim the
+    # scaled knob exists for. Candidate pairs = sum_c c*(c-1)/2 over
+    # the trained assignment; per-vector pairs must stay ~flat as N
+    # grows 4x (a constant k would grow them ~4x).
+    name = "semantic_cells_scaled_k"
+    if not only or name in only:
+        (tA, kA, pA), (tB, kB, pB) = (
+            _sem_scaled_pairs(spark, 4000),
+            _sem_scaled_pairs(spark, 16000),
+        )
+        per_a, per_b = pA / 4000, pB / 16000
+        assert per_b <= 2.0 * per_a, (
+            f"per-vector pair cost not flat under scaled k: "
+            f"{per_a:.1f} -> {per_b:.1f}"
+        )
+        results[name] = {
+            "n_small": 4000,
+            "n_big": 16000,
+            "k_small": kA,
+            "k_big": kB,
+            "pairs_small": pA,
+            "pairs_big": pB,
+            "pairs_per_vector_small": round(per_a, 1),
+            "pairs_per_vector_big": round(per_b, 1),
+            "t_small_sec": tA,
+            "t_big_sec": tB,
+        }
+        print(json.dumps({name: results[name]}))
 
     print(json.dumps({"factor": factor, "sf_dir": sf_dir, "probe": results}))
 

@@ -303,7 +303,7 @@ _FLOORDIV = (
 
 
 def kmeans_oracle(
-    k: int = 8,
+    k: int | str = 8,
     iters: int = 4,
     init_cm: list[list[int]] | None = None,
 ) -> str:
@@ -318,13 +318,24 @@ def kmeans_oracle(
     previous centroid. The final ``a{iters+1}`` carries the trained
     model's assignments. ``init_cm`` replays a warm-started run:
     ``c0`` becomes the checkpoint VALUES instead of the lowest-id
-    seeding (the logreg_oracle init_w_micro precedent)."""
+    seeding (the logreg_oracle init_w_micro precedent).
+
+    ``k`` may be a SQL AGGREGATE EXPRESSION over ``e`` (a str, e.g.
+    ``"greatest(1, (count(*) + 124) // 125)"``) instead of a literal —
+    the corpus-scaled form (VERDICT_r8 #5): a ``kn`` CTE evaluates it
+    once and the seeding LIMIT reads it, so the oracle derives k from
+    the same corpus the engine counts. Integer-only arithmetic (``//``)
+    keeps the derivation exact in both engines at any corpus size."""
     if init_cm is None:
+        if isinstance(k, str):
+            limit = "(SELECT k FROM kn)"
+        else:
+            limit = str(k)
         c0 = f"""c0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
          list_transform(x,
            v -> CAST(floor(v * {MICRO}.0) AS BIGINT)) AS cm
-  FROM (SELECT vec_id, x FROM e ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id, x FROM e ORDER BY vec_id LIMIT {limit})
 )"""
     else:
         vals = ", ".join(
@@ -344,8 +355,10 @@ def kmeans_oracle(
 )""",
         "ex AS MATERIALIZED (SELECT vec_id, x,"
         " list_dot_product(x, x) AS xx FROM e)",
-        c0,
     ]
+    if init_cm is None and isinstance(k, str):
+        parts.append(f"kn AS MATERIALIZED (SELECT {k} AS k FROM e)")
+    parts.append(c0)
     for t in range(1, iters + 2):
         parts.append(
             f"""cf{t} AS MATERIALIZED (

@@ -883,11 +883,34 @@ def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L18': SemDeDup over TRAINED k-means cells (the published recipe)
 # ======================================================================
 #: The SemDeDup cell model: many small cells (the published recipe
-#: uses cluster counts that grow with the corpus so per-cell pair
+#: uses cluster counts that GROW with the corpus so per-cell pair
 #: work stays bounded), few Lloyd's iterations (cell shape converges
 #: fast; every extra iteration lengthens the replayed CTE chain).
-SEM_K = 64
+#:
+#: k is corpus-scaled (VERDICT_r8 #5): k = ⌈N / SEM_CELL_TARGET⌉ —
+#: the recipe's own knob, replacing the r8 constant SEM_K=64. Cells
+#: average SEM_CELL_TARGET vectors at ANY corpus size, so the
+#: per-cell quadratic pair cost is flat as N grows (probed in
+#: tools/scale_probe.py::semantic_cells). The target is 125 so the
+#: driver corpora exercise genuinely different k (500→4, 2000→16);
+#: a production deployment tunes it toward the published ~1k
+#: vectors/cell. Derivation is integer-only (``//``) and replayed
+#: in-oracle by a ``kn`` CTE over the same corpus, so both engines
+#: compute the identical k at every fuzzed corpus size.
+SEM_CELL_TARGET = 125
 SEM_KMEANS_ITERS = 2
+
+#: The k derivation as a DuckDB aggregate over the oracle's ``e`` CTE
+#: — must stay arithmetic-identical to :func:`_sem_k`.
+_SEM_K_SQL = (
+    f"greatest(1, (count(*) + {SEM_CELL_TARGET - 1}) // {SEM_CELL_TARGET})"
+)
+
+
+def _sem_k(n: int) -> int:
+    """⌈n / SEM_CELL_TARGET⌉, floored at 1 — exact integer twin of
+    :data:`_SEM_K_SQL`."""
+    return max(1, (n + SEM_CELL_TARGET - 1) // SEM_CELL_TARGET)
 
 #: Cell-model memo, same fingerprint-keyed contract as _KMEANS_MEMO.
 _SEM_KMEANS_MEMO: dict[tuple, list[list[int]]] = {}
@@ -903,7 +926,7 @@ def _sem_dedup_oracle() -> str:
         "sqrt(list_dot_product(b.v, b.v)))"
     )
     return (
-        kmeans_oracle(k=SEM_K, iters=SEM_KMEANS_ITERS)
+        kmeans_oracle(k=_SEM_K_SQL, iters=SEM_KMEANS_ITERS)
         + f""",
 ed AS MATERIALIZED (
   SELECT e0.vec_id, e0.embedding::DOUBLE[] AS v, a.cid
@@ -930,14 +953,17 @@ def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB (the r7 L36 machinery). q_dedup_semantic's docstring
     documented the sign-LSH bucket as the stand-in it traded for
     replayability; this query retires that trade: cells are a
-    SEM_K=64 / 2-iteration Lloyd's model (memoized per corpus
-    fingerprint), and the keep/drop rule is the same min-id dominance.
+    CORPUS-SCALED k = ⌈N/SEM_CELL_TARGET⌉ / 2-iteration Lloyd's model
+    (memoized per corpus fingerprint), and the keep/drop rule is the
+    same min-id dominance.
 
     Scale shape: assignment is the codegen literal-centroid argmin
     (persisted once — it feeds both self-join sides and the output);
     the cell self-equi-join's per-cell cost is quadratic in cell
-    size, bounded by growing SEM_K with the corpus (the published
-    recipe's own knob — cells of ~1k vectors at any N); the verify is
+    size, and k GROWS with the corpus (VERDICT_r8 #5 — the published
+    recipe's own knob, derived in-oracle by the kn CTE) so cells
+    average SEM_CELL_TARGET vectors and per-cell pair cost stays
+    FLAT at any N (probed in tools/scale_probe.py); the verify is
     an exact cosine INSIDE the join stage. At 100 TB the corpus is
     written partitioned by cid so the self-join is co-located.
     Cosine runs on the RAW embedding (assignment winsorizes
@@ -952,7 +978,9 @@ def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = _corpus_key(sf_dir)
     cm = _SEM_KMEANS_MEMO.get(ck)
     if cm is None:
-        cm = train_kmeans(emb, k=SEM_K, iters=SEM_KMEANS_ITERS)
+        cm = train_kmeans(
+            emb, k=_sem_k(emb.count()), iters=SEM_KMEANS_ITERS
+        )
         _SEM_KMEANS_MEMO[ck] = cm
     # spread BEFORE the argmin: the test tables are single-row-group
     # parquet (one scan partition), and the k=64 interpreted-HOF
