@@ -22,7 +22,12 @@ Stages (each is an independently-oracled operator — see COVERAGE.md):
                         embeddings trained to reproduce the LM gate
                         (L34 ∘ L19, the CCNet/FastText pattern);
                         agreement rate reported in the summary
- 4. selection         — score floors + per-language mixing gate (L21)
+ 4. selection         — score floors + TEMPERATURE mixing gate
+                        (L13'/L21): per-language rates derived
+                        in-plan from the corpus's own stratum sizes
+                        (kept mass ∝ sqrt(n), half-corpus budget —
+                        the q_dataset_mix_temp machinery); per-lang
+                        kept counts reported in the summary
  4b. semantic diversity — SemDeDup over trained k-means cells
                         (L18'/L36): inside each cell of a model
                         trained ON THE SELECTED DOCS' hash-embedded
@@ -59,7 +64,7 @@ from vsphere_event_streaming_spark.functions.multimodal import (  # noqa: E402
 )
 from vsphere_event_streaming_spark.functions.sampling import (  # noqa: E402
     pack_sequences,
-    stratified_sample,
+    temperature_sample,
 )
 from vsphere_event_streaming_spark.functions.text import (  # noqa: E402
     bigram_lm_scores,
@@ -86,11 +91,10 @@ from vsphere_event_streaming_spark.functions.bpe import (  # noqa: E402
 from vsphere_event_streaming_spark.queries.pipeline_queries import (  # noqa: E402
     BPE_PACK_BUDGET,
     DSIR_TARGET_SOURCE,
-    MIX_RATES,
-    MIX_SEED,
     SELECT_MIN_LOGP,
     SELECT_MIN_LOGW,
     SHUFFLE_SEED,
+    TEMP_MIX_SEED,
 )
 from vsphere_event_streaming_spark.session import get_spark, tune  # noqa: E402
 from vsphere_event_streaming_spark.tables import load, spread  # noqa: E402
@@ -192,8 +196,27 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         .agg(F.avg("ok").alias("a"))
         .first()["a"]
     )
+    # -- 4. selection: temperature mixing + score floors -----------------
+    # r9 (VERDICT_r8 #6): the mixing rates are DERIVED IN-PLAN from the
+    # scrubbed corpus's own language sizes (kept mass ∝ sqrt(n), budget
+    # half the corpus — functions/sampling.py::temperature_rates, the
+    # exact machinery q_dataset_mix_temp oracles), replacing the fixed
+    # MIX_RATES table the pipeline shipped with through r8.
+    # localCheckpoint, not persist (the stage-4b lesson): the gate's
+    # plan embeds the rate aggregates on top of the whole scrub DAG,
+    # and the downstream Lloyd's loop re-plans its input per
+    # iteration — untruncated, the repeated giant plans OOM the heap
+    mixed = temperature_sample(scrubbed, TEMP_MIX_SEED).localCheckpoint(
+        eager=True
+    )
+    mix_kept_by_lang = {
+        r["lang"]: r["kept"]
+        for r in mixed.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .collect()
+    }
     selected = (
-        stratified_sample(scrubbed, MIX_RATES, seed=MIX_SEED)
+        mixed
         .join(lm, "doc_id")
         .join(iw, "doc_id")
         .filter(
@@ -313,6 +336,8 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
     summary = {
         "input_docs": docs.count(),
         "after_hygiene": scrubbed.count(),
+        "mix_kept_by_lang": mix_kept_by_lang,
+        "mix_kept": sum(mix_kept_by_lang.values()),
         "selected": selected.count(),
         "semantic_dropped": semantic_dropped,
         "distill_agreement": round(distill_agreement, 3),

@@ -1216,6 +1216,14 @@ def test_corpus_prep_example_end_to_end(spark, tmp_path):
     assert out["input_docs"] >= out["after_hygiene"] >= out["selected"]
     assert out["selected"] == out["written_docs"] > 0
     assert out["packs"] > 0
+    # r9 (VERDICT_r8 #6): the mixing stage derives per-language rates
+    # in-plan (temperature mixing) — its per-language kept counts are
+    # in the summary, sum to the stage total, sit inside the funnel,
+    # and every kept language keeps at least one doc
+    assert out["after_hygiene"] >= out["mix_kept"] >= out["selected"]
+    assert sum(out["mix_kept_by_lang"].values()) == out["mix_kept"]
+    assert out["mix_kept_by_lang"]
+    assert all(v > 0 for v in out["mix_kept_by_lang"].values())
     # stage 4b (r8): the SemDeDup-cells pass ran and only narrows —
     # on this corpus the hygiene gates already removed the textual
     # near-dups, so 0 drops is the expected (and asserted-bounded)

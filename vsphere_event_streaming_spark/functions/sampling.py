@@ -46,6 +46,71 @@ def keep_bucket(key: Column, seed: str) -> Column:
     )
 
 
+def temperature_rates(
+    docs: DataFrame, strata_col: str = "lang"
+) -> DataFrame:
+    """(strata, r): micro-unit keep rates derived IN-PLAN so kept
+    mass ∝ sqrt(n) per stratum (temperature mixing, alpha = 0.5 — the
+    GPT-3/T5 n^alpha recipe) with the total budget pinned at half the
+    corpus:
+
+        r = min(SAMPLE_MOD, floor(SAMPLE_MOD · (N//2) · w / n / W))
+        with w = floor(sqrt(n)·1e6), W = Σw, N = Σn
+
+    Exact-integer inputs below 2^53, then ONE fixed left-assoc chain
+    of IEEE-correctly-rounded double mul/divs — overflow-free at any
+    corpus size and bit-identical to the DuckDB replay
+    (pipeline_queries._dataset_mix_temp_oracle). Plan: per-stratum
+    count aggregate → 1-row totals → k-row broadcast rate table; no
+    driver collect, no Python. Shared by q_dataset_mix_temp and the
+    corpus_prep mixing stage so the two can never drift."""
+    cnt = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    wq = cnt.withColumn(
+        "w",
+        F.floor(
+            F.sqrt(F.col("n").cast("double")) * F.lit(1000000.0)
+        ).cast("long"),
+    )
+    tot = wq.agg(F.sum("w").alias("tw"), F.sum("n").alias("tn"))
+    return wq.join(F.broadcast(tot)).select(
+        strata_col,
+        F.least(
+            F.lit(SAMPLE_MOD).cast("long"),
+            # T = tn // 2 as an exact integer-valued double
+            # (tn < 2^53: /2.0 is exact, floor == integer div),
+            # then the SAME left-assoc double chain as the
+            # oracle: ((((1e6 * T) * w) / n) / W)
+            F.floor(
+                F.lit(float(SAMPLE_MOD))
+                * F.floor(F.col("tn").cast("double") / F.lit(2.0))
+                * F.col("w").cast("double")
+                / F.col("n").cast("double")
+                / F.col("tw").cast("double")
+            ).cast("long"),
+        ).alias("r"),
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    seed: str,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row iff its content-keyed bucket falls under its
+    stratum's TEMPERATURE-derived rate (:func:`temperature_rates`) —
+    the data-derived form of :func:`stratified_sample`: no externally
+    fixed mixture weights, the corpus's own stratum sizes set the
+    rates. One broadcast join + codegen filter past the two tiny
+    aggregates; deterministic under retries and re-partitioning."""
+    rates = temperature_rates(docs, strata_col=strata_col)
+    return (
+        docs.join(F.broadcast(rates), strata_col)
+        .filter(keep_bucket(F.col(key_col), seed) < F.col("r"))
+        .drop("r")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -1372,40 +1372,13 @@ def q_dataset_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
     table broadcast back onto the corpus -> per-lang conditional
     aggregate. No driver collect, no shuffle beyond the two
     aggregates, no Python; the keep decision is replayed per-doc by
-    the oracle (the counts only summarize it)."""
-    from ..functions.sampling import SAMPLE_MOD, keep_bucket
+    the oracle (the counts only summarize it). The rate derivation
+    lives in functions/sampling.py::temperature_rates (r9: shared
+    with the corpus_prep mixing stage, VERDICT_r8 #6)."""
+    from ..functions.sampling import keep_bucket, temperature_rates
 
     docs = _t(spark, sf_dir, "documents")
-    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    wq = cnt.withColumn(
-        "w",
-        F.floor(
-            F.sqrt(F.col("n").cast("double")) * F.lit(1000000.0)
-        ).cast("long"),
-    )
-    tot = wq.agg(
-        F.sum("w").alias("tw"), F.sum("n").alias("tn")
-    )
-    rates = (
-        wq.join(F.broadcast(tot))
-        .select(
-            "lang",
-            F.least(
-                F.lit(SAMPLE_MOD).cast("long"),
-                # T = tn // 2 as an exact integer-valued double
-                # (tn < 2^53: /2.0 is exact, floor == integer div),
-                # then the SAME left-assoc double chain as the
-                # oracle: ((((1e6 * T) * w) / n) / W)
-                F.floor(
-                    F.lit(float(SAMPLE_MOD))
-                    * F.floor(F.col("tn").cast("double") / F.lit(2.0))
-                    * F.col("w").cast("double")
-                    / F.col("n").cast("double")
-                    / F.col("tw").cast("double")
-                ).cast("long"),
-            ).alias("r"),
-        )
-    )
+    rates = temperature_rates(docs)
     return (
         docs.join(F.broadcast(rates), "lang")
         .groupBy("lang")
