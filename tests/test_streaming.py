@@ -1216,6 +1216,60 @@ def test_streaming_pca_and_cluster_serve_parity(spark, tmp_path):
     assert len(set(got_c.values())) > 1  # a real partition of the corpus
 
 
+def test_streaming_whitened_serve_parity(spark, tmp_path):
+    """L35''' serve path (r9, VERDICT_r8 #7): frozen eigenvalue-
+    ordered components + their λs + N applied to an embedding stream
+    as the λ-scaled whitened projection must equal the BATCH
+    q_embed_whiten row-for-row (same whiten_columns expression tree
+    through readStream), including the guarded-zero contract."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        gram_micro,
+        pca_topm_ordered,
+    )
+    from vsphere_event_streaming_spark.queries.model_queries import (
+        PCA_ITERS,
+        PCA_TOPM,
+        q_embed_whiten,
+    )
+    from vsphere_event_streaming_spark.streaming.model_stream import (
+        EMB_STREAM_SCHEMA,
+        streaming_whitened_projection,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g = gram_micro(emb)
+    d = 1 + max(i for i, _ in g)
+    comps, lams = pca_topm_ordered(g, d, iters=PCA_ITERS, m=PCA_TOPM)
+    n = emb.count()
+
+    in_dir = f"{tmp_path}/in_whiten"
+    emb.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(EMB_STREAM_SCHEMA).parquet(in_dir)
+    q = (
+        streaming_whitened_projection(stream, comps, lams, n)
+        .writeStream.format("memory")
+        .queryName("t_whiten_serve")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_whiten")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cols = [f"w{c + 1}" for c in range(PCA_TOPM)]
+    got = {
+        r.vec_id: tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM t_whiten_serve").collect()
+    }
+    want = {
+        r.vec_id: tuple(r[c] for c in cols)
+        for r in q_embed_whiten(spark, sf_dir).collect()
+    }
+    assert got == want
+    # whitened coordinates genuinely vary (the projection is live)
+    assert len({v[0] for v in got.values()}) > 1
+
+
 def test_incremental_auc_cell_stream(spark, tmp_path):
     """L34-b monitor path (r8): embedding batches streamed in per-file
     epochs score through the frozen classifier into an AucCellStore

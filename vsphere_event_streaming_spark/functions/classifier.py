@@ -979,6 +979,34 @@ def pca_topm_ordered(
     return [comps[c] for c in order], [lams[c] for c in order]
 
 
+def whiten_columns(
+    vec: Column,
+    comps: list[list[float]],
+    lams: list[float],
+    n: int,
+) -> list[Column]:
+    """The whitening APPLICATION as literal-scaled codegen folds:
+    ``w{c+1} = round((x·v_c) / sqrt(λ_c/(MICRO·N)), 6)`` per
+    component, with a rank-exhausted component (λ ≤ 0) whitening to
+    the explicit 0.0 (guarded division, never Inf/NaN). Stateless per
+    row — shared by the batch query (q_embed_whiten) and the
+    streaming serve path (streaming/model_stream.py) so the two can
+    never drift; parity is exact by construction (same expression
+    tree)."""
+    cols: list[Column] = []
+    for c, (v, lam) in enumerate(zip(comps, lams)):
+        if lam <= 0.0:
+            cols.append(F.lit(0.0).alias(f"w{c + 1}"))
+        else:
+            scale = math.sqrt(lam / (float(MICRO) * n))
+            cols.append(
+                F.round(pca_project(vec, v) / F.lit(scale), 6).alias(
+                    f"w{c + 1}"
+                )
+            )
+    return cols
+
+
 def pca_topm_ordered_oracle(iters: int = 6, m: int = 2) -> str:
     """:func:`pca_topm_oracle` (``with_final_lambda=True``) plus the
     eigenvalue-ordering CTEs replaying :func:`pca_topm_ordered`:

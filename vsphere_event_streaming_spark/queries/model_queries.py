@@ -1092,19 +1092,10 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         entry = (comps, lams, emb.count())
         _WHITEN_MEMO[ck] = entry
     comps, lams, n = entry
-    import math as _math
+    from ..functions.classifier import whiten_columns
 
-    cols = []
-    for c in range(PCA_TOPM):
-        if lams[c] <= 0.0:
-            cols.append(F.lit(0.0).alias(f"w{c + 1}"))
-        else:
-            scale = _math.sqrt(lams[c] / (1000000.0 * n))
-            cols.append(
-                F.round(
-                    pca_project(F.col("embedding"), comps[c])
-                    / F.lit(scale),
-                    6,
-                ).alias(f"w{c + 1}")
-            )
-    return emb.select("vec_id", "label", *cols)
+    return emb.select(
+        "vec_id",
+        "label",
+        *whiten_columns(F.col("embedding"), comps, lams, n),
+    )

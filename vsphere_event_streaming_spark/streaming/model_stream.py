@@ -133,6 +133,32 @@ def streaming_pca_projection(
     )
 
 
+def streaming_whitened_projection(
+    stream: DataFrame,
+    components: list[list[float]],
+    lams: list[float],
+    n: int,
+) -> DataFrame:
+    """WHITENED top-m projection over a streaming embeddings frame —
+    the λ-scaled serve-path twin of :func:`streaming_pca_projection`
+    (VERDICT_r8 #7): frozen ``pca_topm_detail``/``pca_topm_ordered``
+    artifacts (components, their λs, and the training-corpus row
+    count N) applied as stateless literal-scaled codegen folds, so
+    the projection composes with ``readStream`` directly and
+    batch/stream parity is exact by construction — the expression
+    tree is ``classifier.whiten_columns``, the SAME helper
+    q_embed_whiten projects with (parity asserted in
+    ``tests/test_streaming.py``). A rank-exhausted component (λ ≤ 0)
+    whitens to the explicit 0.0, never Inf/NaN."""
+    from ..functions.classifier import whiten_columns
+
+    return stream.select(
+        "vec_id",
+        "label",
+        *whiten_columns(F.col("embedding"), components, lams, n),
+    )
+
+
 def streaming_cluster_assignments(
     stream: DataFrame, cm: list[list[int]]
 ) -> DataFrame:
