@@ -398,3 +398,34 @@ def test_corpus_key_degraded_census_never_hits_the_memo(tmp_path):
     kd = _corpus_key(str(d), table="documents.parquet")
     assert ke == _corpus_key(str(d))
     assert ke != kd
+
+
+def test_bpe_vocab_marker_only_dir_gets_typed_error(spark, tmp_path):
+    """ADVICE r8: a crash between the marker write and the first
+    parquet write used to leave a directory that passed the isdir
+    check and died in vocab() with an opaque AnalysisException —
+    vocab() now requires an actual batch_id= partition, and
+    add_batch() writes the marker only AFTER a successful write."""
+    import os
+
+    from vsphere_event_streaming_spark.functions.bpe import BpeVocab
+
+    path = str(tmp_path / "bpe_marker_only")
+    os.makedirs(path)
+    with open(os.path.join(path, BpeVocab.ALPHABET_FILE), "w") as fh:
+        fh.write("[a-z]+")
+    with pytest.raises(ValueError, match="no ingested batches"):
+        BpeVocab(spark, path).vocab()
+
+    # a real ingest writes the marker after the batch partition
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta")], "doc_id long, text string"
+    )
+    p2 = str(tmp_path / "bpe_real")
+    store = BpeVocab(spark, p2)
+    store.add_batch(docs, "b0")
+    assert os.path.isfile(os.path.join(p2, BpeVocab.ALPHABET_FILE))
+    assert any(
+        e.startswith("batch_id=") for e in os.listdir(p2)
+    )
+    assert {r.word for r in store.vocab().collect()} == {"alpha", "beta"}

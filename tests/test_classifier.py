@@ -326,6 +326,52 @@ def test_gram_store_empty_raises(spark, tmp_path):
         GramStore(spark, str(tmp_path / "nope")).gram()
 
 
+def test_gram_store_format_marker_guards_cell_format(spark, tmp_path):
+    """ADVICE r8: the upper-triangle cell format is part of the
+    store's identity. (1) a fresh ingest writes the _FORMAT marker
+    (after the batch, never before); (2) a store with batch
+    partitions but NO marker — a pre-ut1 full-matrix store — is
+    refused at open AND at merge; (3) a marker with a foreign tag is
+    refused; (4) a marker-only crash remnant gets the typed
+    no-batches error, not an opaque read failure."""
+    import os
+
+    from vsphere_event_streaming_spark.functions.classifier import (
+        GramStore,
+    )
+
+    emb = spark.read.parquet(EMB).limit(20).select("embedding")
+    path = str(tmp_path / "gram_fmt")
+    store = GramStore(spark, path)
+    store.add_batch(emb, "b0")
+    marker = os.path.join(path, GramStore.FORMAT_FILE)
+    assert open(marker).read().strip() == GramStore.FORMAT
+    assert store.gram()  # clean path still merges
+
+    # (2) pre-ut1 store: partitions present, marker absent
+    os.remove(marker)
+    with pytest.raises(ValueError, match="full-matrix"):
+        GramStore(spark, path)
+    with pytest.raises(ValueError, match="full-matrix"):
+        store.gram()
+    with pytest.raises(ValueError, match="full-matrix"):
+        store.add_batch(emb, "b1")
+
+    # (3) foreign format tag
+    with open(marker, "w") as fh:
+        fh.write("full0")
+    with pytest.raises(ValueError, match="cell format"):
+        GramStore(spark, path)
+
+    # (4) marker-only directory (crash between mkdir and first write)
+    p2 = str(tmp_path / "gram_marker_only")
+    os.makedirs(p2)
+    with open(os.path.join(p2, GramStore.FORMAT_FILE), "w") as fh:
+        fh.write(GramStore.FORMAT)
+    with pytest.raises(ValueError, match="no ingested batches"):
+        GramStore(spark, p2).gram()
+
+
 def test_gram_store_rejects_hostile_batch_id(spark, tmp_path):
     from vsphere_event_streaming_spark.functions.classifier import GramStore
 

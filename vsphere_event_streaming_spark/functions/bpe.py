@@ -410,7 +410,12 @@ class BpeVocab:
         from .dedup import batch_partition_dir
 
         part_dir = batch_partition_dir(batch_id)  # validates token
-        self._check_alphabet(create=True)
+        # validate BEFORE the write, create the marker only AFTER the
+        # first successful write (ADVICE r8): a failure between
+        # mkdir+marker and the parquet write would otherwise leave a
+        # marker-only directory that passes the isdir check and dies
+        # in vocab() with an opaque AnalysisException
+        self._check_alphabet(create=False)
         counts = word_vocab(
             docs, text_col, self.word_re
         ).localCheckpoint(eager=True)
@@ -418,18 +423,23 @@ class BpeVocab:
         counts.write.mode("overwrite").parquet(
             f"{self.path}/{part_dir}"
         )
+        self._check_alphabet(create=True)
         return n
 
     def vocab(self) -> DataFrame:
         """The merged word-frequency table over every ingested batch —
         exactly the full-corpus ``word_vocab`` by count additivity.
 
-        Raises a typed error on a store with no ingested batches
-        (rather than the opaque AnalysisException a bare
-        ``read.parquet`` on a nonexistent path produces)."""
+        Raises a typed error on a store with no ingested batches —
+        checked against actual ``batch_id=`` PARTITIONS, not bare
+        directory existence (ADVICE r8: a crash-remnant directory
+        holding only markers must get this typed error, not the
+        opaque AnalysisException a bare ``read.parquet`` produces)."""
         import os
 
-        if not os.path.isdir(self.path):
+        if not os.path.isdir(self.path) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.path)
+        ):
             raise ValueError(
                 f"BpeVocab store has no ingested batches: {self.path!r}"
                 " — call add_batch() first"

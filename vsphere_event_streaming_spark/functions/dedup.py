@@ -1045,7 +1045,10 @@ def hamming_pairs_robust(
     # table twice): the over-cap frame is Zipf-head-tiny, so persist()
     # costs nothing and both the banded tier's anti-join and the star
     # tier's broadcast read the same cached rows.
-    deg = (
+    # _persist, not a bare .persist() (ADVICE r8): the registry is
+    # what release_cached() frees — an unregistered cache lives until
+    # the DataFrame is GC'd, the exact leak _CACHED exists to prevent
+    deg = _persist(
         table.groupBy(F.col(hash_col).alias("__fp"))
         .agg(
             F.count(F.lit(1)).alias("__c"),
@@ -1053,7 +1056,6 @@ def hamming_pairs_robust(
         )
         .filter(F.col("__c") > max_fp_freq)
         .select("__fp", "__rep")
-        .persist()
     )
     banded = hamming_pairs(
         table,
