@@ -155,6 +155,12 @@ HEADLINE = [
     "q_dataset_mix_temp",
     # per-language tokenizer fertility over the trained BPE
     "q_bpe_fertility",
+    # r9 additions: PCA scree (model-metadata path), RRF hybrid
+    # retrieval, per-doc n-gram novelty, binned mergeable quantiles
+    "q_embed_pca_scree",
+    "q_search_rrf",
+    "q_ngram_novelty",
+    "q_percentile_binned",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

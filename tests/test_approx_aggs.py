@@ -106,3 +106,76 @@ def test_cms_query_overestimates_only(spark):
     for r in rows:
         assert r["n_cms"] >= r["n_exact"], r
         assert r["n_cms"] <= r["n_exact"] + eps_n, r
+
+
+def test_binned_quantile_cells_merge_and_bound_the_exact_quantile(spark):
+    """L39's two contracts (the L34-b pattern applied to quantiles):
+    (1) the (group, bucket, count) cells are ADDITIVE across corpus
+    splits — cells(A ∪ B) == cells(A) + cells(B) cell-wise, the merge
+    property a streaming monitor accumulates on; (2) each binned
+    estimate BRACKETS the exact discrete quantile — the order
+    statistic at rank ceil(q·n), the estimator's own definition —
+    within one cell: est ≤ x_(ceil(q·n)) < est + QB_WIDTH for in-grid
+    data. (The INTERPOLATED q_percentile can exceed the cell by up to
+    one inter-sample gap — interpolation reads past the bracketed
+    order stat — so the discrete definition is the correct exact
+    counterpart.)"""
+    import math
+
+    from vsphere_event_streaming_spark.queries.advanced_queries import (
+        QB_BUCKETS,
+        QB_WIDTH,
+        q_percentile_binned,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    binned = {
+        r["event_type"]: r for r in q_percentile_binned(spark, sf).collect()
+    }
+    assert binned
+    vals: dict = {}
+    for r in (
+        load(spark, sf, "events").select("event_type", "value").collect()
+    ):
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert set(vals) == set(binned)
+    grid_top = QB_BUCKETS * QB_WIDTH
+    for et, b in binned.items():
+        xs = sorted(vals[et])
+        n = len(xs)
+        for q, bq in ((0.5, "p50_bin"), (0.9, "p90_bin"), (0.99, "p99_bin")):
+            xq = xs[math.ceil(q * n) - 1]
+            assert 0.0 <= xq < grid_top, "fixture left the grid"
+            assert b[bq] <= xq < b[bq] + QB_WIDTH, (et, bq, b[bq], xq)
+        assert b["p50_bin"] <= b["p90_bin"] <= b["p99_bin"]
+
+    # additivity: cells over even/odd key splits merge to the whole
+    ev = load(spark, sf, "events")
+    top = F.lit(QB_BUCKETS * QB_WIDTH - QB_WIDTH)
+    bucket = (
+        F.when(F.isnan(F.col("value")), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.least(F.greatest(F.col("value"), F.lit(0.0)), top)
+                / F.lit(QB_WIDTH)
+            ).cast("long")
+        )
+        .alias("qb")
+    )
+
+    def cells_of(df):
+        rows = (
+            df.groupBy("event_type", bucket)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        return {(r["event_type"], r["qb"]): r["cnt"] for r in rows}
+
+    whole = cells_of(ev)
+    a = cells_of(ev.filter(F.col("event_id") % 2 == 0))
+    b = cells_of(ev.filter(F.col("event_id") % 2 == 1))
+    merged: dict = {}
+    for part in (a, b):
+        for k, c in part.items():
+            merged[k] = merged.get(k, 0) + c
+    assert merged == whole

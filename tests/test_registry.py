@@ -219,6 +219,13 @@ ROTATED_OUT_R9 = (
     "q_classifier_auc",
     "q_classifier_calibration",
     "q_kmeans_cluster",
+    # r9-new, declared OUT of the window (window pinned to the
+    # staleness-repayment plan); oracled — selfcheck + fuzz cover
+    # them until their r10 driver rows
+    "q_embed_pca_scree",
+    "q_search_rrf",
+    "q_ngram_novelty",
+    "q_percentile_binned",
     # newest driver row r6 (the 20 DEFERRED rows):
     "q_tpch_q3",
     "q_tpch_q4",

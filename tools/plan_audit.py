@@ -628,6 +628,57 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"windowspecdefinition\(p#\d+",
         ],
     ],
+    # binned quantiles: ONE hash aggregate collapses rows to cells
+    # BEFORE any window; the cumulative window is PARTITIONED by the
+    # group key over the cell table — a window over raw value/event
+    # rows (value#/ts# spec) or any Python/cartesian stage is a
+    # scale regression
+    "q_percentile_binned": [
+        [r"HashAggregate", r"windowspecdefinition\(event_type#\d+"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"windowspecdefinition\(value#\d+",
+            r"windowspecdefinition\(ts#\d+",
+        ],
+    ],
+    # RRF hybrid retrieval: both rankings must end in top-k heaps
+    # (TakeOrderedAndProject) with the df table broadcast; no
+    # cartesian, no Python — the tiny post-heap windows are the W1
+    # ≤RRF_DEPTH-row shape and are allowed
+    "q_search_rrf": [
+        [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+        [
+            r"BatchEvalPython",
+            r"CartesianProduct",
+        ],
+    ],
+    # n-gram novelty: shingle df is one hash aggregate; the df join is
+    # a shuffle equi-join on the shingle key; no Python (the shingle
+    # arrays are codegen'd higher-order funcs), no cartesian
+    "q_ngram_novelty": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+        ],
+    ],
+    # PCA scree: model-metadata output (m literal rows) — the plan
+    # must be a bare local scan of the createDataFrame rows, never a
+    # corpus read, join, exchange, or Python stage
+    "q_embed_pca_scree": [
+        [r"Scan ExistingRDD|LocalTableScan"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Exchange",
+            r"Join",
+            r"parquet",
+        ],
+    ],
     # top-4 PCA application: four codegen folds per row, still scan +
     # project only — adding components must not add shuffles or Python
     "q_embed_pca_topm": [

@@ -252,6 +252,116 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- A': binned mergeable-cell quantiles (the L34-b pattern) ------------
+#: Fixed quantile grid: QB_BUCKETS cells of width QB_WIDTH cover
+#: [0, QB_BUCKETS·QB_WIDTH); out-of-range values clamp into the edge
+#: cells (the estimator is exact-to-one-cell only inside the grid —
+#: the monitored domain, like any fixed-range histogram). 0.5 is a
+#: power of two, so value/width and bucket·width are EXACT doubles.
+QB_WIDTH = 0.5
+QB_BUCKETS = 1024
+#: The quantiles reported (matches q_percentile for the bound test).
+QB_QS = (0.5, 0.9, 0.99)
+
+
+def _percentile_binned_oracle() -> str:
+    bucket = f"""CASE WHEN isnan(value) THEN 0
+         ELSE CAST(floor(least(greatest(value, 0.0),
+                               {QB_BUCKETS * QB_WIDTH - QB_WIDTH})
+                         / {QB_WIDTH}) AS BIGINT) END"""
+    ests = ",\n           ".join(
+        f"round(CAST(min(CASE WHEN cum >= ceil({q} * CAST(n AS DOUBLE))"
+        f" THEN qb END) AS DOUBLE) * {QB_WIDTH}, 6)"
+        f" AS p{int(round(q * 100))}_bin"
+        for q in QB_QS
+    )
+    return f"""
+    WITH cells AS (
+      SELECT event_type, {bucket} AS qb, count(*) AS cnt
+      FROM events GROUP BY event_type, qb
+    ),
+    cum AS (
+      SELECT event_type, qb, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY qb) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM cells
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           {ests}
+    FROM cum GROUP BY event_type
+    """
+
+
+@query("q_percentile_binned", oracle=_percentile_binned_oracle())
+def q_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned quantiles over MERGEABLE integer cells — the streaming/
+    monitoring form of q_percentile (the L34-b binned-AUC pattern
+    applied to quantiles): values quantize onto the fixed
+    QB_BUCKETS-cell grid FIRST, the corpus collapses to ≤QB_BUCKETS
+    additive (event_type, bucket, count) BIGINT cells in ONE
+    map-side-combined hash aggregate, and each quantile reads off the
+    cell table as the lower edge of the first bucket whose cumulative
+    count reaches ceil(q·n). Exact percentile needs a per-group SORT
+    of the raw values (q_percentile's plan) — unusable as a streaming
+    monitor; these cells are additive across corpus splits
+    (cells(A∪B) = cells(A)+cells(B), pytest-proven) and the estimate
+    BRACKETS the exact discrete quantile (the rank-ceil(q·n) order
+    statistic) within one cell inside the grid: est ≤ x_(ceil(q·n))
+    < est + QB_WIDTH, pytest-proven.
+
+    Scale shape: cells (≤1024/group), not rows, cross the one
+    exchange; the cumulative window is PARTITIONED by group over the
+    cell table (W1 tiny-prefix territory — never a single-partition
+    WindowExec over raw rows). NaN values pin to cell 0 and
+    out-of-range values clamp to the edge cells, identically in both
+    engines; ceil(q·n) uses one correctly-rounded double product per
+    group — both engines round identically."""
+    ev = _t(spark, sf_dir, "events")
+    top = F.lit(QB_BUCKETS * QB_WIDTH - QB_WIDTH)
+    bucket = (
+        F.when(F.isnan(F.col("value")), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.least(F.greatest(F.col("value"), F.lit(0.0)), top)
+                / F.lit(QB_WIDTH)
+            ).cast("long")
+        )
+        .alias("qb")
+    )
+    cells = ev.groupBy("event_type", bucket).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        "qb",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    ests = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(F.lit(q) * F.col("n").cast("double")),
+                    F.col("qb"),
+                )
+            ).cast("double")
+            * F.lit(QB_WIDTH),
+            6,
+        ).alias(f"p{int(round(q * 100))}_bin")
+        for q in QB_QS
+    ]
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n"), *ests
+    )
+
+
 # -- A5': cube + grouping-set identity ---------------------------------
 @query(
     "q_cube",

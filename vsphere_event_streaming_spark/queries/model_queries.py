@@ -617,6 +617,88 @@ def q_embed_pca_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_MEMO: dict[tuple, list[list[int]]] = {}
 
 
+def _pca_scree_oracle() -> str:
+    from ..functions.classifier import pca_topm_ordered_oracle
+
+    prefix = pca_topm_ordered_oracle(iters=PCA_ITERS, m=PCA_TOPM)
+    return (
+        prefix
+        + """,
+tr AS MATERIALIZED (
+  SELECT CAST(coalesce(sum(g), 0) AS BIGINT) AS t FROM gd WHERE i = j
+)
+SELECT CAST(r AS BIGINT) AS component,
+       round(coalesce(lam, 0.0), 6) AS lam,
+       CASE WHEN (SELECT t FROM tr) <= 0 THEN 0.0
+            ELSE round(coalesce(lam, 0.0)
+                       / CAST((SELECT t FROM tr) AS DOUBLE), 6)
+       END AS var_ratio
+FROM pord
+"""
+    )
+
+
+@query("q_embed_pca_scree", oracle=_pca_scree_oracle())
+def q_embed_pca_scree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA SCREE — per-component variance-explained ratios
+    (λ_r / trace(G)) over the eigenvalue-ordered top-m components:
+    the standard how-many-components-do-I-keep diagnostic a whitening
+    or dimensionality-reduction stage reads before fixing m. One row
+    per ordered component: (component, λ, var_ratio).
+
+    ZERO extra corpus passes: the λs are the deflation tier's own
+    Rayleigh quotients (memoized with the whitening artifacts) and
+    the trace is the SUM OF THE GRAM DIAGONAL — d BIGINT cells of
+    the one trained integer Gram, exact in both engines. The ratio
+    is one correctly-rounded double division per component; a
+    rank-exhausted component reports λ = 0 and ratio 0; an empty
+    corpus reports all-zero rows via the same guarded division. The
+    oracle replays training, the eigenvalue ordering (pord), and the
+    diagonal trace exactly. Output is model-dimension-bounded (m
+    rows) — the scree is a property of the trained artifact, not of
+    any corpus row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ck = _corpus_key(sf_dir)
+    entry = _WHITEN_MEMO.get(ck)
+    if entry is None:
+        g = gram_micro(emb)
+        d = 1 + max((i for i, _ in g), default=-1)
+        comps, lams = pca_topm_ordered(
+            g, d, iters=PCA_ITERS, m=PCA_TOPM
+        )
+        entry = (comps, lams, emb.count())
+        _WHITEN_MEMO[ck] = entry
+        _TRACE_MEMO[ck] = sum(v for (i, j), v in g.items() if i == j)
+    trace = _TRACE_MEMO.get(ck)
+    if trace is None:
+        g = gram_micro(emb)
+        trace = sum(v for (i, j), v in g.items() if i == j)
+        _TRACE_MEMO[ck] = trace
+    _, lams, _ = entry
+    rows = [
+        (
+            r + 1,
+            lam,
+            0.0 if trace <= 0 else lam / float(trace),
+        )
+        for r, lam in enumerate(lams)
+    ]
+    # rounding stays IN SPARK (F.round is half-up like DuckDB's
+    # round; Python's round is banker's — a silent tie-breaking
+    # divergence waiting for an exact .5 boundary)
+    return spark.createDataFrame(
+        rows, "component long, lam double, var_ratio double"
+    ).select(
+        "component",
+        F.round("lam", 6).alias("lam"),
+        F.round("var_ratio", 6).alias("var_ratio"),
+    )
+
+
+#: Gram-trace memo riding the same corpus fingerprint as _WHITEN_MEMO.
+_TRACE_MEMO: dict[tuple, int] = {}
+
+
 # ======================================================================
 # L36: trained k-means clustering (Lloyd's, training oracle-replayed)
 # ======================================================================

@@ -842,6 +842,86 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# L41: per-document n-gram novelty (corpus-uniqueness metric)
+# ======================================================================
+def _ngram_novelty_oracle() -> str:
+    return f"""
+    WITH {_duck_shingle_hashes()},
+    nex AS (SELECT doc_id, unnest(sh_arr) AS sh FROM sha),
+    ndf AS (SELECT sh, count(*) AS df FROM nex GROUP BY sh),
+    nper AS (
+      SELECT nex.doc_id,
+             count(*) AS n_shingles,
+             sum(CASE WHEN ndf.df = 1 THEN 1 ELSE 0 END) AS n_novel
+      FROM nex JOIN ndf USING (sh)
+      GROUP BY nex.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(nper.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(nper.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CAST(coalesce(nper.n_novel, 0) AS DOUBLE)
+                 / greatest(1, coalesce(nper.n_shingles, 0)), 6)
+             AS novelty
+    FROM documents d LEFT JOIN nper USING (doc_id)
+    """
+
+
+@query("q_ngram_novelty", oracle=_ngram_novelty_oracle())
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document N-GRAM NOVELTY — the fraction of a doc's distinct
+    3-gram shingles that appear in NO other document: the corpus-
+    uniqueness metric a curation pipeline reads next to the dedup
+    tier (novelty ≈ 1 → the doc contributes genuinely new text;
+    novelty ≈ 0 → it is assembled from text the corpus already has —
+    boilerplate, near-dup residue, template spam). The complement of
+    the dedup family's pairwise view: one number per doc, no pair
+    enumeration at all.
+
+    Plan: the shared persisted shingle-hash arrays (the exact dedup-
+    tier machinery, functions/dedup.py::shingle_hash_arrays) explode
+    once; shingle document-frequency is ONE map-side-combined hash
+    aggregate; the df join shuffles on the shingle key (co-partitioned
+    with the aggregate's own exchange); the per-doc aggregate and the
+    left join back to documents close it out. Short docs (< 3 words)
+    report 0 shingles and novelty 0 via the greatest(1, n)-guarded
+    division — never NaN, identically in both engines."""
+    from ..functions.dedup import shingle_hash_arrays
+
+    docs = _t(spark, sf_dir, "documents")
+    sha = shingle_hash_arrays(docs)
+    ex = sha.select(
+        F.col("id").alias("doc_id"), F.explode("sh_arr").alias("sh")
+    )
+    dfc = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        ex.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), zero).alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), zero).alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), zero).cast("double")
+                / F.greatest(
+                    F.lit(1).cast("long"),
+                    F.coalesce(F.col("n_shingles"), zero),
+                ),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+# ======================================================================
 # L4+: training-data hygiene — contamination, PII scrub, repetition
 # ======================================================================
 def _contamination_oracle() -> str:
@@ -2362,6 +2442,190 @@ def q_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_topk(corpus, qvec, k=10, n_bits=6).withColumnRenamed(
         "vec_id", "doc_id"
     )
+
+
+# ======================================================================
+# L40: hybrid retrieval — reciprocal-rank fusion of BM25 + cosine ANN
+# ======================================================================
+#: RRF smoothing constant (the original paper's k=60) and the fused
+#: list sizes: each ranking contributes its top-RRF_DEPTH, the fused
+#: output is the top-RRF_K.
+RRF_C = 60
+RRF_DEPTH = 20
+RRF_K = 10
+
+
+def _search_rrf_oracle() -> str:
+    from .advanced_queries import _SEARCH_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    guarded_cos = (
+        "CASE WHEN list_dot_product(v, v) > 0"
+        " AND list_dot_product(qv, qv) > 0"
+        f" THEN round({_duck_cosine('v', 'qv')}, 6) ELSE -1.0 END"
+    )
+    # every lexical CTE is r-prefixed: the hash-embed chain already
+    # owns tok/wc/… in this statement
+    return f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    {_hash_embed_cte_sql()},
+    rtok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ), rtf AS (
+      SELECT doc_id, term, count(*) AS tf FROM rtok
+      WHERE term IN ({terms}) GROUP BY doc_id, term
+    ), rdf AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM rtok
+      WHERE term IN ({terms}) GROUP BY term
+    ), rlens AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(text), '[^a-z]+')) AS dl
+      FROM documents
+    ), rstats AS (
+      SELECT count(*) AS n, (SELECT avg(dl) FROM rlens) AS avgdl
+      FROM documents
+    ), rbm AS (
+      SELECT rtf.doc_id,
+             round(sum(
+               ln((rstats.n - rdf.df + 0.5) / (rdf.df + 0.5) + 1.0)
+               * (rtf.tf * 2.2)
+               / (rtf.tf + 1.2 * (0.25 + 0.75 * rlens.dl / rstats.avgdl))
+             ), 6) AS score
+      FROM rtf
+      JOIN rdf USING (term)
+      JOIN rlens ON rlens.doc_id = rtf.doc_id, rstats
+      GROUP BY rtf.doc_id
+    ), rbmtop AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS ra
+      FROM rbm ORDER BY score DESC, doc_id LIMIT {RRF_DEPTH}
+    ),
+    rq AS (
+      SELECT v AS qv FROM emb
+      WHERE doc_id = (SELECT min(doc_id) FROM documents)
+    ), rcs AS (
+      SELECT doc_id, {guarded_cos} AS score
+      FROM emb, rq
+      WHERE doc_id != (SELECT min(doc_id) FROM documents)
+    ), rcstop AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS rb
+      FROM rcs ORDER BY score DESC, doc_id LIMIT {RRF_DEPTH}
+    )
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CAST(coalesce(a.ra, 0) AS BIGINT) AS lex_rank,
+           CAST(coalesce(b.rb, 0) AS BIGINT) AS sem_rank,
+           round(coalesce(1.0 / ({RRF_C} + a.ra), 0.0)
+                 + coalesce(1.0 / ({RRF_C} + b.rb), 0.0), 6) AS rrf
+    FROM rbmtop a FULL OUTER JOIN rcstop b ON a.doc_id = b.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT {RRF_K}
+    """
+
+
+@query("q_search_rrf", oracle=_search_rrf_oracle())
+def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval by reciprocal-rank fusion (Cormack et al.'s
+    RRF, k=60) — the standard way production search fuses a lexical
+    ranking with a semantic one without score calibration: each
+    document scores Σ 1/(60 + rank_i) over the rankings that
+    retrieved it. Ranking A is the BM25 top-RRF_DEPTH over the
+    engine's query terms (the exact q_search_bm25 scoring, same
+    constants); ranking B is the exact-cosine top-RRF_DEPTH of the
+    hash-embedded corpus against the min-doc_id query document (the
+    q_text_knn embedding machinery, brute-force so the fused list is
+    candidate-complete). Zero-norm embeddings score a guarded -1.0
+    (never NaN) identically in both engines.
+
+    Scale shape: both rankings end in TakeOrderedAndProject heaps
+    (top-RRF_DEPTH); the rank row_numbers and the full-outer fusion
+    run on the two ≤RRF_DEPTH-row lists — W1 tiny-prefix territory,
+    free at any corpus size; ranks fuse with one correctly-rounded
+    double chain (identical left-assoc order in both engines). A doc
+    missing from a ranking contributes nothing (rank reported as 0).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine, dot, min_id_query_split
+    from ..tables import spread
+    from .advanced_queries import _SEARCH_TERMS
+
+    docs = _t(spark, sf_dir, "documents")
+
+    # ranking A: BM25 (the q_search_bm25 scoring, verbatim constants)
+    toks = F.split(F.lower(F.col("text")), "[^a-z]+")
+    lens = docs.select("doc_id", F.size(toks).alias("dl"))
+    stat = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = float(stat["n"]), float(stat["avgdl"])
+    tokens = docs.select(
+        "doc_id", F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(_SEARCH_TERMS))
+    tf = tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tokens.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    sat = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))
+    )
+    bmtop = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * sat), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+
+    # ranking B: exact cosine over hash embeddings vs the min-id doc
+    emb = T.hash_embed(spread(docs), HASH_EMBED_DIM)
+    qvec, corpus = min_id_query_split(emb, id_col="doc_id")
+    guarded = F.when(
+        (dot(F.col("embedding"), F.col("embedding")) > 0)
+        & (dot(F.col("q"), F.col("q")) > 0),
+        F.round(cosine(F.col("embedding"), F.col("q")), 6),
+    ).otherwise(F.lit(-1.0))
+    cstop = (
+        corpus.join(F.broadcast(qvec))
+        .select("doc_id", guarded.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+
+    # rank + fuse: everything below runs on two ≤RRF_DEPTH-row lists
+    wa = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    ra = bmtop.select(
+        "doc_id", F.row_number().over(wa).cast("long").alias("ra")
+    )
+    rb = cstop.select(
+        "doc_id", F.row_number().over(wa).cast("long").alias("rb")
+    )
+    fused = ra.join(rb, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce(F.col("ra"), F.lit(0).cast("long")).alias("lex_rank"),
+        F.coalesce(F.col("rb"), F.lit(0).cast("long")).alias("sem_rank"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_C) + F.col("ra")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_C) + F.col("rb")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_K)
 
 
 # ======================================================================

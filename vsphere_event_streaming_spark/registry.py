@@ -255,6 +255,14 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_video",
     "q_running_sum",
     "q_dedup_simhash",
+    # r9-new, declared OUT of the window (the r9 window is pinned to
+    # the staleness-repayment plan above); oracled, so selfcheck and
+    # the per-table fuzz families cover them until their r10 driver
+    # rows
+    "q_embed_pca_scree",
+    "q_search_rrf",
+    "q_ngram_novelty",
+    "q_percentile_binned",
     # permanent rows-only checks (never in the window):
     "q_knn_ivf",
     "q_approx_aggs",
