@@ -1358,3 +1358,80 @@ def test_incremental_auc_cell_stream(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no ingested batches"):
         AucCellStore(spark, f"{tmp_path}/nope").cells()
+
+
+def test_incremental_quantile_cell_stream(spark, tmp_path):
+    """L39 monitor path (r9): value batches streamed in per-file
+    epochs collapse into a QuantileCellStore whose merged cells — and
+    therefore the running per-group quantiles — are BIT-IDENTICAL to
+    the batch q_percentile_binned machinery over the union; a
+    replayed batch overwrites instead of double-counting."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.sketches import (
+        QuantileCellStore,
+        quantile_cells,
+        quantiles_from_cells,
+    )
+    from vsphere_event_streaming_spark.streaming.model_stream import (
+        start_incremental_quantile_cells,
+    )
+    from vsphere_event_streaming_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    schema = "event_id long, event_type string, value double"
+    in_dir = f"{tmp_path}/in_q"
+    for b in range(3):
+        ev.filter(F.col("event_id") % 3 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{b}")
+    q = start_incremental_quantile_cells(
+        spark,
+        in_dir + "/part*",
+        f"{tmp_path}/qcells",
+        f"{tmp_path}/qckpt",
+        schema=schema,
+        max_files_per_trigger=1,  # one epoch per batch dir
+    )
+    q.awaitTermination(120)
+    store = QuantileCellStore(spark, f"{tmp_path}/qcells")
+
+    want_cells = {
+        (r["event_type"], r["qb"]): r["cnt"]
+        for r in quantile_cells(ev).collect()
+    }
+    got_cells = {
+        (r["event_type"], r["qb"]): r["cnt"]
+        for r in store.cells().collect()
+    }
+    assert got_cells == want_cells
+
+    def key(rows):
+        return {
+            r["event_type"]: (
+                r["n"], r["p50_bin"], r["p90_bin"], r["p99_bin"]
+            )
+            for r in rows
+        }
+
+    want = key(quantiles_from_cells(quantile_cells(ev)).collect())
+    got = key(store.quantiles().collect())
+    assert got == want and got
+
+    # replayed batch: cells must not double (pinned batch ids)
+    man = QuantileCellStore(spark, f"{tmp_path}/qcells_manual")
+    for b in range(3):
+        man.add_batch(ev.filter(F.col("event_id") % 3 == b), f"x{b}")
+    man.add_batch(ev.filter(F.col("event_id") % 3 == 1), "x1")  # replay
+    assert {
+        (r["event_type"], r["qb"]): r["cnt"]
+        for r in man.cells().collect()
+    } == want_cells
+
+    # empty / marker-less store raises the typed error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no ingested batches"):
+        QuantileCellStore(spark, f"{tmp_path}/qnope").cells()

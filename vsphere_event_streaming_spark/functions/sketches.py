@@ -86,3 +86,160 @@ def cms_estimate(sketch: list[list[int]], key: str) -> int:
         c = sketch[r][h]
         est = c if est is None else min(est, c)
     return int(est or 0)
+
+
+# ----------------------------------------------------------------------
+# Binned mergeable-cell quantiles (L39): cells, readout, and the
+# incremental store — ONE implementation shared by the declared query
+# (q_percentile_binned), the store, and the streaming ingest, so the
+# three can never drift (the L34-b auc_cells discipline).
+# ----------------------------------------------------------------------
+#: Fixed quantile grid: QB_BUCKETS cells of width QB_WIDTH cover
+#: [0, QB_BUCKETS*QB_WIDTH); out-of-range values clamp into the edge
+#: cells. 0.5 is a power of two, so value/width and bucket*width are
+#: EXACT doubles in both engines.
+QB_WIDTH = 0.5
+QB_BUCKETS = 1024
+#: The quantiles reported (matches q_percentile for the bound test).
+QB_QS = (0.5, 0.9, 0.99)
+
+
+def quantile_bucket(
+    value: Column, width: float = QB_WIDTH, n_buckets: int = QB_BUCKETS
+) -> Column:
+    """Grid cell of a value: NaN pins to cell 0, out-of-range clamps
+    to the edge cells — identical branches in the DuckDB oracle."""
+    top = F.lit(n_buckets * width - width)
+    return (
+        F.when(F.isnan(value), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.least(F.greatest(value, F.lit(0.0)), top) / F.lit(width)
+            ).cast("long")
+        )
+    )
+
+
+def quantile_cells(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    width: float = QB_WIDTH,
+    n_buckets: int = QB_BUCKETS,
+) -> DataFrame:
+    """Collapse a frame to the ≤``n_buckets`` ADDITIVE BIGINT
+    ``(group, qb, cnt)`` cells per group — ONE map-side-combined hash
+    aggregate; ``cells(A ∪ B) = cells(A) + cells(B)`` cell-wise."""
+    return df.groupBy(
+        group_col,
+        quantile_bucket(F.col(value_col), width, n_buckets).alias("qb"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def quantiles_from_cells(
+    cells: DataFrame,
+    qs: tuple[float, ...] = QB_QS,
+    group_col: str = "event_type",
+    width: float = QB_WIDTH,
+) -> DataFrame:
+    """Quantile readout over a cell table: each estimate is the lower
+    edge of the first cell whose cumulative count reaches ceil(q·n).
+    The cumulative window is PARTITIONED by group over the CELL table
+    (≤QB_BUCKETS rows per group) — never a raw-row sort."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = cells.select(
+        group_col,
+        "qb",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    ests = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(F.lit(q) * F.col("n").cast("double")),
+                    F.col("qb"),
+                )
+            ).cast("double")
+            * F.lit(width),
+            6,
+        ).alias(f"p{int(round(q * 100))}_bin")
+        for q in qs
+    ]
+    return cum.groupBy(group_col).agg(F.max("n").alias("n"), *ests)
+
+
+class QuantileCellStore:
+    """Persistent incremental binned-quantile store — L39's
+    incremental form, the quantile twin of the AUC tier's
+    ``classifier.AucCellStore``: per-batch state is ≤ QB_BUCKETS
+    integers per group regardless of batch size, the merged store's
+    cells equal the full-corpus :func:`quantile_cells` by additivity,
+    and the running quantiles read off the merged table at any time.
+
+    Same crash contract as every other store: a batch write
+    OVERWRITES its own ``batch_id=`` partition directory (idempotent
+    replay)."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        value_col: str = "value",
+        group_col: str = "event_type",
+        width: float = QB_WIDTH,
+        n_buckets: int = QB_BUCKETS,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.value_col = value_col
+        self.group_col = group_col
+        self.width = width
+        self.n_buckets = n_buckets
+
+    def add_batch(self, df: DataFrame, batch_id: str) -> int:
+        """Collapse the batch to cells and persist them as an
+        idempotent partition directory. Returns cells written."""
+        from .dedup import batch_partition_dir
+
+        part_dir = batch_partition_dir(batch_id)  # validates token
+        cells = quantile_cells(
+            df, self.value_col, self.group_col, self.width, self.n_buckets
+        ).localCheckpoint(eager=True)
+        n = cells.count()
+        cells.write.mode("overwrite").parquet(f"{self.path}/{part_dir}")
+        return n
+
+    def cells(self) -> DataFrame:
+        """The merged cells over every ingested batch — exactly the
+        full-corpus :func:`quantile_cells` by additivity."""
+        import os
+
+        if not os.path.isdir(self.path) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.path)
+        ):
+            raise ValueError(
+                f"QuantileCellStore has no ingested batches:"
+                f" {self.path!r} — call add_batch() first"
+            )
+        return (
+            self.spark.read.parquet(self.path)
+            .groupBy(self.group_col, "qb")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def quantiles(self, qs: tuple[float, ...] = QB_QS) -> DataFrame:
+        """The running binned quantiles over everything ingested —
+        bit-identical to the batch q_percentile_binned values by cell
+        additivity."""
+        return quantiles_from_cells(
+            self.cells(), qs, self.group_col, self.width
+        )

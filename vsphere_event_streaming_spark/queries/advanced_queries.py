@@ -253,15 +253,17 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- A': binned mergeable-cell quantiles (the L34-b pattern) ------------
-#: Fixed quantile grid: QB_BUCKETS cells of width QB_WIDTH cover
-#: [0, QB_BUCKETS·QB_WIDTH); out-of-range values clamp into the edge
-#: cells (the estimator is exact-to-one-cell only inside the grid —
-#: the monitored domain, like any fixed-range histogram). 0.5 is a
-#: power of two, so value/width and bucket·width are EXACT doubles.
-QB_WIDTH = 0.5
-QB_BUCKETS = 1024
-#: The quantiles reported (matches q_percentile for the bound test).
-QB_QS = (0.5, 0.9, 0.99)
+# The grid constants and the cell/readout machinery live in
+# functions/sketches.py (shared with QuantileCellStore and the
+# streaming ingest, the auc_cells discipline); re-exported here for
+# the declared query's consumers.
+from ..functions.sketches import (  # noqa: E402
+    QB_BUCKETS,
+    QB_QS,
+    QB_WIDTH,
+    quantile_cells,
+    quantiles_from_cells,
+)
 
 
 def _percentile_binned_oracle() -> str:
@@ -315,51 +317,13 @@ def q_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowExec over raw rows). NaN values pin to cell 0 and
     out-of-range values clamp to the edge cells, identically in both
     engines; ceil(q·n) uses one correctly-rounded double product per
-    group — both engines round identically."""
+    group — both engines round identically. The cells and readout are
+    functions/sketches.py machinery, shared with QuantileCellStore
+    and the streaming ingest (the auc_cells can't-drift discipline);
+    the store's incremental quantiles are bit-identical to this
+    query's by cell additivity (pytest)."""
     ev = _t(spark, sf_dir, "events")
-    top = F.lit(QB_BUCKETS * QB_WIDTH - QB_WIDTH)
-    bucket = (
-        F.when(F.isnan(F.col("value")), F.lit(0).cast("long"))
-        .otherwise(
-            F.floor(
-                F.least(F.greatest(F.col("value"), F.lit(0.0)), top)
-                / F.lit(QB_WIDTH)
-            ).cast("long")
-        )
-        .alias("qb")
-    )
-    cells = ev.groupBy("event_type", bucket).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy("qb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("event_type")
-    cum = cells.select(
-        "event_type",
-        "qb",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
-    ests = [
-        F.round(
-            F.min(
-                F.when(
-                    F.col("cum")
-                    >= F.ceil(F.lit(q) * F.col("n").cast("double")),
-                    F.col("qb"),
-                )
-            ).cast("double")
-            * F.lit(QB_WIDTH),
-            6,
-        ).alias(f"p{int(round(q * 100))}_bin")
-        for q in QB_QS
-    ]
-    return cum.groupBy("event_type").agg(
-        F.max("n").alias("n"), *ests
-    )
+    return quantiles_from_cells(quantile_cells(ev))
 
 
 # -- A5': cube + grouping-set identity ---------------------------------

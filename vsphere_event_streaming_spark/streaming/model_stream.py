@@ -175,6 +175,49 @@ def streaming_cluster_assignments(
     )
 
 
+def start_incremental_quantile_cells(
+    spark: SparkSession,
+    input_dir: str,
+    cells_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    available_now: bool = True,
+    batch_prefix: str = "b",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream value batches into a
+    :class:`~..functions.sketches.QuantileCellStore` — the L39
+    monitoring topology, the quantile twin of
+    :func:`start_incremental_auc_cells`: each epoch collapses to
+    ≤QB_BUCKETS additive (group, bucket, count) cells appended under
+    its own idempotent ``batch_id=`` partition; the running per-group
+    quantiles read off the merged cells at any time
+    (``store.quantiles()``), bit-identical to the batch
+    q_percentile_binned over everything ingested (cell additivity;
+    parity asserted in ``tests/test_streaming.py``)."""
+    from ..functions.sketches import QuantileCellStore
+
+    store = QuantileCellStore(
+        spark, cells_dir, value_col=value_col, group_col=group_col
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        store.add_batch(batch_df, batch_id=f"{batch_prefix}{epoch_id}")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_incremental_auc_cells(
     spark: SparkSession,
     input_dir: str,
