@@ -161,6 +161,8 @@ HEADLINE = [
     "q_search_rrf",
     "q_ngram_novelty",
     "q_percentile_binned",
+    # token-mass systematic sampling (exact-integer weighted sample)
+    "q_sample_tokens",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -628,6 +628,17 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"windowspecdefinition\(p#\d+",
         ],
     ],
+    # token-mass systematic sample: per-stratum cum-sum window (the
+    # pack_sequences posture) + broadcast stride table + codegen
+    # filter; no Python, no cartesian, no global (unpartitioned) sort
+    "q_sample_tokens": [
+        [r"windowspecdefinition\(lang#\d+", r"BroadcastHashJoin"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+        ],
+    ],
     # binned quantiles: ONE hash aggregate collapses rows to cells
     # BEFORE any window; the cumulative window is PARTITIONED by the
     # group key over the cell table — a window over raw value/event

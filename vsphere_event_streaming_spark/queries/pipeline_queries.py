@@ -1514,6 +1514,108 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "split")
 
 
+# ======================================================================
+# L42: token-mass systematic sampling (weighted ∝ tokens, exact)
+# ======================================================================
+#: Target picks per language for the systematic sample.
+SAMPLE_SYS_K = 16
+
+
+def _sample_tokens_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT lang, doc_id, CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), tt AS (
+      SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tot
+      FROM t GROUP BY lang
+    ), st AS (
+      SELECT lang, greatest(1, tot // {SAMPLE_SYS_K}) AS stride FROM tt
+    ), c AS (
+      SELECT t.lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY t.lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT c.lang, c.doc_id, c.n_tokens,
+           CAST(c.cum - c.n_tokens AS BIGINT) AS tok_start
+    FROM c JOIN st USING (lang)
+    WHERE c.n_tokens > 0
+      AND (greatest(c.cum, 1) - 1) // st.stride
+          >= (c.cum - c.n_tokens + st.stride - 1) // st.stride
+    """
+
+
+@query("q_sample_tokens", oracle=_sample_tokens_oracle())
+def q_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-MASS systematic sampling — a weighted-without-replacement
+    sample where a doc's inclusion probability is proportional to its
+    TOKEN COUNT (how you subsample a corpus per token budget, not per
+    doc count): lay each language's docs on its token number line
+    (the L14 cum-sum), divide by stride = max(1, total_tokens //
+    SAMPLE_SYS_K), and pick every doc whose span covers a stride
+    multiple. ALL-INTEGER arithmetic (the span test is two exact
+    floor divisions of non-negative BIGINTs — Spark ``div`` ==
+    DuckDB ``//`` there), so unlike an A-ES exponential-key sampler
+    there is no ``ln``/``pow`` whose last-ulp ordering could diverge
+    between engines: the oracle replays every pick decision exactly.
+    Deterministic under reruns/repartitions by construction (the
+    order is the doc_id number line — compose with the L25 seed-keyed
+    shuffle upstream for a randomized line).
+
+    Scale shape: one per-stratum cum-sum window (the exact
+    q_pack_sequences posture — per-language sequential by the
+    semantics of a number line), a k-row broadcast stride table, and
+    a codegen filter; no Python, no global sort. Empty languages
+    pick nothing; zero-token docs are never picked (guarded before
+    the span test, never a negative dividend)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    st = (
+        t.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .select(
+            "lang",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"tot div {SAMPLE_SYS_K}"),
+            ).alias("stride"),
+        )
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.join(F.broadcast(st), "lang")
+        .filter(
+            (F.col("n_tokens") > 0)
+            & (
+                F.expr("(greatest(cum, 1) - 1) div stride")
+                >= F.expr("(cum - n_tokens + stride - 1) div stride")
+            )
+        )
+        .select(
+            "lang",
+            "doc_id",
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("tok_start"),
+        )
+    )
+
+
 @query(
     "q_pack_sequences",
     oracle=f"""

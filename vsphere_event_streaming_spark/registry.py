@@ -263,6 +263,7 @@ PRIORITY: tuple[str, ...] = (
     "q_search_rrf",
     "q_ngram_novelty",
     "q_percentile_binned",
+    "q_sample_tokens",
     # permanent rows-only checks (never in the window):
     "q_knn_ivf",
     "q_approx_aggs",
