@@ -1435,3 +1435,73 @@ def test_incremental_quantile_cell_stream(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no ingested batches"):
         QuantileCellStore(spark, f"{tmp_path}/qnope").cells()
+
+
+def test_incremental_shingle_df_stream(spark, tmp_path):
+    """L41 monitor path (r9): doc batches streamed in per-file epochs
+    collapse into a ShingleDfStore whose merged df table — and
+    therefore the per-doc novelty of the ingested corpus — is
+    BIT-IDENTICAL to the batch q_ngram_novelty over the union; a
+    replayed batch overwrites instead of double-counting."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.dedup import (
+        ShingleDfStore,
+        shingle_df_cells,
+    )
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        q_ngram_novelty,
+    )
+    from vsphere_event_streaming_spark.streaming.dedup_stream import (
+        start_incremental_shingle_df,
+    )
+    from vsphere_event_streaming_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    in_dir = f"{tmp_path}/in_sdf"
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{b}")
+    q = start_incremental_shingle_df(
+        spark,
+        in_dir + "/part*",
+        f"{tmp_path}/sdf",
+        f"{tmp_path}/sdf_ckpt",
+        max_files_per_trigger=1,  # one epoch per batch dir
+    )
+    q.awaitTermination(180)
+    store = ShingleDfStore(spark, f"{tmp_path}/sdf")
+
+    want_df = {
+        r["sh"]: r["df"] for r in shingle_df_cells(docs).collect()
+    }
+    got_df = {r["sh"]: r["df"] for r in store.df_table().collect()}
+    assert got_df == want_df and got_df
+
+    def key(rows):
+        return {
+            r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+            for r in rows
+        }
+
+    want = key(q_ngram_novelty(spark, "/root/testdata/sf0.001").collect())
+    got = key(store.novelty(docs).collect())
+    assert got == want and got
+
+    # replayed batch: cells must not double (pinned batch ids)
+    man = ShingleDfStore(spark, f"{tmp_path}/sdf_manual")
+    for b in range(3):
+        man.add_batch(docs.filter(F.col("doc_id") % 3 == b), f"x{b}")
+    man.add_batch(docs.filter(F.col("doc_id") % 3 == 1), "x1")  # replay
+    assert {
+        r["sh"]: r["df"] for r in man.df_table().collect()
+    } == want_df
+
+    # empty store raises the typed error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no ingested batches"):
+        ShingleDfStore(spark, f"{tmp_path}/sdf_nope").df_table()

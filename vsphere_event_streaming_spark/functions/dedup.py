@@ -1269,3 +1269,107 @@ def repeated_spans(
         .filter(F.col("len_words") >= min_span)
         .select("id_a", "id_b", "start_a", "start_b", "len_words")
     )
+
+
+# ----------------------------------------------------------------------
+# Incremental shingle document-frequency store (L41's streaming form)
+# ----------------------------------------------------------------------
+def shingle_df_cells(docs: DataFrame) -> DataFrame:
+    """(sh, df): per-shingle distinct-DOC counts for one batch — the
+    additive cells behind n-gram novelty. Shingle sets are per-doc
+    DISTINCT (shingle_hash_arrays) and batches partition the corpus
+    by doc, so df is additive across batches:
+    ``df(A ∪ B) = df(A) + df(B)`` cell-wise. ONE explode + map-side-
+    combined hash aggregate."""
+    sha = shingle_hash_arrays(docs)
+    return (
+        sha.select(F.explode("sh_arr").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+class ShingleDfStore:
+    """Persistent incremental shingle-DF store — the NOVELTY tier's
+    (L41) incremental form, the eighth index/store family: each
+    ingested doc batch collapses to additive ``(sh, df)`` BIGINT
+    cells under its own idempotent ``batch_id=`` partition, and the
+    per-document novelty of the ingested corpus reads off the merged
+    table at any time, bit-identical to the batch q_ngram_novelty
+    machinery over the union (pytest). Per-batch state is one row per
+    DISTINCT shingle in the batch — corpus-vocabulary-bounded, never
+    per-occurrence.
+
+    Same crash contract as every other store: a batch write
+    OVERWRITES its own ``batch_id=`` partition directory (idempotent
+    replay). Scoring docs NOT yet ingested against the store is the
+    caller's contamination-style join; :meth:`novelty` scores the
+    ingested corpus itself, so the docs frame passed in must be the
+    union of the ingested batches."""
+
+    def __init__(self, spark, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def add_batch(self, docs: DataFrame, batch_id: str) -> int:
+        """Collapse the batch to (sh, df) cells and persist them as
+        an idempotent partition directory. Returns cells written."""
+        part_dir = batch_partition_dir(batch_id)  # validates token
+        cells = shingle_df_cells(docs).localCheckpoint(eager=True)
+        n = cells.count()
+        cells.write.mode("overwrite").parquet(f"{self.path}/{part_dir}")
+        return n
+
+    def df_table(self) -> DataFrame:
+        """The merged (sh, df) table over every ingested batch —
+        exactly the full-corpus :func:`shingle_df_cells` by
+        additivity."""
+        import os
+
+        if not os.path.isdir(self.path) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.path)
+        ):
+            raise ValueError(
+                f"ShingleDfStore has no ingested batches: {self.path!r}"
+                " — call add_batch() first"
+            )
+        return (
+            self.spark.read.parquet(self.path)
+            .groupBy("sh")
+            .agg(F.sum("df").alias("df"))
+        )
+
+    def novelty(self, docs: DataFrame) -> DataFrame:
+        """Per-doc novelty of the INGESTED corpus (``docs`` = the
+        union of the ingested batches) against the merged df table —
+        the exact q_ngram_novelty output columns and semantics."""
+        sha = shingle_hash_arrays(docs)
+        ex = sha.select(
+            F.col("id").alias("doc_id"), F.explode("sh_arr").alias("sh")
+        )
+        per = (
+            ex.join(self.df_table(), "sh")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+            )
+        )
+        zero = F.lit(0).cast("long")
+        return (
+            docs.select("doc_id")
+            .join(per, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_shingles"), zero).alias("n_shingles"),
+                F.coalesce(F.col("n_novel"), zero).alias("n_novel"),
+                F.round(
+                    F.coalesce(F.col("n_novel"), zero).cast("double")
+                    / F.greatest(
+                        F.lit(1).cast("long"),
+                        F.coalesce(F.col("n_shingles"), zero),
+                    ),
+                    6,
+                ).alias("novelty"),
+            )
+        )

@@ -153,3 +153,43 @@ def read_semantic_decisions(
 ) -> DataFrame:
     """All keep/drop decisions emitted so far, with their epoch."""
     return spark.read.parquet(decisions_dir)
+
+
+def start_incremental_shingle_df(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    batch_prefix: str = "b",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream ``(doc_id, text)`` batches into a
+    :class:`~..functions.dedup.ShingleDfStore` — the L41 novelty
+    tier's monitoring topology (r9): each epoch collapses to additive
+    ``(sh, df)`` cells under its own idempotent ``batch_id=``
+    partition; the per-doc novelty of everything ingested reads off
+    the merged df table at any time (``store.novelty(union)``),
+    bit-identical to the batch q_ngram_novelty machinery (cell
+    additivity across doc-disjoint batches; parity asserted in
+    ``tests/test_streaming.py``). Same checkpoint/prefix contract as
+    :func:`start_incremental_dedup`."""
+    from ..functions.dedup import ShingleDfStore, release_cached
+
+    store = ShingleDfStore(spark, store_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        store.add_batch(batch_df, batch_id=f"{batch_prefix}{epoch_id}")
+        # shingle_hash_arrays persists per batch; release across epochs
+        release_cached()
+
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
