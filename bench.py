@@ -163,6 +163,8 @@ HEADLINE = [
     "q_percentile_binned",
     # token-mass systematic sampling (exact-integer weighted sample)
     "q_sample_tokens",
+    # quality-percentile gate (L39 cells feeding selection in-plan)
+    "q_quality_gate",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -227,6 +227,7 @@ ROTATED_OUT_R9 = (
     "q_ngram_novelty",
     "q_percentile_binned",
     "q_sample_tokens",
+    "q_quality_gate",
     # newest driver row r6 (the 20 DEFERRED rows):
     "q_tpch_q3",
     "q_tpch_q4",

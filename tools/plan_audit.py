@@ -628,6 +628,20 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"windowspecdefinition\(p#\d+",
         ],
     ],
+    # quality-percentile gate: corpus collapses to <=256 cells in ONE
+    # hash aggregate; the threshold rides a broadcast back onto the
+    # scored corpus; no Python, no cartesian, and the only windows
+    # are over the tiny cell table (never the raw text/doc rows)
+    "q_quality_gate": [
+        [r"HashAggregate", r"BroadcastNestedLoopJoin|BroadcastHashJoin"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"windowspecdefinition\(doc_id#\d+",
+            r"windowspecdefinition\(text#\d+",
+        ],
+    ],
     # token-mass systematic sample: per-stratum cum-sum window (the
     # pack_sequences posture) + broadcast stride table + codegen
     # filter; no Python, no cartesian, no global (unpartitioned) sort

@@ -696,6 +696,125 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# L43: quality-percentile gate (L39 cells feeding selection, in-plan)
+# ======================================================================
+#: Quality-gate grid: finer and shifted for the score domain
+#: (~[-0.1, 0.9]) — 256 cells of 1/256 (a power of two: q/width and
+#: every edge are exact doubles). Gate keeps docs STRICTLY ABOVE the
+#: QG_PCT-percentile cell.
+QG_WIDTH = 1.0 / 256
+QG_BUCKETS = 256
+QG_PCT = 0.75
+
+
+def _quality_gate_oracle() -> str:
+    en = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+    top = QG_BUCKETS * QG_WIDTH - QG_WIDTH
+    bucket = (
+        f"CASE WHEN isnan(q) THEN 0"
+        f" ELSE CAST(floor(least(greatest(q, 0.0), {top!r})"
+        f" / {QG_WIDTH!r}) AS BIGINT) END"
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_WORDS} AS ws FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(ws) AS n_tokens,
+             CAST(len(list_filter(ws, x -> list_contains([{en}], lower(x))))
+                  AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS sr,
+             CAST(length(text) -
+                  length(regexp_replace(text, '[^\w \t\n\r\f\x0B]', '',
+                                        'g'))
+                  AS DOUBLE) / CAST(length(text) AS DOUBLE) AS pr
+      FROM t
+    ),
+    qs AS (
+      SELECT doc_id,
+             round(0.5*sr + 0.4*least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)
+                   - 0.1*pr, 6) AS q
+      FROM f
+    ),
+    qbt AS (SELECT doc_id, q, {bucket} AS qb FROM qs),
+    gcells AS (SELECT qb, count(*) AS cnt FROM qbt GROUP BY qb),
+    gcum AS (
+      SELECT qb, sum(cnt) OVER (ORDER BY qb) AS cum,
+             sum(cnt) OVER () AS n
+      FROM gcells
+    ),
+    thr AS (
+      SELECT min(CASE WHEN cum >= ceil({QG_PCT} * CAST(n AS DOUBLE))
+                      THEN qb END) AS t
+      FROM gcum
+    )
+    SELECT doc_id, q AS quality,
+           qbt.qb > (SELECT t FROM thr) AS kept
+    FROM qbt
+    """
+
+
+@query("q_quality_gate", oracle=_quality_gate_oracle())
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-PERCENTILE gate — keep the docs strictly above the
+    corpus's own QG_PCT quality percentile, with the threshold
+    DERIVED IN-PLAN from the L39 binned-quantile cells (L39 ∘ L4, the
+    temperature-rates philosophy applied to quality selection): no
+    externally tuned score floor, the corpus's own distribution sets
+    the bar, and the monitor cells ARE the selection machinery — the
+    composition a drifting crawl needs (an absolute floor silently
+    keeps everything when quality drifts up, or nothing when it
+    drifts down; a percentile gate keeps the same fraction).
+
+    Plan: per-doc quality is a codegen projection; the corpus
+    collapses to ≤QG_BUCKETS additive cells in ONE map-side-combined
+    aggregate; the cumulative + threshold run over the ≤256-row cell
+    table (the W1 tiny-prefix shape); the 1-row threshold broadcasts
+    back onto the scored corpus for an integer bucket comparison. The
+    gate compares BUCKETS, not floats, so it cannot flip on float
+    residue; NaN quality (empty doc) pins to cell 0 and is never
+    kept. Doc-level output — the oracle checks every keep decision."""
+    from pyspark.sql import Window
+
+    from ..functions.sketches import quantile_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("q"),
+    ).withColumn(
+        "qb", quantile_bucket(F.col("q"), QG_WIDTH, QG_BUCKETS)
+    )
+    cells = scored.groupBy("qb").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    thr = (
+        cells.select(
+            "qb",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(F.lit(QG_PCT) * F.col("n").cast("double")),
+                    F.col("qb"),
+                )
+            ).alias("t")
+        )
+    )
+    return scored.join(F.broadcast(thr)).select(
+        "doc_id",
+        F.col("q").alias("quality"),
+        (F.col("qb") > F.col("t")).alias("kept"),
+    )
+
+
 @query(
     "q_fingerprint",
     oracle=f"""

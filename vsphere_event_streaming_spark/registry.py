@@ -264,6 +264,7 @@ PRIORITY: tuple[str, ...] = (
     "q_ngram_novelty",
     "q_percentile_binned",
     "q_sample_tokens",
+    "q_quality_gate",
     # permanent rows-only checks (never in the window):
     "q_knn_ivf",
     "q_approx_aggs",
