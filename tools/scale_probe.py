@@ -695,6 +695,33 @@ def _semantic_cells_shape(emb):
     )
 
 
+def _novelty_shape(docs):
+    """q_ngram_novelty's shape: shared shingle arrays -> ONE df hash
+    aggregate -> shingle-key join -> per-doc aggregate. Identical
+    replicas share every shingle, so the df join fans out ~factor per
+    shingle occurrence (rows grow by the factor; the join carries
+    (doc, shingle) pairs either way) — time should track rows
+    ~linearly, never pairs-quadratically (no pairwise work exists in
+    the plan)."""
+    from vsphere_event_streaming_spark.functions.dedup import (
+        shingle_hash_arrays,
+    )
+
+    sha = shingle_hash_arrays(docs)
+    ex = sha.select(
+        F.col("id").alias("doc_id"), F.explode("sh_arr").alias("sh")
+    )
+    dfc = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+    )
+
+
 def _sem_scaled_pairs(spark, n: int) -> tuple[float, int, int]:
     """(elapsed, k, candidate_pairs) for the corpus-scaled SemDeDup
     cell model over n DISTINCT synthetic vectors (pseudorandom sine
@@ -993,6 +1020,15 @@ def main() -> None:
             "curriculum_order",
             lambda: _curriculum_shape(docs1),
             lambda: _curriculum_shape(docsN),
+        ),
+        # r9: n-gram novelty — the one-number-per-doc complement of
+        # the dedup tier; the df join fans out linearly in rows (no
+        # pairwise stage exists), so 10x docs must be ~10x time or
+        # better, never quadratic
+        (
+            "ngram_novelty",
+            lambda: _novelty_shape(docs1),
+            lambda: _novelty_shape(docsN),
         ),
         # r6 (VERDICT_r5 #3 follow-through): media near-dup pairing —
         # replicas are near-dup texts, so dHashes mostly differ by a
