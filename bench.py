@@ -324,7 +324,11 @@ def main() -> None:
     # the JSON line it finds there; r7's single line (75 queries +
     # spine) outgrew that buffer and lost its head (`BENCH_r07.json
     # parsed: null` — VERDICT_r7 #3). So: the full-set JSON goes out
-    # FIRST (and to bench_full.json beside this script for archival),
+    # FIRST (and to bench_full.json beside this script for archival —
+    # UNTRACKED since r10, VERDICT_r9 #9: driver and builder runs both
+    # land here, and a tracked file let a driver run overwrite the
+    # builder's committed ledger entry; the committed round-over-round
+    # record is BENCH_r{N}.json + the README adjudication log),
     # and the LAST line is a compact, always-<1KB object — totals +
     # the frozen 20-query spine, the official round-over-round
     # instrument — guaranteed to survive the tail capture whole.

@@ -339,6 +339,46 @@ def test_bpe_vocab_pins_training_alphabet(spark, tmp_path):
     assert "don't" not in narrow_words and "42" not in narrow_words
 
 
+def test_bpe_vocab_refuses_markerless_partitions(spark, tmp_path):
+    """ADVICE r9: a crash between the first partition write and the
+    _ALPHABET marker write leaves partitions with NO marker — an
+    ambiguous-alphabet store. Every open (construction, ingest,
+    vocab) must raise instead of validating nothing: a DIFFERENT-
+    alphabet handle that slipped through would stamp ITS marker on
+    the next add_batch and silently merge non-additive counts.
+    Mirror of GramStore._check_format's crash-remnant branch."""
+    import os
+
+    from vsphere_event_streaming_spark.functions.bpe import (
+        WORD_RE_FULL,
+        BpeVocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "don't stop 42 times")], "doc_id long, text string"
+    )
+    path = f"{tmp_path}/bpe_vocab_remnant"
+    idx = BpeVocab(spark, path)
+    idx.add_batch(docs, "b0")
+    # simulate the crash window: partition on disk, marker gone
+    os.remove(os.path.join(path, BpeVocab.ALPHABET_FILE))
+
+    # same-alphabet reopen: refused (alphabet is ambiguous)
+    with pytest.raises(ValueError, match="no _ALPHABET marker"):
+        BpeVocab(spark, path)
+    # DIFFERENT-alphabet reopen: refused — this is the silent
+    # garbage-merge path the guard exists for
+    with pytest.raises(ValueError, match="no _ALPHABET marker"):
+        BpeVocab(spark, path, word_re=WORD_RE_FULL)
+    # an already-open handle must also refuse to ingest or read
+    with pytest.raises(ValueError, match="no _ALPHABET marker"):
+        idx.add_batch(docs, "b1")
+    with pytest.raises(ValueError, match="no _ALPHABET marker"):
+        idx.vocab()
+    # ...and the refusal must not have stamped a fresh marker
+    assert not os.path.isfile(os.path.join(path, BpeVocab.ALPHABET_FILE))
+
+
 def test_bpe_merge_table_trains_once_per_corpus_and_alphabet(spark):
     """VERDICT_r8 #3: the four BPE queries share ONE trained merge
     table per (corpus fingerprint, alphabet) — running them all,

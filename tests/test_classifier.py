@@ -816,3 +816,30 @@ def test_pca_ordered_rank_exhausted_lambdas_sort_last():
     assert lams[1] == 0.0 and lams[2] == 0.0
     assert comps[1] == [0.0, 0.0] and comps[2] == [0.0, 0.0]
     assert abs(sum(x * x for x in comps[0]) - 1.0) < 1e-9
+
+
+def test_scree_reuses_gram_after_whiten_populates_memo(spark, monkeypatch):
+    """ADVICE r9: q_embed_pca_scree's docstring promises ZERO extra
+    corpus passes, but a _WHITEN_MEMO hit with an empty _TRACE_MEMO
+    fell back to a full gram_micro recompute. Every _WHITEN_MEMO
+    populator now records the Gram-diagonal trace too — so running
+    q_embed_whiten FIRST and then the scree must never call
+    gram_micro again."""
+    from vsphere_event_streaming_spark.queries import model_queries as mq
+
+    mq._WHITEN_MEMO.clear()
+    mq._TRACE_MEMO.clear()
+    mq.q_embed_whiten(spark, SF_DIR).collect()
+    ck = mq._corpus_key(SF_DIR)
+    assert ck in mq._WHITEN_MEMO
+    assert ck in mq._TRACE_MEMO, "whiten populated the memo without the trace"
+
+    def _boom(_emb):
+        raise AssertionError(
+            "q_embed_pca_scree re-ran gram_micro despite a warm "
+            "whiten memo — the zero-extra-passes contract is broken"
+        )
+
+    monkeypatch.setattr(mq, "gram_micro", _boom)
+    rows = mq.q_embed_pca_scree(spark, SF_DIR).collect()
+    assert rows and all(r["var_ratio"] >= 0.0 for r in rows)

@@ -32,17 +32,90 @@ from selfcheck import driver_guard  # noqa: E402  (tools/selfcheck.py)
 #: Size of the driver's correctness truncation window (observed r1-r5).
 DRIVER_WINDOW = 50
 
-#: The r9 window, verbatim (VERDICT_r8 #1): every query whose newest
-#: driver evidence is older than r6 or absent — the 15 r5-DEFERRED
-#: rows repaid, the five r8-new queries getting their first driver
-#: rows (q_classifier_auc_binned, q_dedup_semantic_cells,
-#: q_embed_whiten, q_dataset_mix_temp, q_bpe_fertility) — filled to
-#: 50 with 30 of the 50 r6-stale rows (the 20 deferred r6 rows carry
-#: their family-coverage rationale in registry.py and are first in
-#: line for r10). Independent literal (NOT derived from PRIORITY) so
-#: reordering PRIORITY can't silently redefine the window.
-WINDOW_R9 = (
-    # r5-deferred re-greens (the fifteen, repaid)
+#: The r10 window, verbatim (VERDICT_r9 #1): every query whose newest
+#: driver evidence is r6 or absent — the 20 deferred-r6 rows repaid
+#: and the six r9-new queries getting their first driver rows
+#: (q_embed_pca_scree, q_search_rrf, q_ngram_novelty,
+#: q_percentile_binned, q_sample_tokens, q_quality_gate) — filled to
+#: 50 with 24 of the 50 r7-stale rows (q_search_bm25 jumps the r7
+#: line because its implementation changes this round; the 26
+#: deferred r7 rows carry their rationale in registry.py and are
+#: first in line for r11). After this rotation no oracled query's
+#: newest driver row is older than r7. Independent literal (NOT
+#: derived from PRIORITY) so reordering PRIORITY can't silently
+#: redefine the window.
+WINDOW_R10 = (
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_conditional_agg",
+    "q_bpe_tokens",
+    "q_dedup_media",
+    "q_dedup_audio",
+    "q_pack_bpe",
+    "q_dedup_video",
+    "q_running_sum",
+    "q_dedup_simhash",
+    "q_embed_pca_scree",
+    "q_search_rrf",
+    "q_ngram_novelty",
+    "q_percentile_binned",
+    "q_sample_tokens",
+    "q_quality_gate",
+    "q_count",
+    "q_typename",
+    "q_grouping_sets",
+    "q_lag_gap",
+    "q_json_extract",
+    "q_boilerplate_scrub",
+    "q_casts",
+    "q_contamination",
+    "q_count_distinct",
+    "q_dataset_mix",
+    "q_dedup_exact",
+    "q_dedup_lsh_verified",
+    "q_dedup_simhash_hamming",
+    "q_envelope",
+    "q_except",
+    "q_group_agg",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_range",
+    "q_join_semi",
+    "q_join_smj",
+    "q_last_page",
+    "q_search_bm25",
+)
+
+#: Queries expected to be rows-only (oracle=None) inside the window —
+#: none since r6: both permanent rows-only checks were rotated out
+#: (their no_oracle driver rows could never go green).
+ROWS_ONLY_IN_WINDOW = ()
+
+#: The permanent rows-only checks — must stay registered (a user can
+#: still run them) but OUT of the window (their driver rows are dead
+#: slots); their correctness evidence is pytest
+#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute).
+ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
+
+#: Queries rotated out of the window in r10 — every one holds a
+#: driver-green value-hash row from r7-r9 and must stay registered
+#: and oracled (selfcheck covers them every round) even though the
+#: driver window no longer records them. Grouped by newest driver
+#: row; the 26 r7 rows at the end are first in line for the r11
+#: window.
+ROTATED_OUT_R10 = (
+    # newest driver row r9:
     "q_dedup_near_char",
     "q_dedup_simhash_pairs",
     "q_join_asof_fwd",
@@ -58,13 +131,11 @@ WINDOW_R9 = (
     "q_text_ngrams",
     "q_udaf_gmean",
     "q_variant_json",
-    # r8-new, first driver rows
     "q_classifier_auc_binned",
     "q_dedup_semantic_cells",
     "q_embed_whiten",
     "q_dataset_mix_temp",
     "q_bpe_fertility",
-    # r6-stale re-greens (30 of 50)
     "q_chain_agg",
     "q_cube",
     "q_decode_roundtrip",
@@ -95,28 +166,6 @@ WINDOW_R9 = (
     "q_tpch_q18",
     "q_try_funcs",
     "q_window_analytics",
-)
-
-#: Queries expected to be rows-only (oracle=None) inside the window —
-#: none since r6: both permanent rows-only checks were rotated out
-#: (their no_oracle driver rows could never go green).
-ROWS_ONLY_IN_WINDOW = ()
-
-#: The permanent rows-only checks — must stay registered (a user can
-#: still run them) but OUT of the window (their driver rows are dead
-#: slots); their correctness evidence is pytest
-#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute).
-ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
-
-#: Queries rotated out of the window in r9 — every one holds a
-#: driver-green value-hash row from r6-r8 and must stay registered
-#: and oracled (selfcheck covers them every round) even though the
-#: driver window no longer records them. Includes the TWENTY
-#: DEFERRED r6 rows (12 TPC-H shapes + q_dedup_simhash, q_dedup_media,
-#: q_dedup_audio, q_dedup_video, q_bpe_tokens, q_pack_bpe,
-#: q_running_sum, q_conditional_agg) — first in line for the r10
-#: window; per-family rationale in registry.py.
-ROTATED_OUT_R9 = (
     # newest driver row r8:
     "q_union",
     "q_ordered_replay",
@@ -168,31 +217,9 @@ ROTATED_OUT_R9 = (
     "q_url_domains",
     "q_vector_sq",
     "q_video_frames",
-    # newest driver row r7:
-    "q_count",
-    "q_typename",
-    "q_grouping_sets",
-    "q_lag_gap",
-    "q_json_extract",
-    "q_boilerplate_scrub",
-    "q_casts",
-    "q_contamination",
-    "q_count_distinct",
-    "q_dataset_mix",
-    "q_dedup_exact",
-    "q_dedup_lsh_verified",
-    "q_dedup_simhash_hamming",
-    "q_envelope",
-    "q_except",
-    "q_group_agg",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_range",
-    "q_join_semi",
-    "q_join_smj",
+    # newest driver row r7 (the 26 DEFERRED rows, first in line
+    # for the r11 window):
     "q_knn_hyperplane_probed",
-    "q_last_page",
     "q_null_funcs",
     "q_offset_assign",
     "q_pii_scrub",
@@ -203,7 +230,6 @@ ROTATED_OUT_R9 = (
     "q_replay_from",
     "q_retention",
     "q_rollup",
-    "q_search_bm25",
     "q_time_funcs",
     "q_tumbling_agg",
     "q_udf_cosine",
@@ -219,36 +245,6 @@ ROTATED_OUT_R9 = (
     "q_classifier_auc",
     "q_classifier_calibration",
     "q_kmeans_cluster",
-    # r9-new, declared OUT of the window (window pinned to the
-    # staleness-repayment plan); oracled — selfcheck + fuzz cover
-    # them until their r10 driver rows
-    "q_embed_pca_scree",
-    "q_search_rrf",
-    "q_ngram_novelty",
-    "q_percentile_binned",
-    "q_sample_tokens",
-    "q_quality_gate",
-    # newest driver row r6 (the 20 DEFERRED rows):
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q10",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_conditional_agg",
-    "q_bpe_tokens",
-    "q_dedup_media",
-    "q_dedup_audio",
-    "q_pack_bpe",
-    "q_dedup_video",
-    "q_running_sum",
-    "q_dedup_simhash",
 )
 
 
@@ -262,16 +258,16 @@ def test_every_priority_name_is_registered():
     assert not missing, f"PRIORITY names not registered: {missing}"
 
 
-def test_r9_window_is_exactly_the_rotation_plan():
-    """The first DRIVER_WINDOW registry entries must be WINDOW_R9 as a
+def test_r10_window_is_exactly_the_rotation_plan():
+    """The first DRIVER_WINDOW registry entries must be WINDOW_R10 as a
     set (order within the window is free; membership is the contract —
     the driver records exactly these 50)."""
-    assert len(WINDOW_R9) == DRIVER_WINDOW
-    assert len(set(WINDOW_R9)) == DRIVER_WINDOW
+    assert len(WINDOW_R10) == DRIVER_WINDOW
+    assert len(set(WINDOW_R10)) == DRIVER_WINDOW
     got = set(PRIORITY[:DRIVER_WINDOW])
-    assert got == set(WINDOW_R9), (
-        f"window drift: unexpected={sorted(got - set(WINDOW_R9))}, "
-        f"missing={sorted(set(WINDOW_R9) - got)}"
+    assert got == set(WINDOW_R10), (
+        f"window drift: unexpected={sorted(got - set(WINDOW_R10))}, "
+        f"missing={sorted(set(WINDOW_R10) - got)}"
     )
 
 
@@ -286,7 +282,7 @@ def test_window_entries_have_oracles():
     qs = load_all()
     no_oracle = [
         n
-        for n in WINDOW_R9
+        for n in WINDOW_R10
         if qs[n].oracle is None and n not in ROWS_ONLY_IN_WINDOW
     ]
     assert not no_oracle, f"window queries without oracle SQL: {no_oracle}"
@@ -312,12 +308,12 @@ def test_window_and_rotated_out_partition_the_registry():
     query, with no overlaps — nothing can silently fall out of all
     evidence tiers."""
     qs = load_all()
-    union = set(WINDOW_R9) | set(ROTATED_OUT_R9) | set(ROWS_ONLY_OFF_WINDOW)
+    union = set(WINDOW_R10) | set(ROTATED_OUT_R10) | set(ROWS_ONLY_OFF_WINDOW)
     assert union == set(qs), (
         f"uncovered={sorted(set(qs) - union)}, "
         f"phantom={sorted(union - set(qs))}"
     )
-    total = len(WINDOW_R9) + len(ROTATED_OUT_R9) + len(ROWS_ONLY_OFF_WINDOW)
+    total = len(WINDOW_R10) + len(ROTATED_OUT_R10) + len(ROWS_ONLY_OFF_WINDOW)
     assert total == len(qs), "tiers overlap"
 
 
@@ -328,7 +324,7 @@ def test_rotated_out_queries_stay_registered_and_oracled():
     compare."""
     qs = load_all()
     idx = {n: i for i, n in enumerate(PRIORITY)}
-    for n in ROTATED_OUT_R9:
+    for n in ROTATED_OUT_R10:
         assert n in qs, f"rotated-out query {n} lost its registration"
         assert qs[n].oracle is not None, f"rotated-out query {n} lost its oracle"
         assert idx[n] >= DRIVER_WINDOW, (

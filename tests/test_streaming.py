@@ -1491,11 +1491,21 @@ def test_incremental_shingle_df_stream(spark, tmp_path):
     got = key(store.novelty(docs).collect())
     assert got == want and got
 
-    # replayed batch: cells must not double (pinned batch ids)
+    # replayed batch: cells must not double (pinned batch ids), and
+    # direct multi-batch ingestion must not accumulate persisted
+    # shingle frames in the module cache registry (ADVICE r9: only
+    # the streaming wrapper released per epoch; add_batch now
+    # unpersists exactly the frames it registered)
+    from vsphere_event_streaming_spark.functions import dedup as _dedup
+
+    cached_before = len(_dedup._CACHED)
     man = ShingleDfStore(spark, f"{tmp_path}/sdf_manual")
     for b in range(3):
         man.add_batch(docs.filter(F.col("doc_id") % 3 == b), f"x{b}")
     man.add_batch(docs.filter(F.col("doc_id") % 3 == 1), "x1")  # replay
+    assert len(_dedup._CACHED) == cached_before, (
+        "ShingleDfStore.add_batch leaked persisted frames into _CACHED"
+    )
     assert {
         r["sh"]: r["df"] for r in man.df_table().collect()
     } == want_df

@@ -400,6 +400,32 @@ class BpeVocab:
             os.makedirs(self.path, exist_ok=True)
             with open(marker, "w") as fh:
                 fh.write(self.word_re)
+        elif self._has_batches():
+            # ADVICE r9: partitions without a marker are an
+            # ambiguous-alphabet store (a crash between the parquet
+            # write and the marker write leaves exactly this shape).
+            # Without this branch a later handle opened with a
+            # DIFFERENT word_re would validate nothing and its next
+            # add_batch would stamp the NEW alphabet's marker —
+            # silently merging non-additive counts, the exact
+            # garbage-merge the marker guards against. Mirror of
+            # GramStore._check_format's crash-remnant branch.
+            raise ValueError(
+                f"BpeVocab store {self.path!r} has batch_id="
+                f" partitions but no {self.ALPHABET_FILE} marker —"
+                " the training alphabet is ambiguous (crash remnant"
+                " between partition write and marker write);"
+                " refusing to open. Re-ingest the batches."
+            )
+
+    def _has_batches(self) -> bool:
+        import os
+
+        if not os.path.isdir(self.path):
+            return False
+        return any(
+            e.startswith("batch_id=") for e in os.listdir(self.path)
+        )
 
     def add_batch(
         self, docs: DataFrame, batch_id: str, text_col: str = "text"

@@ -1315,9 +1315,21 @@ class ShingleDfStore:
         """Collapse the batch to (sh, df) cells and persist them as
         an idempotent partition directory. Returns cells written."""
         part_dir = batch_partition_dir(batch_id)  # validates token
+        # shingle_hash_arrays registers a persisted frame in _CACHED;
+        # the eager localCheckpoint below is its LAST consumer, so
+        # release it here instead of leaking one cached frame per
+        # ingested batch for the life of the process (ADVICE r9 —
+        # only the streaming wrapper called release_cached per
+        # epoch; direct multi-batch ingestion never did). Unpersist
+        # exactly the frames THIS call registered: a blanket
+        # release_cached() would clobber cached intermediates a
+        # concurrent dedup pipeline in the same process still needs.
+        mark = len(_CACHED)
         cells = shingle_df_cells(docs).localCheckpoint(eager=True)
         n = cells.count()
         cells.write.mode("overwrite").parquet(f"{self.path}/{part_dir}")
+        while len(_CACHED) > mark:
+            _CACHED.pop().unpersist()
         return n
 
     def df_table(self) -> DataFrame:
@@ -1342,7 +1354,11 @@ class ShingleDfStore:
     def novelty(self, docs: DataFrame) -> DataFrame:
         """Per-doc novelty of the INGESTED corpus (``docs`` = the
         union of the ingested batches) against the merged df table —
-        the exact q_ngram_novelty output columns and semantics."""
+        the exact q_ngram_novelty output columns and semantics.
+
+        The returned plan reads a persisted shingle frame: the caller
+        must :func:`release_cached` after the consuming action, the
+        same contract as this module's pair functions."""
         sha = shingle_hash_arrays(docs)
         ex = sha.select(
             F.col("id").alias("doc_id"), F.explode("sh_arr").alias("sh")

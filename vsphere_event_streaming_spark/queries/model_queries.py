@@ -1065,10 +1065,12 @@ def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _SEM_KMEANS_MEMO[ck] = cm
     # spread BEFORE the argmin: the test tables are single-row-group
-    # parquet (one scan partition), and the k=64 interpreted-HOF
-    # argmin is the query's dominant CPU — measured 2.4 s serialized
-    # on one thread vs ~0.2 s spread across the cores (the
-    # q_dedup_semantic precedent; verify-skill gotcha)
+    # parquet (one scan partition), and the corpus-scaled-k
+    # (_sem_k = ceil(N/SEM_CELL_TARGET)) interpreted-HOF argmin is
+    # the query's dominant CPU — measured 2.4 s serialized on one
+    # thread vs ~0.2 s spread across the cores under the old fixed
+    # k=64 (the q_dedup_semantic precedent; verify-skill gotcha);
+    # the ratio shrinks with the scaled k but the spread still wins
     s = _persist(
         spread(emb).select(
             "vec_id",
@@ -1173,6 +1175,11 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         entry = (comps, lams, emb.count())
         _WHITEN_MEMO[ck] = entry
+        # ADVICE r9: every _WHITEN_MEMO populator also records the
+        # Gram-diagonal trace — q_embed_pca_scree's `trace is None`
+        # fallback otherwise re-runs gram_micro (a full corpus pass)
+        # whenever the whiten memo was filled HERE first
+        _TRACE_MEMO[ck] = sum(v for (i, j), v in g.items() if i == j)
     comps, lams, n = entry
     from ..functions.classifier import whiten_columns
 

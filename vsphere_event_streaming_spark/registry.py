@@ -46,24 +46,23 @@ def query(name: str, oracle: str | None = None):
 # Registry order is driver-visible: the verify driver checks queries in
 # registration order and its CORRECTNESS window records the first 50.
 # PRIORITY pins each round's rotation plan; tests/test_registry.py
-# (WINDOW_R9) enforces the pinned membership.
+# (WINDOW_R10) enforces the pinned membership.
 #
-# r9 rotation (VERDICT_r8 next-round #1): the window takes every query
-# whose newest driver evidence is older than r6 or absent — the 15
-# r5-DEFERRED rows from r8's plan and the 5 r8-new out-of-window
-# queries (first driver rows) — then fills to 50 with 30 of the 50
-# r6-stale rows. The TWENTY deferred r6 rows (first in line for r10)
-# each have in-window or fresher family coverage, none its operator's
-# sole oracle: 12 of the 16 TPC-H shapes (q_tpch_q3/q4/q5/q7/q8/q10/
-# q13/q14/q15/q16/q19/q22 — the family's join/agg machinery is covered
-# in-window by q_tpch_q1/q6/q17/q18 and the r7-green relational tier),
-# q_dedup_simhash (SimHash family: in-window q_dedup_simhash_pairs +
-# r7-green q_dedup_simhash_hamming), q_dedup_media + q_dedup_audio +
-# q_dedup_video (media-dedup family: in-window q_media_phash_jpeg +
-# r7-green q_dedup_media_robust), q_bpe_tokens + q_pack_bpe (BPE
-# family: in-window q_bpe_fertility + r7-green q_bpe_tokens_full),
-# q_running_sum (W4: in-window q_range_frame + r7-green q_lag_gap),
-# q_conditional_agg (A3: in-window q_pivot + r7-green q_group_agg).
+# r10 rotation (VERDICT_r9 next-round #1): the window takes every query
+# whose newest driver evidence is r6 or absent — the TWENTY deferred-r6
+# rows from r9's plan (12 TPC-H shapes + q_dedup_simhash/media/audio/
+# video, q_bpe_tokens, q_pack_bpe, q_running_sum, q_conditional_agg)
+# and the six r9-new queries (first driver rows) — then fills to 50
+# with 24 of the 50 r7-stale rows. After this rotation NO oracled
+# query's newest driver row is older than r7 (the VERDICT_r9 done
+# criterion). The 24 promoted r7 rows are the first 22 in prior
+# registration order plus q_last_page and q_search_bm25 (the latter
+# jumps the line because its implementation changes this round —
+# in-plan corpus stats, VERDICT_r9 #3 — and changed code should get
+# fresh driver evidence). The ONE line-jumped-over r7 row,
+# q_knn_hyperplane_probed, has r8-fresh family coverage
+# (q_knn_hyperplane, q_knn_topk, q_knn_sq); the remaining 26 r7 rows
+# are first in line for r11.
 # The two permanent rows-only checks (q_knn_ivf, q_approx_aggs) stay
 # out of the window for good (VERDICT_r5 "What's wrong" #1): their
 # `no_oracle` rows can never go green and their evidence lives in
@@ -71,8 +70,66 @@ def query(name: str, oracle: str | None = None):
 # Everything rotated out keeps its oracle and is exact-value-checked
 # every round by tools/selfcheck.py.
 PRIORITY: tuple[str, ...] = (
-    # ---- r9 driver window (first 50) ----
-    # the 15 r5-DEFERRED rows (r8's displacement debt, repaid):
+    # ---- r10 driver window (first 50) ----
+    # the 20 deferred-r6 rows (r9's displacement debt, repaid):
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_conditional_agg",
+    "q_bpe_tokens",
+    "q_dedup_media",
+    "q_dedup_audio",
+    "q_pack_bpe",
+    "q_dedup_video",
+    "q_running_sum",
+    "q_dedup_simhash",
+    # the 6 r9-new queries getting their FIRST driver evidence:
+    "q_embed_pca_scree",
+    "q_search_rrf",
+    "q_ngram_novelty",
+    "q_percentile_binned",
+    "q_sample_tokens",
+    "q_quality_gate",
+    # ... and 24 of the 50 r7-stale rows (26 deferred to r11,
+    # rationale above):
+    "q_count",
+    "q_typename",
+    "q_grouping_sets",
+    "q_lag_gap",
+    "q_json_extract",
+    "q_boilerplate_scrub",
+    "q_casts",
+    "q_contamination",
+    "q_count_distinct",
+    "q_dataset_mix",
+    "q_dedup_exact",
+    "q_dedup_lsh_verified",
+    "q_dedup_simhash_hamming",
+    "q_envelope",
+    "q_except",
+    "q_group_agg",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_range",
+    "q_join_semi",
+    "q_join_smj",
+    "q_last_page",
+    "q_search_bm25",
+    # ---- out of the r10 window ----
+    # Every query below holds a driver-green value-hash row from
+    # r7-r9; tools/selfcheck.py exact-value-checks every oracled one
+    # each round.
+    # newest driver row r9:
     "q_dedup_near_char",
     "q_dedup_simhash_pairs",
     "q_join_asof_fwd",
@@ -88,14 +145,11 @@ PRIORITY: tuple[str, ...] = (
     "q_text_ngrams",
     "q_udaf_gmean",
     "q_variant_json",
-    # the 5 r8-new queries getting their FIRST driver evidence:
     "q_classifier_auc_binned",
     "q_dedup_semantic_cells",
     "q_embed_whiten",
     "q_dataset_mix_temp",
     "q_bpe_fertility",
-    # ... and 30 of the 50 r6-stale rows (20 deferred to r10,
-    # rationale above):
     "q_chain_agg",
     "q_cube",
     "q_decode_roundtrip",
@@ -126,11 +180,6 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q18",
     "q_try_funcs",
     "q_window_analytics",
-    # ---- out of the r9 window ----
-    # Every query below holds a driver-green value-hash row from
-    # r6-r8 (histogram in VERDICT_r8) or is a permanent rows-only
-    # check; tools/selfcheck.py exact-value-checks every oracled one
-    # each round.
     # newest driver row r8:
     "q_union",
     "q_ordered_replay",
@@ -182,31 +231,9 @@ PRIORITY: tuple[str, ...] = (
     "q_url_domains",
     "q_vector_sq",
     "q_video_frames",
-    # newest driver row r7:
-    "q_count",
-    "q_typename",
-    "q_grouping_sets",
-    "q_lag_gap",
-    "q_json_extract",
-    "q_boilerplate_scrub",
-    "q_casts",
-    "q_contamination",
-    "q_count_distinct",
-    "q_dataset_mix",
-    "q_dedup_exact",
-    "q_dedup_lsh_verified",
-    "q_dedup_simhash_hamming",
-    "q_envelope",
-    "q_except",
-    "q_group_agg",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_range",
-    "q_join_semi",
-    "q_join_smj",
+    # newest driver row r7 (the 26 DEFERRED rows, first in line
+    # for the r11 window):
     "q_knn_hyperplane_probed",
-    "q_last_page",
     "q_null_funcs",
     "q_offset_assign",
     "q_pii_scrub",
@@ -217,7 +244,6 @@ PRIORITY: tuple[str, ...] = (
     "q_replay_from",
     "q_retention",
     "q_rollup",
-    "q_search_bm25",
     "q_time_funcs",
     "q_tumbling_agg",
     "q_udf_cosine",
@@ -233,38 +259,6 @@ PRIORITY: tuple[str, ...] = (
     "q_classifier_auc",
     "q_classifier_calibration",
     "q_kmeans_cluster",
-    # newest driver row r6 (the 20 DEFERRED rows, first in line
-    # for the r10 window):
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q10",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_conditional_agg",
-    "q_bpe_tokens",
-    "q_dedup_media",
-    "q_dedup_audio",
-    "q_pack_bpe",
-    "q_dedup_video",
-    "q_running_sum",
-    "q_dedup_simhash",
-    # r9-new, declared OUT of the window (the r9 window is pinned to
-    # the staleness-repayment plan above); oracled, so selfcheck and
-    # the per-table fuzz families cover them until their r10 driver
-    # rows
-    "q_embed_pca_scree",
-    "q_search_rrf",
-    "q_ngram_novelty",
-    "q_percentile_binned",
-    "q_sample_tokens",
-    "q_quality_gate",
     # permanent rows-only checks (never in the window):
     "q_knn_ivf",
     "q_approx_aggs",
