@@ -179,9 +179,17 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"Join", r"CartesianProduct"],
     ],
-    # BM25: df side broadcasts, top-k compiles to a heap
+    # BM25: df side broadcasts, top-k compiles to a heap; corpus
+    # stats (n_docs, avgdl) are IN-PLAN since r10 (VERDICT_r9 #3) —
+    # the 1-row stats frame joins as a BroadcastNestedLoopJoin, never
+    # a driver .first() collapsed to literals (which would show as
+    # bare double literals and NO BNLJ) nor a cartesian
     "q_search_bm25": [
-        [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        [
+            r"BroadcastHashJoin",
+            r"TakeOrderedAndProject",
+            r"BroadcastNestedLoopJoin",
+        ],
         [r"CartesianProduct"],
     ],
     # PMI: within-doc self-join only (key = doc_id), top-k heap
@@ -671,9 +679,15 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # RRF hybrid retrieval: both rankings must end in top-k heaps
     # (TakeOrderedAndProject) with the df table broadcast; no
     # cartesian, no Python — the tiny post-heap windows are the W1
-    # ≤RRF_DEPTH-row shape and are allowed
+    # ≤RRF_DEPTH-row shape and are allowed. The BM25 corpus stats
+    # ride the same in-plan BroadcastNestedLoopJoin as q_search_bm25
+    # (shared bm25_scores, VERDICT_r9 #3) — no driver .first()
     "q_search_rrf": [
-        [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+        [
+            r"TakeOrderedAndProject",
+            r"BroadcastHashJoin",
+            r"BroadcastNestedLoopJoin",
+        ],
         [
             r"BatchEvalPython",
             r"CartesianProduct",

@@ -2389,17 +2389,37 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale posture as q_search_tfidf: terms filter BEFORE any
     aggregation, df broadcast (|query terms| rows), top-20 heap. The
     length normalizer is ``size(split(...))`` — a per-row expression,
-    no second explode — and N/avgdl arrive as literals from the tiny
-    pre-aggregation (driver-side like tfidf's N; both are one scalar
-    per corpus, computed once and reused across queries in practice).
-    """
+    no second explode — and N/avgdl ride a broadcast 1-row stats
+    frame (VERDICT_r9 #3: formerly a driver ``.first()`` — one extra
+    job launch per call and the lone deviation from the no-driver-
+    round-trip posture; now the temperature_rates in-plan pattern).
+    Scoring shared with q_search_rrf via :func:`bm25_scores`."""
     docs = _t(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, score): in-plan BM25 (k1=1.2, b=0.75) of every doc
+    matching the engine's query terms — the scoring shared verbatim
+    by q_search_bm25 and q_search_rrf's lexical ranking (they can
+    never drift). ZERO driver round-trips: the corpus stats
+    ``(n_docs, avgdl)`` are a 1-row aggregate broadcast back onto
+    the scored rows (the ``temperature_rates`` pattern,
+    VERDICT_r9 #3) — a BroadcastNestedLoopJoin over one row, not a
+    separate job + literal. Same IEEE arithmetic as the old literal
+    form: n_docs is the count cast to double, avgdl the plain
+    ``avg`` double, and the idf/saturation chains keep their exact
+    left-assoc shape — bit-identical scores, oracle unchanged."""
     toks = F.split(F.lower(F.col("text")), "[^a-z]+")
     lens = docs.select("doc_id", F.size(toks).alias("dl"))
-    stat = lens.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
-    n_docs, avgdl = float(stat["n"]), float(stat["avgdl"])
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
     tokens = docs.select(
         "doc_id", F.explode(toks).alias("term")
     ).filter(F.col("term").isin(_SEARCH_TERMS))
@@ -2408,19 +2428,19 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df")
     )
     idf = F.log(
-        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
     sat = (F.col("tf") * F.lit(2.2)) / (
         F.col("tf")
-        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
     )
     return (
         tf.join(F.broadcast(dfreq), "term")
         .join(lens, "doc_id")
+        .join(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * sat), 6).alias("score"))
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(20)
     )
 
 

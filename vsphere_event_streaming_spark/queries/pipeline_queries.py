@@ -2772,39 +2772,15 @@ def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.vectors import cosine, dot, min_id_query_split
     from ..tables import spread
-    from .advanced_queries import _SEARCH_TERMS
+    from .advanced_queries import bm25_scores
 
     docs = _t(spark, sf_dir, "documents")
 
-    # ranking A: BM25 (the q_search_bm25 scoring, verbatim constants)
-    toks = F.split(F.lower(F.col("text")), "[^a-z]+")
-    lens = docs.select("doc_id", F.size(toks).alias("dl"))
-    stat = lens.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
-    n_docs, avgdl = float(stat["n"]), float(stat["avgdl"])
-    tokens = docs.select(
-        "doc_id", F.explode(toks).alias("term")
-    ).filter(F.col("term").isin(_SEARCH_TERMS))
-    tf = tokens.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    dfreq = tokens.distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    idf = F.log(
-        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    sat = (F.col("tf") * F.lit(2.2)) / (
-        F.col("tf")
-        + F.lit(1.2)
-        * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))
-    )
+    # ranking A: BM25 — the exact q_search_bm25 scoring, SHARED code
+    # (advanced_queries.bm25_scores); corpus stats ride a broadcast
+    # 1-row frame instead of a driver .first() (VERDICT_r9 #3)
     bmtop = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(lens, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * sat), 6).alias("score"))
+        bm25_scores(docs)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(RRF_DEPTH)
     )
