@@ -26,8 +26,16 @@ Stages (each is an independently-oracled operator — see COVERAGE.md):
                         (L13'/L21): per-language rates derived
                         in-plan from the corpus's own stratum sizes
                         (kept mass ∝ sqrt(n), half-corpus budget —
-                        the q_dataset_mix_temp machinery); per-lang
-                        kept counts reported in the summary
+                        the q_dataset_mix_temp machinery), COMPOSED
+                        (r10) with the corpus-relative quality-
+                        PERCENTILE gate (L43: in-plan threshold from
+                        the binned quality cells — tracks crawl
+                        drift where the absolute LM floor cannot)
+                        and an n-gram NOVELTY diversity signal (L41:
+                        drop docs whose every shingle already exists
+                        elsewhere in the corpus); per-lang kept
+                        counts reported in the summary at both the
+                        mixing and the final-selection boundary
  4b. semantic diversity — SemDeDup over trained k-means cells
                         (L18'/L36): inside each cell of a model
                         trained ON THE SELECTED DOCS' hash-embedded
@@ -56,7 +64,12 @@ from pyspark.sql import functions as F  # noqa: E402
 from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
     contamination_report,
     exact_dedup_keepers,
+    novelty_per_doc,
     release_cached,
+)
+from vsphere_event_streaming_spark.functions.sketches import (  # noqa: E402
+    percentile_threshold_cell,
+    quantile_bucket,
 )
 from vsphere_event_streaming_spark.functions.multimodal import (  # noqa: E402
     phash_images,
@@ -73,6 +86,7 @@ from vsphere_event_streaming_spark.functions.text import (  # noqa: E402
     importance_weights,
     md5_hash,
     pii_counts,
+    quality_score,
     repetition_profile,
     strip_markup,
 )
@@ -91,6 +105,8 @@ from vsphere_event_streaming_spark.functions.bpe import (  # noqa: E402
 from vsphere_event_streaming_spark.queries.pipeline_queries import (  # noqa: E402
     BPE_PACK_BUDGET,
     DSIR_TARGET_SOURCE,
+    QG_BUCKETS,
+    QG_WIDTH,
     SELECT_MIN_LOGP,
     SELECT_MIN_LOGW,
     SHUFFLE_SEED,
@@ -98,6 +114,13 @@ from vsphere_event_streaming_spark.queries.pipeline_queries import (  # noqa: E4
 )
 from vsphere_event_streaming_spark.session import get_spark, tune  # noqa: E402
 from vsphere_event_streaming_spark.tables import load, spread  # noqa: E402
+
+#: Selection-stage percentile for the corpus-relative quality gate:
+#: drop the scrubbed corpus's own bottom quartile of quality_score
+#: (q_quality_gate's QG_PCT=0.75 is a monitor-grade keep-the-top-
+#: quartile cut; a selection stage composes with the LM floor, so a
+#: gentler corpus-relative bar is the right default).
+SELECT_QUALITY_PCT = 0.25
 
 
 def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
@@ -196,7 +219,8 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         .agg(F.avg("ok").alias("a"))
         .first()["a"]
     )
-    # -- 4. selection: temperature mixing + score floors -----------------
+    # -- 4. selection: temperature mixing + score floors + the two
+    #       corpus-relative gates (r10, VERDICT_r9 #4) ------------------
     # r9 (VERDICT_r8 #6): the mixing rates are DERIVED IN-PLAN from the
     # scrubbed corpus's own language sizes (kept mass ∝ sqrt(n), budget
     # half the corpus — functions/sampling.py::temperature_rates, the
@@ -215,7 +239,33 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         .agg(F.count(F.lit(1)).alias("kept"))
         .collect()
     }
-    selected = (
+    # quality-PERCENTILE gate (L43, q_quality_gate's machinery via the
+    # shared percentile_threshold_cell): drop the scrubbed corpus's
+    # own bottom SELECT_QUALITY_PCT of quality — composed WITH the
+    # absolute LM floor below, so selection holds both an external
+    # bar (the LM floor the distilled classifier reproduces) and a
+    # corpus-relative one that tracks crawl drift
+    scored_q = scrubbed.select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    ).withColumn("qb", quantile_bucket(F.col("q"), QG_WIDTH, QG_BUCKETS))
+    q_thr = percentile_threshold_cell(
+        scored_q.groupBy("qb").agg(F.count(F.lit(1)).alias("cnt")),
+        SELECT_QUALITY_PCT,
+    )
+    quality_kept = (
+        scored_q.join(F.broadcast(q_thr))
+        .filter(F.col("qb") > F.col("t"))
+        .select("doc_id")
+    )
+    # n-gram novelty as a DIVERSITY signal (L41, the shared
+    # novelty_per_doc): a doc with ≥1 shingle but ZERO novel shingles
+    # is assembled entirely from text the corpus already has
+    # (boilerplate residue, template spam) — drop it; short docs
+    # (no shingles) carry no evidence and pass
+    diverse = novelty_per_doc(scrubbed).filter(
+        (F.col("n_shingles") == 0) | (F.col("novelty") > 0)
+    ).select("doc_id")
+    floored = (
         mixed
         .join(lm, "doc_id")
         .join(iw, "doc_id")
@@ -226,6 +276,25 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         .select("doc_id", "text", "lang", "source")
         .persist()
     )
+    n_floored = floored.count()
+    after_quality = floored.join(
+        quality_kept, "doc_id", "left_semi"
+    ).persist()
+    quality_gate_dropped = n_floored - after_quality.count()
+    # localCheckpoint, not persist (the stage-4 lesson, re-measured
+    # r10): with the two new gates the selected frame's lineage
+    # stacks the quality-cell window + the novelty shingle aggregates
+    # on the whole scrub DAG, and downstream it feeds BOTH the
+    # Lloyd's loop and the BPE-training collect — untruncated, the
+    # repeated giant plans OOM the driver heap
+    selected = after_quality.join(
+        diverse, "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)
+    novelty_dropped = (
+        n_floored - quality_gate_dropped - selected.count()
+    )
+    floored.unpersist()
+    after_quality.unpersist()
 
     # -- 4b. semantic diversity: SemDeDup over trained cells (L18') --------
     # The r8 tier composed in: cluster the SELECTED docs' feature-hash
@@ -338,7 +407,15 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         "after_hygiene": scrubbed.count(),
         "mix_kept_by_lang": mix_kept_by_lang,
         "mix_kept": sum(mix_kept_by_lang.values()),
+        "quality_gate_dropped": quality_gate_dropped,
+        "novelty_dropped": novelty_dropped,
         "selected": selected.count(),
+        "selected_by_lang": {
+            r["lang"]: r["kept"]
+            for r in selected.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("kept"))
+            .collect()
+        },
         "semantic_dropped": semantic_dropped,
         "distill_agreement": round(distill_agreement, 3),
         "packs": out.select("lang", "pack_id").distinct().count(),

@@ -1230,6 +1230,19 @@ def test_corpus_prep_example_end_to_end(spark, tmp_path):
     # outcome; the operator's own recall evidence is
     # q_dedup_semantic_cells' oracle
     assert out["semantic_dropped"] >= 0
+    # r10 (VERDICT_r9 #4): both corpus-relative gates ran in the
+    # selection stage — the quality-PERCENTILE gate (L43) and the
+    # n-gram NOVELTY diversity signal (L41). Drops are non-negative,
+    # bounded by the funnel, and the final per-language kept counts
+    # sum to the selected total inside the mixing counts
+    assert out["quality_gate_dropped"] >= 0
+    assert out["novelty_dropped"] >= 0
+    assert sum(out["selected_by_lang"].values()) == out["selected"]
+    assert set(out["selected_by_lang"]) <= set(out["mix_kept_by_lang"])
+    assert all(
+        out["selected_by_lang"][lang] <= out["mix_kept_by_lang"][lang]
+        for lang in out["selected_by_lang"]
+    )
     shard = spark.read.parquet(str(tmp_path / "shards"))
     assert {"lang", "pack_id"} <= set(shard.columns)
 

@@ -1289,6 +1289,61 @@ def shingle_df_cells(docs: DataFrame) -> DataFrame:
     )
 
 
+def novelty_per_doc(
+    docs: DataFrame, df_table: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty): per-document n-gram
+    novelty — the fraction of a doc's distinct 3-gram shingles that
+    appear in no other document (L41). With ``df_table`` None the
+    shingle document-frequency is computed from ``docs`` itself (the
+    batch q_ngram_novelty shape); pass a store's merged ``(sh, df)``
+    table to score the ingested corpus incrementally
+    (:meth:`ShingleDfStore.novelty`). Shared by the query, the store,
+    and the corpus_prep diversity stage so the metric can never
+    drift.
+
+    The returned plan reads a persisted shingle frame — the caller
+    must :func:`release_cached` after the consuming action, the same
+    contract as this module's pair functions. Short docs (< 3 words)
+    report 0 shingles and novelty 0 via the greatest(1, n)-guarded
+    division — never NaN."""
+    sha = shingle_hash_arrays(docs)
+    ex = sha.select(
+        F.col("id").alias("doc_id"), F.explode("sh_arr").alias("sh")
+    )
+    dfc = (
+        df_table
+        if df_table is not None
+        else ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    )
+    per = (
+        ex.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), zero).alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), zero).alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), zero).cast("double")
+                / F.greatest(
+                    F.lit(1).cast("long"),
+                    F.coalesce(F.col("n_shingles"), zero),
+                ),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
 class ShingleDfStore:
     """Persistent incremental shingle-DF store — the NOVELTY tier's
     (L41) incremental form, the eighth index/store family: each
@@ -1359,33 +1414,4 @@ class ShingleDfStore:
         The returned plan reads a persisted shingle frame: the caller
         must :func:`release_cached` after the consuming action, the
         same contract as this module's pair functions."""
-        sha = shingle_hash_arrays(docs)
-        ex = sha.select(
-            F.col("id").alias("doc_id"), F.explode("sh_arr").alias("sh")
-        )
-        per = (
-            ex.join(self.df_table(), "sh")
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_shingles"),
-                F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
-            )
-        )
-        zero = F.lit(0).cast("long")
-        return (
-            docs.select("doc_id")
-            .join(per, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce(F.col("n_shingles"), zero).alias("n_shingles"),
-                F.coalesce(F.col("n_novel"), zero).alias("n_novel"),
-                F.round(
-                    F.coalesce(F.col("n_novel"), zero).cast("double")
-                    / F.greatest(
-                        F.lit(1).cast("long"),
-                        F.coalesce(F.col("n_shingles"), zero),
-                    ),
-                    6,
-                ).alias("novelty"),
-            )
-        )
+        return novelty_per_doc(docs, self.df_table())

@@ -243,3 +243,39 @@ class QuantileCellStore:
         return quantiles_from_cells(
             self.cells(), qs, self.group_col, self.width
         )
+
+
+def percentile_threshold_cell(
+    cells: DataFrame, pct: float, qb_col: str = "qb", cnt_col: str = "cnt"
+) -> DataFrame:
+    """1-row ``(t)``: the first grid cell whose cumulative count
+    reaches ``ceil(pct·n)`` — the in-plan percentile threshold behind
+    the quality-percentile gate (L43): broadcast it back onto the
+    scored rows and keep ``qb > t``. The cumulative + min-when run
+    over the ≤n_buckets-row CELL table only (the W1 tiny-prefix
+    shape); the corpus itself never sees a window. Shared by
+    q_quality_gate and the corpus_prep selection stage so the gate
+    semantics can never drift."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.orderBy(qb_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    return (
+        cells.select(
+            qb_col,
+            F.sum(cnt_col).over(w_cum).alias("cum"),
+            F.sum(cnt_col).over(w_all).alias("n"),
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(F.lit(pct) * F.col("n").cast("double")),
+                    F.col(qb_col),
+                )
+            ).alias("t")
+        )
+    )

@@ -775,9 +775,10 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate compares BUCKETS, not floats, so it cannot flip on float
     residue; NaN quality (empty doc) pins to cell 0 and is never
     kept. Doc-level output — the oracle checks every keep decision."""
-    from pyspark.sql import Window
-
-    from ..functions.sketches import quantile_bucket
+    from ..functions.sketches import (
+        percentile_threshold_cell,
+        quantile_bucket,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
@@ -787,27 +788,9 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qb", quantile_bucket(F.col("q"), QG_WIDTH, QG_BUCKETS)
     )
     cells = scored.groupBy("qb").agg(F.count(F.lit(1)).alias("cnt"))
-    w_cum = (
-        Window.orderBy("qb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy()
-    thr = (
-        cells.select(
-            "qb",
-            F.sum("cnt").over(w_cum).alias("cum"),
-            F.sum("cnt").over(w_all).alias("n"),
-        )
-        .agg(
-            F.min(
-                F.when(
-                    F.col("cum")
-                    >= F.ceil(F.lit(QG_PCT) * F.col("n").cast("double")),
-                    F.col("qb"),
-                )
-            ).alias("t")
-        )
-    )
+    # threshold derivation factored to sketches.percentile_threshold_cell
+    # (r10): shared with the corpus_prep selection stage
+    thr = percentile_threshold_cell(cells, QG_PCT)
     return scored.join(F.broadcast(thr)).select(
         "doc_id",
         F.col("q").alias("quality"),
@@ -1004,40 +987,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join back to documents close it out. Short docs (< 3 words)
     report 0 shingles and novelty 0 via the greatest(1, n)-guarded
     division — never NaN, identically in both engines."""
-    from ..functions.dedup import shingle_hash_arrays
+    from ..functions.dedup import novelty_per_doc
 
     docs = _t(spark, sf_dir, "documents")
-    sha = shingle_hash_arrays(docs)
-    ex = sha.select(
-        F.col("id").alias("doc_id"), F.explode("sh_arr").alias("sh")
-    )
-    dfc = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    per = (
-        ex.join(dfc, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
-        )
-    )
-    zero = F.lit(0).cast("long")
-    return (
-        docs.select("doc_id")
-        .join(per, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_shingles"), zero).alias("n_shingles"),
-            F.coalesce(F.col("n_novel"), zero).alias("n_novel"),
-            F.round(
-                F.coalesce(F.col("n_novel"), zero).cast("double")
-                / F.greatest(
-                    F.lit(1).cast("long"),
-                    F.coalesce(F.col("n_shingles"), zero),
-                ),
-                6,
-            ).alias("novelty"),
-        )
-    )
+    # metric factored to dedup.novelty_per_doc (r10): shared with the
+    # ShingleDfStore serve path and the corpus_prep diversity stage
+    return novelty_per_doc(docs)
 
 
 # ======================================================================
