@@ -165,6 +165,8 @@ HEADLINE = [
     "q_sample_tokens",
     # quality-percentile gate (L39 cells feeding selection in-plan)
     "q_quality_gate",
+    # r10 addition: whitened-space SemDeDup (cells + whitened cosine)
+    "q_dedup_semantic_white",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -245,6 +245,10 @@ ROTATED_OUT_R10 = (
     "q_classifier_auc",
     "q_classifier_calibration",
     "q_kmeans_cluster",
+    # r10-new, declared OUT of the window (window pinned to the
+    # staleness-repayment plan); oracled — selfcheck + the
+    # embeddings fuzz family cover it until its r11 driver row
+    "q_dedup_semantic_white",
 )
 
 

@@ -620,6 +620,19 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"BroadcastNestedLoopJoin",
         ],
     ],
+    # whitened-space SemDeDup: same cell self-equi-join shape as the
+    # raw-space cells query (whitened coords are literal-scaled
+    # codegen folds computed before the join); no Python, no
+    # cartesian, no BNLJ
+    "q_dedup_semantic_white": [
+        [r"Join"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+        ],
+    ],
     # binned AUC: ONE hash aggregate to ≤AUC_BUCKETS cells, then the
     # tiny cumulative over the CELL table (windowspecdefinition(bin
     # ...) — W1 tiny-prefix shape); no join, no Python, and never a

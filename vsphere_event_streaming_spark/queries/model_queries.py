@@ -1188,3 +1188,166 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         *whiten_columns(F.col("embedding"), comps, lams, n),
     )
+
+
+# ======================================================================
+# L18''': whitened-space semantic dedup (SemDeDup over whitened cosine)
+# ======================================================================
+#: Whitened-space dominance threshold. The SemDeDup recipe measures
+#: cosine in a NORMALIZED embedding space; the whitened projection
+#: (unit second moment per component) is this engine's trained form
+#: of that normalization. Whitened cosines concentrate far higher
+#: than raw ones (PCA_TOPM=4 coordinates, equalized scales — the
+#: same-cell pair p50 is ~0.15 raw vs ~0.75 whitened on the driver
+#: corpora), so the gate sits at 0.95, the published recipe's tight
+#: cut, NOT the raw-space SEMANTIC_THRESHOLD.
+WHITE_SEMANTIC_THRESHOLD = 0.95
+
+
+def _sem_white_oracle() -> str:
+    import re
+
+    from ..functions.classifier import pca_topm_ordered_oracle
+    from ..functions.kmeans import kmeans_oracle
+
+    k1 = SEM_KMEANS_ITERS + 1
+    km = kmeans_oracle(k=_SEM_K_SQL, iters=SEM_KMEANS_ITERS)
+    # the kmeans update CTEs (u1, u2) collide with the PCA power-
+    # iteration CTEs (u1..u{PCA_ITERS}) — rename the kmeans family
+    # kmu{t}; every u{t} token in that fragment IS an update-CTE
+    # definition or reference (checked by the loud guard below, which
+    # fails at import time if either builder grows a new collision)
+    km = re.sub(r"\bu(\d+)\b", r"kmu\1", km)
+    pc = pca_topm_ordered_oracle(iters=PCA_ITERS, m=PCA_TOPM)
+
+    def _ctes(s: str) -> set[str]:
+        return set(re.findall(r"(\w+) AS MATERIALIZED", s))
+
+    overlap = _ctes(km) & _ctes(pc)
+    if overlap:
+        raise ValueError(
+            f"sem-white oracle CTE collision after rename: {overlap}"
+        )
+    # the whitened projection — q_embed_whiten's exact per-component
+    # CASE (guarded rank-exhausted 0.0, round 6), assembled into a
+    # DuckDB list so the pair cosine reads one column
+    wexprs = []
+    for r in range(1, PCA_TOPM + 1):
+        wexprs.append(
+            f"""CASE WHEN (SELECT lam FROM pord WHERE r = {r}) <= 0.0
+           THEN 0.0
+           ELSE round(
+                list_dot_product(x, (SELECT v FROM pord WHERE r = {r}))
+                / sqrt((SELECT lam FROM pord WHERE r = {r})
+                       / (1000000.0 * (SELECT n FROM wcnt))), 6)
+      END"""
+        )
+    wv = "[" + ",\n      ".join(wexprs) + "]"
+    cos = (
+        "list_dot_product(a.wv, b.wv) / "
+        "(sqrt(list_dot_product(a.wv, a.wv)) * "
+        "sqrt(list_dot_product(b.wv, b.wv)))"
+    )
+    return (
+        km
+        + ",\n"
+        + pc.removeprefix("WITH\n")
+        + f""",
+wcnt AS MATERIALIZED (SELECT count(*) AS n FROM we),
+wd AS MATERIALIZED (
+  SELECT we.vec_id, a.cid, {wv} AS wv
+  FROM we JOIN a{k1} a USING (vec_id)
+),
+wred AS MATERIALIZED (
+  SELECT DISTINCT b.vec_id AS vec_id, TRUE AS dup
+  FROM wd a JOIN wd b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos} >= {WHITE_SEMANTIC_THRESHOLD}
+)
+SELECT wd.vec_id AS vec_id, wd.cid AS cid,
+       NOT coalesce(dup, FALSE) AS kept
+FROM wd LEFT JOIN wred USING (vec_id)
+"""
+    )
+
+
+@query("q_dedup_semantic_white", oracle=_sem_white_oracle())
+def q_dedup_semantic_white(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in WHITENED space (VERDICT_r9 #5) — the published
+    recipe measures cosine in a normalized embedding space; this
+    variant composes the engine's two trained artifacts: the
+    corpus-scaled k-means cells block candidates (the exact
+    q_dedup_semantic_cells model, shared memo) and the min-id
+    dominance cosine is computed over the PCA-WHITENED projections
+    (the exact q_embed_whiten coordinates, shared memo + shared
+    whiten_columns expression tree). Whitening equalizes component
+    scales, so dominance stops being driven by the top raw-variance
+    direction — the normalization step the raw-space variant skips.
+
+    The oracle replays BOTH trainings CTE-for-CTE — Lloyd's
+    (kmeans_oracle, update CTEs renamed kmu{t} to clear the PCA
+    power-iteration names) then Gram → deflation → eigenvalue
+    ordering → whitening (pca_topm_ordered_oracle + the q_embed_whiten
+    projection CASE) — then the assignment join and every pair
+    decision. Same scale shape as q_dedup_semantic_cells: per-cell
+    pair cost stays flat under the corpus-scaled k; the whitened
+    coordinates are PCA_TOPM rounded doubles computed BEFORE the
+    self-join (persisted once, both sides + output read them); a
+    degenerate all-zero whitened vector yields NaN cosine and fails
+    the gate identically in both engines."""
+    from ..functions.classifier import whiten_columns
+    from ..functions.dedup import _persist
+    from ..functions.vectors import cosine
+    from ..tables import spread
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ck = _corpus_key(sf_dir)
+    cm = _SEM_KMEANS_MEMO.get(ck)
+    if cm is None:
+        cm = train_kmeans(
+            emb, k=_sem_k(emb.count()), iters=SEM_KMEANS_ITERS
+        )
+        _SEM_KMEANS_MEMO[ck] = cm
+    entry = _WHITEN_MEMO.get(ck)
+    if entry is None:
+        g = gram_micro(emb)
+        d = 1 + max((i for i, _ in g), default=-1)
+        comps, lams = pca_topm_ordered(
+            g, d, iters=PCA_ITERS, m=PCA_TOPM
+        )
+        entry = (comps, lams, emb.count())
+        _WHITEN_MEMO[ck] = entry
+        _TRACE_MEMO[ck] = sum(v for (i, j), v in g.items() if i == j)
+    comps, lams, n = entry
+    # spread before the argmin (the q_dedup_semantic_cells lesson),
+    # whitened coords computed in the SAME persisted projection
+    s = _persist(
+        spread(emb).select(
+            "vec_id",
+            kmeans_assign(F.col("embedding"), cm).alias("cid"),
+            F.array(
+                *whiten_columns(F.col("embedding"), comps, lams, n)
+            ).alias("wv"),
+        )
+    )
+    a = s.select(
+        F.col("vec_id").alias("__ida"), F.col("wv").alias("__wa"), "cid"
+    )
+    b = s.select(
+        F.col("vec_id").alias("__idb"), F.col("wv").alias("__wb"), "cid"
+    )
+    redundant = (
+        a.join(b, "cid")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            cosine(F.col("__wa"), F.col("__wb"))
+            >= F.lit(WHITE_SEMANTIC_THRESHOLD)
+        )
+        .select(F.col("__idb").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return s.join(redundant, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
+    )

@@ -259,6 +259,11 @@ PRIORITY: tuple[str, ...] = (
     "q_classifier_auc",
     "q_classifier_calibration",
     "q_kmeans_cluster",
+    # r10-new, declared OUT of the window (the r10 window is pinned
+    # to the staleness-repayment plan above); oracled, so selfcheck
+    # and the embeddings fuzz family cover it until its r11 driver
+    # row
+    "q_dedup_semantic_white",
     # permanent rows-only checks (never in the window):
     "q_knn_ivf",
     "q_approx_aggs",
