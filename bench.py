@@ -165,8 +165,12 @@ HEADLINE = [
     "q_sample_tokens",
     # quality-percentile gate (L39 cells feeding selection in-plan)
     "q_quality_gate",
-    # r10 addition: whitened-space SemDeDup (cells + whitened cosine)
+    # r10 additions: whitened-space SemDeDup (cells + whitened
+    # cosine); index-backed hybrid retrieval (trained-IVF semantic
+    # ranking — index built+memoized per corpus at first call,
+    # untimed; the timed row is the probe + fusion serve path)
     "q_dedup_semantic_white",
+    "q_search_rrf_indexed",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

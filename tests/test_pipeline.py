@@ -177,6 +177,75 @@ def test_ivf_indexed_partition_pruning(spark, tmp_path):
     ), buf.getvalue()
 
 
+def test_rrf_indexed_recall_and_partition_pruning(spark):
+    """VERDICT_r9 #6: the index-backed hybrid retrieval
+    (q_search_rrf_indexed — trained-IVF semantic ranking against a
+    materialized cell-partitioned index) must (1) recover the oracled
+    brute-force fused list at least as well as the sign-LSH
+    MULTIPROBE alternative would on the same task — the engine's own
+    approximate-ANN recall bound — and (2) actually prune: the fused
+    plan's scan of the index must carry a PartitionFilters IN clause
+    on centroid_id, so only nprobe cells are read."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from vsphere_event_streaming_spark.functions.vectors import (
+        hyperplane_topk_probed,
+        min_id_query_split,
+    )
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        HASH_EMBED_DIM,
+        RRF_DEPTH,
+        _rrf_fuse,
+        q_search_rrf,
+        q_search_rrf_indexed,
+    )
+    from vsphere_event_streaming_spark.queries.advanced_queries import (
+        bm25_scores,
+    )
+    from vsphere_event_streaming_spark.functions import text as T
+    from vsphere_event_streaming_spark.tables import load, spread
+
+    sf = "/root/testdata/sf0.001"
+    brute = [r["doc_id"] for r in q_search_rrf(spark, sf).collect()]
+    indexed_df = q_search_rrf_indexed(spark, sf)
+    indexed = [r["doc_id"] for r in indexed_df.collect()]
+    assert brute and indexed
+
+    # the engine's own multiprobe bound: same BM25 side, ranking B
+    # from sign-LSH Hamming-1 multiprobe, same fusion
+    docs = load(spark, sf, "documents")
+    emb = T.hash_embed(spread(docs), HASH_EMBED_DIM).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    qvec, corpus = min_id_query_split(emb)
+    probed_top = hyperplane_topk_probed(
+        corpus, qvec, k=RRF_DEPTH, n_bits=6
+    ).withColumnRenamed("vec_id", "doc_id")
+    bmtop = (
+        bm25_scores(docs)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    probed = [r["doc_id"] for r in _rrf_fuse(bmtop, probed_top).collect()]
+
+    recall_indexed = len(set(brute) & set(indexed)) / len(brute)
+    recall_probed = len(set(brute) & set(probed)) / len(brute)
+    assert recall_indexed >= recall_probed, (
+        f"indexed fused recall {recall_indexed} fell below the "
+        f"sign-LSH multiprobe bound {recall_probed}: "
+        f"brute={brute} indexed={indexed} probed={probed}"
+    )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        indexed_df.explain()
+    assert re.search(
+        r"PartitionFilters: \[.*centroid_id#\d+ IN \(", buf.getvalue()
+    ), buf.getvalue()
+
+
 def test_cosine_expression_matches_numpy(spark):
     import numpy as np
 

@@ -105,8 +105,16 @@ ROWS_ONLY_IN_WINDOW = ()
 #: The permanent rows-only checks — must stay registered (a user can
 #: still run them) but OUT of the window (their driver rows are dead
 #: slots); their correctness evidence is pytest
-#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute).
-ROWS_ONLY_OFF_WINDOW = ("q_knn_ivf", "q_approx_aggs")
+#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute and
+#: RRF indexed recall-vs-multiprobe + partition pruning).
+ROWS_ONLY_OFF_WINDOW = (
+    "q_knn_ivf",
+    "q_approx_aggs",
+    # r10: index-backed hybrid retrieval — approximate by design
+    # (trained-IVF probe); evidence is pytest
+    # (test_rrf_indexed_recall_and_partition_pruning)
+    "q_search_rrf_indexed",
+)
 
 #: Queries rotated out of the window in r10 — every one holds a
 #: driver-green value-hash row from r7-r9 and must stay registered

@@ -695,6 +695,20 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # ≤RRF_DEPTH-row shape and are allowed. The BM25 corpus stats
     # ride the same in-plan BroadcastNestedLoopJoin as q_search_bm25
     # (shared bm25_scores, VERDICT_r9 #3) — no driver .first()
+    # index-backed RRF: the semantic ranking reads the materialized
+    # IVF index with a PartitionFilters IN clause on centroid_id
+    # (only nprobe cells are scanned); both rankings end in heaps;
+    # the BM25 stats ride the same in-plan BNLJ as q_search_rrf
+    "q_search_rrf_indexed": [
+        [
+            r"PartitionFilters: \[.*centroid_id#\d+ IN \(",
+            r"TakeOrderedAndProject",
+        ],
+        [
+            r"BatchEvalPython",
+            r"CartesianProduct",
+        ],
+    ],
     "q_search_rrf": [
         [
             r"TakeOrderedAndProject",

@@ -2755,7 +2755,17 @@ def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RRF_DEPTH)
     )
 
-    # rank + fuse: everything below runs on two ≤RRF_DEPTH-row lists
+    return _rrf_fuse(bmtop, cstop)
+
+
+def _rrf_fuse(bmtop: DataFrame, cstop: DataFrame) -> DataFrame:
+    """Rank + reciprocal-rank-fuse two (doc_id, score) rankings —
+    everything here runs on two ≤RRF_DEPTH-row lists (W1 tiny-prefix
+    territory). Shared by the oracled brute-force q_search_rrf and
+    the index-backed q_search_rrf_indexed so the fusion arithmetic
+    can never drift between the oracle tier and the scale tier."""
+    from pyspark.sql import Window
+
     wa = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     ra = bmtop.select(
         "doc_id", F.row_number().over(wa).cast("long").alias("ra")
@@ -2778,6 +2788,82 @@ def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_K)
+
+
+#: Index-backed semantic ranking knobs: the corpus's hash embeddings
+#: are clustered into RRF_IVF_K spherical cells and materialized
+#: partitioned-by-cell; each query probes the RRF_NPROBE best cells
+#: via partition pruning. Same k/nprobe as q_knn_ivf.
+RRF_IVF_K = 8
+RRF_NPROBE = 3
+
+#: (corpus key) -> (index_path, [(centroid_id, cvec), ...]) for the
+#: materialized RRF IVF index — built once per corpus fingerprint
+#: (the trained-model memo contract, model_queries._corpus_key).
+_RRF_IVF_MEMO: dict[tuple, tuple[str, list]] = {}
+
+
+@query("q_search_rrf_indexed", oracle=None)
+def q_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval, INDEX-BACKED semantic ranking (VERDICT_r9
+    #6): q_search_rrf's ranking B is brute-force cosine — correct and
+    candidate-complete, but at 100 TB the semantic side should probe
+    a materialized index. This variant ranks B with the trained-IVF
+    scale path: the corpus's hash embeddings cluster into RRF_IVF_K
+    spherical k-means cells, the index is WRITTEN PARTITIONED BY CELL
+    (vectors.write_ivf_index), and each query exact-scores only the
+    RRF_NPROBE best cells — the scan's PartitionFilters prune the
+    rest before any I/O (asserted in pytest and plan audit). Ranking
+    A (BM25) and the fusion arithmetic are the exact q_search_rrf
+    code (shared bm25_scores / _rrf_fuse).
+
+    ROWS-ONLY check by design (the q_knn_ivf precedent): Lloyd's over
+    doubles is not replayed by this oracle tier, and the probe is
+    approximate — its correctness evidence is the pytest parity
+    bound (fused-list recall vs the oracled brute form >= the
+    sign-LSH multiprobe alternative's recall on the same task) plus
+    the partition-pruning plan assertion. The index is built once
+    per corpus fingerprint and memoized (train-once/serve-many)."""
+    import os
+    import tempfile
+
+    from ..functions.vectors import ivf_topk_indexed, min_id_query_split
+    from ..functions.vectors import kmeans_fit, write_ivf_index
+    from ..tables import spread
+    from .advanced_queries import bm25_scores
+    from .model_queries import _corpus_key
+
+    docs = _t(spark, sf_dir, "documents")
+    bmtop = (
+        bm25_scores(docs)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+
+    emb = T.hash_embed(spread(docs), HASH_EMBED_DIM).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    qvec, corpus = min_id_query_split(emb)
+    ck = _corpus_key(sf_dir, table="documents.parquet")
+    entry = _RRF_IVF_MEMO.get(ck)
+    if entry is None:
+        cents = kmeans_fit(corpus, k=RRF_IVF_K, iters=3)
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_rrf_ivf_{abs(hash(ck)):x}",
+        )
+        write_ivf_index(corpus, cents, path)
+        entry = (path, [(r["centroid_id"], list(r["cvec"])) for r in
+                        cents.collect()])
+        _RRF_IVF_MEMO[ck] = entry
+    path, cent_rows = entry
+    cents = spark.createDataFrame(
+        cent_rows, "centroid_id int, cvec array<double>"
+    )
+    cstop = ivf_topk_indexed(
+        spark, path, cents, qvec, k=RRF_DEPTH, nprobe=RRF_NPROBE
+    ).withColumnRenamed("vec_id", "doc_id")
+    return _rrf_fuse(bmtop, cstop)
 
 
 # ======================================================================

@@ -265,8 +265,13 @@ PRIORITY: tuple[str, ...] = (
     # row
     "q_dedup_semantic_white",
     # permanent rows-only checks (never in the window):
+    # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
+    # Lloyd's-over-doubles is not oracle-replayed — evidence is the
+    # pytest recall-vs-multiprobe bound + partition-pruning assert,
+    # the q_knn_ivf precedent)
     "q_knn_ivf",
     "q_approx_aggs",
+    "q_search_rrf_indexed",
 )
 
 
