@@ -1515,3 +1515,89 @@ def test_incremental_shingle_df_stream(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no ingested batches"):
         ShingleDfStore(spark, f"{tmp_path}/sdf_nope").df_table()
+
+
+def test_incremental_term_stats_stream(spark, tmp_path):
+    """TermStatsStore (the 9th store family, r10): doc batches
+    streamed in per-file epochs collapse into additive BM25 corpus
+    cells whose merged stats — and therefore the BM25 scores of the
+    ingested corpus — are BIT-IDENTICAL to the batch bm25_scores
+    over the union; a replayed batch overwrites instead of
+    double-counting; an empty store raises the typed error."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.text import TermStatsStore
+    from vsphere_event_streaming_spark.queries.advanced_queries import (
+        bm25_scores,
+    )
+    from vsphere_event_streaming_spark.streaming.dedup_stream import (
+        start_incremental_term_stats,
+    )
+    from vsphere_event_streaming_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    in_dir = f"{tmp_path}/in_ts"
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{b}")
+    q = start_incremental_term_stats(
+        spark,
+        in_dir + "/part*",
+        f"{tmp_path}/ts",
+        f"{tmp_path}/ts_ckpt",
+        max_files_per_trigger=1,  # one epoch per batch dir
+    )
+    q.awaitTermination(180)
+    store = TermStatsStore(spark, f"{tmp_path}/ts")
+
+    # merged stats equal the batch in-plan aggregates exactly
+    toks = F.split(F.lower(F.col("text")), "[^a-z]+")
+    want_stats = (
+        docs.select(F.size(toks).alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .first()
+    )
+    got_stats = store.stats().first()
+    assert got_stats["n_docs"] == want_stats["n_docs"]
+    assert got_stats["avgdl"] == want_stats["avgdl"]
+
+    # serve path == batch scoring, bit-for-bit
+    want = {
+        r["doc_id"]: r["score"] for r in bm25_scores(docs).collect()
+    }
+    got = {r["doc_id"]: r["score"] for r in store.bm25(docs).collect()}
+    assert got == want and got
+
+    # replayed batch: cells must not double (pinned batch ids)
+    man = TermStatsStore(spark, f"{tmp_path}/ts_manual")
+    for b in range(3):
+        man.add_batch(docs.filter(F.col("doc_id") % 3 == b), f"x{b}")
+    man.add_batch(docs.filter(F.col("doc_id") % 3 == 1), "x1")  # replay
+    got2 = {r["doc_id"]: r["score"] for r in man.bm25(docs).collect()}
+    assert got2 == want
+    # merged df table == from-scratch distinct-doc counts (all terms)
+    want_df = {
+        r["term"]: r["df"]
+        for r in docs.select(
+            "doc_id", F.explode(toks).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    assert {
+        r["term"]: r["df"] for r in man.df_table().collect()
+    } == want_df
+
+    # empty store raises the typed error
+    with _pytest.raises(ValueError, match="no ingested batches"):
+        TermStatsStore(spark, f"{tmp_path}/ts_nope").df_table()

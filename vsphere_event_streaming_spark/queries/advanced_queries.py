@@ -2402,7 +2402,12 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bm25_scores(docs: DataFrame) -> DataFrame:
+def bm25_scores(
+    docs: DataFrame,
+    stats: DataFrame | None = None,
+    dfreq: DataFrame | None = None,
+    terms: list[str] | None = None,
+) -> DataFrame:
     """(doc_id, score): in-plan BM25 (k1=1.2, b=0.75) of every doc
     matching the engine's query terms — the scoring shared verbatim
     by q_search_bm25 and q_search_rrf's lexical ranking (they can
@@ -2413,20 +2418,29 @@ def bm25_scores(docs: DataFrame) -> DataFrame:
     separate job + literal. Same IEEE arithmetic as the old literal
     form: n_docs is the count cast to double, avgdl the plain
     ``avg`` double, and the idf/saturation chains keep their exact
-    left-assoc shape — bit-identical scores, oracle unchanged."""
+    left-assoc shape — bit-identical scores, oracle unchanged.
+
+    ``stats`` (1-row ``(n_docs double, avgdl double)``) and ``dfreq``
+    (``(term, df)``, already restricted to the query terms) override
+    the in-plan corpus aggregates — the incremental serve path
+    (``text.TermStatsStore.bm25``, r10) feeds the merged store cells
+    through the SAME scoring expressions, so batch and serve scores
+    agree bit-for-bit by construction."""
     toks = F.split(F.lower(F.col("text")), "[^a-z]+")
     lens = docs.select("doc_id", F.size(toks).alias("dl"))
-    stats = lens.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
+    if stats is None:
+        stats = lens.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
     tokens = docs.select(
         "doc_id", F.explode(toks).alias("term")
-    ).filter(F.col("term").isin(_SEARCH_TERMS))
+    ).filter(F.col("term").isin(terms if terms is not None else _SEARCH_TERMS))
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tokens.distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    if dfreq is None:
+        dfreq = tokens.distinct().groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        )
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
