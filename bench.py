@@ -171,6 +171,8 @@ HEADLINE = [
     # untimed; the timed row is the probe + fusion serve path)
     "q_dedup_semantic_white",
     "q_search_rrf_indexed",
+    # kNN pseudo-labeling over the sign-LSH buckets
+    "q_knn_classify",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -255,8 +255,9 @@ ROTATED_OUT_R10 = (
     "q_kmeans_cluster",
     # r10-new, declared OUT of the window (window pinned to the
     # staleness-repayment plan); oracled — selfcheck + the
-    # embeddings fuzz family cover it until its r11 driver row
+    # embeddings fuzz family cover them until their r11 driver rows
     "q_dedup_semantic_white",
+    "q_knn_classify",
 )
 
 

@@ -695,6 +695,17 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # ≤RRF_DEPTH-row shape and are allowed. The BM25 corpus stats
     # ride the same in-plan BroadcastNestedLoopJoin as q_search_bm25
     # (shared bm25_scores, VERDICT_r9 #3) — no driver .first()
+    # kNN classify: bucket self-equi-join, neighbor ranking is a
+    # PARTITIONED window (never a global sort), vote is a hash
+    # aggregate; no Python, no cartesian
+    "q_knn_classify": [
+        [r"Window", r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+        ],
+    ],
     # index-backed RRF: the semantic ranking reads the materialized
     # IVF index with a PartitionFilters IN clause on centroid_id
     # (only nprobe cells are scanned); both rankings end in heaps;

@@ -1251,6 +1251,161 @@ def q_knn_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_topk(corpus, qvec, k=10, n_bits=6)
 
 
+# ======================================================================
+# L3''': kNN classification (pseudo-labeling over the sign-LSH buckets)
+# ======================================================================
+#: Neighbors per vote.
+KNN_CLASSIFY_K = 5
+
+
+def _knn_classify_oracle(n_bits: int = 6) -> str:
+    from ..functions.vectors import HYPER_MOD, HYPER_P1, HYPER_P2
+
+    def dotj(j: int) -> str:
+        plane = (
+            f"((({j}*{HYPER_P1} + (i-1)*{HYPER_P2} + 1) % {HYPER_MOD})"
+            f"::DOUBLE / {HYPER_MOD} - 0.5)"
+        )
+        return (
+            f"list_reduce(list_transform(range(1, len(v)+1), "
+            f"i -> v[i] * {plane}), (a, b) -> a + b)"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dotj(j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    guarded_cos = (
+        "CASE WHEN list_dot_product(a.v, a.v) > 0"
+        " AND list_dot_product(b.v, b.v) > 0"
+        f" THEN {_duck_cosine('a.v', 'b.v')}"
+        " ELSE -1.0 END"
+    )
+    return f"""
+    WITH ke AS MATERIALIZED (
+      SELECT vec_id, label, {_DUCK_DVEC} AS v FROM embeddings
+    ),
+    ks AS MATERIALIZED (
+      SELECT vec_id, label, v, CAST({sig} AS INTEGER) AS sig FROM ke
+    ),
+    knb AS (
+      SELECT a.vec_id, b.label AS nlabel,
+             row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY {guarded_cos} DESC, b.vec_id) AS rn
+      FROM ks a JOIN ks b ON a.sig = b.sig AND a.vec_id != b.vec_id
+      WHERE b.label IS NOT NULL
+    ),
+    kvotes AS (
+      SELECT vec_id, nlabel, count(*) AS cnt FROM knb
+      WHERE rn <= {KNN_CLASSIFY_K}
+      GROUP BY vec_id, nlabel
+    ),
+    kpred AS (
+      SELECT vec_id, nlabel AS pred FROM (
+        SELECT vec_id, nlabel,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cnt DESC, nlabel) AS pr
+        FROM kvotes) z WHERE pr = 1
+    )
+    SELECT ks.vec_id AS vec_id,
+           CAST(ks.label AS BIGINT) AS label,
+           CAST(coalesce(kpred.pred, -1) AS BIGINT) AS pred,
+           (kpred.pred IS NOT NULL AND kpred.pred = ks.label) AS correct
+    FROM ks LEFT JOIN kpred USING (vec_id)
+    """
+
+
+@query("q_knn_classify", oracle=_knn_classify_oracle())
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN CLASSIFICATION / pseudo-labeling (r10) — the training-free
+    auto-labeler a data pipeline runs before it has a trained
+    classifier: every vector is predicted the MAJORITY LABEL of its
+    KNN_CLASSIFY_K nearest LABELED neighbors (exact guarded cosine,
+    ties on smaller neighbor id) inside its sign-LSH bucket; vote
+    ties break on the smaller label; a vector with no labeled
+    bucket-mates abstains (pred = -1, correct = false). The deterministic-bucket twin of
+    what an IVF-blocked kNN classifier does at scale — and because
+    the hash is pure arithmetic, bucket assignment, every neighbor
+    rank, every vote and every tie-break are oracle-replayed.
+
+    Scale shape: pairs are bounded per bucket (the L9 posture); the
+    neighbor ranking is a window PARTITIONED by target vector over
+    its own bucket's candidates — never a global sort; the vote is a
+    map-side-combined hash aggregate over ≤K rows per vector. A
+    zero vector scores the guarded -1.0 against everything (never
+    NaN ordering skew), identically in both engines."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine, dot, hyperplane_sig
+    from ..tables import spread
+
+    emb = _t(spark, sf_dir, "embeddings")
+    s = _persist_knn(
+        spread(emb).select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            "embedding",
+            hyperplane_sig(F.col("embedding"), 6).alias("sig"),
+        )
+    )
+    a = s.select(
+        F.col("vec_id").alias("__ida"),
+        F.col("embedding").alias("__va"),
+        "sig",
+    )
+    # only LABELED neighbors vote (fuzz-pinned: a NULL-label voter
+    # group would order NULLS FIRST in Spark vs LAST in DuckDB at a
+    # vote tie — and pseudo-labeling consults the labeled set anyway)
+    b = s.filter(F.col("label").isNotNull()).select(
+        F.col("vec_id").alias("__idb"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("__vb"),
+        "sig",
+    )
+    gcos = F.when(
+        (dot(F.col("__va"), F.col("__va")) > 0)
+        & (dot(F.col("__vb"), F.col("__vb")) > 0),
+        cosine(F.col("__va"), F.col("__vb")),
+    ).otherwise(F.lit(-1.0))
+    w_nb = Window.partitionBy("__ida").orderBy(
+        gcos.desc(), F.col("__idb")
+    )
+    votes = (
+        a.join(b, "sig")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .withColumn("rn", F.row_number().over(w_nb))
+        .filter(F.col("rn") <= KNN_CLASSIFY_K)
+        .groupBy("__ida", "nlabel")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_pr = Window.partitionBy("__ida").orderBy(
+        F.col("cnt").desc(), F.col("nlabel")
+    )
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w_pr))
+        .filter(F.col("pr") == 1)
+        .select(F.col("__ida").alias("vec_id"), F.col("nlabel").alias("__pred"))
+    )
+    return s.join(pred, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        F.coalesce(F.col("__pred"), F.lit(-1).cast("long")).alias("pred"),
+        (
+            F.col("__pred").isNotNull()
+            & (F.col("__pred") == F.col("label"))
+        ).alias("correct"),
+    )
+
+
+def _persist_knn(df: DataFrame) -> DataFrame:
+    """Persist the sig-augmented projection: it feeds both self-join
+    sides and the output join (the dedup-tier _persist pattern,
+    registered for release)."""
+    from ..functions.dedup import _persist
+
+    return _persist(df)
+
+
 def _pipeline_guarded_oracle() -> str:
     from ..functions.text import PII_PATTERNS
 

@@ -264,6 +264,7 @@ PRIORITY: tuple[str, ...] = (
     # and the embeddings fuzz family cover it until its r11 driver
     # row
     "q_dedup_semantic_white",
+    "q_knn_classify",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
