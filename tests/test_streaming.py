@@ -1601,3 +1601,73 @@ def test_incremental_term_stats_stream(spark, tmp_path):
     # empty store raises the typed error
     with _pytest.raises(ValueError, match="no ingested batches"):
         TermStatsStore(spark, f"{tmp_path}/ts_nope").df_table()
+
+
+def test_incremental_exact_keepers_stream(spark, tmp_path):
+    """ExactDedupStore (the 10th store family, r10): doc batches
+    streamed in per-file epochs collapse into (min, sum)-mergeable
+    keeper cells whose merged table is BIT-IDENTICAL to the batch
+    exact_dedup_keepers over the union; a replayed batch overwrites
+    instead of double-counting; an empty store raises the typed
+    error. Planted cross-batch duplicates prove the MIN merge crosses
+    batch boundaries (the keeper lives in a different batch than its
+    copies)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.dedup import (
+        ExactDedupStore,
+        exact_dedup_keepers,
+    )
+    from vsphere_event_streaming_spark.streaming.dedup_stream import (
+        start_incremental_exact_keepers,
+    )
+    from vsphere_event_streaming_spark.tables import load
+
+    base = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    # plant cross-batch exact duplicates: doc 9001/9002 duplicate the
+    # min-id doc's text but land in DIFFERENT batches (doc_id % 3)
+    dup_text = base.orderBy("doc_id").first()["text"]
+    extra = spark.createDataFrame(
+        [(9001, dup_text), (9002, "  " + dup_text.upper() + " ")],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(extra)
+
+    in_dir = f"{tmp_path}/in_ek"
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{b}")
+    q = start_incremental_exact_keepers(
+        spark,
+        in_dir + "/part*",
+        f"{tmp_path}/ek",
+        f"{tmp_path}/ek_ckpt",
+        max_files_per_trigger=1,  # one epoch per batch dir
+    )
+    q.awaitTermination(180)
+    store = ExactDedupStore(spark, f"{tmp_path}/ek")
+
+    def key(rows):
+        return sorted((r["keeper_id"], r["copies"]) for r in rows)
+
+    want = key(exact_dedup_keepers(docs).collect())
+    got = key(store.keepers().collect())
+    assert got == want and got
+    # the planted duplicates collapsed across batches onto the min id
+    assert any(c >= 3 for _, c in got)
+    assert all(k < 9001 for k, _ in got)
+
+    # replayed batch: cells must not double (pinned batch ids)
+    man = ExactDedupStore(spark, f"{tmp_path}/ek_manual")
+    for b in range(3):
+        man.add_batch(docs.filter(F.col("doc_id") % 3 == b), f"x{b}")
+    man.add_batch(docs.filter(F.col("doc_id") % 3 == 1), "x1")  # replay
+    assert key(man.keepers().collect()) == want
+
+    # empty store raises the typed error
+    with _pytest.raises(ValueError, match="no ingested batches"):
+        ExactDedupStore(spark, f"{tmp_path}/ek_nope").keepers()

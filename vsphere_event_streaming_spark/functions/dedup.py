@@ -1415,3 +1415,72 @@ class ShingleDfStore:
         must :func:`release_cached` after the consuming action, the
         same contract as this module's pair functions."""
         return novelty_per_doc(docs, self.df_table())
+
+
+class ExactDedupStore:
+    """Persistent incremental exact-dedup keeper store — the TENTH
+    index/store family (r10): L1's keeper table is MERGEABLE cells
+    under (min, sum) — per normalized-text hash, ``keeper_id`` merges
+    by MIN across doc-disjoint batches and ``copies`` is additive —
+    so exact dedup over a growing corpus gets the same batch-by-batch
+    treatment as every other tier. Each ingested batch collapses to
+    one ``(nh, keeper_id, copies)`` cell per distinct normalized
+    text under its own idempotent ``batch_id=`` partition;
+    :meth:`keepers` reads the merged table at any time, bit-identical
+    to the batch :func:`exact_dedup_keepers` over the union (pytest).
+    Per-batch state is one row per DISTINCT text — dedup's own
+    output size, never per-occurrence. Same crash contract as every
+    store: a batch write OVERWRITES its own partition directory
+    (idempotent replay)."""
+
+    def __init__(self, spark, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def add_batch(
+        self, docs: DataFrame, batch_id: str, text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> int:
+        """Collapse the batch to per-hash keeper cells and persist
+        them as an idempotent partition directory. Returns distinct
+        texts written."""
+        part_dir = batch_partition_dir(batch_id)  # validates token
+        cells = (
+            docs.groupBy(
+                F.md5(normalize_text(F.col(text_col))).alias("nh")
+            )
+            .agg(
+                F.min(id_col).alias("keeper_id"),
+                F.count(F.lit(1)).alias("copies"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = cells.count()
+        cells.write.mode("overwrite").parquet(f"{self.path}/{part_dir}")
+        return n
+
+    def _merged(self) -> DataFrame:
+        import os
+
+        if not os.path.isdir(self.path) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.path)
+        ):
+            raise ValueError(
+                f"ExactDedupStore has no ingested batches: {self.path!r}"
+                " — call add_batch() first"
+            )
+        return self.spark.read.parquet(self.path)
+
+    def keepers(self) -> DataFrame:
+        """The merged ``(keeper_id, copies)`` table over every
+        ingested batch — exactly the full-corpus
+        :func:`exact_dedup_keepers` by (min, sum) mergeability."""
+        return (
+            self._merged()
+            .groupBy("nh")
+            .agg(
+                F.min("keeper_id").alias("keeper_id"),
+                F.sum("copies").alias("copies"),
+            )
+            .select("keeper_id", "copies")
+        )

@@ -231,3 +231,41 @@ def start_incremental_term_stats(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_exact_keepers(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    batch_prefix: str = "b",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream ``(doc_id, text)`` batches into an
+    :class:`~..functions.dedup.ExactDedupStore` — L1's ingest
+    topology (r10): each epoch collapses to (min, sum)-mergeable
+    ``(nh, keeper_id, copies)`` cells under its own idempotent
+    ``batch_id=`` partition; the exact-dedup keeper table of
+    everything ingested reads off the merged cells at any time
+    (``store.keepers()``), bit-identical to the batch
+    ``exact_dedup_keepers`` (parity asserted in
+    ``tests/test_streaming.py``). Same checkpoint/prefix contract as
+    :func:`start_incremental_dedup`."""
+    from ..functions.dedup import ExactDedupStore
+
+    store = ExactDedupStore(spark, store_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        store.add_batch(batch_df, batch_id=f"{batch_prefix}{epoch_id}")
+
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
