@@ -695,6 +695,140 @@ def _semantic_cells_shape(emb):
     )
 
 
+def _semantic_white_shape(emb):
+    """q_dedup_semantic_white's shape (r10): trained corpus-scaled
+    cells block candidates, min-id dominance over the PCA-WHITENED
+    projections. Identical replicas pack exact-dup cliques into
+    cells, so candidate pairs grow ~factor^2 (time tracks pairs —
+    the flat-cost knob is the corpus-scaled k, probed separately by
+    semantic_cells_scaled_k; whitening adds one trained projection
+    per row, rows-linear)."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        gram_micro,
+        pca_topm_ordered,
+        whiten_columns,
+    )
+    from vsphere_event_streaming_spark.functions.dedup import _persist
+    from vsphere_event_streaming_spark.functions.kmeans import (
+        kmeans_assign,
+        train_kmeans,
+    )
+    from vsphere_event_streaming_spark.functions.vectors import cosine
+    from vsphere_event_streaming_spark.queries.model_queries import (
+        PCA_ITERS,
+        PCA_TOPM,
+        _sem_k,
+    )
+    from vsphere_event_streaming_spark.queries.model_queries import (
+        WHITE_SEMANTIC_THRESHOLD,
+    )
+    from vsphere_event_streaming_spark.tables import spread
+
+    n = emb.count()
+    cm = train_kmeans(emb, k=_sem_k(n), iters=2)
+    g = gram_micro(emb)
+    d = 1 + max(i for i, _ in g)
+    comps, lams = pca_topm_ordered(g, d, iters=PCA_ITERS, m=PCA_TOPM)
+    s = _persist(
+        spread(emb).select(
+            "vec_id",
+            kmeans_assign(F.col("embedding"), cm).alias("cid"),
+            F.array(
+                *whiten_columns(F.col("embedding"), comps, lams, n)
+            ).alias("wv"),
+        )
+    )
+    a = s.select(
+        F.col("vec_id").alias("__ida"), F.col("wv").alias("__wa"), "cid"
+    )
+    b = s.select(
+        F.col("vec_id").alias("__idb"), F.col("wv").alias("__wb"), "cid"
+    )
+    red = (
+        a.join(b, "cid")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            cosine(F.col("__wa"), F.col("__wb"))
+            >= F.lit(WHITE_SEMANTIC_THRESHOLD)
+        )
+        .select(F.col("__idb").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return s.join(red, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
+    )
+
+
+def _knn_classify_shape(emb):
+    """q_knn_classify's shape (r10): sign-LSH bucket self-join,
+    PARTITIONED neighbor-rank window, vote aggregate. Replicas share
+    buckets, so bucket populations grow by the full factor and pair
+    rows ~factor^2 — the documented L9 bucket-bounded posture (at
+    scale, bucket width is the recall/cost knob)."""
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        q_knn_classify,
+    )
+
+    # reuse the declared query's machinery over an in-memory frame by
+    # writing through the same expressions inline (the query reads a
+    # table; this shape mirrors its plan on the replicated frame)
+    from pyspark.sql import Window
+
+    from vsphere_event_streaming_spark.functions.dedup import _persist
+    from vsphere_event_streaming_spark.functions.vectors import (
+        cosine,
+        dot,
+        hyperplane_sig,
+    )
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        KNN_CLASSIFY_K,
+    )
+    from vsphere_event_streaming_spark.tables import spread
+
+    s = _persist(
+        spread(emb).select(
+            "vec_id",
+            (F.col("vec_id") % 4).cast("long").alias("label"),
+            "embedding",
+            hyperplane_sig(F.col("embedding"), 6).alias("sig"),
+        )
+    )
+    a = s.select(
+        F.col("vec_id").alias("__ida"),
+        F.col("embedding").alias("__va"),
+        "sig",
+    )
+    b = s.select(
+        F.col("vec_id").alias("__idb"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("__vb"),
+        "sig",
+    )
+    gcos = F.when(
+        (dot(F.col("__va"), F.col("__va")) > 0)
+        & (dot(F.col("__vb"), F.col("__vb")) > 0),
+        cosine(F.col("__va"), F.col("__vb")),
+    ).otherwise(F.lit(-1.0))
+    w_nb = Window.partitionBy("__ida").orderBy(gcos.desc(), F.col("__idb"))
+    votes = (
+        a.join(b, "sig")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .withColumn("rn", F.row_number().over(w_nb))
+        .filter(F.col("rn") <= KNN_CLASSIFY_K)
+        .groupBy("__ida", "nlabel")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_pr = Window.partitionBy("__ida").orderBy(
+        F.col("cnt").desc(), F.col("nlabel")
+    )
+    return votes.withColumn("pr", F.row_number().over(w_pr)).filter(
+        F.col("pr") == 1
+    )
+
+
 def _novelty_shape(docs):
     """q_ngram_novelty's shape: shared shingle arrays -> ONE df hash
     aggregate -> shingle-key join -> per-doc aggregate. Identical
@@ -1096,6 +1230,21 @@ def main() -> None:
             "semantic_cells",
             lambda: _semantic_cells_shape(emb1),
             lambda: _semantic_cells_shape(embN),
+        ),
+        # r10: whitened-space SemDeDup — same cell-blocked pair
+        # posture as semantic_cells plus one trained whitening
+        # projection per row (rows-linear)
+        (
+            "semantic_white",
+            lambda: _semantic_white_shape(emb1),
+            lambda: _semantic_white_shape(embN),
+        ),
+        # r10: kNN pseudo-labeling — bucket-bounded pairs (replicas
+        # share buckets: pair rows ~factor^2, the L9 posture)
+        (
+            "knn_classify",
+            lambda: _knn_classify_shape(emb1),
+            lambda: _knn_classify_shape(embN),
         ),
     ]:
         if only and name not in only:
