@@ -173,6 +173,8 @@ HEADLINE = [
     "q_search_rrf_indexed",
     # kNN pseudo-labeling over the sign-LSH buckets
     "q_knn_classify",
+    # per-type event-rate anomaly monitor (cells + broadcast moments)
+    "q_events_anomaly",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

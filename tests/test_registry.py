@@ -258,6 +258,7 @@ ROTATED_OUT_R10 = (
     # embeddings fuzz family cover them until their r11 driver rows
     "q_dedup_semantic_white",
     "q_knn_classify",
+    "q_events_anomaly",
 )
 
 

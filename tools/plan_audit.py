@@ -695,6 +695,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # ≤RRF_DEPTH-row shape and are allowed. The BM25 corpus stats
     # ride the same in-plan BroadcastNestedLoopJoin as q_search_bm25
     # (shared bm25_scores, VERDICT_r9 #3) — no driver .first()
+    # event-rate anomaly: ONE cell aggregate over events, the moment
+    # table broadcast back onto the cells; no Python, no window over
+    # raw events, no cartesian
+    "q_events_anomaly": [
+        [r"HashAggregate", r"BroadcastHashJoin"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+        ],
+    ],
     # kNN classify: bucket self-equi-join, neighbor ranking is a
     # PARTITIONED window (never a global sort), vote is a hash
     # aggregate; no Python, no cartesian

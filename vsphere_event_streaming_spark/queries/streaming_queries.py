@@ -132,3 +132,86 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# -- T6d: per-type event-rate anomaly monitor ---------------------------
+@query(
+    "q_events_anomaly",
+    oracle=f"""
+    WITH ac AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / {6 * _HOUR_US}.0) AS BIGINT)
+               * {6 * _HOUR_US} AS window_start_us,
+             count(*) AS cnt
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ast AS (
+      SELECT event_type, count(*) AS nb,
+             CAST(sum(cnt) AS BIGINT) AS s1,
+             CAST(sum(cnt*cnt) AS BIGINT) AS s2
+      FROM ac GROUP BY event_type
+    )
+    SELECT ac.event_type AS event_type, ac.window_start_us,
+           ac.cnt AS n,
+           round(ast.s1::DOUBLE / ast.nb::DOUBLE, 6) AS mean_n,
+           (((ac.cnt * ast.nb - ast.s1)::DOUBLE
+              * (ac.cnt * ast.nb - ast.s1)::DOUBLE)
+             > (4.0 * (ast.nb::DOUBLE * ast.s2::DOUBLE
+                        - ast.s1::DOUBLE * ast.s1::DOUBLE)))
+             AS is_anomaly
+    FROM ac JOIN ast USING (event_type)
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-RATE ANOMALY monitor (r10) — the ops question an event
+    log exists to answer: which (event_type, window) buckets are more
+    than two standard deviations off their type's own rate? Flags
+    |z| > 2 via the z² > 4 form with per-type stats derived from
+    exact ADDITIVE BIGINT sums (bucket count nb, Σcnt, Σcnt²), so the
+    whole decision replays: the comparison runs on doubles built from
+    the same exact integers with the same expression shape in both
+    engines — no streamed float accumulation anywhere (a double Σcnt²
+    would be partition-order-dependent; the integer sums are not).
+
+    Scale shape: the corpus collapses to ≤(types × buckets) cells in
+    ONE map-side-combined aggregate; the per-type moment table is a
+    second tiny aggregate over the CELLS (never the events) and
+    broadcasts back onto them — the binned-AUC/quantile-cells
+    posture. The cells are mergeable across ingest batches
+    ((nb, Σ, Σ²) add cell-wise), so the monitor has the same
+    incremental form as the rest of the sketch tier. At extreme
+    per-bucket counts (>~3e9) the integer squares outgrow int64 —
+    the documented swap is DECIMAL(38,0) cells; at any realistic
+    bucket width that headroom is ample."""
+    ev = _events(spark, sf_dir)
+    cells = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "cnt",
+        )
+    )
+    stats = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    dev = F.col("cnt") * F.col("nb") - F.col("s1")
+    lhs = dev.cast("double") * dev.cast("double")
+    rhs = F.lit(4.0) * (
+        F.col("nb").cast("double") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    )
+    return cells.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "window_start_us",
+        F.col("cnt").alias("n"),
+        F.round(
+            F.col("s1").cast("double") / F.col("nb").cast("double"), 6
+        ).alias("mean_n"),
+        (lhs > rhs).alias("is_anomaly"),
+    )

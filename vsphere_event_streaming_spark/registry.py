@@ -265,6 +265,7 @@ PRIORITY: tuple[str, ...] = (
     # row
     "q_dedup_semantic_white",
     "q_knn_classify",
+    "q_events_anomaly",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
