@@ -1,0 +1,171 @@
+"""Live-corpus monitoring: the serve-over-a-growing-corpus topology.
+
+Where ``corpus_prep.py`` is the batch pipeline (turn a dump into
+training shards), this example is the MONITOR a crawl runs while the
+corpus is still growing: document batches arrive as a parquet file
+stream, ONE ``foreachBatch`` pass feeds four incremental store
+families per epoch — each an idempotent ``batch_id=`` cell partition,
+each readable at any time, each bit-identical to its batch operator
+over everything ingested (the per-family parity proofs live in
+``tests/test_streaming.py``):
+
+ - ``ExactDedupStore``   — duplicate pressure (keepers / copies)
+ - ``ShingleDfStore``    — per-doc n-gram novelty (diversity drift)
+ - ``TermStatsStore``    — BM25 corpus stats (hybrid-retrieval serve)
+ - ``QuantileCellStore`` — per-language quality-score distribution
+
+The report then reads every store (no recomputation of history), adds
+the event-rate anomaly monitor over the events table, and prints one
+JSON summary — the dashboard numbers a curation team watches between
+training runs.
+
+Run:  python examples/corpus_monitor.py [sf_dir] [work_dir]
+
+Nothing here collects data-proportional state to the driver; at crawl
+scale the same script runs against the real file stream unchanged —
+per-epoch store state is vocabulary/cell-bounded, never per-row.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
+    ExactDedupStore,
+    ShingleDfStore,
+    release_cached,
+)
+from vsphere_event_streaming_spark.functions.sketches import (  # noqa: E402
+    QuantileCellStore,
+)
+from vsphere_event_streaming_spark.functions.text import (  # noqa: E402
+    TermStatsStore,
+    quality_score,
+)
+from vsphere_event_streaming_spark.queries.pipeline_queries import (  # noqa: E402
+    QG_BUCKETS,
+    QG_WIDTH,
+)
+from vsphere_event_streaming_spark.queries.streaming_queries import (  # noqa: E402
+    q_events_anomaly,
+)
+from vsphere_event_streaming_spark.session import get_spark, tune  # noqa: E402
+from vsphere_event_streaming_spark.tables import load  # noqa: E402
+
+
+def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
+    """Ingest the corpus as a 3-epoch file stream into the four store
+    families, then read every store for the monitoring summary."""
+    tune(spark)
+    # the example OWNS work_dir — start clean: a stale checkpoint
+    # plus rewritten input files (new part-file names) would ingest
+    # the same docs as new epochs and double every store
+    import shutil
+
+    shutil.rmtree(work_dir, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+
+    # --- arrange the "arriving crawl": one parquet dir per epoch ----
+    in_dir = f"{work_dir}/incoming"
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{b}")
+
+    exact = ExactDedupStore(spark, f"{work_dir}/exact")
+    shingle = ShingleDfStore(spark, f"{work_dir}/shingle")
+    terms = TermStatsStore(spark, f"{work_dir}/terms")
+    # quality scores live in [0, 1): use the L43 gate's power-of-two
+    # grid (1/256 cells), not the default events-value grid
+    quant = QuantileCellStore(
+        spark,
+        f"{work_dir}/quality",
+        value_col="q",
+        group_col="lang",
+        width=QG_WIDTH,
+        n_buckets=QG_BUCKETS,
+    )
+
+    # --- ONE pass per epoch feeds all four stores --------------------
+    def process(batch_df, epoch_id: int) -> None:
+        bid = f"m{epoch_id}"
+        exact.add_batch(batch_df, bid)
+        shingle.add_batch(batch_df, bid)
+        terms.add_batch(batch_df, bid)
+        quant.add_batch(
+            batch_df.select(
+                "lang", quality_score(F.col("text")).alias("q")
+            ),
+            bid,
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)  # one epoch per batch dir
+        .parquet(in_dir + "/part*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # --- read the stores (no history recomputation) ------------------
+    n_docs = docs.count()
+    keep = exact.keepers().agg(
+        F.count(F.lit(1)).alias("groups"),
+        F.max("copies").alias("max_copies"),
+    ).first()
+    nov = shingle.novelty(docs).agg(
+        F.round(F.avg("novelty"), 6).alias("mean_novelty"),
+        F.sum(
+            ((F.col("n_shingles") > 0) & (F.col("n_novel") == 0)).cast(
+                "long"
+            )
+        ).alias("zero_novelty_docs"),
+    ).first()
+    quality_by_lang = {
+        r["lang"]: r["p50_bin"]
+        for r in quant.quantiles().select("lang", "p50_bin").collect()
+    }
+    top = [
+        (r["doc_id"], r["score"])
+        for r in terms.bm25(docs)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .collect()
+    ]
+    anomalies = (
+        q_events_anomaly(spark, sf_dir)
+        .filter(F.col("is_anomaly"))
+        .count()
+    )
+    summary = {
+        "ingested_docs": n_docs,
+        "distinct_texts": keep["groups"],
+        "dup_rate": round(1.0 - keep["groups"] / n_docs, 6),
+        "max_copies": keep["max_copies"],
+        "mean_novelty": nov["mean_novelty"],
+        "zero_novelty_docs": nov["zero_novelty_docs"],
+        "quality_p50_by_lang": quality_by_lang,
+        "bm25_top10": top,
+        "event_rate_anomalies": anomalies,
+    }
+    release_cached()  # the novelty read path persists shingle arrays
+    return summary
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/corpus_monitor"
+    spark = get_spark("corpus-monitor")
+    print(json.dumps(monitor_corpus(spark, sf_dir, work_dir)))

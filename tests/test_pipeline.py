@@ -1514,3 +1514,42 @@ def test_ivf_index_incremental_batches(spark, tmp_path):
     idx.add_batch(b2, "b2")
     assert spark.read.parquet(f"{tmp_path}/ivf_inc").count() == n
     assert [r["vec_id"] for r in idx.search(qvec, k=10, nprobe=3).collect()] == inline
+
+
+def test_corpus_monitor_example_end_to_end(spark, tmp_path):
+    """The examples/ monitoring topology runs end-to-end: one
+    foreachBatch pass feeds four store families per epoch, and every
+    summary figure read off the merged stores matches its batch
+    operator over the ingested corpus."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from examples.corpus_monitor import monitor_corpus
+    from vsphere_event_streaming_spark.queries.advanced_queries import (
+        q_search_bm25,
+    )
+    from vsphere_event_streaming_spark.queries.streaming_queries import (
+        q_events_anomaly,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = monitor_corpus(spark, sf, str(tmp_path / "mon"))
+    assert out["ingested_docs"] == 500
+    assert 0 < out["distinct_texts"] <= out["ingested_docs"]
+    assert 0.0 <= out["dup_rate"] < 1.0
+    assert 0.0 < out["mean_novelty"] < 1.0
+    assert 0 <= out["zero_novelty_docs"] < out["ingested_docs"]
+    assert out["quality_p50_by_lang"]
+    assert all(0.0 < v < 1.0 for v in out["quality_p50_by_lang"].values())
+    # the served BM25 top-10 IS the batch q_search_bm25 top-10
+    want = [
+        (r["doc_id"], r["score"])
+        for r in q_search_bm25(spark, sf).limit(10).collect()
+    ]
+    assert [tuple(t) for t in out["bm25_top10"]] == want
+    # the anomaly figure is the declared query's own count
+    assert out["event_rate_anomalies"] == (
+        q_events_anomaly(spark, sf)
+        .filter("is_anomaly")
+        .count()
+    )
