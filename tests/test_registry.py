@@ -259,6 +259,10 @@ ROTATED_OUT_R10 = (
     "q_dedup_semantic_white",
     "q_knn_classify",
     "q_events_anomaly",
+    "q_embed_outlier",
+    "q_knn_recall",
+    "q_sample_weighted",
+    "q_dedup_triangles",
 )
 
 

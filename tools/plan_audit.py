@@ -804,6 +804,58 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"CartesianProduct",
         ],
     ],
+    # PCA outlier scoring: m+1 codegen folds per row feeding a top-k
+    # heap — scan + project + TakeOrderedAndProject, never a global
+    # sort, shuffle, join, or Python stage
+    "q_embed_outlier": [
+        [r"TakeOrderedAndProject", r"Project"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+            r"Join",
+            r"Exchange",
+        ],
+    ],
+    # ANN recall harness: the bounded query panel broadcasts (ground
+    # truth is a BroadcastNestedLoopJoin by design — Q×N is the
+    # defining cost of a recall benchmark); both rankings are windows
+    # PARTITIONED per query; the tallies are hash aggregates; never
+    # Python or an unbroadcast cartesian
+    "q_knn_recall": [
+        [r"BroadcastNestedLoopJoin", r"Window", r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+        ],
+    ],
+    # ES weighted sampling: one codegen transform+array_max per row
+    # into a top-k heap — no shuffle, no window, no join, no Python
+    "q_sample_weighted": [
+        [r"TakeOrderedAndProject"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+            r"Join",
+        ],
+    ],
+    # duplicate-graph triangles: banded candidate equi-joins + the
+    # middle-vertex/closing-edge equi-joins + two explode tallies —
+    # hash aggregates and equi-joins only, no Python, no cartesian,
+    # no window
+    "q_dedup_triangles": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+        ],
+    ],
 }
 
 

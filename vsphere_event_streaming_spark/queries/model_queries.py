@@ -1351,3 +1351,82 @@ def q_dedup_semantic_white(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
     )
+
+
+# ======================================================================
+# L35''''': PCA reconstruction-error outlier scoring
+# ======================================================================
+#: Outliers reported: the top-OUTLIER_TOPK residual-energy rows.
+OUTLIER_TOPK = 50
+
+
+def _outlier_oracle() -> str:
+    from ..functions.classifier import pca_topm_ordered_oracle as _poo
+
+    prefix = _poo(iters=PCA_ITERS, m=PCA_TOPM)
+    caps = "".join(
+        f"\n         - (list_dot_product(x, (SELECT v FROM pord WHERE r = {r}))"
+        f"\n            * list_dot_product(x, (SELECT v FROM pord WHERE r = {r})))"
+        for r in range(1, PCA_TOPM + 1)
+    )
+    return (
+        prefix
+        + f"""
+SELECT vec_id,
+       round(list_dot_product(x, x){caps}, 6) AS resid_energy
+FROM we
+ORDER BY resid_energy DESC, vec_id
+LIMIT {OUTLIER_TOPK}
+"""
+    )
+
+
+@query("q_embed_outlier", oracle=_outlier_oracle())
+def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA RECONSTRUCTION-ERROR outlier scoring (r10) — the standard
+    embedding-space outlier filter a curation pipeline runs before
+    semantic dedup (the SemDeDup recipe's companion step: vectors the
+    principal subspace can't explain are OOD/noise candidates, not
+    near-dup candidates). Score = residual energy after projecting
+    out the top-PCA_TOPM trained components:
+    ``resid = x·x − Σ_r (x·v_r)²`` over the winsorized coordinates,
+    reported for the OUTLIER_TOPK highest-residual vectors (rounded
+    tie-break on vec_id, the registry top-k rule).
+
+    Shares the _WHITEN_MEMO trained artifact — ZERO extra training
+    passes when any L35 query ran first; the scoring pass itself is
+    PCA_TOPM+1 codegen folds per row feeding a
+    TakeOrderedAndProject top-k (no global sort, no shuffle beyond
+    the k-row gather). Subtraction folds left in eigenvalue order
+    (pord r=1..m) in BOTH engines, so the rounded residual is
+    bit-identical; orthonormality of the components makes the
+    residual the true squared reconstruction error of the rank-m
+    projection (up to the fixed-iteration estimate the L35 tier
+    documents). The oracle replays training + ordering and the same
+    left-assoc subtraction chain."""
+    from ..functions.classifier import winsorized
+    from ..functions.vectors import dot as _dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ck = _corpus_key(sf_dir)
+    entry = _WHITEN_MEMO.get(ck)
+    if entry is None:
+        g = gram_micro(emb)
+        d = 1 + max((i for i, _ in g), default=-1)
+        comps, lams = pca_topm_ordered(
+            g, d, iters=PCA_ITERS, m=PCA_TOPM
+        )
+        entry = (comps, lams, emb.count())
+        _WHITEN_MEMO[ck] = entry
+        _TRACE_MEMO[ck] = sum(v for (i, j), v in g.items() if i == j)
+    comps, _, _ = entry
+    x = winsorized(F.col("embedding"))
+    resid = _dot(x, x)
+    for v in comps:
+        p = pca_project(F.col("embedding"), v)
+        resid = resid - p * p
+    return (
+        emb.select("vec_id", F.round(resid, 6).alias("resid_energy"))
+        .orderBy(F.desc("resid_energy"), "vec_id")
+        .limit(OUTLIER_TOPK)
+    )

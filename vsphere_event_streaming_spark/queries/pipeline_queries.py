@@ -476,6 +476,129 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# L2f: duplicate-graph triangle / density diagnostics
+# ======================================================================
+def _triangles_oracle() -> str:
+    return f"""
+    WITH {_simhash_ctes()},
+    probes AS (
+      SELECT doc_id, simhash, 0 AS band_idx, simhash >> 8 AS band_val
+      FROM s
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS band_idx, simhash & 255 AS band_val
+      FROM s
+    ),
+    tp AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM probes a JOIN probes b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    ),
+    ttri AS (
+      SELECT e1.id_a AS na, e1.id_b AS nb, e2.id_b AS nc
+      FROM tp e1
+      JOIN tp e2 ON e2.id_a = e1.id_b
+      JOIN tp e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    tdeg AS (
+      SELECT doc_id, count(*) AS degree FROM (
+        SELECT id_a AS doc_id FROM tp
+        UNION ALL SELECT id_b AS doc_id FROM tp
+      ) GROUP BY doc_id
+    ),
+    tcnt AS (
+      SELECT doc_id, count(*) AS triangles FROM (
+        SELECT na AS doc_id FROM ttri
+        UNION ALL SELECT nb AS doc_id FROM ttri
+        UNION ALL SELECT nc AS doc_id FROM ttri
+      ) GROUP BY doc_id
+    )
+    SELECT tdeg.doc_id AS doc_id,
+           tdeg.degree AS degree,
+           CAST(coalesce(tcnt.triangles, 0) AS BIGINT) AS triangles,
+           round(CASE WHEN tdeg.degree < 2 THEN 0.0
+                 ELSE 2.0 * CAST(coalesce(tcnt.triangles, 0) AS DOUBLE)
+                      / (CAST(tdeg.degree AS DOUBLE)
+                         * CAST(tdeg.degree - 1 AS DOUBLE))
+                 END, 6) AS clustering
+    FROM tdeg LEFT JOIN tcnt USING (doc_id)
+    """
+
+
+@query("q_dedup_triangles", oracle=_triangles_oracle())
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-GRAPH TRIANGLE DIAGNOSTICS (r10) — per-node triangle
+    count and local clustering coefficient over the SimHash
+    Hamming≤1 near-dup graph: the graph-shape question a dedup pass
+    asks before trusting transitive grouping (L2'). A node whose
+    neighborhood is triangle-dense (clustering → 1) sits in a true
+    duplicate CLIQUE; a high-degree node with clustering → 0 is a
+    CHAIN HUB — a threshold artifact stitching unrelated docs, the
+    thing that makes naive transitive closure over-merge. Edges are
+    the L2c pairing (banded equi-join + exact Hamming verify);
+    Hamming≤1 keeps the graph non-transitive, so the coefficient is
+    informative (the distance-0 graph is a clique union where it is
+    identically 1).
+
+    Canonical distributed triangle counting: orient every edge small
+    → large id (each triangle counted exactly once as a<b<c), join
+    edges on the shared middle vertex, then verify the closing edge
+    with a second equi-join — never an all-pairs step; cost is
+    Σ deg² over the NEAR-DUP graph only, with the degenerate
+    heavy-hitter class (constant fingerprints) already fenced by the
+    L33 star tier. Per-node tallies are two map-side-combined
+    aggregates over the explode of edges / triangle corners."""
+    from ..functions.dedup import simhash_pairs_hamming
+
+    tp = _persist_knn(
+        simhash_pairs_hamming(
+            _t(spark, sf_dir, "documents"), max_hamming=1
+        ).select("id_a", "id_b")
+    )
+    e1 = tp.select(F.col("id_a").alias("na"), F.col("id_b").alias("nb"))
+    e2 = tp.select(F.col("id_a").alias("nb"), F.col("id_b").alias("nc"))
+    e3 = tp.select(F.col("id_a").alias("na"), F.col("id_b").alias("nc"))
+    tri = e1.join(e2, "nb").join(e3, ["na", "nc"])
+    deg = (
+        tp.select(F.col("id_a").alias("doc_id"))
+        .unionAll(tp.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tcnt = (
+        tri.select(F.col("na").alias("doc_id"))
+        .unionAll(tri.select(F.col("nb").alias("doc_id")))
+        .unionAll(tri.select(F.col("nc").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    j = deg.join(tcnt, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias(
+            "triangles"
+        ),
+    )
+    return j.select(
+        "doc_id",
+        "degree",
+        "triangles",
+        F.round(
+            F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+                F.lit(2.0)
+                * F.col("triangles").cast("double")
+                / (
+                    F.col("degree").cast("double")
+                    * (F.col("degree") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("clustering"),
+    )
+
+
+# ======================================================================
 # L2d: embedding-cosine near-dup pairs (blocked)
 # ======================================================================
 @query(
@@ -1406,6 +1529,158 @@ def _persist_knn(df: DataFrame) -> DataFrame:
     return _persist(df)
 
 
+# ======================================================================
+# L3'''': ANN recall@k evaluation harness
+# ======================================================================
+#: Every RECALL_STRIDE-th vec_id is a benchmark query.
+RECALL_STRIDE = 25
+#: Neighbors per list (exact ground truth and ANN alike).
+RECALL_K = 10
+
+
+def _knn_recall_oracle(n_bits: int = 6) -> str:
+    from ..functions.vectors import HYPER_MOD, HYPER_P1, HYPER_P2
+
+    def dotj(j: int) -> str:
+        plane = (
+            f"((({j}*{HYPER_P1} + (i-1)*{HYPER_P2} + 1) % {HYPER_MOD})"
+            f"::DOUBLE / {HYPER_MOD} - 0.5)"
+        )
+        return (
+            f"list_reduce(list_transform(range(1, len(v)+1), "
+            f"i -> v[i] * {plane}), (a, b) -> a + b)"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dotj(j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    gcos = (
+        "CASE WHEN list_dot_product(rq.qv, rq.qv) > 0"
+        " AND list_dot_product(s.v, s.v) > 0"
+        f" THEN {_duck_cosine('s.v', 'rq.qv')}"
+        " ELSE -1.0 END"
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, {_DUCK_DVEC} AS v FROM embeddings
+    ),
+    s AS MATERIALIZED (
+      SELECT vec_id, v, CAST({sig} AS INTEGER) AS sig FROM e
+    ),
+    rq AS MATERIALIZED (
+      SELECT vec_id AS qid, v AS qv, sig AS qsig FROM s
+      WHERE vec_id % {RECALL_STRIDE} = 0
+    ),
+    rex AS (
+      SELECT rq.qid, s.vec_id AS cid,
+             row_number() OVER (PARTITION BY rq.qid
+               ORDER BY {gcos} DESC, s.vec_id) AS rn
+      FROM rq JOIN s ON s.vec_id != rq.qid
+    ),
+    rtop AS (SELECT qid, cid FROM rex WHERE rn <= {RECALL_K}),
+    ran AS (
+      SELECT rq.qid, s.vec_id AS cid,
+             row_number() OVER (PARTITION BY rq.qid
+               ORDER BY {gcos} DESC, s.vec_id) AS rn
+      FROM rq JOIN s ON s.sig = rq.qsig AND s.vec_id != rq.qid
+    ),
+    rantop AS (SELECT qid, cid FROM ran WHERE rn <= {RECALL_K})
+    SELECT rtop.qid AS qid,
+           count(*) AS n_exact,
+           count(rantop.cid) AS n_hit,
+           round(count(rantop.cid)::DOUBLE / count(*)::DOUBLE, 6)
+             AS recall
+    FROM rtop LEFT JOIN rantop USING (qid, cid)
+    GROUP BY rtop.qid
+    """
+
+
+@query("q_knn_recall", oracle=_knn_recall_oracle())
+def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RECALL@K evaluation harness (r10) — the measurement every
+    approximate index ships with: for a fixed-rate panel of benchmark
+    queries (every RECALL_STRIDE-th vec_id), compute the EXACT cosine
+    top-RECALL_K (ground truth) and the sign-LSH bucketed
+    top-RECALL_K, and report per-query overlap
+    ``recall = |ANN ∩ exact| / |exact|``. Both rankings use the
+    guarded cosine (zero vectors score -1.0, never NaN) with the
+    registry tie-break (candidate id), so every rank — and therefore
+    every recall number — is oracle-replayed exactly; this is the
+    declarative form of the pytest recall bounds the rows-only ANN
+    variants (q_knn_ivf, q_search_rrf_indexed) are held to.
+
+    Scale shape: the ground-truth side is the harness's cost —
+    Q × N guarded-cosine pairs with Q bounded by the panel stride
+    (N/RECALL_STRIDE here; a fixed query file in production), ranked
+    by a window PARTITIONED by query over its own candidates, never
+    a global sort. The panel frame broadcasts (≤N/25 rows); the ANN
+    side is bucket-bounded like every L9 query. At 100 TB you shrink
+    the panel, not the corpus — ground truth over the full corpus is
+    the defining expense of a recall benchmark, paid for Q queries
+    only."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine, dot, hyperplane_sig
+    from ..tables import spread
+
+    emb = _t(spark, sf_dir, "embeddings")
+    s = _persist_knn(
+        spread(emb).select(
+            "vec_id",
+            "embedding",
+            hyperplane_sig(F.col("embedding"), 6).alias("sig"),
+        )
+    )
+    q = s.filter(F.col("vec_id") % RECALL_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("__qv"),
+        F.col("sig").alias("qsig"),
+    )
+    c = s.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("__cv"),
+        "sig",
+    )
+    gcos = F.when(
+        (dot(F.col("__qv"), F.col("__qv")) > 0)
+        & (dot(F.col("__cv"), F.col("__cv")) > 0),
+        cosine(F.col("__cv"), F.col("__qv")),
+    ).otherwise(F.lit(-1.0))
+    w = Window.partitionBy("qid").orderBy(F.col("__gc").desc(), "cid")
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("__gc", gcos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("qid", "cid")
+    )
+    ann = (
+        c.join(F.broadcast(q), c["sig"] == q["qsig"])
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("__gc", gcos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("qid", F.col("cid").alias("__acid"))
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = exact.join(
+        ann,
+        (exact["qid"] == ann["qid"]) & (exact["cid"] == ann["__acid"]),
+        "left",
+    ).select(exact["qid"].alias("qid"), "cid", "__hit")
+    return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("__hit").alias("n_hit"),
+        F.round(
+            F.count("__hit").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
 def _pipeline_guarded_oracle() -> str:
     from ..functions.text import PII_PATTERNS
 
@@ -1843,6 +2118,92 @@ def q_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum") - F.col("n_tokens")).alias("tok_start"),
         )
     )
+
+
+# ======================================================================
+# L42': weighted priority sampling (Efraimidis–Spirakis, exact-integer)
+# ======================================================================
+#: Sample size for the weighted-priority sample.
+SAMPLE_ES_K = 100
+#: Seed for the priority draws — changing it redraws the sample.
+ES_SEED = "es0"
+#: Weight clamp: a doc contributes at most this many draws (the
+#: winsorized-weights convention — sampling ∝ min(tokens, cap) bounds
+#: the per-row draw array like winsorized() bounds a coordinate).
+ES_WEIGHT_CAP = 4096
+
+
+def _sample_weighted_oracle() -> str:
+    draw = (
+        f"('0x' || substr(md5('{ES_SEED}:' || CAST(doc_id AS VARCHAR)"
+        f" || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {T.HASH_MOD}"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, n_tokens,
+             list_max(list_transform(
+               range(1, CAST(least(n_tokens, {ES_WEIGHT_CAP}) AS BIGINT)
+                        + 1),
+               i -> {draw})) AS skey
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, skey
+    FROM k
+    ORDER BY skey DESC, doc_id
+    LIMIT {SAMPLE_ES_K}
+    """
+
+
+@query("q_sample_weighted", oracle=_sample_weighted_oracle())
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PRIORITY SAMPLING without replacement (r10) — the
+    Efraimidis–Spirakis sampler (key = u^(1/w), keep the top-k keys)
+    realized in EXACT INTEGER arithmetic via the max-of-w-uniforms
+    identity: u^(1/w) is distributed as max(u_1..u_w), so each doc's
+    key is the MAX of w = min(n_tokens, ES_WEIGHT_CAP) seed-keyed
+    integer hash draws — heavier docs take more draws and win more
+    often, inclusion follows the ES weighted-without-replacement
+    law, and the whole decision is integer compares (no ``ln``/
+    ``pow`` whose last-ulp could diverge between engines — the same
+    reason L42 is systematic; this is its randomized twin). Same
+    seed + same corpus = the identical sample on any cluster layout,
+    rerun, or engine; a new seed redraws.
+
+    Scale shape: the draws are ONE codegen transform+array_max per
+    row — total work O(Σ min(tokens, cap)), the cost of tokenizing
+    the corpus once, with no shuffle at all until the top-k — and
+    the pick is a TakeOrderedAndProject heap (k rows to the driver,
+    never a global sort). Zero-token docs can't draw and are
+    excluded identically in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(T.words(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    draws = F.transform(
+        F.sequence(
+            F.lit(1).cast("long"),
+            F.least(F.col("n_tokens"), F.lit(ES_WEIGHT_CAP).cast("long")),
+        ),
+        lambda i: T.md5_hash(
+            F.concat(
+                F.lit(f"{ES_SEED}:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                i.cast("string"),
+            )
+        ),
+    )
+    k = t.select(
+        "doc_id", "n_tokens", F.array_max(draws).alias("skey")
+    )
+    return k.orderBy(F.desc("skey"), "doc_id").limit(SAMPLE_ES_K)
 
 
 @query(

@@ -266,6 +266,10 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_semantic_white",
     "q_knn_classify",
     "q_events_anomaly",
+    "q_embed_outlier",
+    "q_knn_recall",
+    "q_sample_weighted",
+    "q_dedup_triangles",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
