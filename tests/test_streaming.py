@@ -1437,6 +1437,86 @@ def test_incremental_quantile_cell_stream(spark, tmp_path):
         QuantileCellStore(spark, f"{tmp_path}/qnope").cells()
 
 
+def test_incremental_rate_cell_stream(spark, tmp_path):
+    """T6d monitor path (r10): event batches streamed in per-file
+    epochs collapse into a RateCellStore whose merged cells — and
+    therefore the running anomaly table — are BIT-IDENTICAL to the
+    batch q_events_anomaly machinery over the union; a replayed batch
+    overwrites instead of double-counting."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.sketches import (
+        RateCellStore,
+        anomalies_from_cells,
+        rate_cells,
+    )
+    from vsphere_event_streaming_spark.streaming.model_stream import (
+        start_incremental_rate_cells,
+    )
+    from vsphere_event_streaming_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "ts"
+    )
+    schema = "event_id long, event_type string, ts timestamp"
+    in_dir = f"{tmp_path}/in_r"
+    for b in range(3):
+        ev.filter(F.col("event_id") % 3 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{b}")
+    q = start_incremental_rate_cells(
+        spark,
+        in_dir + "/part*",
+        f"{tmp_path}/rcells",
+        f"{tmp_path}/rckpt",
+        schema=schema,
+        max_files_per_trigger=1,  # one epoch per batch dir
+    )
+    q.awaitTermination(120)
+    store = RateCellStore(spark, f"{tmp_path}/rcells")
+
+    want_cells = {
+        (r["event_type"], r["window_start_us"]): r["cnt"]
+        for r in rate_cells(ev).collect()
+    }
+    got_cells = {
+        (r["event_type"], r["window_start_us"]): r["cnt"]
+        for r in store.cells().collect()
+    }
+    assert got_cells == want_cells and got_cells
+
+    def key(rows):
+        return {
+            (r["event_type"], r["window_start_us"]): (
+                r["n"], r["mean_n"], r["is_anomaly"]
+            )
+            for r in rows
+        }
+
+    want = key(anomalies_from_cells(rate_cells(ev)).collect())
+    got = key(store.anomalies().collect())
+    assert got == want and got
+    # the batch split crosses cell boundaries (every bucket is hit by
+    # more than one epoch) — the merge is summing, not concatenating
+    assert any(c > 1 for c in want_cells.values())
+
+    # replayed batch: cells must not double (pinned batch ids)
+    man = RateCellStore(spark, f"{tmp_path}/rcells_manual")
+    for b in range(3):
+        man.add_batch(ev.filter(F.col("event_id") % 3 == b), f"x{b}")
+    man.add_batch(ev.filter(F.col("event_id") % 3 == 1), "x1")  # replay
+    assert {
+        (r["event_type"], r["window_start_us"]): r["cnt"]
+        for r in man.cells().collect()
+    } == want_cells
+
+    # empty / marker-less store raises the typed error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no ingested batches"):
+        RateCellStore(spark, f"{tmp_path}/rnope").cells()
+
+
 def test_incremental_shingle_df_stream(spark, tmp_path):
     """L41 monitor path (r9): doc batches streamed in per-file epochs
     collapse into a ShingleDfStore whose merged df table — and

@@ -279,3 +279,133 @@ def percentile_threshold_cell(
             ).alias("t")
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Event-rate cells (T6d): the mergeable monitoring aggregate
+# ----------------------------------------------------------------------
+#: Rate-cell bucket width (matches the T6d tumbling window).
+RATE_WINDOW = "6 hours"
+
+
+def rate_cells(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window: str = RATE_WINDOW,
+) -> DataFrame:
+    """Collapse an event frame to the ADDITIVE BIGINT
+    ``(event_type, window_start_us, cnt)`` rate cells the T6d anomaly
+    monitor consumes — ONE map-side-combined hash aggregate. Counts
+    per (type, tumbling bucket) are additive across row-disjoint
+    batches (``cells(A∪B) = cells(A) + cells(B)`` cell-wise), the
+    same merge property as the quantile/AUC cell tiers. Shared by the
+    declared query (q_events_anomaly), :class:`RateCellStore`, and
+    the streaming ingest, so the three can never drift."""
+    return (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(type_col, F.window(ts_col, window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            type_col,
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "cnt",
+        )
+    )
+
+
+def anomalies_from_cells(
+    cells: DataFrame, type_col: str = "event_type"
+) -> DataFrame:
+    """The T6d anomaly decision over a (merged) rate-cell table:
+    per-type exact integer moments (nb, Σcnt, Σcnt²) aggregated over
+    the CELLS (never the events) and broadcast back; a bucket is
+    anomalous iff its squared deviation from the type mean exceeds
+    4× the variance — the |z| > 2 gate in the z² > 4 form, every
+    double built from the same exact integers with the same
+    expression shape in both engines."""
+    stats = cells.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    dev = F.col("cnt") * F.col("nb") - F.col("s1")
+    lhs = dev.cast("double") * dev.cast("double")
+    rhs = F.lit(4.0) * (
+        F.col("nb").cast("double") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    )
+    return cells.join(F.broadcast(stats), type_col).select(
+        type_col,
+        "window_start_us",
+        F.col("cnt").alias("n"),
+        F.round(
+            F.col("s1").cast("double") / F.col("nb").cast("double"), 6
+        ).alias("mean_n"),
+        (lhs > rhs).alias("is_anomaly"),
+    )
+
+
+class RateCellStore:
+    """Persistent incremental event-rate store — T6d's incremental
+    form, the ELEVENTH index/store family: per-batch state is one
+    BIGINT per (type, bucket) touched by the batch regardless of
+    batch size, the merged store's cells equal the full-corpus
+    :func:`rate_cells` by additivity, and the running anomaly table
+    reads off the merged cells at any time (``anomalies()`` ≡ the
+    batch q_events_anomaly over everything ingested).
+
+    Same crash contract as every other store: a batch write
+    OVERWRITES its own ``batch_id=`` partition directory (idempotent
+    replay)."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        type_col: str = "event_type",
+        ts_col: str = "ts",
+        window: str = RATE_WINDOW,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.type_col = type_col
+        self.ts_col = ts_col
+        self.window = window
+
+    def add_batch(self, df: DataFrame, batch_id: str) -> int:
+        """Collapse the batch to rate cells and persist them as an
+        idempotent partition directory. Returns cells written."""
+        from .dedup import batch_partition_dir
+
+        part_dir = batch_partition_dir(batch_id)  # validates token
+        cells = rate_cells(
+            df, self.type_col, self.ts_col, self.window
+        ).localCheckpoint(eager=True)
+        n = cells.count()
+        cells.write.mode("overwrite").parquet(f"{self.path}/{part_dir}")
+        return n
+
+    def cells(self) -> DataFrame:
+        """The merged cells over every ingested batch — exactly the
+        full-corpus :func:`rate_cells` by additivity."""
+        import os
+
+        if not os.path.isdir(self.path) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.path)
+        ):
+            raise ValueError(
+                f"RateCellStore has no ingested batches:"
+                f" {self.path!r} — call add_batch() first"
+            )
+        return (
+            self.spark.read.parquet(self.path)
+            .groupBy(self.type_col, "window_start_us")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def anomalies(self) -> DataFrame:
+        """The running anomaly table over everything ingested —
+        bit-identical to the batch q_events_anomaly values by cell
+        additivity."""
+        return anomalies_from_cells(self.cells(), self.type_col)

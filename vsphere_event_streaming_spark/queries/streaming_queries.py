@@ -183,35 +183,18 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental form as the rest of the sketch tier. At extreme
     per-bucket counts (>~3e9) the integer squares outgrow int64 —
     the documented swap is DECIMAL(38,0) cells; at any realistic
-    bucket width that headroom is ample."""
+    bucket width that headroom is ample.
+
+    Incremental form (r10): the cells are additive across ingest
+    batches, so the monitor is also the ELEVENTH store family —
+    :class:`~..functions.sketches.RateCellStore` (idempotent
+    ``batch_id=`` cell partitions, ``anomalies()`` over the merged
+    cells bit-identical to this batch query; parity + replay
+    idempotence in ``tests/test_streaming.py``), fed by
+    :func:`~..streaming.model_stream.start_incremental_rate_cells`.
+    The query, the store, and the ingest share :func:`rate_cells` /
+    :func:`anomalies_from_cells` so the three can never drift."""
+    from ..functions.sketches import anomalies_from_cells, rate_cells
+
     ev = _events(spark, sf_dir)
-    cells = (
-        ev.filter(F.col("ts").isNotNull())
-        .groupBy("event_type", F.window("ts", "6 hours").alias("w"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "event_type",
-            F.unix_micros(F.col("w.start")).alias("window_start_us"),
-            "cnt",
-        )
-    )
-    stats = cells.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("nb"),
-        F.sum("cnt").alias("s1"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
-    )
-    dev = F.col("cnt") * F.col("nb") - F.col("s1")
-    lhs = dev.cast("double") * dev.cast("double")
-    rhs = F.lit(4.0) * (
-        F.col("nb").cast("double") * F.col("s2").cast("double")
-        - F.col("s1").cast("double") * F.col("s1").cast("double")
-    )
-    return cells.join(F.broadcast(stats), "event_type").select(
-        "event_type",
-        "window_start_us",
-        F.col("cnt").alias("n"),
-        F.round(
-            F.col("s1").cast("double") / F.col("nb").cast("double"), 6
-        ).alias("mean_n"),
-        (lhs > rhs).alias("is_anomaly"),
-    )
+    return anomalies_from_cells(rate_cells(ev))

@@ -218,6 +218,49 @@ def start_incremental_quantile_cells(
     return writer.start()
 
 
+def start_incremental_rate_cells(
+    spark: SparkSession,
+    input_dir: str,
+    cells_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    available_now: bool = True,
+    batch_prefix: str = "b",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream event batches into a
+    :class:`~..functions.sketches.RateCellStore` — the T6d monitoring
+    topology, the rate twin of
+    :func:`start_incremental_quantile_cells`: each epoch collapses to
+    one additive BIGINT per (type, tumbling bucket) touched, appended
+    under its own idempotent ``batch_id=`` partition; the running
+    anomaly table reads off the merged cells at any time
+    (``store.anomalies()``), bit-identical to the batch
+    q_events_anomaly over everything ingested (cell additivity;
+    parity asserted in ``tests/test_streaming.py``)."""
+    from ..functions.sketches import RateCellStore
+
+    store = RateCellStore(
+        spark, cells_dir, type_col=type_col, ts_col=ts_col
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        store.add_batch(batch_df, batch_id=f"{batch_prefix}{epoch_id}")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_incremental_auc_cells(
     spark: SparkSession,
     input_dir: str,
