@@ -175,6 +175,16 @@ HEADLINE = [
     "q_knn_classify",
     # per-type event-rate anomaly monitor (cells + broadcast moments)
     "q_events_anomaly",
+    # r10 additions (second wave): PCA residual outliers; the ANN
+    # recall harness (exact panel ground truth is the timed cost);
+    # ES weighted sampling; duplicate-graph triangles; PQ ANN with
+    # exact rerank (codebooks trained+memoized per corpus at first
+    # call, untimed; the timed row is the encode+ADC+rerank serve)
+    "q_embed_outlier",
+    "q_knn_recall",
+    "q_sample_weighted",
+    "q_dedup_triangles",
+    "q_knn_pq",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -96,6 +96,47 @@ def test_lang_id_tie_break(spark):
     assert out[2] == "en"  # all-zero scores → first priority wins
 
 
+def test_pq_recall_determinism_and_code_shape(spark):
+    """The PQ tier (q_knn_pq, r10): (1) the two-stage
+    shortlist+rerank search must recover at least as much of the
+    exact cosine top-10 as the IVF tier's historical floor (5/10);
+    (2) training is deterministic — two fits from the same corpus
+    produce bit-identical codebooks (the reproducibility contract
+    every trained artifact here carries); (3) codes are PQ_M ints in
+    [0, PQ_K) — the m·log2(k)-bit storage claim."""
+    from vsphere_event_streaming_spark.functions.vectors import (
+        PQ_K,
+        PQ_M,
+        knn_topk,
+        min_id_query_split,
+        pq_encode_udf,
+        pq_fit,
+        pq_topk_rerank,
+    )
+    from vsphere_event_streaming_spark.tables import spread
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec, corpus = min_id_query_split(emb)
+    exact = {r["vec_id"] for r in knn_topk(corpus, qvec, k=10).collect()}
+
+    books = pq_fit(spread(emb))
+    books2 = pq_fit(spread(emb))
+    assert books == books2  # bit-identical retrain
+
+    pq = {
+        r["vec_id"]
+        for r in pq_topk_rerank(corpus, qvec, books, 64, k=10).collect()
+    }
+    assert len(exact & pq) >= 5, (sorted(exact), sorted(pq))
+
+    codes = (
+        emb.select(pq_encode_udf(books, 64)(F.col("embedding")).alias("c"))
+        .collect()
+    )
+    assert all(len(r["c"]) == PQ_M for r in codes)
+    assert all(0 <= v < PQ_K for r in codes for v in r["c"])
+
+
 def test_ivf_recall_vs_brute_force(spark):
     """IVF(nprobe=3) must recover most of the exact top-10 — under
     the TRAINED k-means cells q_knn_ivf now uses (VERDICT_r7 #5:

@@ -114,6 +114,10 @@ ROWS_ONLY_OFF_WINDOW = (
     # (trained-IVF probe); evidence is pytest
     # (test_rrf_indexed_recall_and_partition_pruning)
     "q_search_rrf_indexed",
+    # r10: PQ ANN with exact rerank — trained codebooks (Lloyd's over
+    # doubles, not oracle-replayed); evidence is pytest
+    # (test_pq_recall_determinism_and_code_shape)
+    "q_knn_pq",
 )
 
 #: Queries rotated out of the window in r10 — every one holds a

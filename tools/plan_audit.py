@@ -843,6 +843,15 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Join",
         ],
     ],
+    # PQ ANN: encode/ADC are the documented Arrow slow-path escape
+    # (ArrowEvalPython REQUIRED — the codegen HOF form is ~k·m
+    # interpreted fold chains per row); both stages end in TakeOrdered
+    # heaps; the 1-row query broadcasts (BNLJ is the intended join);
+    # never row-at-a-time Python, never an unbroadcast cartesian
+    "q_knn_pq": [
+        [r"ArrowEvalPython", r"TakeOrderedAndProject"],
+        [r"BatchEvalPython", r"CartesianProduct"],
+    ],
     # duplicate-graph triangles: banded candidate equi-joins + the
     # middle-vertex/closing-edge equi-joins + two explode tallies —
     # hash aggregates and equi-joins only, no Python, no cartesian,

@@ -574,6 +574,277 @@ def sq_adc_topk(
     )
 
 
+# ----------------------------------------------------------------------
+# Product quantization (PQ-ADC + exact rerank): the fourth ANN family
+# ----------------------------------------------------------------------
+#: Subspaces (the vector dim must be >= PQ_M; dims split evenly with
+#: the remainder on the last subspace).
+PQ_M = 8
+#: Codewords per subspace (a code is PQ_M small ints, log2(PQ_K) bits
+#: each, per vector).
+PQ_K = 16
+#: Lloyd's iterations per subspace codebook.
+PQ_ITERS = 2
+#: ADC shortlist size ahead of the exact rerank.
+PQ_SHORTLIST = 50
+
+
+def l2_normalized(vec: Column) -> Column:
+    """x / ||x|| with the zero-vector guard (an all-zero vector stays
+    all-zero instead of NaN), so PQ's L2 geometry IS cosine geometry:
+    for unit vectors ||q-x||^2 = 2 - 2*cos(q, x), monotone in cosine."""
+    n = F.sqrt(dot(vec, vec))
+    return F.when(
+        n > 0,
+        F.transform(vec, lambda x: x.cast("double") / n),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0.0)))
+
+
+def _pq_bounds(d: int, m: int) -> list[tuple[int, int]]:
+    """(offset, length) per subspace — even split, remainder on the
+    last."""
+    base = d // m
+    bounds = []
+    off = 0
+    for mi in range(m):
+        ln = base + (d - base * m if mi == m - 1 else 0)
+        bounds.append((off, ln))
+        off += ln
+    return bounds
+
+
+def _np_normalized(col) -> "object":
+    """Batch → (n, d) float64 row-normalized matrix (zero rows stay
+    zero; None rows become zero — PQ never ingests NULL vectors, the
+    guard just keeps a stray NULL from crashing the batch)."""
+    import numpy as np
+
+    X = np.stack(
+        [
+            np.zeros(0, dtype="float64")
+            if v is None
+            else np.asarray(v, dtype="float64")
+            for v in col
+        ]
+    )
+    norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+    return np.divide(X, norms, out=np.zeros_like(X), where=norms > 0)
+
+
+def pq_encode_udf(books: list[list[list[float]]], d: int):
+    """Arrow-vectorized PQ encoder: one (n, k) distance matrix argmin
+    per subspace over the whole batch — the documented slow-path
+    escape (SURVEY §2.10): the codegen HOF form of this argmin is
+    ~k x m fold chains PER ROW interpreted, while the numpy form is
+    three BLAS-shaped array ops per subspace per BATCH. Ties go to
+    the smaller code (np.argmin's first-minimum rule — the same
+    lexicographic (dist, j) convention as the trained k-means
+    tier)."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    bounds = _pq_bounds(d, len(books))
+    bks = [np.asarray(b, dtype="float64") for b in books]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def enc(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        X = _np_normalized(col)
+        codes = np.empty((X.shape[0], len(bks)), dtype="int32")
+        for mi, (off, ln) in enumerate(bounds):
+            sub = X[:, off : off + ln]
+            C = bks[mi]
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ C.T
+                + (C * C).sum(axis=1)[None, :]
+            )
+            codes[:, mi] = d2.argmin(axis=1)
+        return pd.Series([list(map(int, row)) for row in codes])
+
+    return enc
+
+
+def pq_adc_udf(books: list[list[list[float]]], d: int):
+    """Arrow-vectorized asymmetric distance: per row,
+    sum_m ||q_m - c_{m, code_m}||^2 via fancy-indexed codebook gathers
+    over the whole batch. The query column is normalized HERE with
+    the same numpy expression as the encoder, so both sides of the
+    asymmetric compare live in the identical unit-sphere geometry."""
+    import numpy as np
+
+    bounds = _pq_bounds(d, len(books))
+    bks = [np.asarray(b, dtype="float64") for b in books]
+
+    @pandas_udf(DoubleType())
+    def adc(codes: pd.Series, q: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        C = np.stack([np.asarray(c, dtype="int64") for c in codes])
+        Q = _np_normalized(q)
+        tot = np.zeros(C.shape[0], dtype="float64")
+        for mi, (off, ln) in enumerate(bounds):
+            diff = Q[:, off : off + ln] - bks[mi][C[:, mi]]
+            tot += (diff * diff).sum(axis=1)
+        return pd.Series(np.round(tot, 6))
+
+    return adc
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train the PQ codebooks: independent L2 Lloyd's per subspace
+    over the NORMALIZED corpus, all m subspaces trained in the SAME
+    distributed pass per iteration.
+
+    Per iteration: (1) every row computes its m argmin codes via the
+    Arrow-vectorized encoder (one numpy distance matrix per subspace
+    per batch — no per-row Python); (2) one explode →
+    (subspace, code, dim) partial+final hash aggregate — shuffle
+    bounded by k x d groups, never by rows; (3) the k x d mean table
+    collects to the driver (the ONLY driver-side data, same contract
+    as kmeans_fit). Init is deterministic (the k lowest-id vectors'
+    subvectors), so runs are reproducible; an emptied cell keeps its
+    previous centroid (the standard Lloyd's dead-cell rule).
+
+    Returns ``books[m][k] = centroid`` as plain Python floats — a
+    model artifact the serving expressions close over."""
+    row = corpus.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError("pq_fit: empty corpus")
+    d = int(row["d"])
+    if d < m:
+        raise ValueError(f"pq_fit: dim {d} < subspaces {m}")
+    bounds = _pq_bounds(d, m)
+    nf = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_normalized(F.col(vec_col)).alias("__xn"),
+    )
+    seed_rows = nf.orderBy("__id").limit(k).collect()
+    if not seed_rows:
+        raise ValueError("pq_fit: empty corpus")
+    books: list[list[list[float]]] = []
+    for off, ln in bounds:
+        cents = [
+            [float(x) for x in r["__xn"][off : off + ln]]
+            for r in seed_rows
+        ]
+        while len(cents) < k:  # tiny corpus: repeat the last seed
+            cents.append(list(cents[-1]))
+        books.append(cents)
+    for _ in range(iters):
+        enc = pq_encode_udf(books, d)
+        stacked = (
+            nf.withColumn("__codes", enc(F.col("__v")))
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(mi).alias("m"),
+                                F.element_at("__codes", mi + 1).alias(
+                                    "code"
+                                ),
+                                F.slice(
+                                    F.col("__xn"), off + 1, ln
+                                ).alias("sub"),
+                            )
+                            for mi, (off, ln) in enumerate(bounds)
+                        ]
+                    )
+                ).alias("s")
+            )
+            .select(
+                F.col("s.m").alias("m"),
+                F.col("s.code").alias("code"),
+                F.posexplode(F.col("s.sub")).alias("pos", "v"),
+            )
+        )
+        cells = (
+            stacked.groupBy("m", "code", "pos")
+            .agg(F.avg("v").alias("mu"))
+            .collect()
+        )
+        by_mc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in cells:
+            by_mc.setdefault((r["m"], r["code"]), {})[r["pos"]] = r["mu"]
+        for mi, (off, ln) in enumerate(bounds):
+            for j in range(k):
+                dims = by_mc.get((mi, j))
+                if dims is not None:
+                    books[mi][j] = [dims[p] for p in range(ln)]
+    return books
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    books: list[list[list[float]]],
+    d: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pure PQ asymmetric-distance top-k: the corpus contributes ONLY
+    its codes; the (1-row, broadcast, in-plan — no driver round-trip)
+    query scores each row against the literal codebooks, and a
+    TakeOrdered heap keeps the k best (ascending ADC distance, id
+    tie-break)."""
+    enc = pq_encode_udf(books, d)
+    adc = pq_adc_udf(books, d)
+    coded = corpus.select(id_col, enc(F.col(vec_col)).alias("__codes"))
+    joined = coded.join(F.broadcast(query.select(F.col("q"))))
+    return (
+        joined.select(
+            id_col,
+            adc(F.col("__codes"), F.col("q")).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), id_col)
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    query: DataFrame,
+    books: list[list[list[float]]],
+    d: int,
+    k: int = 10,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production IVFADC-with-rerank shape: PQ ADC picks a
+    ``shortlist``-sized candidate set from codes alone, then the raw
+    vectors of ONLY those candidates are read back for an exact
+    cosine top-k. Quantization error bounds the shortlist's recall,
+    not the final ranking's precision — the standard two-stage
+    ANN-serving layout.
+
+    At 100 TB: stage 1 scans m*log2(k) bits per vector (64x smaller
+    than float32 at the defaults) into a heap; stage 2 is a
+    broadcast semi-join fetching ``shortlist`` raw vectors. Output
+    matches :func:`knn_topk` (vec_id, score) so recall evaluations
+    compose."""
+    short = pq_adc_topk(
+        corpus, query, books, d, k=shortlist, id_col=id_col,
+        vec_col=vec_col,
+    )
+    cand = corpus.join(
+        F.broadcast(short.select(id_col)), id_col, "left_semi"
+    )
+    return knn_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
 class VectorLshIndex:
     """Persistent sign-LSH vector index for INCREMENTAL semantic dedup
     — the embedding twin of the text tier's ``dedup.LshIndex`` (L12).

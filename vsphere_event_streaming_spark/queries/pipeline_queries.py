@@ -677,6 +677,60 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(corpus, centroids, qvec, k=10, nprobe=3)
 
 
+#: Trained PQ codebook memo, keyed by the embeddings corpus
+#: fingerprint (the _kmeans_model / _WHITEN_MEMO train-once contract):
+#: (books, d).
+_PQ_MEMO: dict[tuple, tuple[list, int]] = {}
+
+
+def _pq_model(spark: SparkSession, sf_dir: str):
+    from ..functions.vectors import pq_fit
+    from ..tables import spread
+    from .model_queries import _corpus_key, _t as _mt
+
+    emb = _mt(spark, sf_dir, "embeddings")
+    ck = _corpus_key(sf_dir)
+    entry = _PQ_MEMO.get(ck)
+    if entry is None:
+        row = emb.select(F.size("embedding").alias("d")).first()
+        d = int(row["d"])
+        # spread(): the single-row-group corpus otherwise trains on
+        # one partition (the codec-tier lesson)
+        entry = (pq_fit(spread(emb)), d)
+        _PQ_MEMO[ck] = entry
+    return emb, entry
+
+
+@query("q_knn_pq", oracle=None)  # trained codebooks: rows-only check
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN with exact rerank (r10) — the fourth
+    ANN family beside sign-LSH (hash), IVF (partition pruning), and
+    SQ (grid quantization), in the production two-stage layout:
+    per-subspace trained codebooks (independent L2 Lloyd's over the
+    normalized corpus, all subspaces in one distributed pass per
+    iteration, train-once memoized per corpus fingerprint) reduce
+    the corpus to PQ_M small ints per vector; Arrow-vectorized
+    asymmetric-distance scoring of the in-plan broadcast query picks
+    a PQ_SHORTLIST candidate set from codes alone; the raw vectors
+    of ONLY those candidates are fetched back (broadcast semi-join)
+    for the exact cosine top-10. Rows-only by design (the q_knn_ivf
+    precedent — Lloyd's over doubles is not oracle-replayed);
+    evidence is the pytest recall bound vs the brute cosine top-k
+    plus codebook determinism.
+
+    At 100 TB: stage 1 reads m·log2(k) bits per vector (64× smaller
+    than the raw float32 corpus at the defaults) into a TakeOrdered
+    heap, stage 2 touches PQ_SHORTLIST rows, nothing shuffles, and
+    the same codes compose with the IVF cells for the classic
+    IVF-PQ layout (partition-prune cells, ADC-score codes)."""
+    from ..functions.vectors import min_id_query_split, pq_topk_rerank
+    from ..tables import spread
+
+    emb, (books, d) = _pq_model(spark, sf_dir)
+    qvec, corpus = min_id_query_split(spread(emb))
+    return pq_topk_rerank(corpus, qvec, books, d, k=10)
+
+
 @query(
     "q_udf_cosine",
     oracle=f"""

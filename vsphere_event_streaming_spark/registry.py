@@ -278,6 +278,10 @@ PRIORITY: tuple[str, ...] = (
     "q_knn_ivf",
     "q_approx_aggs",
     "q_search_rrf_indexed",
+    # (q_knn_pq r10: trained PQ codebooks are Lloyd's-over-doubles,
+    # not oracle-replayed — evidence is the pytest recall bound vs
+    # the brute cosine top-k + codebook determinism)
+    "q_knn_pq",
 )
 
 
