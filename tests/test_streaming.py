@@ -1517,6 +1517,77 @@ def test_incremental_rate_cell_stream(spark, tmp_path):
         RateCellStore(spark, f"{tmp_path}/rnope").cells()
 
 
+def test_incremental_cms_cell_stream(spark, tmp_path):
+    """L27 monitor path (r10): keyed batches streamed in per-file
+    epochs collapse into a CmsStore whose merged cells — and
+    therefore the running sketch and every point estimate — are
+    BIT-IDENTICAL to a from-scratch cms_build over the union (the
+    textbook CMS cell-wise-sum merge); a replayed batch overwrites
+    instead of double-counting."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.sketches import (
+        CmsStore,
+        cms_build,
+        cms_estimate,
+    )
+    from vsphere_event_streaming_spark.streaming.model_stream import (
+        start_incremental_cms_cells,
+    )
+    from vsphere_event_streaming_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type"
+    )
+    schema = "event_id long, event_type string"
+    in_dir = f"{tmp_path}/in_c"
+    for b in range(3):
+        ev.filter(F.col("event_id") % 3 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{b}")
+    q = start_incremental_cms_cells(
+        spark,
+        in_dir + "/part*",
+        f"{tmp_path}/ccells",
+        f"{tmp_path}/cckpt",
+        schema=schema,
+        key_col="event_type",
+        max_files_per_trigger=1,  # one epoch per batch dir
+    )
+    q.awaitTermination(120)
+    store = CmsStore(spark, f"{tmp_path}/ccells", key_col="event_type")
+
+    want = cms_build(ev, "event_type")
+    got = store.sketch()
+    assert got == want
+    # point estimates agree and upper-bound the exact counts (the
+    # one-sided CMS error contract)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert exact
+    for k_, n in exact.items():
+        est = store.estimate(k_)
+        assert est == cms_estimate(want, k_)
+        assert est >= n
+
+    # replayed batch: cells must not double (pinned batch ids)
+    man = CmsStore(spark, f"{tmp_path}/ccells_manual", key_col="event_type")
+    for b in range(3):
+        man.add_batch(ev.filter(F.col("event_id") % 3 == b), f"x{b}")
+    man.add_batch(ev.filter(F.col("event_id") % 3 == 1), "x1")  # replay
+    assert man.sketch() == want
+
+    # empty / marker-less store raises the typed error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no ingested batches"):
+        CmsStore(spark, f"{tmp_path}/cnope", key_col="event_type").cells()
+
+
 def test_incremental_shingle_df_stream(spark, tmp_path):
     """L41 monitor path (r9): doc batches streamed in per-file epochs
     collapse into a ShingleDfStore whose merged df table — and

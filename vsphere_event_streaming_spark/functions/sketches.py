@@ -52,21 +52,34 @@ def cms_build(
     them would both inflate colliding cells and silently widen the
     εN error bound.
     """
-    key = F.col(key_col).cast("string")
-    cells = df.filter(key.isNotNull()).select(
-        F.posexplode(
-            F.array(*[_bucket(key, r, width) for r in range(depth)])
-        ).alias("row", "bucket")
-    )
-    counts = (
-        cells.groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
+    counts = cms_cells(df, key_col, depth, width).collect()
     sketch = [[0] * width for _ in range(depth)]
     for r in counts:
         sketch[r["row"]][r["bucket"]] = r["c"]
     return sketch
+
+
+def cms_cells(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """The CMS as its ≤d×w ADDITIVE BIGINT ``(row, bucket, c)`` cells
+    — ONE map-side-combined hash aggregate, additive across
+    row-disjoint batches (the defining CMS merge property). Shared by
+    :func:`cms_build` (driver materialization), the declared query's
+    oracle replay, and :class:`CmsStore`, so the three can never
+    drift."""
+    key = F.col(key_col).cast("string")
+    exploded = df.filter(key.isNotNull()).select(
+        F.posexplode(
+            F.array(*[_bucket(key, r, width) for r in range(depth)])
+        ).alias("row", "bucket")
+    )
+    return exploded.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
 
 
 def cms_estimate(sketch: list[list[int]], key: str) -> int:
@@ -409,3 +422,74 @@ class RateCellStore:
         bit-identical to the batch q_events_anomaly values by cell
         additivity."""
         return anomalies_from_cells(self.cells(), self.type_col)
+
+
+class CmsStore:
+    """Persistent incremental Count-Min sketch — L27's incremental
+    form, the TWELFTH index/store family: per-batch state is ≤ d×w
+    integers regardless of batch size, the merged store's cells equal
+    the full-corpus :func:`cms_cells` by additivity (the textbook CMS
+    merge: cell-wise sum), and the running sketch / point estimates
+    read off the merged table at any time, bit-identical to a
+    from-scratch :func:`cms_build` over everything ingested.
+
+    Same crash contract as every other store: a batch write
+    OVERWRITES its own ``batch_id=`` partition directory (idempotent
+    replay)."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        key_col: str,
+        depth: int = 4,
+        width: int = 1024,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.depth = depth
+        self.width = width
+
+    def add_batch(self, df: DataFrame, batch_id: str) -> int:
+        """Collapse the batch to CMS cells and persist them as an
+        idempotent partition directory. Returns cells written."""
+        from .dedup import batch_partition_dir
+
+        part_dir = batch_partition_dir(batch_id)  # validates token
+        cells = cms_cells(
+            df, self.key_col, self.depth, self.width
+        ).localCheckpoint(eager=True)
+        n = cells.count()
+        cells.write.mode("overwrite").parquet(f"{self.path}/{part_dir}")
+        return n
+
+    def cells(self) -> DataFrame:
+        """The merged cells over every ingested batch — exactly the
+        full-corpus :func:`cms_cells` by additivity."""
+        import os
+
+        if not os.path.isdir(self.path) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.path)
+        ):
+            raise ValueError(
+                f"CmsStore has no ingested batches:"
+                f" {self.path!r} — call add_batch() first"
+            )
+        return (
+            self.spark.read.parquet(self.path)
+            .groupBy("row", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+
+    def sketch(self) -> list[list[int]]:
+        """The running d×w sketch — bit-identical to
+        :func:`cms_build` over the union of every ingested batch."""
+        sketch = [[0] * self.width for _ in range(self.depth)]
+        for r in self.cells().collect():
+            sketch[r["row"]][r["bucket"]] = r["c"]
+        return sketch
+
+    def estimate(self, key: str) -> int:
+        """Point frequency estimate over everything ingested."""
+        return cms_estimate(self.sketch(), key)

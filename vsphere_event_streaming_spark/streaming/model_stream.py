@@ -261,6 +261,47 @@ def start_incremental_rate_cells(
     return writer.start()
 
 
+def start_incremental_cms_cells(
+    spark: SparkSession,
+    input_dir: str,
+    cells_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    available_now: bool = True,
+    batch_prefix: str = "b",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream keyed batches into a
+    :class:`~..functions.sketches.CmsStore` — the L27 monitoring
+    topology: each epoch collapses to ≤d×w additive (row, bucket, c)
+    cells appended under its own idempotent ``batch_id=`` partition;
+    the running sketch and point estimates read off the merged cells
+    at any time (``store.sketch()`` / ``store.estimate()``),
+    bit-identical to a from-scratch cms_build over everything
+    ingested (the textbook CMS cell-wise-sum merge; parity asserted
+    in ``tests/test_streaming.py``)."""
+    from ..functions.sketches import CmsStore
+
+    store = CmsStore(spark, cells_dir, key_col, depth, width)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        store.add_batch(batch_df, batch_id=f"{batch_prefix}{epoch_id}")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_incremental_auc_cells(
     spark: SparkSession,
     input_dir: str,
