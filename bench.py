@@ -185,6 +185,10 @@ HEADLINE = [
     "q_sample_weighted",
     "q_dedup_triangles",
     "q_knn_pq",
+    # composed IVF-PQ index serve (coarse cells + codebooks trained,
+    # index written+memoized per corpus at first call, untimed; the
+    # timed row is probe -> ADC-over-codes -> exact rerank)
+    "q_knn_ivfpq",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -137,6 +137,66 @@ def test_pq_recall_determinism_and_code_shape(spark):
     assert all(0 <= v < PQ_K for r in codes for v in r["c"])
 
 
+def test_ivfpq_recall_pruning_and_column_pruning(spark, tmp_path):
+    """The composed IVF-PQ index (q_knn_ivfpq, r10): (1) recall vs
+    the exact cosine top-10 must meet the IVF floor (5/10); (2) the
+    stage-1 plan must carry a PartitionFilters IN clause on
+    centroid_id (only nprobe cells are read); (3) stage 1's scan
+    must NOT read the raw vector column (parquet column pruning —
+    the m·log2(k)-bits-per-vector I/O claim)."""
+    import re
+
+    from vsphere_event_streaming_spark.functions.kmeans import (
+        kmeans_centroid_frame,
+        train_kmeans,
+    )
+    from vsphere_event_streaming_spark.functions.vectors import (
+        PQ_SHORTLIST,
+        ivfpq_topk,
+        min_id_query_split,
+        pq_adc_udf,
+        pq_fit,
+        write_ivfpq_index,
+    )
+    from vsphere_event_streaming_spark.tables import spread
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec, corpus = min_id_query_split(emb)
+    exact = {r["vec_id"] for r in knn_topk(corpus, qvec, k=10).collect()}
+
+    books = pq_fit(spread(emb))
+    centroids = kmeans_centroid_frame(
+        spark, train_kmeans(emb, k=8, iters=4)
+    )
+    path = f"{tmp_path}/ivfpq"
+    write_ivfpq_index(corpus, centroids, books, 64, path)
+    got = {
+        r["vec_id"]
+        for r in ivfpq_topk(
+            spark, path, centroids, qvec, books, 64, k=10, nprobe=3
+        ).collect()
+    }
+    assert len(exact & got) >= 5, (sorted(exact), sorted(got))
+
+    # stage-1 plan: partition pruning + codes-only read
+    adc = pq_adc_udf(books, 64)
+    pruned = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin([0, 1, 2])
+    )
+    stage1 = (
+        pruned.select("vec_id", "pq_codes")
+        .join(F.broadcast(qvec))
+        .select("vec_id", adc(F.col("pq_codes"), F.col("q")).alias("a"))
+        .orderBy("a", "vec_id")
+        .limit(PQ_SHORTLIST)
+    )
+    plan = stage1._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*centroid_id#\d+ IN \(", plan), plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "pq_codes" in m.group(1), plan
+    assert "embedding" not in m.group(1), m.group(1)
+
+
 def test_ivf_recall_vs_brute_force(spark):
     """IVF(nprobe=3) must recover most of the exact top-10 — under
     the TRAINED k-means cells q_knn_ivf now uses (VERDICT_r7 #5:

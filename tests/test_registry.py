@@ -118,6 +118,9 @@ ROWS_ONLY_OFF_WINDOW = (
     # doubles, not oracle-replayed); evidence is pytest
     # (test_pq_recall_determinism_and_code_shape)
     "q_knn_pq",
+    # r10: composed IVF-PQ index — evidence is pytest
+    # (test_ivfpq_recall_pruning_and_column_pruning)
+    "q_knn_ivfpq",
 )
 
 #: Queries rotated out of the window in r10 — every one holds a

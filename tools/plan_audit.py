@@ -852,6 +852,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"ArrowEvalPython", r"TakeOrderedAndProject"],
         [r"BatchEvalPython", r"CartesianProduct"],
     ],
+    # IVF-PQ: the stage-1 scan must prune to the probed cells
+    # (PartitionFilters IN on centroid_id) and read codes, not raw
+    # vectors (codes-only ReadSchema asserted in pytest — the audit
+    # here pins pruning + the heaps + the Arrow ADC stage)
+    "q_knn_ivfpq": [
+        [
+            r"PartitionFilters: \[.*centroid_id#\d+ IN \(",
+            r"ArrowEvalPython",
+            r"TakeOrderedAndProject",
+        ],
+        [r"BatchEvalPython", r"CartesianProduct"],
+    ],
     # duplicate-graph triangles: banded candidate equi-joins + the
     # middle-vertex/closing-edge equi-joins + two explode tallies —
     # hash aggregates and equi-joins only, no Python, no cartesian,

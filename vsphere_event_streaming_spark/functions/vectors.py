@@ -845,6 +845,94 @@ def pq_topk_rerank(
     return knn_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def write_ivfpq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    books: list[list[list[float]]],
+    d: int,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the CLASSIC IVF-PQ index: every vector stored
+    under its assigned coarse cell (``partitionBy("centroid_id")`` —
+    probing prunes whole directories) with its PQ code array beside
+    the raw vector. Serving reads the codes column only (parquet
+    column pruning) for stage 1 and comes back for ``shortlist`` raw
+    vectors in stage 2 — the layout FAISS calls IVFADC, expressed as
+    a partitioned+pruned parquet table."""
+    enc = pq_encode_udf(books, d)
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    (
+        assigned.select(
+            id_col,
+            vec_col,
+            enc(F.col(vec_col)).alias("pq_codes"),
+            "centroid_id",
+        )
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivfpq_topk(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    query: DataFrame,
+    books: list[list[list[float]]],
+    d: int,
+    k: int = 10,
+    nprobe: int = 3,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search against a materialized index (see
+    :func:`write_ivfpq_index`): coarse probe → ADC over codes →
+    exact rerank.
+
+    (1) the ≤n-centroids probe picks the ``nprobe`` best cells
+    driver-side and applies them as a literal ``isin`` on the
+    partition column — PartitionFilters prune unprobed cells before
+    any I/O; (2) stage 1 reads ONLY (id, pq_codes) from the probed
+    cells (parquet column pruning — the raw vector column never
+    leaves disk) and heaps the ``shortlist`` best ADC rows; (3)
+    stage 2 fetches the raw vectors of exactly those rows from the
+    same pruned cells for the exact cosine top-k. At 100 TB the I/O
+    is nprobe/n_cells of the corpus at m·log2(k) bits per vector
+    plus ``shortlist`` full vectors — the full IVFADC economics."""
+    probed = (
+        centroids.join(F.broadcast(query))
+        .select(
+            "centroid_id", cosine(F.col("cvec"), F.col("q")).alias("cscore")
+        )
+        .orderBy(F.col("cscore").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    )
+    cells = [r["centroid_id"] for r in probed]
+    pruned = spark.read.parquet(index_path).filter(
+        F.col("centroid_id").isin(cells)
+    )
+    adc = pq_adc_udf(books, d)
+    qn = query.select(F.col("q"))
+    short = (
+        pruned.select(id_col, "pq_codes")
+        .join(F.broadcast(qn))
+        .select(
+            id_col, adc(F.col("pq_codes"), F.col("q")).alias("adc_dist")
+        )
+        .orderBy(F.col("adc_dist").asc(), id_col)
+        .limit(shortlist)
+    )
+    cand = pruned.join(
+        F.broadcast(short.select(id_col)), id_col, "left_semi"
+    )
+    return knn_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
 class VectorLshIndex:
     """Persistent sign-LSH vector index for INCREMENTAL semantic dedup
     — the embedding twin of the text tier's ``dedup.LshIndex`` (L12).

@@ -731,6 +731,63 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_rerank(corpus, qvec, books, d, k=10)
 
 
+#: (corpus key) -> index path for the materialized IVF-PQ index —
+#: built once per corpus fingerprint (coarse cells from the L36
+#: trained k-means model, fine codes from the PQ codebooks; both
+#: memoized trained artifacts).
+_IVFPQ_MEMO: dict[tuple, str] = {}
+
+
+@query("q_knn_ivfpq", oracle=None)  # trained cells+codebooks: rows-only
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN over a MATERIALIZED index (r10) — the classic
+    IVFADC layout composed from the engine's own trained artifacts:
+    the L36 k-means cells are the coarse quantizer (index partitioned
+    by cell → PartitionFilters prune unprobed directories before any
+    I/O), the PQ codebooks are the fine quantizer (stage 1 reads
+    ONLY the (id, pq_codes) columns of the probed cells — parquet
+    column pruning keeps the raw vectors on disk), and the exact
+    rerank fetches the shortlist's raw vectors from the same pruned
+    cells. Index built once per corpus fingerprint and memoized
+    (train-once/serve-many). Rows-only by the q_knn_ivf precedent;
+    evidence is the pytest recall bound plus the pruning and
+    column-pruning plan assertions.
+
+    At 100 TB this is the serving layout the whole ANN tier builds
+    to: I/O = nprobe/n_cells of the corpus at m·log2(k) bits per
+    vector + PQ_SHORTLIST full vectors per query."""
+    import os
+    import tempfile
+
+    from ..functions.kmeans import kmeans_centroid_frame
+    from ..functions.vectors import (
+        ivfpq_topk,
+        min_id_query_split,
+        write_ivfpq_index,
+    )
+    from ..tables import spread
+    from .model_queries import _corpus_key, _kmeans_model
+
+    emb, (books, d) = _pq_model(spark, sf_dir)
+    _, cm = _kmeans_model(spark, sf_dir)
+    centroids = kmeans_centroid_frame(spark, cm)
+    # the q_knn_ivf convention: the min-id query vector is NOT part
+    # of the searched corpus, so the index is written without it
+    qvec, corpus = min_id_query_split(spread(emb))
+    ck = _corpus_key(sf_dir)
+    path = _IVFPQ_MEMO.get(ck)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_ivfpq_{abs(hash(ck)):x}",
+        )
+        write_ivfpq_index(corpus, centroids, books, d, path)
+        _IVFPQ_MEMO[ck] = path
+    return ivfpq_topk(
+        spark, path, centroids, qvec, books, d, k=10, nprobe=3
+    )
+
+
 @query(
     "q_udf_cosine",
     oracle=f"""

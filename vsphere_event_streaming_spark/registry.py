@@ -282,6 +282,10 @@ PRIORITY: tuple[str, ...] = (
     # not oracle-replayed — evidence is the pytest recall bound vs
     # the brute cosine top-k + codebook determinism)
     "q_knn_pq",
+    # (q_knn_ivfpq r10: the composed IVFADC index — trained coarse
+    # cells + trained codebooks; evidence is the pytest recall bound
+    # + PartitionFilters + codes-only ReadSchema assertions)
+    "q_knn_ivfpq",
 )
 
 
