@@ -14,10 +14,17 @@ over everything ingested (the per-family parity proofs live in
  - ``TermStatsStore``    — BM25 corpus stats (hybrid-retrieval serve)
  - ``QuantileCellStore`` — per-language quality-score distribution
 
-The report then reads every store (no recomputation of history), adds
-the event-rate anomaly monitor over the events table, and prints one
-JSON summary — the dashboard numbers a curation team watches between
-training runs.
+The event log streams in the same way (r10): a second foreachBatch
+pass feeds two more families per epoch —
+
+ - ``RateCellStore``     — per-(type, bucket) rate cells; the anomaly
+                           table reads off the merged cells,
+                           bit-identical to batch q_events_anomaly
+ - ``CmsStore``          — fixed-memory event-type frequency sketch
+
+The report then reads every store (SIX families, no recomputation of
+history anywhere) and prints one JSON summary — the dashboard numbers
+a curation team watches between training runs.
 
 Run:  python examples/corpus_monitor.py [sf_dir] [work_dir]
 
@@ -41,7 +48,9 @@ from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
     release_cached,
 )
 from vsphere_event_streaming_spark.functions.sketches import (  # noqa: E402
+    CmsStore,
     QuantileCellStore,
+    RateCellStore,
 )
 from vsphere_event_streaming_spark.functions.text import (  # noqa: E402
     TermStatsStore,
@@ -51,16 +60,14 @@ from vsphere_event_streaming_spark.queries.pipeline_queries import (  # noqa: E4
     QG_BUCKETS,
     QG_WIDTH,
 )
-from vsphere_event_streaming_spark.queries.streaming_queries import (  # noqa: E402
-    q_events_anomaly,
-)
 from vsphere_event_streaming_spark.session import get_spark, tune  # noqa: E402
 from vsphere_event_streaming_spark.tables import load  # noqa: E402
 
 
 def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
-    """Ingest the corpus as a 3-epoch file stream into the four store
-    families, then read every store for the monitoring summary."""
+    """Ingest the corpus as a 3-epoch file stream into the document
+    store families (and the event log into the rate/frequency
+    families), then read every store for the monitoring summary."""
     tune(spark)
     # the example OWNS work_dir — start clean: a stale checkpoint
     # plus rewritten input files (new part-file names) would ingest
@@ -119,6 +126,38 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
     )
     q.awaitTermination(300)
 
+    # --- the event log streams the same way into two more stores -----
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    ev_dir = f"{work_dir}/incoming_events"
+    for b in range(3):
+        events.filter(F.col("event_id") % 3 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{ev_dir}/part{b}")
+    rate = RateCellStore(spark, f"{work_dir}/rate")
+    cms = CmsStore(spark, f"{work_dir}/cms", key_col="event_type")
+
+    def process_events(batch_df, epoch_id: int) -> None:
+        bid = f"e{epoch_id}"
+        rate.add_batch(batch_df, bid)
+        cms.add_batch(batch_df, bid)
+
+    ev_stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir + "/part*")
+    )
+    qe = (
+        ev_stream.writeStream.foreachBatch(process_events)
+        .option("checkpointLocation", f"{work_dir}/ckpt_events")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qe.awaitTermination(300)
+
     # --- read the stores (no history recomputation) ------------------
     n_docs = docs.count()
     keep = exact.keepers().agg(
@@ -144,11 +183,15 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
         .limit(10)
         .collect()
     ]
-    anomalies = (
-        q_events_anomaly(spark, sf_dir)
-        .filter(F.col("is_anomaly"))
-        .count()
-    )
+    # anomalies read off the MERGED rate cells (bit-identical to the
+    # batch q_events_anomaly by cell additivity — the parity pytest)
+    anomalies = rate.anomalies().filter(F.col("is_anomaly")).count()
+    # fixed-memory frequency estimates for every type the rate cells
+    # saw (a bounded key set — never a vocabulary collect)
+    type_freq_est = {
+        r["event_type"]: cms.estimate(r["event_type"])
+        for r in rate.cells().select("event_type").distinct().collect()
+    }
     summary = {
         "ingested_docs": n_docs,
         "distinct_texts": keep["groups"],
@@ -159,6 +202,7 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
         "quality_p50_by_lang": quality_by_lang,
         "bm25_top10": top,
         "event_rate_anomalies": anomalies,
+        "event_type_freq_est": type_freq_est,
     }
     release_cached()  # the novelty read path persists shingle arrays
     return summary

@@ -1619,9 +1619,10 @@ def test_ivf_index_incremental_batches(spark, tmp_path):
 
 def test_corpus_monitor_example_end_to_end(spark, tmp_path):
     """The examples/ monitoring topology runs end-to-end: one
-    foreachBatch pass feeds four store families per epoch, and every
-    summary figure read off the merged stores matches its batch
-    operator over the ingested corpus."""
+    foreachBatch pass feeds four document store families per epoch
+    (plus a second pass feeding the rate/frequency families from the
+    event log), and every summary figure read off the merged stores
+    matches its batch operator over the ingested corpus."""
     import sys
 
     sys.path.insert(0, ".")
@@ -1648,9 +1649,22 @@ def test_corpus_monitor_example_end_to_end(spark, tmp_path):
         for r in q_search_bm25(spark, sf).limit(10).collect()
     ]
     assert [tuple(t) for t in out["bm25_top10"]] == want
-    # the anomaly figure is the declared query's own count
+    # the anomaly figure — served off the MERGED RateCellStore cells —
+    # is the declared query's own count (cell-additivity parity)
     assert out["event_rate_anomalies"] == (
         q_events_anomaly(spark, sf)
         .filter("is_anomaly")
         .count()
     )
+    # CMS estimates cover every observed type and upper-bound the
+    # exact counts (the one-sided CMS error contract)
+    ev = load(spark, sf, "events")
+    exact_counts = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(out["event_type_freq_est"]) == set(exact_counts)
+    for t, n in exact_counts.items():
+        assert out["event_type_freq_est"][t] >= n
