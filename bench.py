@@ -189,6 +189,10 @@ HEADLINE = [
     # index written+memoized per corpus at first call, untimed; the
     # timed row is probe -> ADC-over-codes -> exact rerank)
     "q_knn_ivfpq",
+    # lang-ID confusion matrix + Flesch readability (heuristic eval
+    # and quality tiers)
+    "q_langid_eval",
+    "q_text_readability",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

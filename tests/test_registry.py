@@ -270,6 +270,8 @@ ROTATED_OUT_R10 = (
     "q_knn_recall",
     "q_sample_weighted",
     "q_dedup_triangles",
+    "q_langid_eval",
+    "q_text_readability",
 )
 
 

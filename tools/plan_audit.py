@@ -852,6 +852,30 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"ArrowEvalPython", r"TakeOrderedAndProject"],
         [r"BatchEvalPython", r"CartesianProduct"],
     ],
+    # lang-ID confusion matrix: one map-side-combined aggregate over
+    # the codegen scoring projection — no Python, no join, no window
+    "q_langid_eval": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+            r"Join",
+        ],
+    ],
+    # readability: one codegen regexp projection — nothing else
+    "q_text_readability": [
+        [r"Project"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+            r"Join",
+            r"Exchange",
+        ],
+    ],
     # IVF-PQ: the stage-1 scan must prune to the probed cells
     # (PartitionFilters IN on centroid_id) and read codes, not raw
     # vectors (codes-only ReadSchema asserted in pytest — the audit

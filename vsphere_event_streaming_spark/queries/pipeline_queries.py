@@ -889,6 +889,135 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langid_eval_oracle() -> str:
+    score_cols = ", ".join(
+        "len(list_filter(ws, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+        + f"], lower(x)))) AS s_{lang}"
+        for lang in T.LANG_PRIORITY
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in T.LANG_PRIORITY) + ")"
+    case = " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in T.LANG_PRIORITY[:-1]
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_DUCK_WORDS} AS ws FROM documents),
+    s AS (SELECT doc_id, lang, {score_cols} FROM t),
+    p AS (
+      SELECT lang AS labeled_lang,
+             CASE {case} ELSE '{T.LANG_PRIORITY[-1]}' END
+               AS predicted_lang
+      FROM s
+    )
+    SELECT labeled_lang, predicted_lang, count(*) AS n
+    FROM p GROUP BY labeled_lang, predicted_lang
+    """
+
+
+@query("q_langid_eval", oracle=_langid_eval_oracle())
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANG-ID CONFUSION MATRIX (r10) — the evaluation a pipeline
+    reads before trusting its language gate: per (labeled, predicted)
+    cell counts of the L4 stopword-scoring heuristic against the
+    corpus labels, the heuristic twin of the trained tier's
+    q_classifier_eval. The matrix is ≤|langs|² cells from ONE
+    map-side-combined hash aggregate over the per-row prediction
+    (same codegen scoring expression as q_lang_id — shared
+    T.lang_id, so the gate and its eval can never drift); at 100 TB
+    the state is language-squared, never row-proportional."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            T.lang_id(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+#: Flesch reading-ease coefficients (the published 1948 constants).
+FLESCH_BASE = 206.835
+FLESCH_WPS = 1.015
+FLESCH_SPW = 84.6
+
+
+def _readability_oracle() -> str:
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(greatest(len(regexp_extract_all(lower(text),
+                  '[aeiouy]+')), 1) AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words = 0 THEN 0.0
+                ELSE round({FLESCH_BASE}
+                     - {FLESCH_WPS} * (CAST(n_words AS DOUBLE)
+                                       / CAST(n_sentences AS DOUBLE))
+                     - {FLESCH_SPW} * (CAST(n_syllables AS DOUBLE)
+                                       / CAST(n_words AS DOUBLE)), 6)
+           END AS flesch
+    FROM t
+    """
+
+
+@query("q_text_readability", oracle=_readability_oracle())
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABILITY scoring (r10) — the Flesch reading-ease quality
+    signal (the classic C4/RefinedWeb-era heuristic family member
+    this tier didn't yet carry): per doc,
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+    with sentences counted as ``[.!?]+`` runs and syllables
+    approximated as lowercase vowel-group runs (the standard
+    regex-tier approximation; the fixed published constants make the
+    score comparable across corpora). Sentence/syllable floors of 1
+    keep fragment docs finite; a zero-word doc scores the explicit
+    0.0 in both engines.
+
+    One codegen regexp projection per row — no shuffle, no Python;
+    patterns stay in the Java∩RE2-compatible subset the regexp tier
+    documents, and the oracle replays count-for-count."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(T.words(F.col("text"))).cast("long")
+    n_sent = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    n_syl = F.greatest(
+        F.size(
+            F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ),
+        F.lit(1),
+    ).cast("long")
+    score = F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(FLESCH_BASE)
+            - F.lit(FLESCH_WPS)
+            * (
+                F.col("n_words").cast("double")
+                / F.col("n_sentences").cast("double")
+            )
+            - F.lit(FLESCH_SPW)
+            * (
+                F.col("n_syllables").cast("double")
+                / F.col("n_words").cast("double")
+            ),
+            6,
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    ).select("doc_id", "n_words", "n_sentences", "n_syllables",
+             score.alias("flesch"))
+
+
 def _quality_oracle() -> str:
     en = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
     return rf"""

@@ -270,6 +270,8 @@ PRIORITY: tuple[str, ...] = (
     "q_knn_recall",
     "q_sample_weighted",
     "q_dedup_triangles",
+    "q_langid_eval",
+    "q_text_readability",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
