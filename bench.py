@@ -193,6 +193,10 @@ HEADLINE = [
     # and quality tiers)
     "q_langid_eval",
     "q_text_readability",
+    # event analytics (funnel, cohort retention) + the dataset card
+    "q_events_funnel",
+    "q_events_retention",
+    "q_corpus_card",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

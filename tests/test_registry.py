@@ -272,6 +272,9 @@ ROTATED_OUT_R10 = (
     "q_dedup_triangles",
     "q_langid_eval",
     "q_text_readability",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_corpus_card",
 )
 
 

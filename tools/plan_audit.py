@@ -852,6 +852,41 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"ArrowEvalPython", r"TakeOrderedAndProject"],
         [r"BatchEvalPython", r"CartesianProduct"],
     ],
+    # event funnel: pushed type filters, per-stage hash aggregates,
+    # user-keyed equi-joins (broadcastable stage tables) — no window
+    # over raw events, no Python, no cartesian
+    "q_events_funnel": [
+        [r"HashAggregate", r"PushedFilters: \[.*event_type"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+        ],
+    ],
+    # cohort retention: DISTINCT (user, day) + min-aggregate +
+    # user-keyed join; cell-bounded output
+    "q_events_retention": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+        ],
+    ],
+    # dataset card: one aggregate per language (count-distinct's
+    # standard two-phase expand) — no join, no window, no Python
+    "q_corpus_card": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+            r"Join",
+        ],
+    ],
     # lang-ID confusion matrix: one map-side-combined aggregate over
     # the codegen scoring projection — no Python, no join, no window
     "q_langid_eval": [

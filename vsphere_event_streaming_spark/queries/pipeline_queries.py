@@ -4279,3 +4279,65 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+# ======================================================================
+# L44: corpus dataset card (per-language exact-integer stats block)
+# ======================================================================
+@query(
+    "q_corpus_card",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, text,
+             CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           count(DISTINCT text) AS distinct_texts,
+           round(1.0 - CAST(count(DISTINCT text) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+    FROM t GROUP BY lang
+    """,
+)
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD stats block (r10) — the per-language table every
+    corpus release publishes: document and token counts, token-length
+    moments, and the exact duplicate rate. Every figure derives from
+    EXACT integers (counts, an int64 token sum, a count-distinct over
+    the text) with the rounding applied to one final division, so the
+    whole card replays bit-for-bit — the engine-determinism posture
+    a reproducible dataset card actually needs.
+
+    Scale shape: one hash aggregate per language with map-side
+    partial combine; the count-distinct is Spark's standard two-phase
+    expand (distinct (lang, text) partial, then the merged count) —
+    state is distinct-text-bounded per language, the same bound the
+    exact-dedup tier already carries. Output is ≤|langs| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "text",
+        F.size(T.words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.countDistinct("text").alias("distinct_texts"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("text").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )

@@ -198,3 +198,158 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     return anomalies_from_cells(rate_cells(ev))
+
+
+# -- T6e: event funnel (view -> click -> purchase, strictly ordered) ---
+#: The funnel stages, in order. First-touch semantics: each stage
+#: anchors on the user's EARLIEST qualifying event strictly after the
+#: previous stage.
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _funnel_oracle() -> str:
+    s1, s2, s3 = FUNNEL_STAGES
+    return f"""
+    WITH fu AS (SELECT DISTINCT user_id FROM events
+                WHERE user_id IS NOT NULL),
+    f1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = '{s1}' AND ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    f2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN f1 ON e.user_id = f1.user_id
+      WHERE e.event_type = '{s2}' AND e.ts IS NOT NULL
+        AND epoch_us(e.ts) > f1.t1
+      GROUP BY e.user_id
+    ),
+    f3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN f2 ON e.user_id = f2.user_id
+      WHERE e.event_type = '{s3}' AND e.ts IS NOT NULL
+        AND epoch_us(e.ts) > f2.t2
+      GROUP BY e.user_id
+    )
+    SELECT fu.user_id, f1.t1 AS t_view_us, f2.t2 AS t_click_us,
+           f3.t3 AS t_purchase_us,
+           CAST((f1.t1 IS NOT NULL)::INT + (f2.t2 IS NOT NULL)::INT
+                + (f3.t3 IS NOT NULL)::INT AS BIGINT) AS depth
+    FROM fu
+    LEFT JOIN f1 ON fu.user_id = f1.user_id
+    LEFT JOIN f2 ON fu.user_id = f2.user_id
+    LEFT JOIN f3 ON fu.user_id = f3.user_id
+    """
+
+
+@query("q_events_funnel", oracle=_funnel_oracle())
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT FUNNEL (r10) — the product-analytics question an event
+    log answers: per user, how deep into view → click → purchase did
+    they get, with STRICT ordering (each stage counts only events
+    after the user's first-touch of the previous stage)? Three
+    conditional min-aggregates chained by equi-joins on user_id —
+    first-touch times are exact BIGINT epoch-micros minima, so every
+    depth decision replays. Users with no qualifying first stage
+    report depth 0 (the fu LEFT JOIN spine keeps them).
+
+    Scale shape: each stage is one map-side-combined hash aggregate
+    over a pushed type filter; the chaining joins are per-user-keyed
+    equi-joins (the stage tables are ≤|users| rows — at 100 TB these
+    broadcast or ride one co-partitioned exchange). No window over
+    raw events, no Python."""
+    s1, s2, s3 = FUNNEL_STAGES
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts"))
+    fu = ev.select("user_id").distinct()
+    f1 = (
+        ev.filter(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    f2 = (
+        ev.filter(F.col("event_type") == s2)
+        .join(f1, "user_id")
+        .filter(us > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t2"))
+    )
+    f3 = (
+        ev.filter(F.col("event_type") == s3)
+        .join(f2, "user_id")
+        .filter(us > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t3"))
+    )
+    return (
+        fu.join(f1, "user_id", "left")
+        .join(f2, "user_id", "left")
+        .join(f3, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").alias("t_view_us"),
+            F.col("t2").alias("t_click_us"),
+            F.col("t3").alias("t_purchase_us"),
+            (
+                F.col("t1").isNotNull().cast("int")
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("depth"),
+        )
+    )
+
+
+# -- T6f: cohort retention ---------------------------------------------
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "q_events_retention",
+    oracle=f"""
+    WITH ra AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / {_DAY_US}.0) AS BIGINT) AS d
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    rc AS (SELECT user_id, min(d) AS cohort FROM ra GROUP BY user_id)
+    SELECT rc.cohort * {_DAY_US} AS cohort_day_us,
+           ra.d - rc.cohort AS day_offset,
+           count(*) AS n_users
+    FROM ra JOIN rc ON ra.user_id = rc.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION (r10) — the companion analytics shape to the
+    funnel: users cohorted by their first active day; each
+    (cohort_day, day_offset) cell counts how many of that cohort were
+    active again offset days later (offset 0 is the cohort size).
+    All-integer day-bucket arithmetic (floor of epoch-micros over an
+    exact divisor), so every cell replays.
+
+    Scale shape: the (user, day) activity table is one DISTINCT
+    (map-side partial), the cohort table one min-aggregate over it,
+    and the join is user-keyed co-partitioned; the result is
+    ≤ days² cells regardless of event volume."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ra = ev.select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts")) / F.lit(float(_DAY_US))
+        ).cast("long").alias("d"),
+    ).distinct()
+    rc = ra.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        ra.join(rc, "user_id")
+        .groupBy(
+            (F.col("cohort") * F.lit(_DAY_US)).alias("cohort_day_us"),
+            (F.col("d") - F.col("cohort")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -272,6 +272,9 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_triangles",
     "q_langid_eval",
     "q_text_readability",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_corpus_card",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
