@@ -1270,6 +1270,72 @@ def test_streaming_whitened_serve_parity(spark, tmp_path):
     assert len({v[0] for v in got.values()}) > 1
 
 
+def test_streaming_outlier_serve_parity(spark, tmp_path):
+    """L35''''' serve path (r10): the frozen eigenvalue-ordered
+    components applied to an embedding stream as the reconstruction-
+    error residual must equal the BATCH q_embed_outlier's scoring
+    row-for-row (same outlier_residual expression tree through
+    readStream) — the declared query's top-k is then just the heap
+    over these scores."""
+    from vsphere_event_streaming_spark.functions.classifier import (
+        gram_micro,
+        outlier_residual,
+        pca_topm_ordered,
+    )
+    from vsphere_event_streaming_spark.queries.model_queries import (
+        PCA_ITERS,
+        PCA_TOPM,
+        q_embed_outlier,
+    )
+    from vsphere_event_streaming_spark.streaming.model_stream import (
+        EMB_STREAM_SCHEMA,
+        streaming_outlier_scores,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g = gram_micro(emb)
+    d = 1 + max(i for i, _ in g)
+    comps, _ = pca_topm_ordered(g, d, iters=PCA_ITERS, m=PCA_TOPM)
+
+    in_dir = f"{tmp_path}/in_outlier"
+    emb.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(EMB_STREAM_SCHEMA).parquet(in_dir)
+    q = (
+        streaming_outlier_scores(stream, comps)
+        .writeStream.format("memory")
+        .queryName("t_outlier_serve")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_outlier")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vec_id: r.resid_energy
+        for r in spark.sql("SELECT * FROM t_outlier_serve").collect()
+    }
+    # per-row parity against the same expression run in batch
+    want = {
+        r.vec_id: r.resid_energy
+        for r in emb.select(
+            "vec_id",
+            outlier_residual(F.col("embedding"), comps).alias(
+                "resid_energy"
+            ),
+        ).collect()
+    }
+    assert got == want and len(got) == emb.count()
+    # ...and the declared query's top-k is exactly the k highest
+    # streamed scores (rounded tie-break on vec_id)
+    topk = q_embed_outlier(spark, sf_dir).collect()
+    want_top = sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : len(topk)
+    ]
+    assert [(r.vec_id, r.resid_energy) for r in topk] == want_top
+    assert len({v for v in got.values()}) > 1  # scores genuinely vary
+
+
 def test_incremental_auc_cell_stream(spark, tmp_path):
     """L34-b monitor path (r8): embedding batches streamed in per-file
     epochs score through the frozen classifier into an AucCellStore

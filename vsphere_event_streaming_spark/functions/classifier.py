@@ -1228,3 +1228,19 @@ class AucCellStore:
         bit-identical to the full-corpus q_classifier_auc_binned
         values by cell additivity."""
         return auc_from_cells(self.cells())
+
+
+def outlier_residual(vec: Column, comps: list[list[float]]) -> Column:
+    """PCA reconstruction-error residual:
+    ``round(x·x − Σ_r (x·v_r)², 6)`` over the winsorized coordinates,
+    subtracting in component order as a left fold (the oracle's
+    left-assoc chain). ONE implementation shared by the declared
+    query (q_embed_outlier) and the streaming serve path
+    (model_stream.streaming_outlier_scores) so the two can never
+    drift; stateless per row — m+1 codegen folds, no shuffle."""
+    wx = winsorized(vec)
+    resid = dot(wx, wx)
+    for v in comps:
+        p = pca_project(vec, v)
+        resid = resid - p * p
+    return F.round(resid, 6)

@@ -1404,8 +1404,7 @@ def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (up to the fixed-iteration estimate the L35 tier
     documents). The oracle replays training + ordering and the same
     left-assoc subtraction chain."""
-    from ..functions.classifier import winsorized
-    from ..functions.vectors import dot as _dot
+    from ..functions.classifier import outlier_residual
 
     emb = _t(spark, sf_dir, "embeddings")
     ck = _corpus_key(sf_dir)
@@ -1420,13 +1419,13 @@ def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         _WHITEN_MEMO[ck] = entry
         _TRACE_MEMO[ck] = sum(v for (i, j), v in g.items() if i == j)
     comps, _, _ = entry
-    x = winsorized(F.col("embedding"))
-    resid = _dot(x, x)
-    for v in comps:
-        p = pca_project(F.col("embedding"), v)
-        resid = resid - p * p
     return (
-        emb.select("vec_id", F.round(resid, 6).alias("resid_energy"))
+        emb.select(
+            "vec_id",
+            outlier_residual(F.col("embedding"), comps).alias(
+                "resid_energy"
+            ),
+        )
         .orderBy(F.desc("resid_energy"), "vec_id")
         .limit(OUTLIER_TOPK)
     )

@@ -159,6 +159,29 @@ def streaming_whitened_projection(
     )
 
 
+def streaming_outlier_scores(
+    stream: DataFrame, components: list[list[float]]
+) -> DataFrame:
+    """PCA reconstruction-error scoring over a streaming embeddings
+    frame — the serve-path twin of q_embed_outlier (r10): the frozen
+    eigenvalue-ordered components applied as the SAME
+    ``classifier.outlier_residual`` expression the declared query
+    projects with (stateless m+1 codegen folds per row; batch/stream
+    parity exact by construction, asserted in
+    ``tests/test_streaming.py``). A crawl pipeline runs this on each
+    arriving batch to flag OOD/noise vectors before they enter the
+    dedup/selection tiers."""
+    from ..functions.classifier import outlier_residual
+
+    return stream.select(
+        "vec_id",
+        "label",
+        outlier_residual(F.col("embedding"), components).alias(
+            "resid_energy"
+        ),
+    )
+
+
 def streaming_cluster_assignments(
     stream: DataFrame, cm: list[list[int]]
 ) -> DataFrame:
