@@ -197,6 +197,8 @@ HEADLINE = [
     "q_events_funnel",
     "q_events_retention",
     "q_corpus_card",
+    # MinHash estimator-accuracy evaluation
+    "q_minhash_est",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -275,6 +275,7 @@ ROTATED_OUT_R10 = (
     "q_events_funnel",
     "q_events_retention",
     "q_corpus_card",
+    "q_minhash_est",
 )
 
 

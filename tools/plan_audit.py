@@ -852,6 +852,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"ArrowEvalPython", r"TakeOrderedAndProject"],
         [r"BatchEvalPython", r"CartesianProduct"],
     ],
+    # minhash estimator accuracy: banded candidates + signature and
+    # shingle-array joins over CANDIDATES only — no cartesian, no
+    # window, no Python
+    "q_minhash_est": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+        ],
+    ],
     # event funnel: pushed type filters, per-stage hash aggregates,
     # user-keyed equi-joins (broadcastable stage tables) — no window
     # over raw events, no Python, no cartesian

@@ -395,6 +395,142 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# L2b': MinHash estimator accuracy (est vs exact Jaccard per pair)
+# ======================================================================
+def _minhash_est_oracle() -> str:
+    sig_items = ", ".join(
+        f"min(({a}*sh + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    n_sig = len(MINHASH_PARAMS)
+    n_bands = n_sig // 2
+    band_eq = " OR ".join(
+        f"(a.mh{i * 2} = b.mh{i * 2} AND a.mh{i * 2 + 1} = b.mh{i * 2 + 1})"
+        for i in range(n_bands)
+    )
+    eq_sum = " + ".join(
+        f"(x.mh{j} = y.mh{j})::INT" for j in range(n_sig)
+    )
+    jac = "CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)"
+    return f"""
+    WITH {_duck_shingle_hashes()},
+    sh AS (SELECT doc_id, unnest(sh_arr) AS sh FROM sha),
+    sig AS (SELECT doc_id, {sig_items} FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {band_eq}
+    ),
+    es AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST({eq_sum} AS DOUBLE) / {n_sig}.0, 6)
+               AS est_jaccard
+      FROM cand c
+      JOIN sig x ON x.doc_id = c.id_a
+      JOIN sig y ON y.doc_id = c.id_b
+    ),
+    ex AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(x.sh_arr, y.sh_arr)) AS common,
+             len(x.sh_arr) AS na, len(y.sh_arr) AS nb
+      FROM cand c
+      JOIN sha x ON x.doc_id = c.id_a
+      JOIN sha y ON y.doc_id = c.id_b
+    )
+    SELECT es.id_a, es.id_b, es.est_jaccard,
+           round({jac}, 6) AS jaccard,
+           round(abs(es.est_jaccard - round({jac}, 6)), 6) AS abs_err
+    FROM es JOIN ex ON es.id_a = ex.id_a AND es.id_b = ex.id_b
+    """
+
+
+@query("q_minhash_est", oracle=_minhash_est_oracle())
+def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINHASH ESTIMATOR ACCURACY (r10) — the sketch-evaluation twin
+    of the ANN tier's q_knn_recall: for every LSH candidate pair,
+    the signature-agreement Jaccard estimate (matching slots / 8 —
+    the unbiased MinHash estimator) beside the EXACT Jaccard and the
+    absolute error. The number a dedup pipeline reads to size its
+    signature count before trusting banded candidates at 100 TB;
+    every slot compare, the exact intersection, and the error are
+    oracle-replayed.
+
+    Scale shape: the persisted shingle/signature tables feed all
+    three stages (the q_dedup_lsh_verified discipline); the estimate
+    join moves 8-slot signatures, the exact join moves shingle
+    arrays for CANDIDATE pairs only — never all-pairs."""
+    from ..functions.dedup import (
+        _band_collision_pairs,
+        _persist,
+        _signatures_from,
+        shingle_hash_arrays,
+    )
+
+    n_sig = len(MINHASH_PARAMS)
+    docs = _t(spark, sf_dir, "documents")
+    arrs = shingle_hash_arrays(docs)
+    sh = arrs.select("id", F.explode("sh_arr").alias("sh"))
+    sig = _persist(_signatures_from(sh))
+    cands = _band_collision_pairs(sig, 2)
+    sa = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(n_sig)],
+    )
+    sb = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh{j}").alias(f"__b{j}") for j in range(n_sig)],
+    )
+    eq = sum(
+        (F.col(f"__a{j}") == F.col(f"__b{j}")).cast("int")
+        for j in range(n_sig)
+    )
+    est = cands.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a",
+        "id_b",
+        F.round(eq.cast("double") / F.lit(float(n_sig)), 6).alias(
+            "est_jaccard"
+        ),
+    )
+    a = arrs.select(
+        F.col("id").alias("id_a"),
+        F.col("sh_arr").alias("__sa"),
+        F.col("n_sh").alias("__na"),
+    )
+    b = arrs.select(
+        F.col("id").alias("id_b"),
+        F.col("sh_arr").alias("__sb"),
+        F.col("n_sh").alias("__nb"),
+    )
+    ex = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "__common", F.size(F.array_intersect("__sa", "__sb"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__common").cast("double")
+                / (
+                    F.col("__na") + F.col("__nb") - F.col("__common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return est.join(ex, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(
+            F.abs(F.col("est_jaccard") - F.col("jaccard")), 6
+        ).alias("abs_err"),
+    )
+
+
+# ======================================================================
 # L2c: SimHash fingerprints
 # ======================================================================
 def _simhash_ctes() -> str:
