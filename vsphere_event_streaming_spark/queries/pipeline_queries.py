@@ -614,22 +614,38 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 # L2f: duplicate-graph triangle / density diagnostics
 # ======================================================================
-def _triangles_oracle() -> str:
+def _triangles_oracle(threshold: float = 0.5) -> str:
+    from ..functions.dedup import MINHASH_PRIME as _MP
+
+    sig_items = ", ".join(
+        f"min(({a}*sh + {b}) % {_MP}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    n_bands = len(MINHASH_PARAMS) // 2
+    band_eq = " OR ".join(
+        f"(a.mh{i * 2} = b.mh{i * 2} AND a.mh{i * 2 + 1} = b.mh{i * 2 + 1})"
+        for i in range(n_bands)
+    )
+    jac = "CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)"
     return f"""
-    WITH {_simhash_ctes()},
-    probes AS (
-      SELECT doc_id, simhash, 0 AS band_idx, simhash >> 8 AS band_val
-      FROM s
-      UNION ALL
-      SELECT doc_id, simhash, 1 AS band_idx, simhash & 255 AS band_val
-      FROM s
+    WITH {_duck_shingle_hashes()},
+    sh AS (SELECT doc_id, unnest(sh_arr) AS sh FROM sha),
+    sig AS (SELECT doc_id, {sig_items} FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {band_eq}
+    ),
+    sc AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(x.sh_arr, y.sh_arr)) AS common,
+             len(x.sh_arr) AS na, len(y.sh_arr) AS nb
+      FROM cand c
+      JOIN sha x ON x.doc_id = c.id_a
+      JOIN sha y ON y.doc_id = c.id_b
     ),
     tp AS MATERIALIZED (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM probes a JOIN probes b
-        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+      SELECT id_a, id_b FROM sc WHERE round({jac}, 6) >= {threshold}
     ),
     ttri AS (
       SELECT e1.id_a AS na, e1.id_b AS nb, e2.id_b AS nc
@@ -665,31 +681,37 @@ def _triangles_oracle() -> str:
 @query("q_dedup_triangles", oracle=_triangles_oracle())
 def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DUPLICATE-GRAPH TRIANGLE DIAGNOSTICS (r10) — per-node triangle
-    count and local clustering coefficient over the SimHash
-    Hamming≤1 near-dup graph: the graph-shape question a dedup pass
-    asks before trusting transitive grouping (L2'). A node whose
+    count and local clustering coefficient over the VERIFIED near-dup
+    graph (the L2 canonical pipeline's own edges: LSH candidates →
+    exact Jaccard ≥ 0.5): the graph-shape question a dedup pass asks
+    before trusting transitive grouping (L2'). A node whose
     neighborhood is triangle-dense (clustering → 1) sits in a true
     duplicate CLIQUE; a high-degree node with clustering → 0 is a
     CHAIN HUB — a threshold artifact stitching unrelated docs, the
-    thing that makes naive transitive closure over-merge. Edges are
-    the L2c pairing (banded equi-join + exact Hamming verify);
-    Hamming≤1 keeps the graph non-transitive, so the coefficient is
-    informative (the distance-0 graph is a clique union where it is
-    identically 1).
+    thing that makes naive transitive closure over-merge. Jaccard
+    thresholds are NOT transitive (j(a,b) ≥ t ∧ j(b,c) ≥ t ⇏
+    j(a,c) ≥ t), so the coefficient is informative.
+
+    Edge-set choice is the scale decision (measured): the candidate
+    tiers saturate as the corpus grows — the 16-bit SimHash Hamming≤1
+    graph reaches 925k edges / max degree 1030 on the sf0.1 corpus
+    (~40 s of triangle joins), while the VERIFIED graph stays sparse
+    (256 edges, max degree 3) because verification bounds edges by
+    TRUE similarity, not fingerprint collisions. Diagnostics belong
+    on the graph the grouping stage actually consumes.
 
     Canonical distributed triangle counting: orient every edge small
     → large id (each triangle counted exactly once as a<b<c), join
     edges on the shared middle vertex, then verify the closing edge
     with a second equi-join — never an all-pairs step; cost is
-    Σ deg² over the NEAR-DUP graph only, with the degenerate
-    heavy-hitter class (constant fingerprints) already fenced by the
-    L33 star tier. Per-node tallies are two map-side-combined
-    aggregates over the explode of edges / triangle corners."""
-    from ..functions.dedup import simhash_pairs_hamming
+    Σ deg² over the VERIFIED graph only. Per-node tallies are two
+    map-side-combined aggregates over the explode of edges /
+    triangle corners."""
+    from ..functions.dedup import lsh_verified_pairs
 
     tp = _persist_knn(
-        simhash_pairs_hamming(
-            _t(spark, sf_dir, "documents"), max_hamming=1
+        lsh_verified_pairs(
+            _t(spark, sf_dir, "documents"), threshold=0.5
         ).select("id_a", "id_b")
     )
     e1 = tp.select(F.col("id_a").alias("na"), F.col("id_b").alias("nb"))
