@@ -199,6 +199,8 @@ HEADLINE = [
     "q_corpus_card",
     # MinHash estimator-accuracy evaluation
     "q_minhash_est",
+    # dup-cluster size histogram (CC composition)
+    "q_dedup_group_sizes",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -276,6 +276,7 @@ ROTATED_OUT_R10 = (
     "q_events_retention",
     "q_corpus_card",
     "q_minhash_est",
+    "q_dedup_group_sizes",
 )
 
 

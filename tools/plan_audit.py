@@ -852,6 +852,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"ArrowEvalPython", r"TakeOrderedAndProject"],
         [r"BatchEvalPython", r"CartesianProduct"],
     ],
+    # dup-cluster size histogram: the CC fixed point's iterative
+    # equi-joins + two tiny aggregates over the group table — no
+    # Python, no cartesian, no window
+    "q_dedup_group_sizes": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+        ],
+    ],
     # minhash estimator accuracy: banded candidates + signature and
     # shingle-array joins over CANDIDATES only — no cartesian, no
     # window, no Python

@@ -1465,6 +1465,54 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# L2'': dedup group-size distribution (cluster-size histogram)
+# ======================================================================
+def _group_sizes_oracle() -> str:
+    base = _dedup_groups_oracle()
+    # reuse the full recursive-closure chain; swap the final SELECT
+    # for the size histogram
+    final = "SELECT a AS doc_id, least(a, min(b)) AS group_id FROM reach GROUP BY a"
+    assert base.rstrip().endswith(final)
+    return (
+        base.rstrip()[: -len(final)]
+        + """, gl AS (
+      SELECT a AS doc_id, least(a, min(b)) AS group_id
+      FROM reach GROUP BY a
+    ),
+    gs AS (SELECT group_id, count(*) AS group_size FROM gl
+           GROUP BY group_id)
+    SELECT group_size, count(*) AS n_groups
+    FROM gs GROUP BY group_size
+    """
+    )
+
+
+@query("q_dedup_group_sizes", oracle=_group_sizes_oracle())
+def q_dedup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUP-CLUSTER SIZE HISTOGRAM (r10) — the dashboard number behind
+    the L2' grouping: how large do transitive near-dup clusters get?
+    (size, n_groups) over the connected components of the near-dup
+    pair graph — a long tail here means boilerplate/template families
+    the pairwise view undersells, and it is the number that decides
+    whether keep-one-per-group is deleting 1% or 30% of the corpus.
+    Composes the exact L2' machinery (same pairs, same CC labels —
+    the oracle extends the same recursive-closure chain), then two
+    tiny aggregates: per-group size, then the histogram over the
+    GROUP table (≤ n_groups rows, never documents)."""
+    from ..functions.dedup import jaccard_pairs
+    from ..operators.graph import dedup_groups
+
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    gl = dedup_groups(pairs)
+    return (
+        gl.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+# ======================================================================
 # L41: per-document n-gram novelty (corpus-uniqueness metric)
 # ======================================================================
 def _ngram_novelty_oracle() -> str:
