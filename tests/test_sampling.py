@@ -234,3 +234,97 @@ def test_corpus_split_partition_properties(spark):
         corpus_split(docs, {"train": 0.8, "val": 0.1})
     with _pytest.raises(ValueError, match="negative"):
         corpus_split(docs, {"train": 1.5, "val": -0.5})
+
+
+def test_weighted_priority_key_monotone_in_weight(spark):
+    """q_sample_weighted's max-of-w-uniforms identity (r10): a doc's
+    priority key is the MAX over its w draws, so the key must be
+    non-decreasing in w for a FIXED doc — the property that makes
+    inclusion probability monotone in weight (the ES law) and that
+    the ES_WEIGHT_CAP clamp relies on. Checked deterministically by
+    computing the running max over draw prefixes for real docs."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions import text as T
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        ES_SEED,
+    )
+    from vsphere_event_streaming_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    draws = F.transform(
+        F.sequence(F.lit(1).cast("long"), F.lit(64).cast("long")),
+        lambda i: T.md5_hash(
+            F.concat(
+                F.lit(f"{ES_SEED}:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                i.cast("string"),
+            )
+        ),
+    )
+    rows = docs.select("doc_id", draws.alias("ds")).collect()
+    assert rows
+    for r in rows:
+        running = []
+        m = None
+        for d in r["ds"]:
+            m = d if m is None else max(m, d)
+            running.append(m)
+        # non-decreasing prefix maxima == key monotone in weight
+        assert running == sorted(running)
+        # and genuinely increases somewhere (draws are not constant)
+        assert running[-1] > running[0]
+
+
+def test_funnel_stage_sets_are_nested(spark):
+    """q_events_funnel (r10): by construction each stage conditions
+    on the previous stage's first-touch, so the user sets must nest —
+    depth-3 users ⊆ depth-2 ⊆ depth-1 — and every reported stage
+    time must be strictly increasing within a row."""
+    from vsphere_event_streaming_spark.queries.streaming_queries import (
+        q_events_funnel,
+    )
+
+    out = q_events_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        ts = [r["t_view_us"], r["t_click_us"], r["t_purchase_us"]]
+        # prefix property: a later stage implies every earlier stage
+        seen_null = False
+        for t in ts:
+            if t is None:
+                seen_null = True
+            else:
+                assert not seen_null, r
+        present = [t for t in ts if t is not None]
+        assert present == sorted(present)
+        assert all(
+            present[i] < present[i + 1] for i in range(len(present) - 1)
+        ), r
+        assert r["depth"] == len(present)
+
+
+def test_retention_offset_zero_is_cohort_size(spark):
+    """q_events_retention (r10): the day_offset=0 cell of every
+    cohort must equal the cohort's size (everyone is active on their
+    own first day), and no offset cell can exceed it."""
+    from collections import defaultdict
+
+    from vsphere_event_streaming_spark.queries.streaming_queries import (
+        q_events_retention,
+    )
+
+    rows = q_events_retention(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    base = {}
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_day_us"]].append(r)
+        if r["day_offset"] == 0:
+            base[r["cohort_day_us"]] = r["n_users"]
+    assert set(base) == set(by_cohort)  # every cohort has its 0-cell
+    for c, cells in by_cohort.items():
+        for r in cells:
+            assert r["day_offset"] >= 0
+            assert r["n_users"] <= base[c], r
