@@ -111,6 +111,7 @@ from vsphere_event_streaming_spark.queries.pipeline_queries import (  # noqa: E4
     SELECT_MIN_LOGW,
     SHUFFLE_SEED,
     TEMP_MIX_SEED,
+    corpus_card,
 )
 from vsphere_event_streaming_spark.session import get_spark, tune  # noqa: E402
 from vsphere_event_streaming_spark.tables import load, spread  # noqa: E402
@@ -420,6 +421,20 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         "distill_agreement": round(distill_agreement, 3),
         "packs": out.select("lang", "pack_id").distinct().count(),
         "written_docs": out.count(),
+        # the dataset card of the SELECTED corpus — the exact
+        # q_corpus_card aggregate (shared corpus_card helper), i.e.
+        # the per-language stats block this run would publish
+        "dataset_card": {
+            r["lang"]: {
+                "n_docs": r["n_docs"],
+                "n_tokens": r["n_tokens"],
+                "mean_tokens": r["mean_tokens"],
+                "dup_rate": r["dup_rate"],
+            }
+            for r in corpus_card(
+                selected.select("lang", "text")
+            ).collect()
+        },
     }
     scrubbed.unpersist()
     selected.unpersist()

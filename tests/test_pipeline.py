@@ -1413,6 +1413,14 @@ def test_corpus_prep_example_end_to_end(spark, tmp_path):
         out["selected_by_lang"][lang] <= out["mix_kept_by_lang"][lang]
         for lang in out["selected_by_lang"]
     )
+    # r10: the published dataset card covers exactly the selected
+    # languages and its doc counts ARE the selected counts (shared
+    # corpus_card aggregate — the q_corpus_card expression)
+    assert set(out["dataset_card"]) == set(out["selected_by_lang"])
+    for lang, card in out["dataset_card"].items():
+        assert card["n_docs"] == out["selected_by_lang"][lang]
+        assert card["n_tokens"] >= card["n_docs"]  # non-empty docs
+        assert 0.0 <= card["dup_rate"] < 1.0
     shard = spark.read.parquet(str(tmp_path / "shards"))
     assert {"lang", "pack_id"} <= set(shard.columns)
 

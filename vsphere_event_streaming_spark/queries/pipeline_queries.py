@@ -4523,8 +4523,19 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial combine; the count-distinct is Spark's standard two-phase
     expand (distinct (lang, text) partial, then the merged count) —
     state is distinct-text-bounded per language, the same bound the
-    exact-dedup tier already carries. Output is ≤|langs| rows."""
-    docs = _t(spark, sf_dir, "documents")
+    exact-dedup tier already carries. Output is ≤|langs| rows.
+
+    The card body is :func:`corpus_card` — shared with the
+    corpus_prep example (which publishes the card of its SELECTED
+    corpus) so the released numbers and the declared query can never
+    drift."""
+    return corpus_card(_t(spark, sf_dir, "documents"))
+
+
+def corpus_card(docs: DataFrame) -> DataFrame:
+    """The per-language dataset-card aggregate over any (lang, text)
+    frame — ONE implementation shared by q_corpus_card and the
+    corpus_prep run summary."""
     t = docs.select(
         "lang",
         "text",
