@@ -1654,6 +1654,82 @@ def test_incremental_cms_cell_stream(spark, tmp_path):
         CmsStore(spark, f"{tmp_path}/cnope", key_col="event_type").cells()
 
 
+def test_incremental_activity_stream(spark, tmp_path):
+    """T6f retention path (r10): event batches streamed in per-file
+    epochs collapse into an ActivityStore whose merged distinct rows
+    — and therefore the running cohort-retention table — are
+    BIT-IDENTICAL to the batch q_events_retention machinery over the
+    union. The SET-UNION merge law: a replayed batch AND overlapping
+    batches (the same (user, day) observed in two epochs) change
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.sketches import (
+        ActivityStore,
+        activity_days,
+        retention_from_days,
+    )
+    from vsphere_event_streaming_spark.streaming.model_stream import (
+        start_incremental_activity,
+    )
+    from vsphere_event_streaming_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts"
+    )
+    schema = "event_id long, user_id long, ts timestamp"
+    in_dir = f"{tmp_path}/in_a"
+    # OVERLAPPING batches on purpose: epoch b holds events with
+    # event_id % 3 in {b, (b+1)%3} — every (user, day) cell is seen
+    # by two epochs, so only a set-union merge stays correct
+    for b in range(3):
+        ev.filter(
+            (F.col("event_id") % 3 == b)
+            | (F.col("event_id") % 3 == (b + 1) % 3)
+        ).write.mode("overwrite").parquet(f"{in_dir}/part{b}")
+    q = start_incremental_activity(
+        spark,
+        in_dir + "/part*",
+        f"{tmp_path}/acts",
+        f"{tmp_path}/ackpt",
+        schema=schema,
+        max_files_per_trigger=1,  # one epoch per batch dir
+    )
+    q.awaitTermination(120)
+    store = ActivityStore(spark, f"{tmp_path}/acts")
+
+    want_days = {
+        (r["user_id"], r["d"]) for r in activity_days(ev).collect()
+    }
+    got_days = {(r["user_id"], r["d"]) for r in store.days().collect()}
+    assert got_days == want_days and got_days
+
+    def key(rows):
+        return {
+            (r["cohort_day_us"], r["day_offset"]): r["n_users"]
+            for r in rows
+        }
+
+    want = key(retention_from_days(activity_days(ev)).collect())
+    got = key(store.retention().collect())
+    assert got == want and got
+
+    # replayed batch: the set must not change (pinned batch ids)
+    man = ActivityStore(spark, f"{tmp_path}/acts_manual")
+    for b in range(3):
+        man.add_batch(ev.filter(F.col("event_id") % 3 == b), f"x{b}")
+    man.add_batch(ev.filter(F.col("event_id") % 3 == 1), "x1")  # replay
+    assert {
+        (r["user_id"], r["d"]) for r in man.days().collect()
+    } == want_days
+
+    # empty / marker-less store raises the typed error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no ingested batches"):
+        ActivityStore(spark, f"{tmp_path}/anope").days()
+
+
 def test_incremental_shingle_df_stream(spark, tmp_path):
     """L41 monitor path (r9): doc batches streamed in per-file epochs
     collapse into a ShingleDfStore whose merged df table — and

@@ -493,3 +493,117 @@ class CmsStore:
     def estimate(self, key: str) -> int:
         """Point frequency estimate over everything ingested."""
         return cms_estimate(self.sketch(), key)
+
+
+def activity_days(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Distinct ``(user_id, d)`` activity rows (d = epoch day as
+    BIGINT) — the primitive the cohort-retention tier consumes. Set
+    semantics: ``days(A ∪ B) = days(A) ∪ days(B)`` (distinct-union
+    merge, idempotent under overlap), the third merge law in the
+    store taxonomy beside additive cells and (min, sum) keepers.
+    Shared by the declared query (q_events_retention), the
+    :class:`ActivityStore`, and the streaming ingest."""
+    return (
+        events.filter(
+            F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+        )
+        .select(
+            user_col,
+            F.floor(
+                F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000.0)
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .distinct()
+    )
+
+
+def retention_from_days(
+    days: DataFrame, user_col: str = "user_id"
+) -> DataFrame:
+    """The cohort-retention readout over a (merged) activity table:
+    cohort = each user's min day, cells = (cohort_day_us, day_offset,
+    n_users) — exactly q_events_retention's output shape."""
+    rc = days.groupBy(user_col).agg(F.min("d").alias("cohort"))
+    return (
+        days.join(rc, user_col)
+        .groupBy(
+            (F.col("cohort") * F.lit(86_400_000_000)).alias(
+                "cohort_day_us"
+            ),
+            (F.col("d") - F.col("cohort")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+class ActivityStore:
+    """Persistent incremental user-activity store — the retention
+    tier's incremental form, the THIRTEENTH index/store family and
+    the first with SET-UNION merge semantics: per-batch state is the
+    batch's distinct ``(user, day)`` rows, the merged store is the
+    DISTINCT over every ingested batch (idempotent under replay AND
+    under overlapping batches — re-observing an active (user, day)
+    changes nothing, which is what makes activity a set, not a
+    counter), and the running retention table reads off the merged
+    rows at any time, bit-identical to the batch q_events_retention
+    over everything ingested.
+
+    Same crash contract as every other store: a batch write
+    OVERWRITES its own ``batch_id=`` partition directory."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.user_col = user_col
+        self.ts_col = ts_col
+
+    def add_batch(self, df: DataFrame, batch_id: str) -> int:
+        """Collapse the batch to distinct activity rows and persist
+        them as an idempotent partition directory. Returns rows
+        written."""
+        from .dedup import batch_partition_dir
+
+        part_dir = batch_partition_dir(batch_id)  # validates token
+        rows = activity_days(
+            df, self.user_col, self.ts_col
+        ).localCheckpoint(eager=True)
+        n = rows.count()
+        rows.write.mode("overwrite").parquet(f"{self.path}/{part_dir}")
+        return n
+
+    def days(self) -> DataFrame:
+        """The merged distinct activity rows over every ingested
+        batch — exactly the full-corpus :func:`activity_days` by the
+        set-union law."""
+        import os
+
+        if not os.path.isdir(self.path) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.path)
+        ):
+            raise ValueError(
+                f"ActivityStore has no ingested batches:"
+                f" {self.path!r} — call add_batch() first"
+            )
+        return (
+            self.spark.read.parquet(self.path)
+            .select(self.user_col, "d")
+            .distinct()
+        )
+
+    def retention(self) -> DataFrame:
+        """The running cohort-retention table over everything
+        ingested — bit-identical to the batch q_events_retention by
+        the set-union law."""
+        return retention_from_days(self.days(), self.user_col)

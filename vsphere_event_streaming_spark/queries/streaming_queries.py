@@ -334,22 +334,18 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the (user, day) activity table is one DISTINCT
     (map-side partial), the cohort table one min-aggregate over it,
     and the join is user-keyed co-partitioned; the result is
-    ≤ days² cells regardless of event volume."""
-    ev = _events(spark, sf_dir).filter(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
-    )
-    ra = ev.select(
-        "user_id",
-        F.floor(
-            F.unix_micros(F.col("ts")) / F.lit(float(_DAY_US))
-        ).cast("long").alias("d"),
-    ).distinct()
-    rc = ra.groupBy("user_id").agg(F.min("d").alias("cohort"))
-    return (
-        ra.join(rc, "user_id")
-        .groupBy(
-            (F.col("cohort") * F.lit(_DAY_US)).alias("cohort_day_us"),
-            (F.col("d") - F.col("cohort")).alias("day_offset"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
+    ≤ days² cells regardless of event volume.
+
+    Incremental form (r10): distinct activity rows merge by SET
+    UNION (idempotent under replay AND overlapping batches), so the
+    tier is also the THIRTEENTH store family —
+    :class:`~..functions.sketches.ActivityStore` (``retention()``
+    over the merged rows bit-identical to this batch query; parity in
+    ``tests/test_streaming.py``), fed by
+    :func:`~..streaming.model_stream.start_incremental_activity`.
+    Query, store, and ingest share :func:`activity_days` /
+    :func:`retention_from_days` so the three can never drift."""
+    from ..functions.sketches import activity_days, retention_from_days
+
+    ev = _events(spark, sf_dir)
+    return retention_from_days(activity_days(ev))

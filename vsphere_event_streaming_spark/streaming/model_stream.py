@@ -325,6 +325,46 @@ def start_incremental_cms_cells(
     return writer.start()
 
 
+def start_incremental_activity(
+    spark: SparkSession,
+    input_dir: str,
+    rows_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    available_now: bool = True,
+    batch_prefix: str = "b",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream event batches into an
+    :class:`~..functions.sketches.ActivityStore` — the T6f retention
+    topology, the first SET-UNION member of the store tier: each
+    epoch collapses to its distinct (user, day) rows under an
+    idempotent ``batch_id=`` partition; the running cohort-retention
+    table reads off the merged distinct rows at any time
+    (``store.retention()``), bit-identical to the batch
+    q_events_retention over everything ingested (parity asserted in
+    ``tests/test_streaming.py``)."""
+    from ..functions.sketches import ActivityStore
+
+    store = ActivityStore(spark, rows_dir, user_col=user_col, ts_col=ts_col)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        store.add_batch(batch_df, batch_id=f"{batch_prefix}{epoch_id}")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_incremental_auc_cells(
     spark: SparkSession,
     input_dir: str,
