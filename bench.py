@@ -201,6 +201,8 @@ HEADLINE = [
     "q_minhash_est",
     # dup-cluster size histogram (CC composition)
     "q_dedup_group_sizes",
+    # first-order event-type transition matrix
+    "q_events_transitions",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

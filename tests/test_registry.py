@@ -277,6 +277,7 @@ ROTATED_OUT_R10 = (
     "q_corpus_card",
     "q_minhash_est",
     "q_dedup_group_sizes",
+    "q_events_transitions",
 )
 
 

@@ -888,6 +888,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Window",
         ],
     ],
+    # transition matrix: per-user lead window (partitioned, never
+    # global), pair-count aggregate, totals broadcast back — no
+    # Python, no cartesian, no single-partition window
+    "q_events_transitions": [
+        [r"Window", r"HashAggregate", r"BroadcastHashJoin"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SinglePartition",
+        ],
+    ],
     # cohort retention: DISTINCT (user, day) + min-aggregate +
     # user-keyed join; cell-bounded output
     "q_events_retention": [

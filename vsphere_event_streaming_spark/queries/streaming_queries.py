@@ -349,3 +349,71 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     return retention_from_days(activity_days(ev))
+
+
+# -- T6g: event-type transition matrix ---------------------------------
+@query(
+    "q_events_transitions",
+    oracle="""
+    WITH tr AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    tc AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM tr WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tt AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+      FROM tc GROUP BY event_type
+    )
+    SELECT tc.event_type, tc.next_type, tc.n,
+           round(CAST(tc.n AS DOUBLE) / CAST(tt.tot AS DOUBLE), 6)
+             AS p_next
+    FROM tc JOIN tt USING (event_type)
+    """,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TYPE TRANSITION MATRIX (r10) — the first-order Markov
+    view of the event log: per (type, next-type) pair, how often does
+    a user's NEXT event follow, and with what conditional probability
+    P(next | type)? The sequence-modeling primitive behind "what do
+    users do after an error" — and the row-normalized counts are the
+    training table of a first-order next-event model. Succession is
+    per USER in (ts, event_id) order (the deterministic tie-break),
+    so every transition — and therefore every probability — replays.
+
+    Scale shape: ONE lead() window PARTITIONED by user (never a
+    global sort; per-user sequences are the natural partition), a
+    map-side-combined pair count, and the row totals computed from
+    the ≤types² CELL table (broadcast back) — the anomaly-monitor
+    posture: probabilities are a ratio of exact BIGINTs, rounded
+    once."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tc = (
+        ev.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tt = tc.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return tc.join(F.broadcast(tt), "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("p_next"),
+    )

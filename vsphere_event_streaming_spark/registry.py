@@ -277,6 +277,7 @@ PRIORITY: tuple[str, ...] = (
     "q_corpus_card",
     "q_minhash_est",
     "q_dedup_group_sizes",
+    "q_events_transitions",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
