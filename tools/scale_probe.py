@@ -959,6 +959,57 @@ def _sample_weighted_shape(docs):
     )
 
 
+def _replicate_events_users(ev, factor: int):
+    """User-DISJOINT event replicas (each copy's user_ids offset past
+    the prior copy's): per-user sequence lengths stay constant, user
+    count scales by the factor — the honest probe for a per-user
+    window (partitions multiply, partition size does not)."""
+    n = ev.count()
+    u = ev.agg(F.max("user_id")).first()[0] + 1
+    copies = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * n)).alias("event_id"),
+            (F.col("user_id") + F.lit(i * u)).alias("user_id"),
+            "ts",
+            "event_type",
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _transitions_shape(ev):
+    """q_events_transitions' shape: per-user lead window → pair count
+    → totals broadcast back. Under user-disjoint replicas the window
+    partition count scales, partition size does not — time must
+    track rows ~linearly, never user-count-quadratically."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tc = (
+        ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tt = tc.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return tc.join(F.broadcast(tt), "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("p_next"),
+    )
+
+
 def _rate_anomaly_shape(ev):
     """q_events_anomaly's shape: ONE map-side-combined cell aggregate
     over the events (≤ types × buckets cells), a second tiny
@@ -1041,6 +1092,11 @@ def main() -> None:
     )
     evtN = _replicate_events_disjoint(evt1, factor).persist()
     evtN.count()
+    evu1 = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    evuN = _replicate_events_users(evu1, factor).persist()
+    evuN.count()
     li1 = load(spark, sf_dir, "lineitem")
     liN = _replicate_lineitem(li1, factor).persist()
     liN.count()
@@ -1396,6 +1452,14 @@ def main() -> None:
             "rate_anomaly",
             lambda: _rate_anomaly_shape(evt1),
             lambda: _rate_anomaly_shape(evtN),
+        ),
+        # r10: transition matrix — per-user lead window under
+        # user-disjoint replicas (10x partitions, constant partition
+        # size): rows-linear, never user-quadratic
+        (
+            "events_transitions",
+            lambda: _transitions_shape(evu1),
+            lambda: _transitions_shape(evuN),
         ),
     ]:
         if only and name not in only:
