@@ -141,6 +141,10 @@ NASTY_EVENTS = [
     (7, "2024-06-02 00:00:00", None, "purchase", 2.0, None),
     (8, "2024-06-03 00:00:00", 6, "view", 3.0, '{"empty": ""}'),
     (9, "2024-06-04 00:00:00", 7, "click", 4.0, '{"k": 0.5}'),
+    # NULL ts with a real user_id: the funnel/retention spine must
+    # still emit a depth-0 / no-activity row for user 8 (ADVICE_r10:
+    # the fu spine filters only on user_id, not ts).
+    (10, None, 8, "view", 5.0, '{"k": 2}'),
 ]
 
 

@@ -96,6 +96,35 @@ def test_lang_id_tie_break(spark):
     assert out[2] == "en"  # all-zero scores → first priority wins
 
 
+def test_pq_encode_null_vector_becomes_zero_row(spark):
+    """A stray NULL embedding in an Arrow batch must encode as the
+    zero vector's codes, not crash np.stack with a ragged-array
+    ValueError (ADVICE_r10: the None substitute must be zeros(d),
+    not zeros(0))."""
+    from vsphere_event_streaming_spark.functions.vectors import (
+        PQ_M,
+        pq_encode_udf,
+        pq_fit,
+    )
+    from vsphere_event_streaming_spark.tables import spread
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_fit(spread(emb))
+    d = len(emb.first()["embedding"])
+    mixed = spark.createDataFrame(
+        [(0, [0.0] * d), (1, None), (2, [1.0] + [0.0] * (d - 1))],
+        f"vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["c"]
+        for r in mixed.select(
+            "vec_id", pq_encode_udf(books, d)(F.col("embedding")).alias("c")
+        ).collect()
+    }
+    assert rows[1] == rows[0]  # NULL row == explicit zero row
+    assert all(len(c) == PQ_M for c in rows.values())
+
+
 def test_pq_recall_determinism_and_code_shape(spark):
     """The PQ tier (q_knn_pq, r10): (1) the two-stage
     shortlist+rerank search must recover at least as much of the

@@ -613,15 +613,17 @@ def _pq_bounds(d: int, m: int) -> list[tuple[int, int]]:
     return bounds
 
 
-def _np_normalized(col) -> "object":
+def _np_normalized(col, d: int) -> "object":
     """Batch → (n, d) float64 row-normalized matrix (zero rows stay
-    zero; None rows become zero — PQ never ingests NULL vectors, the
-    guard just keeps a stray NULL from crashing the batch)."""
+    zero; None rows become zero-filled d-vectors — PQ never ingests
+    NULL vectors, the guard just keeps a stray NULL from crashing the
+    batch: np.stack needs every row at the same length d, so the
+    substitute must be zeros(d), not zeros(0) (ADVICE_r10))."""
     import numpy as np
 
     X = np.stack(
         [
-            np.zeros(0, dtype="float64")
+            np.zeros(d, dtype="float64")
             if v is None
             else np.asarray(v, dtype="float64")
             for v in col
@@ -651,7 +653,7 @@ def pq_encode_udf(books: list[list[list[float]]], d: int):
     def enc(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype="object")
-        X = _np_normalized(col)
+        X = _np_normalized(col, d)
         codes = np.empty((X.shape[0], len(bks)), dtype="int32")
         for mi, (off, ln) in enumerate(bounds):
             sub = X[:, off : off + ln]
@@ -683,7 +685,7 @@ def pq_adc_udf(books: list[list[list[float]]], d: int):
         if len(codes) == 0:
             return pd.Series([], dtype="float64")
         C = np.stack([np.asarray(c, dtype="int64") for c in codes])
-        Q = _np_normalized(q)
+        Q = _np_normalized(q, d)
         tot = np.zeros(C.shape[0], dtype="float64")
         for mi, (off, ln) in enumerate(bounds):
             diff = Q[:, off : off + ln] - bks[mi][C[:, mi]]

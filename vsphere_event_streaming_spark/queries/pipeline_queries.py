@@ -2108,14 +2108,24 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__gc", gcos)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= RECALL_K)
-        .select("qid", F.col("cid").alias("__acid"))
+        # Rename BOTH key columns before the exact/ann join: the two
+        # frames share lineage from the persisted `s`, and a join
+        # condition on same-named lineage-shared columns leans on
+        # Spark's self-join dataset-id disambiguation ("trivially
+        # true equals" warning) — fragile across versions and
+        # failAmbiguousSelfJoin settings (ADVICE_r10). Disjoint
+        # names make the condition unambiguous by construction.
+        .select(
+            F.col("qid").alias("__aqid"), F.col("cid").alias("__acid")
+        )
         .withColumn("__hit", F.lit(1))
     )
     joined = exact.join(
         ann,
-        (exact["qid"] == ann["qid"]) & (exact["cid"] == ann["__acid"]),
+        (F.col("qid") == F.col("__aqid"))
+        & (F.col("cid") == F.col("__acid")),
         "left",
-    ).select(exact["qid"].alias("qid"), "cid", "__hit")
+    ).select("qid", "cid", "__hit")
     return joined.groupBy("qid").agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.count("__hit").alias("n_hit"),

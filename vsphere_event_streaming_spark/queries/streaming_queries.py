@@ -251,7 +251,10 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional min-aggregates chained by equi-joins on user_id —
     first-touch times are exact BIGINT epoch-micros minima, so every
     depth decision replays. Users with no qualifying first stage
-    report depth 0 (the fu LEFT JOIN spine keeps them).
+    report depth 0 (the fu LEFT JOIN spine keeps them) — the spine
+    requires only a non-null user_id, so a user whose events all
+    carry NULL ts still gets a depth-0 row; the ts filter applies
+    only inside the per-stage aggregates (ADVICE_r10).
 
     Scale shape: each stage is one map-side-combined hash aggregate
     over a pushed type filter; the chaining joins are per-user-keyed
@@ -259,11 +262,10 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast or ride one co-partitioned exchange). No window over
     raw events, no Python."""
     s1, s2, s3 = FUNNEL_STAGES
-    ev = _events(spark, sf_dir).filter(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
-    )
+    ev_u = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    ev = ev_u.filter(F.col("ts").isNotNull())
     us = F.unix_micros(F.col("ts"))
-    fu = ev.select("user_id").distinct()
+    fu = ev_u.select("user_id").distinct()
     f1 = (
         ev.filter(F.col("event_type") == s1)
         .groupBy("user_id")
