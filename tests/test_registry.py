@@ -32,19 +32,100 @@ from selfcheck import driver_guard  # noqa: E402  (tools/selfcheck.py)
 #: Size of the driver's correctness truncation window (observed r1-r5).
 DRIVER_WINDOW = 50
 
-#: The r10 window, verbatim (VERDICT_r9 #1): every query whose newest
-#: driver evidence is r6 or absent — the 20 deferred-r6 rows repaid
-#: and the six r9-new queries getting their first driver rows
-#: (q_embed_pca_scree, q_search_rrf, q_ngram_novelty,
-#: q_percentile_binned, q_sample_tokens, q_quality_gate) — filled to
-#: 50 with 24 of the 50 r7-stale rows (q_search_bm25 jumps the r7
-#: line because its implementation changes this round; the 26
-#: deferred r7 rows carry their rationale in registry.py and are
-#: first in line for r11). After this rotation no oracled query's
-#: newest driver row is older than r7. Independent literal (NOT
-#: derived from PRIORITY) so reordering PRIORITY can't silently
-#: redefine the window.
-WINDOW_R10 = (
+#: The r11 window, verbatim (VERDICT_r10 #1): every query whose newest
+#: driver evidence is r7 or absent — the 26 deferred-r7 rows repaid
+#: and the 15 oracled r10-new queries getting their first driver rows
+#: — filled to 50 with the 9 stalest r8 rows in prior registration
+#: order. After this rotation no oracled query's newest driver row is
+#: older than r8 and every r10-new operator has driver evidence.
+#: Independent literal (NOT derived from PRIORITY) so reordering
+#: PRIORITY can't silently redefine the window.
+WINDOW_R11 = (
+    "q_knn_hyperplane_probed",
+    "q_null_funcs",
+    "q_offset_assign",
+    "q_pii_scrub",
+    "q_point_lookup",
+    "q_quality_lm",
+    "q_quality_repetition",
+    "q_range",
+    "q_replay_from",
+    "q_retention",
+    "q_rollup",
+    "q_time_funcs",
+    "q_tumbling_agg",
+    "q_udf_cosine",
+    "q_udtf_props",
+    "q_word_pmi",
+    "q_dedup_media_robust",
+    "q_pack_chunked",
+    "q_bpe_tokens_full",
+    "q_quality_classifier",
+    "q_classifier_eval",
+    "q_classifier_pr",
+    "q_embed_pca",
+    "q_classifier_auc",
+    "q_classifier_calibration",
+    "q_kmeans_cluster",
+    "q_dedup_semantic_white",
+    "q_knn_classify",
+    "q_events_anomaly",
+    "q_embed_outlier",
+    "q_knn_recall",
+    "q_sample_weighted",
+    "q_dedup_triangles",
+    "q_langid_eval",
+    "q_text_readability",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_corpus_card",
+    "q_minhash_est",
+    "q_dedup_group_sizes",
+    "q_events_transitions",
+    "q_union",
+    "q_ordered_replay",
+    "q_knn_hyperplane",
+    "q_dedup_semantic",
+    "q_multimodal_decode",
+    "q_text_tokens",
+    "q_string_funcs",
+    "q_bitwise_funcs",
+    "q_map_funcs",
+)
+
+#: Queries expected to be rows-only (oracle=None) inside the window —
+#: none since r6: both permanent rows-only checks were rotated out
+#: (their no_oracle driver rows could never go green).
+ROWS_ONLY_IN_WINDOW = ()
+
+#: The permanent rows-only checks — must stay registered (a user can
+#: still run them) but OUT of the window (their driver rows are dead
+#: slots); their correctness evidence is pytest
+#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute and
+#: RRF indexed recall-vs-multiprobe + partition pruning).
+ROWS_ONLY_OFF_WINDOW = (
+    "q_knn_ivf",
+    "q_approx_aggs",
+    # r10: index-backed hybrid retrieval — approximate by design
+    # (trained-IVF probe); evidence is pytest
+    # (test_rrf_indexed_recall_and_partition_pruning)
+    "q_search_rrf_indexed",
+    # r10: PQ ANN with exact rerank — trained codebooks (Lloyd's over
+    # doubles, not oracle-replayed); evidence is pytest
+    # (test_pq_recall_determinism_and_code_shape)
+    "q_knn_pq",
+    # r10: composed IVF-PQ index — evidence is pytest
+    # (test_ivfpq_recall_pruning_and_column_pruning)
+    "q_knn_ivfpq",
+)
+
+#: Queries rotated out of the window in r11 — every one holds a
+#: driver-green value-hash row from r8-r10 and must stay registered
+#: and oracled (selfcheck covers them every round) even though the
+#: driver window no longer records them. Grouped by newest driver
+#: row; the 41 r8 rows at the end are first in line for the r12
+#: window.
+ROTATED_OUT_R11 = (
     "q_tpch_q3",
     "q_tpch_q4",
     "q_tpch_q5",
@@ -95,42 +176,6 @@ WINDOW_R10 = (
     "q_join_smj",
     "q_last_page",
     "q_search_bm25",
-)
-
-#: Queries expected to be rows-only (oracle=None) inside the window —
-#: none since r6: both permanent rows-only checks were rotated out
-#: (their no_oracle driver rows could never go green).
-ROWS_ONLY_IN_WINDOW = ()
-
-#: The permanent rows-only checks — must stay registered (a user can
-#: still run them) but OUT of the window (their driver rows are dead
-#: slots); their correctness evidence is pytest
-#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute and
-#: RRF indexed recall-vs-multiprobe + partition pruning).
-ROWS_ONLY_OFF_WINDOW = (
-    "q_knn_ivf",
-    "q_approx_aggs",
-    # r10: index-backed hybrid retrieval — approximate by design
-    # (trained-IVF probe); evidence is pytest
-    # (test_rrf_indexed_recall_and_partition_pruning)
-    "q_search_rrf_indexed",
-    # r10: PQ ANN with exact rerank — trained codebooks (Lloyd's over
-    # doubles, not oracle-replayed); evidence is pytest
-    # (test_pq_recall_determinism_and_code_shape)
-    "q_knn_pq",
-    # r10: composed IVF-PQ index — evidence is pytest
-    # (test_ivfpq_recall_pruning_and_column_pruning)
-    "q_knn_ivfpq",
-)
-
-#: Queries rotated out of the window in r10 — every one holds a
-#: driver-green value-hash row from r7-r9 and must stay registered
-#: and oracled (selfcheck covers them every round) even though the
-#: driver window no longer records them. Grouped by newest driver
-#: row; the 26 r7 rows at the end are first in line for the r11
-#: window.
-ROTATED_OUT_R10 = (
-    # newest driver row r9:
     "q_dedup_near_char",
     "q_dedup_simhash_pairs",
     "q_join_asof_fwd",
@@ -181,16 +226,6 @@ ROTATED_OUT_R10 = (
     "q_tpch_q18",
     "q_try_funcs",
     "q_window_analytics",
-    # newest driver row r8:
-    "q_union",
-    "q_ordered_replay",
-    "q_knn_hyperplane",
-    "q_dedup_semantic",
-    "q_multimodal_decode",
-    "q_text_tokens",
-    "q_string_funcs",
-    "q_bitwise_funcs",
-    "q_map_funcs",
     "q_array_funcs",
     "q_knn_sq",
     "q_join_anti",
@@ -232,52 +267,6 @@ ROTATED_OUT_R10 = (
     "q_url_domains",
     "q_vector_sq",
     "q_video_frames",
-    # newest driver row r7 (the 26 DEFERRED rows, first in line
-    # for the r11 window):
-    "q_knn_hyperplane_probed",
-    "q_null_funcs",
-    "q_offset_assign",
-    "q_pii_scrub",
-    "q_point_lookup",
-    "q_quality_lm",
-    "q_quality_repetition",
-    "q_range",
-    "q_replay_from",
-    "q_retention",
-    "q_rollup",
-    "q_time_funcs",
-    "q_tumbling_agg",
-    "q_udf_cosine",
-    "q_udtf_props",
-    "q_word_pmi",
-    "q_dedup_media_robust",
-    "q_pack_chunked",
-    "q_bpe_tokens_full",
-    "q_quality_classifier",
-    "q_classifier_eval",
-    "q_classifier_pr",
-    "q_embed_pca",
-    "q_classifier_auc",
-    "q_classifier_calibration",
-    "q_kmeans_cluster",
-    # r10-new, declared OUT of the window (window pinned to the
-    # staleness-repayment plan); oracled — selfcheck + the
-    # embeddings fuzz family cover them until their r11 driver rows
-    "q_dedup_semantic_white",
-    "q_knn_classify",
-    "q_events_anomaly",
-    "q_embed_outlier",
-    "q_knn_recall",
-    "q_sample_weighted",
-    "q_dedup_triangles",
-    "q_langid_eval",
-    "q_text_readability",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_corpus_card",
-    "q_minhash_est",
-    "q_dedup_group_sizes",
-    "q_events_transitions",
 )
 
 
@@ -291,16 +280,16 @@ def test_every_priority_name_is_registered():
     assert not missing, f"PRIORITY names not registered: {missing}"
 
 
-def test_r10_window_is_exactly_the_rotation_plan():
-    """The first DRIVER_WINDOW registry entries must be WINDOW_R10 as a
+def test_r11_window_is_exactly_the_rotation_plan():
+    """The first DRIVER_WINDOW registry entries must be WINDOW_R11 as a
     set (order within the window is free; membership is the contract —
     the driver records exactly these 50)."""
-    assert len(WINDOW_R10) == DRIVER_WINDOW
-    assert len(set(WINDOW_R10)) == DRIVER_WINDOW
+    assert len(WINDOW_R11) == DRIVER_WINDOW
+    assert len(set(WINDOW_R11)) == DRIVER_WINDOW
     got = set(PRIORITY[:DRIVER_WINDOW])
-    assert got == set(WINDOW_R10), (
-        f"window drift: unexpected={sorted(got - set(WINDOW_R10))}, "
-        f"missing={sorted(set(WINDOW_R10) - got)}"
+    assert got == set(WINDOW_R11), (
+        f"window drift: unexpected={sorted(got - set(WINDOW_R11))}, "
+        f"missing={sorted(set(WINDOW_R11) - got)}"
     )
 
 
@@ -315,7 +304,7 @@ def test_window_entries_have_oracles():
     qs = load_all()
     no_oracle = [
         n
-        for n in WINDOW_R10
+        for n in WINDOW_R11
         if qs[n].oracle is None and n not in ROWS_ONLY_IN_WINDOW
     ]
     assert not no_oracle, f"window queries without oracle SQL: {no_oracle}"
@@ -341,12 +330,12 @@ def test_window_and_rotated_out_partition_the_registry():
     query, with no overlaps — nothing can silently fall out of all
     evidence tiers."""
     qs = load_all()
-    union = set(WINDOW_R10) | set(ROTATED_OUT_R10) | set(ROWS_ONLY_OFF_WINDOW)
+    union = set(WINDOW_R11) | set(ROTATED_OUT_R11) | set(ROWS_ONLY_OFF_WINDOW)
     assert union == set(qs), (
         f"uncovered={sorted(set(qs) - union)}, "
         f"phantom={sorted(union - set(qs))}"
     )
-    total = len(WINDOW_R10) + len(ROTATED_OUT_R10) + len(ROWS_ONLY_OFF_WINDOW)
+    total = len(WINDOW_R11) + len(ROTATED_OUT_R11) + len(ROWS_ONLY_OFF_WINDOW)
     assert total == len(qs), "tiers overlap"
 
 
@@ -357,7 +346,7 @@ def test_rotated_out_queries_stay_registered_and_oracled():
     compare."""
     qs = load_all()
     idx = {n: i for i, n in enumerate(PRIORITY)}
-    for n in ROTATED_OUT_R10:
+    for n in ROTATED_OUT_R11:
         assert n in qs, f"rotated-out query {n} lost its registration"
         assert qs[n].oracle is not None, f"rotated-out query {n} lost its oracle"
         assert idx[n] >= DRIVER_WINDOW, (

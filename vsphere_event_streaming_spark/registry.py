@@ -46,32 +46,84 @@ def query(name: str, oracle: str | None = None):
 # Registry order is driver-visible: the verify driver checks queries in
 # registration order and its CORRECTNESS window records the first 50.
 # PRIORITY pins each round's rotation plan; tests/test_registry.py
-# (WINDOW_R10) enforces the pinned membership.
+# (WINDOW_R11) enforces the pinned membership.
 #
-# r10 rotation (VERDICT_r9 next-round #1): the window takes every query
-# whose newest driver evidence is r6 or absent — the TWENTY deferred-r6
-# rows from r9's plan (12 TPC-H shapes + q_dedup_simhash/media/audio/
-# video, q_bpe_tokens, q_pack_bpe, q_running_sum, q_conditional_agg)
-# and the six r9-new queries (first driver rows) — then fills to 50
-# with 24 of the 50 r7-stale rows. After this rotation NO oracled
-# query's newest driver row is older than r7 (the VERDICT_r9 done
-# criterion). The 24 promoted r7 rows are the first 22 in prior
-# registration order plus q_last_page and q_search_bm25 (the latter
-# jumps the line because its implementation changes this round —
-# in-plan corpus stats, VERDICT_r9 #3 — and changed code should get
-# fresh driver evidence). The ONE line-jumped-over r7 row,
-# q_knn_hyperplane_probed, has r8-fresh family coverage
-# (q_knn_hyperplane, q_knn_topk, q_knn_sq); the remaining 26 r7 rows
-# are first in line for r11.
-# The two permanent rows-only checks (q_knn_ivf, q_approx_aggs) stay
-# out of the window for good (VERDICT_r5 "What's wrong" #1): their
-# `no_oracle` rows can never go green and their evidence lives in
-# pytest (test_approx_aggs.py, test_pipeline.py IVF recall).
+# r11 rotation (VERDICT_r10 next-round #1): the window takes every
+# query whose newest driver evidence is r7 or absent — the 26
+# deferred-r7 rows from r10's plan and the 15 oracled r10-new queries
+# (first driver rows) — then fills to 50 with the 9 stalest r8 rows in
+# prior registration order (q_union .. q_map_funcs). After this
+# rotation NO oracled query's newest driver row is older than r8 and
+# every r10-new operator has driver evidence (the VERDICT_r10 done
+# criterion). The remaining 41 r8 rows are first in line for r12.
+# The permanent rows-only checks (q_knn_ivf, q_approx_aggs,
+# q_search_rrf_indexed, q_knn_pq, q_knn_ivfpq) stay out of the window
+# for good (VERDICT_r5 "What's wrong" #1): their `no_oracle` rows can
+# never go green and their evidence lives in pytest
+# (test_approx_aggs.py, test_pipeline.py recall/pruning bounds).
 # Everything rotated out keeps its oracle and is exact-value-checked
 # every round by tools/selfcheck.py.
 PRIORITY: tuple[str, ...] = (
-    # ---- r10 driver window (first 50) ----
-    # the 20 deferred-r6 rows (r9's displacement debt, repaid):
+    # ---- r11 driver window (first 50) ----
+    # the 26 deferred-r7 rows (r10's displacement debt, repaid):
+    "q_knn_hyperplane_probed",
+    "q_null_funcs",
+    "q_offset_assign",
+    "q_pii_scrub",
+    "q_point_lookup",
+    "q_quality_lm",
+    "q_quality_repetition",
+    "q_range",
+    "q_replay_from",
+    "q_retention",
+    "q_rollup",
+    "q_time_funcs",
+    "q_tumbling_agg",
+    "q_udf_cosine",
+    "q_udtf_props",
+    "q_word_pmi",
+    "q_dedup_media_robust",
+    "q_pack_chunked",
+    "q_bpe_tokens_full",
+    "q_quality_classifier",
+    "q_classifier_eval",
+    "q_classifier_pr",
+    "q_embed_pca",
+    "q_classifier_auc",
+    "q_classifier_calibration",
+    "q_kmeans_cluster",
+    # the 15 oracled r10-new queries getting their FIRST driver
+    # evidence:
+    "q_dedup_semantic_white",
+    "q_knn_classify",
+    "q_events_anomaly",
+    "q_embed_outlier",
+    "q_knn_recall",
+    "q_sample_weighted",
+    "q_dedup_triangles",
+    "q_langid_eval",
+    "q_text_readability",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_corpus_card",
+    "q_minhash_est",
+    "q_dedup_group_sizes",
+    "q_events_transitions",
+    # ... and the 9 stalest r8 rows in prior registration order:
+    "q_union",
+    "q_ordered_replay",
+    "q_knn_hyperplane",
+    "q_dedup_semantic",
+    "q_multimodal_decode",
+    "q_text_tokens",
+    "q_string_funcs",
+    "q_bitwise_funcs",
+    "q_map_funcs",
+    # ---- out of the r11 window ----
+    # Every query below holds a driver-green value-hash row from
+    # r8-r10; tools/selfcheck.py exact-value-checks every oracled one
+    # each round.
+    # newest driver row r10 (the full r10 window):
     "q_tpch_q3",
     "q_tpch_q4",
     "q_tpch_q5",
@@ -92,15 +144,12 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_video",
     "q_running_sum",
     "q_dedup_simhash",
-    # the 6 r9-new queries getting their FIRST driver evidence:
     "q_embed_pca_scree",
     "q_search_rrf",
     "q_ngram_novelty",
     "q_percentile_binned",
     "q_sample_tokens",
     "q_quality_gate",
-    # ... and 24 of the 50 r7-stale rows (26 deferred to r11,
-    # rationale above):
     "q_count",
     "q_typename",
     "q_grouping_sets",
@@ -125,10 +174,6 @@ PRIORITY: tuple[str, ...] = (
     "q_join_smj",
     "q_last_page",
     "q_search_bm25",
-    # ---- out of the r10 window ----
-    # Every query below holds a driver-green value-hash row from
-    # r7-r9; tools/selfcheck.py exact-value-checks every oracled one
-    # each round.
     # newest driver row r9:
     "q_dedup_near_char",
     "q_dedup_simhash_pairs",
@@ -180,16 +225,8 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q18",
     "q_try_funcs",
     "q_window_analytics",
-    # newest driver row r8:
-    "q_union",
-    "q_ordered_replay",
-    "q_knn_hyperplane",
-    "q_dedup_semantic",
-    "q_multimodal_decode",
-    "q_text_tokens",
-    "q_string_funcs",
-    "q_bitwise_funcs",
-    "q_map_funcs",
+    # newest driver row r8 (the 41 rows deferred to r12, first in
+    # line for the r12 window):
     "q_array_funcs",
     "q_knn_sq",
     "q_join_anti",
@@ -231,68 +268,16 @@ PRIORITY: tuple[str, ...] = (
     "q_url_domains",
     "q_vector_sq",
     "q_video_frames",
-    # newest driver row r7 (the 26 DEFERRED rows, first in line
-    # for the r11 window):
-    "q_knn_hyperplane_probed",
-    "q_null_funcs",
-    "q_offset_assign",
-    "q_pii_scrub",
-    "q_point_lookup",
-    "q_quality_lm",
-    "q_quality_repetition",
-    "q_range",
-    "q_replay_from",
-    "q_retention",
-    "q_rollup",
-    "q_time_funcs",
-    "q_tumbling_agg",
-    "q_udf_cosine",
-    "q_udtf_props",
-    "q_word_pmi",
-    "q_dedup_media_robust",
-    "q_pack_chunked",
-    "q_bpe_tokens_full",
-    "q_quality_classifier",
-    "q_classifier_eval",
-    "q_classifier_pr",
-    "q_embed_pca",
-    "q_classifier_auc",
-    "q_classifier_calibration",
-    "q_kmeans_cluster",
-    # r10-new, declared OUT of the window (the r10 window is pinned
-    # to the staleness-repayment plan above); oracled, so selfcheck
-    # and the embeddings fuzz family cover it until its r11 driver
-    # row
-    "q_dedup_semantic_white",
-    "q_knn_classify",
-    "q_events_anomaly",
-    "q_embed_outlier",
-    "q_knn_recall",
-    "q_sample_weighted",
-    "q_dedup_triangles",
-    "q_langid_eval",
-    "q_text_readability",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_corpus_card",
-    "q_minhash_est",
-    "q_dedup_group_sizes",
-    "q_events_transitions",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
     # pytest recall-vs-multiprobe bound + partition-pruning assert,
-    # the q_knn_ivf precedent)
+    # the q_knn_ivf precedent; q_knn_pq / q_knn_ivfpq likewise carry
+    # pytest recall bounds + codebook determinism + pruning asserts)
     "q_knn_ivf",
     "q_approx_aggs",
     "q_search_rrf_indexed",
-    # (q_knn_pq r10: trained PQ codebooks are Lloyd's-over-doubles,
-    # not oracle-replayed — evidence is the pytest recall bound vs
-    # the brute cosine top-k + codebook determinism)
     "q_knn_pq",
-    # (q_knn_ivfpq r10: the composed IVFADC index — trained coarse
-    # cells + trained codebooks; evidence is the pytest recall bound
-    # + PartitionFilters + codes-only ReadSchema assertions)
     "q_knn_ivfpq",
 )
 
