@@ -31,6 +31,13 @@ Run:  python examples/corpus_monitor.py [sf_dir] [work_dir]
 Nothing here collects data-proportional state to the driver; at crawl
 scale the same script runs against the real file stream unchanged —
 per-epoch store state is vocabulary/cell-bounded, never per-row.
+
+Batch-overlap contract (SCALE.md store-family section): every store
+fed here is count-additive, so the file stream must deliver each
+document/event exactly once ACROSS batches — a replayed epoch is safe
+(idempotent ``batch_id=`` overwrite) but the same rows re-ingested
+under a NEW batch_id double-count; only the set-union family
+(``ActivityStore``) tolerates overlapping ingest.
 """
 
 from __future__ import annotations

@@ -1964,3 +1964,155 @@ def test_incremental_exact_keepers_stream(spark, tmp_path):
     # empty store raises the typed error
     with _pytest.raises(ValueError, match="no ingested batches"):
         ExactDedupStore(spark, f"{tmp_path}/ek_nope").keepers()
+
+
+def test_incremental_ivfpq_store_and_stream(spark, tmp_path):
+    """The 14th store family (VERDICT_r10 #3): under FROZEN coarse
+    cells + FROZEN PQ codebooks, (1) an IvfPqStore fed two disjoint
+    batches probes IDENTICALLY to a from-scratch write_ivfpq_index
+    over the union; (2) a replayed batch overwrites instead of
+    doubling; (3) the stage-1 probe over the merged store prunes on
+    centroid_id and reads codes, not raw vectors; (4) the foreachBatch
+    ingest reaches the same merged index as manual add_batch calls;
+    (5) the recall floor vs exact cosine top-10 is unchanged (>= 5/10,
+    the IVF family floor)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.kmeans import (
+        kmeans_centroid_frame,
+        train_kmeans,
+    )
+    from vsphere_event_streaming_spark.functions.vectors import (
+        IvfPqStore,
+        ivfpq_topk,
+        knn_topk,
+        min_id_query_split,
+        pq_fit,
+        write_ivfpq_index,
+    )
+    from vsphere_event_streaming_spark.streaming.model_stream import (
+        start_incremental_ivfpq,
+    )
+    from vsphere_event_streaming_spark.tables import spread
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec, corpus = min_id_query_split(emb)
+    books = pq_fit(spread(emb))
+    centroids = kmeans_centroid_frame(spark, train_kmeans(emb, k=8, iters=4))
+
+    # from-scratch rebuild over the union = the parity oracle
+    rebuilt = f"{tmp_path}/rebuilt"
+    write_ivfpq_index(corpus, centroids, books, 64, rebuilt)
+    want = [
+        (r["vec_id"], r["score"])
+        for r in ivfpq_topk(
+            spark, rebuilt, centroids, qvec, books, 64, k=10, nprobe=3
+        ).collect()
+    ]
+
+    # (1) two doc-disjoint batches into the store
+    cut = corpus.approxQuantile("vec_id", [0.5], 0.0)[0]
+    b1 = corpus.filter(F.col("vec_id") <= cut)
+    b2 = corpus.filter(F.col("vec_id") > cut)
+    store = IvfPqStore(spark, f"{tmp_path}/store", centroids, books, 64)
+    n1 = store.add_batch(b1, "b1")
+    n2 = store.add_batch(b2, "b2")
+    assert n1 + n2 == corpus.count()
+    got_df = store.search(qvec, k=10, nprobe=3)
+    got = [(r["vec_id"], r["score"]) for r in got_df.collect()]
+    assert got == want
+
+    # (2) replayed batch: same rows, same probe
+    store.add_batch(b2, "b2")
+    assert spark.read.parquet(f"{tmp_path}/store").count() == n1 + n2
+    assert [
+        (r["vec_id"], r["score"])
+        for r in store.search(qvec, k=10, nprobe=3).collect()
+    ] == want
+
+    # (3) stage-1 economics over the merged store: partition pruning
+    # across batch directories + codes-only ReadSchema
+    pruned = spark.read.parquet(f"{tmp_path}/store").filter(
+        F.col("centroid_id").isin([0, 1, 2])
+    )
+    stage1 = pruned.select("vec_id", "pq_codes")
+    plan = stage1._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*centroid_id#\d+ IN \(", plan), plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "pq_codes" in m.group(1), plan
+    assert "embedding" not in m.group(1), m.group(1)
+
+    # (4) foreachBatch ingest parity (per-file epochs)
+    in_dir = f"{tmp_path}/in"
+    b1.write.mode("overwrite").parquet(f"{in_dir}/part0")
+    b2.write.mode("overwrite").parquet(f"{in_dir}/part1")
+    q = start_incremental_ivfpq(
+        spark,
+        in_dir + "/part*",
+        f"{tmp_path}/streamed",
+        f"{tmp_path}/ckpt",
+        centroids,
+        books,
+        64,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    streamed = IvfPqStore(
+        spark, f"{tmp_path}/streamed", centroids, books, 64
+    )
+    assert [
+        (r["vec_id"], r["score"])
+        for r in streamed.search(qvec, k=10, nprobe=3).collect()
+    ] == want
+
+    # (5) recall floor unchanged
+    exact = {r["vec_id"] for r in knn_topk(corpus, qvec, k=10).collect()}
+    assert len(exact & {v for v, _ in got}) >= 5, (sorted(exact), got)
+
+
+def test_ivfpq_store_assert_disjoint_catches_overlap(spark, tmp_path):
+    """The batch-overlap contract (SCALE.md, VERDICT_r10 #4): the
+    id-keyed stores require doc-disjoint batches — a replayed
+    batch_id is idempotent (overwrite), but the same vec_ids under a
+    NEW batch_id would duplicate index rows. assert_disjoint=True
+    turns that violation into a loud typed error; the overlap-free
+    path stays clean under the knob."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.kmeans import (
+        kmeans_centroid_frame,
+        train_kmeans,
+    )
+    from vsphere_event_streaming_spark.functions.vectors import (
+        IvfPqStore,
+        pq_fit,
+    )
+    from vsphere_event_streaming_spark.tables import spread
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_fit(spread(emb))
+    centroids = kmeans_centroid_frame(spark, train_kmeans(emb, k=4, iters=2))
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    store = IvfPqStore(spark, f"{tmp_path}/idx", centroids, books, 64)
+    store.add_batch(b1, "b1", assert_disjoint=True)
+    # disjoint second batch passes under the knob
+    store.add_batch(b2, "b2", assert_disjoint=True)
+    # replaying b2 under its OWN id stays legal (idempotent overwrite)
+    store.add_batch(b2, "b2", assert_disjoint=True)
+    # ... but the same rows under a NEW batch_id is the failure mode
+    with _pytest.raises(ValueError, match="doc-disjoint"):
+        store.add_batch(b2, "b3", assert_disjoint=True)
+    # and without the knob the overlap is silently additive — the
+    # documented default (manifest owns disjointness): count doubles
+    n_before = spark.read.parquet(f"{tmp_path}/idx").count()
+    store.add_batch(b2, "b3")
+    assert (
+        spark.read.parquet(f"{tmp_path}/idx").count()
+        == n_before + b2.count()
+    )

@@ -1137,3 +1137,166 @@ class IvfIndex:
             F.col("centroid_id").isin(cells)
         )
         return knn_topk(candidates, query, k, "vec_id", "embedding")
+
+
+class IvfPqStore:
+    """Persistent incremental IVF-PQ serving index — the store-family
+    treatment for the flagship ANN layout (VERDICT_r10 #3), closing
+    the train-once/serve-growing story: ``write_ivfpq_index`` rebuilds
+    the whole table per corpus fingerprint, while this store encodes
+    each NEW batch under FROZEN coarse cells + FROZEN codebooks and
+    appends it as an idempotent ``batch_id=`` partition directory —
+    ingest is embarrassingly parallel (one broadcast assignment + one
+    Arrow-batched ``pq_encode_udf`` pass over the batch, no history
+    read, no shuffle beyond the batch itself).
+
+    Layout per batch: ``batch_id=<id>/centroid_id=<cell>/...`` with
+    columns ``(vec_id, embedding, pq_codes)`` — the same row shape as
+    the rebuilt index, so :meth:`search` is plan-for-plan the
+    ``ivfpq_topk`` IVFADC probe over the union of all batches:
+    PartitionFilters prune unprobed cells across every batch
+    directory, stage 1 reads ONLY (vec_id, pq_codes) from probed
+    cells (parquet column pruning — raw vectors never leave disk),
+    stage 2 fetches ``shortlist`` raw vectors for the exact rerank.
+    On doc-disjoint ingest the probe result is IDENTICAL to a
+    from-scratch ``write_ivfpq_index`` over the union (asserted in
+    tests) because assignment and encoding are per-row pure functions
+    of the frozen model.
+
+    Crash/replay contract (the 14th store family): a batch OVERWRITES
+    its own ``batch_id=`` directory, so a replayed epoch converges.
+    Batches must be doc-disjoint (vec_id is the serving identity; an
+    overlapping re-ingest under a NEW batch_id duplicates rows — the
+    count-additive store contract, see SCALE.md). Retrain-and-rebuild
+    when codebook drift accumulates is a new index directory, never
+    in-place surgery.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        centroids: DataFrame,
+        books: list[list[list[float]]],
+        d: int,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.centroids = centroids
+        self.books = books
+        self.d = d
+
+    def add_batch(
+        self,
+        batch: DataFrame,
+        batch_id: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        assert_disjoint: bool = False,
+    ) -> int:
+        """Assign + PQ-encode a batch against the frozen model and
+        append it as its own idempotent partition directory. Returns
+        rows written.
+
+        ``assert_disjoint=True`` is the batch-overlap debug knob
+        (SCALE.md store-family contract): before writing, semi-join
+        the incoming vec_ids against every PRIOR batch directory and
+        raise if any id was already ingested under a different
+        batch_id — an overlapping re-ingest would duplicate index
+        rows. Off by default: the check scans history, which the
+        upstream manifest contract makes redundant."""
+        import os
+
+        from .dedup import batch_partition_dir
+
+        part_dir = batch_partition_dir(batch_id)  # validates token
+        if assert_disjoint and os.path.isdir(self.path):
+            prior = [
+                e
+                for e in os.listdir(self.path)
+                if e.startswith("batch_id=") and e != part_dir
+            ]
+            if prior:
+                history_ids = (
+                    self.spark.read.option("basePath", self.path)
+                    .parquet(*[f"{self.path}/{e}" for e in prior])
+                    .select("vec_id")
+                )
+                dupes = (
+                    batch.select(
+                        F.col(id_col).cast("long").alias("vec_id")
+                    )
+                    .join(history_ids, "vec_id", "left_semi")
+                    .limit(5)
+                    .collect()
+                )
+                if dupes:
+                    raise ValueError(
+                        f"IvfPqStore batch {batch_id!r} overlaps prior"
+                        f" batches on vec_id (sample:"
+                        f" {[r['vec_id'] for r in dupes]}) — additive"
+                        " stores require doc-disjoint batches"
+                        " (SCALE.md store-family contract)"
+                    )
+        enc = pq_encode_udf(self.books, self.d)
+        assigned = assign_centroids(
+            batch.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("embedding"),
+            ),
+            self.centroids,
+            "vec_id",
+            "embedding",
+        ).select(
+            "vec_id",
+            "embedding",
+            enc(F.col("embedding")).alias("pq_codes"),
+            "centroid_id",
+        )
+        assigned = assigned.localCheckpoint(eager=True)
+        n = assigned.count()
+        assigned.write.partitionBy("centroid_id").mode(
+            "overwrite"
+        ).parquet(f"{self.path}/{part_dir}")
+        return n
+
+    def search(
+        self,
+        query: DataFrame,
+        k: int = 10,
+        nprobe: int = 3,
+        shortlist: int = PQ_SHORTLIST,
+    ) -> DataFrame:
+        """IVFADC top-k over every ingested batch: coarse probe →
+        codes-only ADC shortlist → exact rerank, all reads pruned to
+        the nprobe probed cells of each batch directory."""
+        probed = (
+            self.centroids.join(F.broadcast(query))
+            .select(
+                "centroid_id",
+                cosine(F.col("cvec"), F.col("q")).alias("cscore"),
+            )
+            .orderBy(F.col("cscore").desc(), F.col("centroid_id"))
+            .limit(nprobe)
+            .collect()
+        )
+        cells = [r["centroid_id"] for r in probed]
+        pruned = self.spark.read.parquet(self.path).filter(
+            F.col("centroid_id").isin(cells)
+        )
+        adc = pq_adc_udf(self.books, self.d)
+        qn = query.select(F.col("q"))
+        short = (
+            pruned.select("vec_id", "pq_codes")
+            .join(F.broadcast(qn))
+            .select(
+                "vec_id",
+                adc(F.col("pq_codes"), F.col("q")).alias("adc_dist"),
+            )
+            .orderBy(F.col("adc_dist").asc(), "vec_id")
+            .limit(shortlist)
+        )
+        cand = pruned.join(
+            F.broadcast(short.select("vec_id")), "vec_id", "left_semi"
+        )
+        return knn_topk(cand, query, k=k, id_col="vec_id", vec_col="embedding")
