@@ -15,16 +15,29 @@ over everything ingested (the per-family parity proofs live in
  - ``QuantileCellStore`` — per-language quality-score distribution
 
 The event log streams in the same way (r10): a second foreachBatch
-pass feeds two more families per epoch —
+pass feeds three more families per epoch —
 
  - ``RateCellStore``     — per-(type, bucket) rate cells; the anomaly
                            table reads off the merged cells,
                            bit-identical to batch q_events_anomaly
  - ``CmsStore``          — fixed-memory event-type frequency sketch
+ - ``ActivityStore``     — distinct (user, day) activity rows (r11);
+                           the cohort-retention table reads off the
+                           merged rows, bit-identical to batch
+                           q_events_retention — the one SET-UNION
+                           family, safe even under overlapping ingest
 
-The report then reads every store (SIX families, no recomputation of
-history anywhere) and prints one JSON summary — the dashboard numbers
-a curation team watches between training runs.
+and the embedding stream scores through the FROZEN quality classifier
+into the model-ops family (r11):
+
+ - ``AucCellStore``      — ≤n_buckets additive (bin, cpos, cneg)
+                           cells; the running corpus AUC reads off
+                           the merged cells, bit-identical to the
+                           batch binned AUC over everything ingested
+
+The report then reads every store (EIGHT families, no recomputation
+of history anywhere) and prints one JSON summary — the dashboard
+numbers a curation team watches between training runs.
 
 Run:  python examples/corpus_monitor.py [sf_dir] [work_dir]
 
@@ -54,7 +67,12 @@ from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
     ShingleDfStore,
     release_cached,
 )
+from vsphere_event_streaming_spark.functions.classifier import (  # noqa: E402
+    AucCellStore,
+    train_logreg,
+)
 from vsphere_event_streaming_spark.functions.sketches import (  # noqa: E402
+    ActivityStore,
     CmsStore,
     QuantileCellStore,
     RateCellStore,
@@ -68,6 +86,9 @@ from vsphere_event_streaming_spark.queries.pipeline_queries import (  # noqa: E4
     QG_WIDTH,
 )
 from vsphere_event_streaming_spark.session import get_spark, tune  # noqa: E402
+from vsphere_event_streaming_spark.streaming.model_stream import (  # noqa: E402
+    start_incremental_auc_cells,
+)
 from vsphere_event_streaming_spark.tables import load  # noqa: E402
 
 
@@ -133,9 +154,9 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
     )
     q.awaitTermination(300)
 
-    # --- the event log streams the same way into two more stores -----
+    # --- the event log streams the same way into three more stores ---
     events = load(spark, sf_dir, "events").select(
-        "event_id", "event_type", "ts"
+        "event_id", "event_type", "ts", "user_id"
     )
     ev_dir = f"{work_dir}/incoming_events"
     for b in range(3):
@@ -144,15 +165,18 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
         ).parquet(f"{ev_dir}/part{b}")
     rate = RateCellStore(spark, f"{work_dir}/rate")
     cms = CmsStore(spark, f"{work_dir}/cms", key_col="event_type")
+    activity = ActivityStore(spark, f"{work_dir}/activity")
 
     def process_events(batch_df, epoch_id: int) -> None:
         bid = f"e{epoch_id}"
         rate.add_batch(batch_df, bid)
         cms.add_batch(batch_df, bid)
+        activity.add_batch(batch_df, bid)
 
     ev_stream = (
         spark.readStream.schema(
-            "event_id long, event_type string, ts timestamp"
+            "event_id long, event_type string, ts timestamp,"
+            " user_id long"
         )
         .option("maxFilesPerTrigger", 1)
         .parquet(ev_dir + "/part*")
@@ -164,6 +188,27 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
         .start()
     )
     qe.awaitTermination(300)
+
+    # --- model-ops: embeddings score through the FROZEN classifier ---
+    # (weights come from the last offline training run; here the run
+    # happens inline so the example is self-contained)
+    emb = load(spark, sf_dir, "embeddings")
+    w_micro = train_logreg(emb, iters=4, lr_num=3, lr_den=1, pos_weight=9)
+    emb_dir = f"{work_dir}/incoming_emb"
+    for b in range(3):
+        emb.filter(F.col("vec_id") % 3 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{emb_dir}/part{b}")
+    qa = start_incremental_auc_cells(
+        spark,
+        emb_dir + "/part*",
+        f"{work_dir}/auc",
+        f"{work_dir}/ckpt_auc",
+        w_micro=w_micro,
+        max_files_per_trigger=1,
+    )
+    qa.awaitTermination(300)
+    auc_store = AucCellStore(spark, f"{work_dir}/auc")
 
     # --- read the stores (no history recomputation) ------------------
     n_docs = docs.count()
@@ -199,6 +244,24 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
         r["event_type"]: cms.estimate(r["event_type"])
         for r in rate.cells().select("event_type").distinct().collect()
     }
+    # cohort retention off the merged activity rows (set-union family;
+    # bit-identical to batch q_events_retention — the parity pytest):
+    # the dashboard figure is overall day-1 return rate + cohort count
+    ret = activity.retention()
+    ret_row = ret.agg(
+        F.countDistinct("cohort_day_us").alias("n_cohorts"),
+        F.sum(
+            F.when(F.col("day_offset") == 0, F.col("n_users"))
+        ).alias("d0"),
+        F.sum(
+            F.when(F.col("day_offset") == 1, F.col("n_users"))
+        ).alias("d1"),
+    ).first()
+    day1_rate = round(
+        (ret_row["d1"] or 0) / ret_row["d0"], 6
+    ) if ret_row["d0"] else None
+    # running corpus AUC off the merged (bin, cpos, cneg) cells
+    running_auc = auc_store.auc().first()["auc"]
     summary = {
         "ingested_docs": n_docs,
         "distinct_texts": keep["groups"],
@@ -210,6 +273,9 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
         "bm25_top10": top,
         "event_rate_anomalies": anomalies,
         "event_type_freq_est": type_freq_est,
+        "retention_cohorts": ret_row["n_cohorts"],
+        "retention_day1_rate": day1_rate,
+        "running_auc": running_auc,
     }
     release_cached()  # the novelty read path persists shingle arrays
     return summary

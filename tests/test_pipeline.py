@@ -1657,9 +1657,10 @@ def test_ivf_index_incremental_batches(spark, tmp_path):
 def test_corpus_monitor_example_end_to_end(spark, tmp_path):
     """The examples/ monitoring topology runs end-to-end: one
     foreachBatch pass feeds four document store families per epoch
-    (plus a second pass feeding the rate/frequency families from the
-    event log), and every summary figure read off the merged stores
-    matches its batch operator over the ingested corpus."""
+    (plus an events pass feeding rate/frequency/activity and an
+    embeddings pass feeding the AUC cells — EIGHT families, r11), and
+    every summary figure read off the merged stores matches its batch
+    operator over the ingested corpus."""
     import sys
 
     sys.path.insert(0, ".")
@@ -1669,6 +1670,7 @@ def test_corpus_monitor_example_end_to_end(spark, tmp_path):
     )
     from vsphere_event_streaming_spark.queries.streaming_queries import (
         q_events_anomaly,
+        q_events_retention,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -1705,3 +1707,23 @@ def test_corpus_monitor_example_end_to_end(spark, tmp_path):
     assert set(out["event_type_freq_est"]) == set(exact_counts)
     for t, n in exact_counts.items():
         assert out["event_type_freq_est"][t] >= n
+    # the retention block — served off the MERGED ActivityStore rows —
+    # matches the declared query's own aggregate (set-union parity)
+    ret = q_events_retention(spark, sf)
+    want_ret = ret.agg(
+        F.countDistinct("cohort_day_us").alias("nc"),
+        F.sum(F.when(F.col("day_offset") == 0, F.col("n_users"))).alias(
+            "d0"
+        ),
+        F.sum(F.when(F.col("day_offset") == 1, F.col("n_users"))).alias(
+            "d1"
+        ),
+    ).first()
+    assert out["retention_cohorts"] == want_ret["nc"] > 0
+    assert out["retention_day1_rate"] == round(
+        (want_ret["d1"] or 0) / want_ret["d0"], 6
+    )
+    # the running-AUC block — served off the merged AucCellStore
+    # cells — is a real discriminative score (the per-cell parity
+    # proof is test_incremental_auc_cell_stream)
+    assert 0.5 < out["running_auc"] <= 1.0
