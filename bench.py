@@ -203,6 +203,11 @@ HEADLINE = [
     "q_dedup_group_sizes",
     # first-order event-type transition matrix
     "q_events_transitions",
+    # r11 additions: session-path mining, power-user curve,
+    # inter-event gap profile
+    "q_events_paths",
+    "q_events_power_curve",
+    "q_events_gaps",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -267,6 +267,12 @@ ROTATED_OUT_R11 = (
     "q_url_domains",
     "q_vector_sq",
     "q_video_frames",
+    # r11-new, declared OUT of the window (window pinned to the
+    # staleness-repayment plan); oracled — selfcheck + the events
+    # fuzz family cover them until their r12 driver rows
+    "q_events_paths",
+    "q_events_power_curve",
+    "q_events_gaps",
 )
 
 

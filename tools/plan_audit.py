@@ -900,6 +900,42 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"SinglePartition",
         ],
     ],
+    # session paths: two per-user(-session) windows, trigram count —
+    # partitioned windows only, no Python, no cartesian, no join
+    "q_events_paths": [
+        [r"Window", r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SinglePartition",
+            r"Join",
+        ],
+    ],
+    # power-user curve: two chained hash aggregates (per-user counts,
+    # then count-of-counts) — no window, no join, no Python
+    "q_events_power_curve": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+            r"Join",
+        ],
+    ],
+    # inter-event gaps: ONE per-user lead window + one aggregate over
+    # <=types groups — no Python, no join, no single-partition window
+    "q_events_gaps": [
+        [r"Window", r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SinglePartition",
+            r"Join",
+        ],
+    ],
     # cohort retention: DISTINCT (user, day) + min-aggregate +
     # user-keyed join; cell-bounded output
     "q_events_retention": [

@@ -419,3 +419,188 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("tot").cast("double"), 6
         ).alias("p_next"),
     )
+
+
+# -- T6h: session path mining (r11) -------------------------------------
+#: Session gap for path mining — the same 4 h inactivity threshold the
+#: gaps-and-islands sessionizer uses (advanced_queries._SESSION_GAP_US),
+#: so "a session" means one thing engine-wide.
+_PATH_GAP_US = 4 * 3600 * 1_000_000
+
+
+@query(
+    "q_events_paths",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > {_PATH_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM flagged
+    ), tri AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER ws AS t2,
+             lead(event_type, 2) OVER ws AS t3
+      FROM sess
+      WINDOW ws AS (
+        PARTITION BY user_id, session_id ORDER BY ts, event_id
+      )
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS path,
+           count(*) AS n
+    FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION PATH MINING (r11) — the sequence completion of the
+    event-analytics tier: funnel (fixed stages) → transitions
+    (first-order bigrams) → PATHS (within-session event-type
+    trigrams), the "what do users actually do, in order" table a
+    product team reads next to the transition matrix. Sessions are
+    the engine's standard gaps-and-islands islands (4 h inactivity,
+    the q_sessionize threshold) so a path never spans a session
+    boundary; within a session the trigram window orders by the
+    deterministic (ts, event_id) tie-break, so every path count
+    replays exactly.
+
+    Scale shape: two windows PARTITIONED by user (lag → boundary
+    flag → running sum = session id) then by (user, session) for the
+    two leads — per-key bounded, never a global sort — and ONE
+    map-side-combined count over ≤types³ path groups. The same
+    posture as q_events_transitions, one window deeper."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flag = F.when(us - F.lag(us).over(w) > _PATH_GAP_US, 1).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(flag)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    tri = sess.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(ws).alias("t2"),
+        F.lead("event_type", 2).over(ws).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        tri.select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# -- T6i: power-user curve (r11) ----------------------------------------
+@query(
+    "q_events_power_curve",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, count(*) AS n_events
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT n_events, count(*) AS n_users,
+           CAST(n_events * count(*) AS BIGINT) AS events_in_tier
+    FROM pu GROUP BY n_events
+    """,
+)
+def q_events_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POWER-USER CURVE (r11) — the count-of-counts view of the event
+    log (the TPC-H Q13 shape pointed at engagement): how many users
+    produced exactly N events, and how much of the log each activity
+    tier accounts for. The one-table histogram behind "is usage
+    heavy-tailed", all exact BIGINTs.
+
+    Scale shape: two map-side-combined hash aggregates — per-user
+    counts (shuffle keyed by user), then count-of-counts over the
+    ≤distinct-counts cell table. No window, no join, no Python."""
+    pu = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return pu.groupBy("n_events").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.col("n_events") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("events_in_tier"),
+    )
+
+
+# -- T6j: inter-event gap profile (r11) ----------------------------------
+@query(
+    "q_events_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) - epoch_us(ts) AS gap_us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT event_type, count(gap_us) AS n_gaps,
+           round(CAST(sum(gap_us) AS DOUBLE)
+                 / CAST(count(gap_us) AS DOUBLE), 6) AS avg_gap_us,
+           min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_events_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-EVENT GAP PROFILE (r11) — per event type, how long until
+    the user's NEXT event (any type)? The dwell-time table behind
+    "errors stall users, purchases end sessions": gap attribution is
+    to the EARLIER event's type, successor order is the deterministic
+    per-user (ts, event_id) sequence, and gaps are exact BIGINT
+    epoch-micro differences — the mean is one ratio of exact integer
+    sums, rounded once, so every figure replays.
+
+    Scale shape: ONE lead() window PARTITIONED by user (the same
+    per-key-bounded window as the transition matrix) and one
+    map-side-combined aggregate over ≤types groups. The sum stays
+    below 2^63 for ~292k user-years of microseconds per type — the
+    exact-integer posture holds at any realistic log."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.lead(us).over(w) - us).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(
+            F.sum("gap_us").cast("double")
+            / F.count("gap_us").cast("double"),
+            6,
+        ).alias("avg_gap_us"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )

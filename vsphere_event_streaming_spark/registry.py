@@ -268,6 +268,12 @@ PRIORITY: tuple[str, ...] = (
     "q_url_domains",
     "q_vector_sq",
     "q_video_frames",
+    # r11-new, declared OUT of the window (the r11 window is pinned
+    # to the staleness-repayment plan above); oracled — selfcheck +
+    # the events fuzz family cover them until their r12 driver rows
+    "q_events_paths",
+    "q_events_power_curve",
+    "q_events_gaps",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
