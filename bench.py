@@ -208,6 +208,8 @@ HEADLINE = [
     "q_events_paths",
     "q_events_power_curve",
     "q_events_gaps",
+    # Bloom-prefiltered decontamination (broadcast filter, zero shuffle)
+    "q_bloom_contamination",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

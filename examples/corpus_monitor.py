@@ -49,8 +49,8 @@ Batch-overlap contract (SCALE.md store-family section): every store
 fed here is count-additive, so the file stream must deliver each
 document/event exactly once ACROSS batches — a replayed epoch is safe
 (idempotent ``batch_id=`` overwrite) but the same rows re-ingested
-under a NEW batch_id double-count; only the set-union family
-(``ActivityStore``) tolerates overlapping ingest.
+under a NEW batch_id double-count; only the set-union families
+(``ActivityStore``, ``BloomStore``) tolerate overlapping ingest.
 """
 
 from __future__ import annotations

@@ -273,6 +273,7 @@ ROTATED_OUT_R11 = (
     "q_events_paths",
     "q_events_power_curve",
     "q_events_gaps",
+    "q_bloom_contamination",
 )
 
 

@@ -2116,3 +2116,101 @@ def test_ivfpq_store_assert_disjoint_catches_overlap(spark, tmp_path):
         spark.read.parquet(f"{tmp_path}/idx").count()
         == n_before + b2.count()
     )
+
+
+def test_incremental_bloom_store_and_stream(spark, tmp_path):
+    """The 15th store family (r11), second SET-UNION family: (1) a
+    BloomStore fed two batches merges to EXACTLY the batch bloom_bits
+    over the union; (2) set-union semantics — OVERLAPPING batches
+    (same keys under different batch_ids) converge to the same filter
+    (the contract the count-additive families do NOT have); (3) a
+    replayed batch_id overwrites; (4) membership over the merged
+    filter has no false negatives and agrees with the batch
+    membership; (5) the foreachBatch shingle ingest reaches the same
+    merged filter as the batch build; (6) an empty store raises the
+    typed error."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.dedup import (
+        release_cached,
+        shingle_hash_arrays,
+    )
+    from vsphere_event_streaming_spark.functions.sketches import (
+        BloomStore,
+        bloom_bits,
+        bloom_membership,
+    )
+    from vsphere_event_streaming_spark.streaming.dedup_stream import (
+        start_incremental_bloom,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    keys = (
+        shingle_hash_arrays(docs)
+        .select(F.explode("sh_arr").alias("key"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    release_cached()
+    want_bits = {r["pos"] for r in bloom_bits(keys, "key").collect()}
+
+    b1 = keys.filter(F.col("key") % 2 == 0)
+    b2 = keys.filter(F.col("key") % 2 == 1)
+    # overlap slice: b3 re-ingests half of b1's keys under a new id
+    b3 = keys.filter(F.col("key") % 4 == 0)
+
+    store = BloomStore(spark, f"{tmp_path}/bloom")
+    store.add_batch(b1, "b1")
+    store.add_batch(b2, "b2")
+    assert {r["pos"] for r in store.bits().collect()} == want_bits
+    # (2) overlapping ingest: the merged filter is unchanged
+    store.add_batch(b3, "b3")
+    assert {r["pos"] for r in store.bits().collect()} == want_bits
+    # (3) replayed batch_id: unchanged
+    store.add_batch(b2, "b2")
+    assert {r["pos"] for r in store.bits().collect()} == want_bits
+
+    # (4) membership: every ingested key hits (no false negatives),
+    # and the store probe equals the batch probe row-for-row on a
+    # mixed present/absent probe set
+    probes = keys.limit(50).union(
+        spark.range(10).select(
+            (F.col("id") + 2_000_000_000).alias("key")
+        )
+    )
+    got = {
+        r["key"]: r["bloom_hit"]
+        for r in store.membership(probes, "key").collect()
+    }
+    want = {
+        r["key"]: r["bloom_hit"]
+        for r in bloom_membership(
+            bloom_bits(keys, "key"), probes, "key"
+        ).collect()
+    }
+    assert got == want
+    assert all(got[r["key"]] for r in keys.limit(50).collect())
+
+    # (5) foreachBatch ingest parity (per-file epochs over documents)
+    in_dir = f"{tmp_path}/in"
+    for b in range(2):
+        docs.filter(F.col("doc_id") % 2 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{b}")
+    q = start_incremental_bloom(
+        spark,
+        in_dir + "/part*",
+        f"{tmp_path}/bloom_streamed",
+        f"{tmp_path}/ckpt",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    streamed = BloomStore(spark, f"{tmp_path}/bloom_streamed")
+    assert {r["pos"] for r in streamed.bits().collect()} == want_bits
+
+    # (6) empty store raises the typed error
+    with _pytest.raises(ValueError, match="no ingested batches"):
+        BloomStore(spark, f"{tmp_path}/nope").bits()

@@ -900,6 +900,19 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"SinglePartition",
         ],
     ],
+    # Bloom decontamination prefilter: the bits table BROADCASTS
+    # (the zero-shuffle probe claim), the exact tier stays a
+    # (semi-)join over int64 shingles — no cartesian, no Python, no
+    # window anywhere
+    "q_bloom_contamination": [
+        [r"BroadcastHashJoin|BroadcastExchange", r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+        ],
+    ],
     # session paths: two per-user(-session) windows, trigram count —
     # partitioned windows only, no Python, no cartesian, no join
     "q_events_paths": [

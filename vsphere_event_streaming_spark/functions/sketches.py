@@ -607,3 +607,163 @@ class ActivityStore:
         ingested — bit-identical to the batch q_events_retention by
         the set-union law."""
         return retention_from_days(self.days(), self.user_col)
+
+
+# ======================================================================
+# Bloom filter: set membership in fixed memory (SURVEY §2.11 L27')
+# ======================================================================
+
+#: Bloom bit-array size. 2^14 bits = 2 KiB as a bitmap; as a DISTINCT
+#: (pos) cell table it is ≤ m rows of one long — broadcastable at any
+#: corpus size, which is the whole point: membership probes become a
+#: broadcast join, never a shuffle.
+BLOOM_M = 16384
+#: Hash functions per key (classic k); positions are independent
+#: md5-derived values salted by the function index.
+BLOOM_H = 3
+
+
+def bloom_positions(
+    key: Column, m: int = BLOOM_M, h: int = BLOOM_H
+) -> Column:
+    """Array of the key's ``h`` bit positions — the ONE definition the
+    build, the probe, the store, and the DuckDB oracle all replay
+    (md5/conv codegen built-ins, byte-identical across engines:
+    ``('0x'||substr(md5(CAST(i AS VARCHAR)||':'||key),1,15))::BIGINT
+    % m``). Duplicates between the h slots are kept (a key whose
+    hashes collide still probes h rows — both engines agree)."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{i}:"), key.cast("string")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            )
+            for i in range(1, h + 1)
+        ]
+    )
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, m: int = BLOOM_M, h: int = BLOOM_H
+) -> DataFrame:
+    """The filter as a DISTINCT ``(pos)`` cell table — the relational
+    form of the bit array. Set bits are a SET: the cells merge across
+    corpus splits (and store batches) by plain set union, idempotent
+    under replay AND overlapping ingest — the second set-union store
+    family after ActivityStore."""
+    return (
+        df.select(
+            F.explode(
+                bloom_positions(F.col(key_col), m, h)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_membership(
+    bits: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m: int = BLOOM_M,
+    h: int = BLOOM_H,
+) -> DataFrame:
+    """``probes`` + ``bloom_hit``: a key is possibly-present iff ALL
+    ``h`` of its positions are set. Probe shape: ``h`` chained
+    broadcast hash joins (one per slot) against the ≤ m-row bits
+    table, each marking its slot hit via the join's null-extension —
+    whole-stage codegen end to end, no explode (h× row inflation), no
+    per-key aggregate, no shuffle of the probe side at all (the first
+    shipped form exploded to h·|probes| rows and hash-aggregated on
+    the wide (probe, key) pair — 2.5× slower at sf0.1).
+    One-sided error by construction: every truly-present key probes
+    hit (no false negatives); false positives are the m/h trade."""
+    poss = bloom_positions(F.col(key_col), m, h)
+    out = probes.withColumn("__poss", poss)
+    hit = F.lit(True)
+    for i in range(h):
+        slot = bits.select(F.col("pos").alias(f"__setpos{i}"))
+        out = out.join(
+            F.broadcast(slot),
+            out["__poss"][i] == F.col(f"__setpos{i}"),
+            "left",
+        )
+        hit = hit & F.col(f"__setpos{i}").isNotNull()
+    return out.withColumn("bloom_hit", hit).drop(
+        "__poss", *[f"__setpos{i}" for i in range(h)]
+    )
+
+
+class BloomStore:
+    """Persistent incremental Bloom filter — the FIFTEENTH index/store
+    family and the second with SET-UNION merge semantics (after
+    ActivityStore): per-batch state is the batch's distinct set-bit
+    positions, the merged filter is the DISTINCT over every ingested
+    batch — bit-OR is set union, so the store is idempotent under
+    replay AND under overlapping batches (re-inserting a key sets the
+    same bits). The growing-benchmark decontamination shape: each new
+    eval suite ingests as a batch, and the merged ≤ m-row filter
+    broadcasts to probe any corpus with zero shuffle.
+
+    Same crash contract as every store: a batch write OVERWRITES its
+    own ``batch_id=`` partition directory."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        m: int = BLOOM_M,
+        h: int = BLOOM_H,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.m = m
+        self.h = h
+
+    def add_batch(
+        self, df: DataFrame, batch_id: str, key_col: str = "key"
+    ) -> int:
+        """Collapse the batch to its distinct set-bit positions and
+        persist them as an idempotent partition directory. Returns
+        cells written."""
+        from .dedup import batch_partition_dir
+
+        part_dir = batch_partition_dir(batch_id)  # validates token
+        cells = bloom_bits(df, key_col, self.m, self.h).localCheckpoint(
+            eager=True
+        )
+        n = cells.count()
+        cells.write.mode("overwrite").parquet(f"{self.path}/{part_dir}")
+        return n
+
+    def bits(self) -> DataFrame:
+        """The merged filter over every ingested batch — exactly the
+        full-corpus :func:`bloom_bits` by set union."""
+        import os
+
+        if not os.path.isdir(self.path) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.path)
+        ):
+            raise ValueError(
+                f"BloomStore has no ingested batches: {self.path!r}"
+                " — call add_batch() first"
+            )
+        return self.spark.read.parquet(self.path).select("pos").distinct()
+
+    def membership(self, probes: DataFrame, key_col: str = "key"):
+        """``probes`` + ``bloom_hit`` against the merged filter."""
+        return bloom_membership(
+            self.bits(), probes, key_col, self.m, self.h
+        )

@@ -4568,3 +4568,118 @@ def corpus_card(docs: DataFrame) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+# ======================================================================
+# L27': Bloom-filter decontamination prefilter (r11)
+# ======================================================================
+
+
+def _bloom_contamination_oracle() -> str:
+    from ..functions.sketches import BLOOM_H, BLOOM_M
+
+    def pos(i: int) -> str:
+        return (
+            f"(('0x'||substr(md5('{i}:'||CAST(sh AS VARCHAR)),1,15))"
+            f"::BIGINT % {BLOOM_M})"
+        )
+
+    poss = ", ".join(pos(i) for i in range(1, BLOOM_H + 1))
+    return f"""
+    WITH {_duck_shingle_hashes()},
+    bench AS (
+      SELECT DISTINCT s AS sh
+      FROM sha, unnest(sh_arr) AS t(s)
+      WHERE doc_id % 50 = 0
+    ),
+    bits AS (SELECT DISTINCT unnest([{poss}]) AS pos FROM bench),
+    ex AS (SELECT doc_id, s AS sh FROM sha, unnest(sh_arr) AS t(s)),
+    pp AS (SELECT doc_id, sh, unnest([{poss}]) AS pos FROM ex),
+    ps AS (
+      SELECT doc_id, sh, count(*) AS nhit
+      FROM pp JOIN bits USING (pos)
+      GROUP BY doc_id, sh
+    ),
+    bh AS (
+      SELECT doc_id, count(*) AS n_bloom FROM ps
+      WHERE nhit = {BLOOM_H} GROUP BY doc_id
+    ),
+    eh AS (
+      SELECT ex.doc_id, count(*) AS n_exact
+      FROM ex JOIN bench USING (sh)
+      GROUP BY ex.doc_id
+    )
+    SELECT sha.doc_id AS doc_id,
+           CAST(len(sh_arr) AS BIGINT) AS n_sh,
+           CAST(coalesce(bh.n_bloom, 0) AS BIGINT) AS n_bloom_hits,
+           CAST(coalesce(eh.n_exact, 0) AS BIGINT) AS n_exact_hits,
+           coalesce(bh.n_bloom, 0) > 0 AS flagged
+    FROM sha
+    LEFT JOIN bh ON sha.doc_id = bh.doc_id
+    LEFT JOIN eh ON sha.doc_id = eh.doc_id
+    """
+
+
+@query("q_bloom_contamination", oracle=_bloom_contamination_oracle())
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-PREFILTERED decontamination (r11) — q_contamination's
+    100 TB serving shape: the benchmark shingle set compiles into a
+    ≤BLOOM_M-row bit-cell table that BROADCASTS to every executor, so
+    each corpus document checks its shingles against the filter with
+    zero shuffle (the exact semi-join moves (id, sh) rows through an
+    exchange; the Bloom probe moves nothing but the broadcast).
+    Per doc: shingle count, Bloom possibly-present count, exact count
+    — reported side-by-side so the filter's one-sided error is
+    visible in the output itself (n_bloom_hits ≥ n_exact_hits always:
+    no false negatives by construction; the excess is the measured FP
+    cost of the m/h configuration). Every figure replays: positions
+    are the engine-wide md5/conv hash salted by slot index
+    (functions/sketches.py::bloom_positions — the build, the probe,
+    the BloomStore, and this oracle share the one definition).
+
+    Scale shape: shingle arrays persist once (the dedup-tier
+    materialization point); the filter build is one explode+distinct
+    over the eval-sized bench set; the probe is explode(h)/doc-shingle
+    → broadcast semi-join → two per-doc counts. The incremental form
+    is the BloomStore (15th store family, SET-UNION merge — safe even
+    under overlapping ingest), so a growing benchmark suite never
+    rebuilds the filter."""
+    from ..functions.dedup import shingle_hash_arrays
+    from ..functions.sketches import bloom_bits, bloom_membership
+
+    docs = _t(spark, sf_dir, "documents")
+    arrs = shingle_hash_arrays(docs)
+    bench_sh = (
+        arrs.filter(F.col("id") % 50 == 0)
+        .select(F.explode("sh_arr").alias("sh"))
+        .distinct()
+    )
+    bits = bloom_bits(bench_sh, "sh")
+    sh = arrs.select("id", F.explode("sh_arr").alias("sh"))
+    bh = (
+        bloom_membership(bits, sh, "sh")
+        .filter(F.col("bloom_hit"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    eh = (
+        sh.join(bench_sh, "sh", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    )
+    return (
+        arrs.select("id", "n_sh")
+        .join(bh, "id", "left")
+        .join(eh, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_sh").cast("bigint").alias("n_sh"),
+            F.coalesce("n_bloom_hits", F.lit(0))
+            .cast("bigint")
+            .alias("n_bloom_hits"),
+            F.coalesce("n_exact_hits", F.lit(0))
+            .cast("bigint")
+            .alias("n_exact_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("flagged"),
+        )
+    )

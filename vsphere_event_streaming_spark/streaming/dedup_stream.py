@@ -269,3 +269,51 @@ def start_incremental_exact_keepers(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_bloom(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    batch_prefix: str = "b",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream ``(doc_id, text)`` batches into a
+    :class:`~..functions.sketches.BloomStore` keyed by the batch's
+    distinct shingle hashes — the growing-benchmark decontamination
+    topology (r11): each new eval suite lands as one epoch, collapses
+    to its distinct Bloom set-bit positions under an idempotent
+    ``batch_id=`` partition, and the merged ≤ m-row filter serves
+    membership probes at any time. SET-UNION merge: unlike the
+    count-additive stores, overlapping ingest is harmless (re-setting
+    a bit is a no-op), so suite revisions can simply re-ingest.
+    Same checkpoint/prefix contract as
+    :func:`start_incremental_dedup`."""
+    from pyspark.sql import functions as F
+
+    from ..functions.dedup import release_cached, shingle_hash_arrays
+    from ..functions.sketches import BloomStore
+
+    store = BloomStore(spark, store_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sh = (
+            shingle_hash_arrays(batch_df)
+            .select(F.explode("sh_arr").alias("sh"))
+            .distinct()
+        )
+        store.add_batch(sh, batch_id=f"{batch_prefix}{epoch_id}", key_col="sh")
+        release_cached()
+
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
