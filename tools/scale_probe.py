@@ -1023,6 +1023,76 @@ def _rate_anomaly_shape(ev):
     return anomalies_from_cells(rate_cells(ev))
 
 
+def _paths_shape(ev):
+    """q_events_paths' shape: sessionize (lag + running sum) then two
+    leads within (user, session), one count over ≤types³ path groups.
+    Under user-disjoint replicas both window layers multiply
+    PARTITIONS, not partition size — time must track rows ~linearly."""
+    from pyspark.sql import Window
+
+    from vsphere_event_streaming_spark.queries.streaming_queries import (
+        _PATH_GAP_US,
+    )
+
+    e = ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flag = F.when(us - F.lag(us).over(w) > _PATH_GAP_US, 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(flag)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    tri = sess.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(ws).alias("t2"),
+        F.lead("event_type", 2).over(ws).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        tri.select(F.concat_ws(">", "t1", "t2", "t3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _bloom_shape(docs):
+    """q_bloom_contamination's shape: shingle arrays persist once, the
+    bench bits table stays ≤ m rows NO MATTER the corpus (the
+    broadcast-constant claim), the probe is h chained broadcast hash
+    joins + one per-doc aggregate — rows-linear, zero corpus-side
+    shuffle before the final count."""
+    from vsphere_event_streaming_spark.functions.dedup import (
+        shingle_hash_arrays,
+    )
+    from vsphere_event_streaming_spark.functions.sketches import (
+        bloom_bits,
+        bloom_membership,
+    )
+
+    arrs = shingle_hash_arrays(docs)
+    bench_sh = (
+        arrs.filter(F.col("id") % 50 == 0)
+        .select(F.explode("sh_arr").alias("sh"))
+        .distinct()
+    )
+    bits = bloom_bits(bench_sh, "sh")
+    sh = arrs.select("id", F.explode("sh_arr").alias("sh"))
+    return (
+        bloom_membership(bits, sh, "sh")
+        .filter(F.col("bloom_hit"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+
+
 def _sem_scaled_pairs(spark, n: int) -> tuple[float, int, int]:
     """(elapsed, k, candidate_pairs) for the corpus-scaled SemDeDup
     cell model over n DISTINCT synthetic vectors (pseudorandom sine
@@ -1460,6 +1530,21 @@ def main() -> None:
             "events_transitions",
             lambda: _transitions_shape(evu1),
             lambda: _transitions_shape(evuN),
+        ),
+        # r11: session paths — two per-user(-session) window layers
+        # under user-disjoint replicas: rows-linear, never
+        # user-quadratic
+        (
+            "events_paths",
+            lambda: _paths_shape(evu1),
+            lambda: _paths_shape(evuN),
+        ),
+        # r11: Bloom decontamination probe — bits table constant-size
+        # broadcast at any corpus; probe rows-linear
+        (
+            "bloom_contamination",
+            lambda: _bloom_shape(docs1),
+            lambda: _bloom_shape(docsN),
         ),
     ]:
         if only and name not in only:
