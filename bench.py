@@ -210,6 +210,9 @@ HEADLINE = [
     "q_events_gaps",
     # Bloom-prefiltered decontamination (broadcast filter, zero shuffle)
     "q_bloom_contamination",
+    # Matryoshka two-stage ANN + the dedup threshold-sweep diagnostic
+    "q_knn_matryoshka",
+    "q_dedup_threshold_sweep",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

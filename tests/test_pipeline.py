@@ -1727,3 +1727,24 @@ def test_corpus_monitor_example_end_to_end(spark, tmp_path):
     # cells — is a real discriminative score (the per-cell parity
     # proof is test_incremental_auc_cell_stream)
     assert 0.5 < out["running_auc"] <= 1.0
+
+
+def test_matryoshka_recall_meets_ann_floor(spark):
+    """The prefix-truncation ANN (q_knn_matryoshka, r11) must recover
+    at least the IVF family floor (5/10) of the exact cosine top-10 —
+    measured 9-10/10 at MRL_PREFIX=32 / MRL_SHORTLIST=100 on the
+    driver corpus (the constants' docstring records the sweep)."""
+    from vsphere_event_streaming_spark.functions.vectors import (
+        knn_topk,
+        min_id_query_split,
+    )
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        q_knn_matryoshka,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    qvec, corpus = min_id_query_split(emb)
+    exact = {r["vec_id"] for r in knn_topk(corpus, qvec, k=10).collect()}
+    got = {r["vec_id"] for r in q_knn_matryoshka(spark, sf).collect()}
+    assert len(exact & got) >= 5, (sorted(exact), sorted(got))

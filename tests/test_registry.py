@@ -274,6 +274,8 @@ ROTATED_OUT_R11 = (
     "q_events_power_curve",
     "q_events_gaps",
     "q_bloom_contamination",
+    "q_knn_matryoshka",
+    "q_dedup_threshold_sweep",
 )
 
 

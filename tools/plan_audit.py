@@ -900,6 +900,29 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"SinglePartition",
         ],
     ],
+    # Matryoshka ANN: both stages TakeOrderedAndProject heaps; the
+    # rerank candidate fetch is a broadcast semi-join — no global
+    # sort, no Python, no cartesian
+    "q_knn_matryoshka": [
+        [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"\bSort\b.*global",
+        ],
+    ],
+    # dedup threshold sweep: bucket count over the verified pairs,
+    # running sum over the <=20-row CELL table (the intentional
+    # tiny-frame window) — no Python in the sweep itself
+    "q_dedup_threshold_sweep": [
+        [r"HashAggregate", r"Window"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+        ],
+    ],
     # Bloom decontamination prefilter: the bits table BROADCASTS
     # (the zero-shuffle probe claim), the exact tier stays a
     # (semi-)join over int64 shingles — no cartesian, no Python, no

