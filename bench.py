@@ -213,6 +213,8 @@ HEADLINE = [
     # Matryoshka two-stage ANN + the dedup threshold-sweep diagnostic
     "q_knn_matryoshka",
     "q_dedup_threshold_sweep",
+    # DAU/WAU stickiness (contribution-expanded trailing window)
+    "q_events_stickiness",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -276,6 +276,7 @@ ROTATED_OUT_R11 = (
     "q_bloom_contamination",
     "q_knn_matryoshka",
     "q_dedup_threshold_sweep",
+    "q_events_stickiness",
 )
 
 

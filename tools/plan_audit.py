@@ -936,6 +936,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Window",
         ],
     ],
+    # DAU/WAU stickiness: distinct activity pass + two hash
+    # aggregates + a <=days-row join — the 7x contribution explode
+    # replaces any moving-window distinct; no window op at all
+    "q_events_stickiness": [
+        [r"HashAggregate", r"Generate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+        ],
+    ],
     # session paths: two per-user(-session) windows, trigram count —
     # partitioned windows only, no Python, no cartesian, no join
     "q_events_paths": [

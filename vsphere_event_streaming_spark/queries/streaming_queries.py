@@ -604,3 +604,76 @@ def q_events_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+# -- T6k: DAU / WAU stickiness (r11) --------------------------------------
+@query(
+    "q_events_stickiness",
+    oracle=f"""
+    WITH ra AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / {_DAY_US}.0) AS BIGINT) AS d
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    dau AS (SELECT d, count(*) AS dau FROM ra GROUP BY d),
+    contrib AS (
+      SELECT user_id, d + i AS td
+      FROM ra, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(i)
+    ),
+    wau AS (
+      SELECT td AS d, count(DISTINCT user_id) AS wau
+      FROM contrib GROUP BY td
+    )
+    SELECT dau.d * {_DAY_US} AS day_us, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+             AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU STICKINESS (r11) — the engagement ratio every product
+    dashboard leads with: per observed day, distinct daily actives
+    over distinct trailing-7-day actives. Exact distinct counts over
+    integer day buckets, so every ratio replays. The trailing window
+    is computed by CONTRIBUTION expansion — each (user, day) activity
+    row contributes to the 7 target days it is inside — which turns
+    the unsupported distinct-count-over-moving-window into two plain
+    hash aggregates (the bounded 7× explode of the ALREADY-distinct
+    activity table, never of raw events).
+
+    Scale shape: one DISTINCT (user, day) pass (the ActivityStore
+    cell shape — the same set-union rows serve this incrementally),
+    one map-side-combined DAU aggregate, one 7×-bounded explode +
+    distinct-user aggregate, and a ≤days-row join. State never
+    exceeds users × days."""
+    ra = (
+        _events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.floor(
+                F.unix_micros(F.col("ts")) / F.lit(float(_DAY_US))
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    dau = ra.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ra.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(6))
+        ).alias("td"),
+    )
+    wau = contrib.groupBy(F.col("td").alias("d")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "d").select(
+        (F.col("d") * F.lit(_DAY_US)).alias("day_us"),
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+        ).alias("stickiness"),
+    )
