@@ -262,6 +262,14 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
     ) if ret_row["d0"] else None
     # running corpus AUC off the merged (bin, cpos, cneg) cells
     running_auc = auc_store.auc().first()["auc"]
+    # DAU/WAU stickiness off the same merged activity rows (r11):
+    # latest observed day's ratio — the dashboard's headline number
+    latest = (
+        activity.stickiness()
+        .orderBy(F.col("day_us").desc())
+        .limit(1)
+        .first()
+    )
     summary = {
         "ingested_docs": n_docs,
         "distinct_texts": keep["groups"],
@@ -276,6 +284,8 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
         "retention_cohorts": ret_row["n_cohorts"],
         "retention_day1_rate": day1_rate,
         "running_auc": running_auc,
+        "latest_dau": latest["dau"],
+        "latest_stickiness": latest["stickiness"],
     }
     release_cached()  # the novelty read path persists shingle arrays
     return summary

@@ -1727,6 +1727,19 @@ def test_corpus_monitor_example_end_to_end(spark, tmp_path):
     # cells — is a real discriminative score (the per-cell parity
     # proof is test_incremental_auc_cell_stream)
     assert 0.5 < out["running_auc"] <= 1.0
+    # the stickiness block matches the declared query's latest day
+    from vsphere_event_streaming_spark.queries.streaming_queries import (
+        q_events_stickiness,
+    )
+
+    last = (
+        q_events_stickiness(spark, sf)
+        .orderBy(F.col("day_us").desc())
+        .limit(1)
+        .first()
+    )
+    assert out["latest_dau"] == last["dau"]
+    assert out["latest_stickiness"] == last["stickiness"]
 
 
 def test_matryoshka_recall_meets_ann_floor(spark):

@@ -2214,3 +2214,40 @@ def test_incremental_bloom_store_and_stream(spark, tmp_path):
     # (6) empty store raises the typed error
     with _pytest.raises(ValueError, match="no ingested batches"):
         BloomStore(spark, f"{tmp_path}/nope").bits()
+
+
+def test_activity_store_stickiness_parity(spark, tmp_path):
+    """ActivityStore.stickiness() over two overlapping batches must be
+    bit-identical to the batch q_events_stickiness over the corpus —
+    the set-union law extended to the r11 readout (the query and the
+    store share stickiness_from_days)."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.sketches import (
+        ActivityStore,
+    )
+    from vsphere_event_streaming_spark.queries.streaming_queries import (
+        q_events_stickiness,
+    )
+    from vsphere_event_streaming_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    ev = load(spark, sf, "events")
+    store = ActivityStore(spark, f"{tmp_path}/act")
+    store.add_batch(ev.filter(F.col("event_id") % 2 == 0), "a")
+    # deliberately OVERLAPPING second batch (every third event again)
+    store.add_batch(
+        ev.filter(
+            (F.col("event_id") % 2 == 1) | (F.col("event_id") % 3 == 0)
+        ),
+        "b",
+    )
+    want = {
+        r["day_us"]: (r["dau"], r["wau"], r["stickiness"])
+        for r in q_events_stickiness(spark, sf).collect()
+    }
+    got = {
+        r["day_us"]: (r["dau"], r["wau"], r["stickiness"])
+        for r in store.stickiness().collect()
+    }
+    assert got == want

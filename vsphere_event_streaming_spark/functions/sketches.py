@@ -542,6 +542,36 @@ def retention_from_days(
     )
 
 
+def stickiness_from_days(
+    days: DataFrame, user_col: str = "user_id"
+) -> DataFrame:
+    """The DAU/WAU stickiness readout over a (merged) activity table —
+    exactly q_events_stickiness's output shape: per observed day,
+    distinct daily actives over distinct trailing-7-day actives, the
+    moving-window distinct computed by CONTRIBUTION expansion (each
+    already-distinct (user, day) row explodes to the 7 target days it
+    serves). Shared by the declared query and the
+    :class:`ActivityStore` readout so the two can never drift."""
+    dau = days.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = days.select(
+        user_col,
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(6))
+        ).alias("td"),
+    )
+    wau = contrib.groupBy(F.col("td").alias("d")).agg(
+        F.countDistinct(user_col).alias("wau")
+    )
+    return dau.join(wau, "d").select(
+        (F.col("d") * F.lit(86_400_000_000)).alias("day_us"),
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+        ).alias("stickiness"),
+    )
+
+
 class ActivityStore:
     """Persistent incremental user-activity store — the retention
     tier's incremental form, the THIRTEENTH index/store family and
@@ -607,6 +637,12 @@ class ActivityStore:
         ingested — bit-identical to the batch q_events_retention by
         the set-union law."""
         return retention_from_days(self.days(), self.user_col)
+
+    def stickiness(self) -> DataFrame:
+        """The running DAU/WAU stickiness table over everything
+        ingested — bit-identical to the batch q_events_stickiness by
+        the set-union law (r11)."""
+        return stickiness_from_days(self.days(), self.user_col)
 
 
 # ======================================================================

@@ -642,38 +642,15 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity table, never of raw events).
 
     Scale shape: one DISTINCT (user, day) pass (the ActivityStore
-    cell shape — the same set-union rows serve this incrementally),
-    one map-side-combined DAU aggregate, one 7×-bounded explode +
-    distinct-user aggregate, and a ≤days-row join. State never
-    exceeds users × days."""
-    ra = (
-        _events(spark, sf_dir)
-        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
-        .select(
-            "user_id",
-            F.floor(
-                F.unix_micros(F.col("ts")) / F.lit(float(_DAY_US))
-            )
-            .cast("bigint")
-            .alias("d"),
-        )
-        .distinct()
-    )
-    dau = ra.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
-    contrib = ra.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("d"), F.col("d") + F.lit(6))
-        ).alias("td"),
-    )
-    wau = contrib.groupBy(F.col("td").alias("d")).agg(
-        F.countDistinct("user_id").alias("wau")
-    )
-    return dau.join(wau, "d").select(
-        (F.col("d") * F.lit(_DAY_US)).alias("day_us"),
-        "dau",
-        "wau",
-        F.round(
-            F.col("dau").cast("double") / F.col("wau").cast("double"), 6
-        ).alias("stickiness"),
+    cell shape — ``ActivityStore.stickiness()`` serves exactly this
+    table incrementally off the merged set-union rows; the query,
+    the store readout, and the ingest share
+    ``sketches.activity_days``/``stickiness_from_days`` so the three
+    can never drift), one map-side-combined DAU aggregate, one
+    7×-bounded explode + distinct-user aggregate, and a ≤days-row
+    join. State never exceeds users × days."""
+    from ..functions.sketches import activity_days, stickiness_from_days
+
+    return stickiness_from_days(
+        activity_days(_events(spark, sf_dir))
     )
