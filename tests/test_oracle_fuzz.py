@@ -145,6 +145,11 @@ NASTY_EVENTS = [
     # still emit a depth-0 / no-activity row for user 8 (ADVICE_r10:
     # the fu spine filters only on user_id, not ts).
     (10, None, 8, "view", 5.0, '{"k": 2}'),
+    # NULL event_type with real ts/user (r11): the paths query must
+    # exclude it on BOTH sides (engine concat_ws skips nulls, oracle
+    # || nulls the path — asymmetric unless filtered); the other
+    # event oracles must agree on NULL-type grouping/joining.
+    (11, "2024-06-05 00:00:00", 9, None, 6.0, '{"k": 3}'),
 ]
 
 

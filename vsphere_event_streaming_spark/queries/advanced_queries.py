@@ -1062,7 +1062,8 @@ def q_cogroup_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            any_value(m.med) AS med_value,
            median(abs(e.value - m.med)) AS mad_value
-    FROM events e JOIN med m ON e.event_type = m.event_type
+    FROM events e JOIN med m
+      ON e.event_type IS NOT DISTINCT FROM m.event_type
     GROUP BY e.event_type
     """,
 )

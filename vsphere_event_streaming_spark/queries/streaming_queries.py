@@ -437,6 +437,7 @@ _PATH_GAP_US = 4 * 3600 * 1_000_000
                        > {_PATH_GAP_US}
                   THEN 1 ELSE 0 END AS new_sess
       FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts, event_id, event_type,
@@ -479,8 +480,14 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture as q_events_transitions, one window deeper."""
     from pyspark.sql import Window
 
+    # event_type must be non-null on BOTH sides: the engine's
+    # concat_ws SKIPS null segments while the oracle's || nulls the
+    # whole path — excluding null types keeps the two semantics
+    # identical (and a null type is not a path step anyway)
     ev = _events(spark, sf_dir).filter(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
     )
     us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
