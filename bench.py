@@ -215,6 +215,8 @@ HEADLINE = [
     "q_dedup_threshold_sweep",
     # DAU/WAU stickiness (contribution-expanded trailing window)
     "q_events_stickiness",
+    # Zipf-law corpus diagnostic (W1 two-phase vocab rank + regression)
+    "q_corpus_zipf",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

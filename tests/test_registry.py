@@ -277,6 +277,7 @@ ROTATED_OUT_R11 = (
     "q_knn_matryoshka",
     "q_dedup_threshold_sweep",
     "q_events_stickiness",
+    "q_corpus_zipf",
 )
 
 

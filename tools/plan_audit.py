@@ -923,6 +923,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"CartesianProduct",
         ],
     ],
+    # Zipf diagnostic: vocab hash aggregate + the W1 two-phase rank
+    # (range exchange reused by the counts branch) + one aggregate —
+    # no Python, no cartesian; the only window is the machinery's
+    # <=num_partitions-row prefix table
+    "q_corpus_zipf": [
+        [r"HashAggregate", r"ReusedExchange|Exchange rangepartitioning"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+        ],
+    ],
     # Bloom decontamination prefilter: the bits table BROADCASTS
     # (the zero-shuffle probe claim), the exact tier stays a
     # (semi-)join over int64 shingles — no cartesian, no Python, no

@@ -4856,3 +4856,118 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("bigint").alias("pairs_at_or_above"),
     )
+
+
+# ======================================================================
+# L44': Zipf-law corpus diagnostic (r11)
+# ======================================================================
+
+
+def _zipf_oracle() -> str:
+    tok = (
+        "SELECT w AS token FROM documents, "
+        "unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(w) "
+        "WHERE w <> ''"
+    )
+    sl = "(v*sxy - sx*sy) / (v*sxx - sx*sx)"
+    return f"""
+    WITH tok AS ({tok}),
+    wc AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    rk AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r
+      FROM wc
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS v,
+             sum(ln(CAST(r AS DOUBLE))) AS sx,
+             sum(ln(CAST(n AS DOUBLE))) AS sy,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(n AS DOUBLE))) AS sxy,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx,
+             sum(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))) AS syy,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM rk
+    )
+    SELECT n_types, n_tokens,
+           round({sl}, 6) AS zipf_slope,
+           round((sy - ({sl}) * sx) / v, 6) AS zipf_intercept,
+           round(((v*sxy - sx*sy) * (v*sxy - sx*sy))
+                 / ((v*sxx - sx*sx) * (v*syy - sy*sy)), 6) AS r2
+    FROM s
+    """
+
+
+@query("q_corpus_zipf", oracle=_zipf_oracle())
+def q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW DIAGNOSTIC (r11) — the corpus-statistics companion to
+    the dataset card: the least-squares slope/intercept/R² of
+    log-frequency vs log-rank over the full vocabulary. Natural text
+    sits near slope −1 with high R²; template spam, OCR noise, or a
+    collapsed crawl bend the curve — one row tells a curation team
+    whether the corpus still looks like language. Ranks come from the
+    engine's own W1 two-phase range-partitioned rank
+    (``log.model.assign_offsets`` over (−count, token) — ONE range
+    shuffle, no single-partition window even at a 100 TB vocabulary),
+    and the regression is one aggregate over the vocabulary table.
+    Cross-engine determinism: the ln sums are doubles, so per-group
+    rounding to 6 decimals absorbs the engines' summation-order
+    difference — the q_udaf_gmean precedent; every other figure is
+    exact integers.
+
+    Scale shape: tokenize → vocabulary hash aggregate (map-side
+    combined; the token stream never shuffles raw), rank = the W1
+    machinery over the Zipf-bounded vocab table, then ONE
+    six-accumulator aggregate. No window outside the machinery's
+    ≤num_partitions-row prefix table, no Python."""
+    from ..log.model import assign_offsets
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("token")
+    )
+    wc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    rk = assign_offsets(
+        wc.withColumn("__negn", -F.col("n")),
+        order_by=["__negn", "token"],
+        offset_col="r",
+        start=1,
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    s = rk.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
+    sl = (F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "n_types",
+        "n_tokens",
+        F.round(sl, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - sl * F.col("sx")) / F.col("v"), 6
+        ).alias("zipf_intercept"),
+        F.round(
+            (
+                (F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            )
+            / (
+                (F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("v") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )
