@@ -217,6 +217,9 @@ HEADLINE = [
     "q_events_stickiness",
     # Zipf-law corpus diagnostic (W1 two-phase vocab rank + regression)
     "q_corpus_zipf",
+    # Heaps growth curve + split-KL drift monitor
+    "q_corpus_heaps",
+    "q_corpus_drift",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -278,6 +278,8 @@ ROTATED_OUT_R11 = (
     "q_dedup_threshold_sweep",
     "q_events_stickiness",
     "q_corpus_zipf",
+    "q_corpus_heaps",
+    "q_corpus_drift",
 )
 
 

@@ -923,6 +923,27 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"CartesianProduct",
         ],
     ],
+    # Heaps growth: two hash aggregates + tiny cell join + the
+    # intentional tiny-frame cumulative window — no distinct-over-
+    # prefix, no Python
+    "q_corpus_heaps": [
+        [r"HashAggregate", r"Window"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+        ],
+    ],
+    # split-KL drift: ONE vocab aggregate with conditional counts
+    # (no join between halves), broadcast totals, one KL aggregate
+    "q_corpus_drift": [
+        [r"HashAggregate", r"BroadcastNestedLoopJoin|BroadcastHashJoin"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"Window",
+        ],
+    ],
     # Zipf diagnostic: vocab hash aggregate + the W1 two-phase rank
     # (range exchange reused by the counts branch) + one aggregate —
     # no Python, no cartesian; the only window is the machinery's

@@ -4971,3 +4971,196 @@ def q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ======================================================================
+# L44'': Heaps-law vocabulary growth (r11)
+# ======================================================================
+
+#: Documents per growth-curve bucket.
+HEAPS_BUCKET_DOCS = 100
+
+
+@query(
+    "q_corpus_heaps",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, w AS token FROM documents,
+      unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(w)
+      WHERE w <> ''
+    ),
+    fs AS (
+      SELECT token, CAST(min(doc_id) // {HEAPS_BUCKET_DOCS} AS BIGINT)
+               AS fb
+      FROM tok GROUP BY token
+    ),
+    tb AS (
+      SELECT CAST(doc_id // {HEAPS_BUCKET_DOCS} AS BIGINT) AS b,
+             count(*) AS toks
+      FROM tok GROUP BY 1
+    ),
+    nb AS (SELECT fb AS b, count(*) AS new_types FROM fs GROUP BY fb),
+    cells AS (
+      SELECT tb.b, tb.toks, coalesce(nb.new_types, 0) AS new_types
+      FROM tb LEFT JOIN nb ON tb.b = nb.b
+    )
+    SELECT b AS bucket_id,
+           CAST(sum(toks) OVER w AS BIGINT) AS n_tokens_cum,
+           CAST(sum(new_types) OVER w AS BIGINT) AS n_types_cum
+    FROM cells
+    WINDOW w AS (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_corpus_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS-LAW VOCABULARY GROWTH (r11) — the Zipf gauge's companion
+    curve: cumulative distinct types vs cumulative tokens as the
+    corpus grows in doc-id order (natural text grows types ~ Kn^β,
+    β≈0.5; a saturating curve means templates, a linear one means
+    noise/IDs). The expensive-looking "distinct types so far" is
+    computed WITHOUT any cumulative distinct: a type is new exactly
+    once — at its min(doc_id) — so one vocab aggregate (first-seen
+    bucket per token) + one per-bucket token count + a running sum
+    over the ≤(docs/bucket)-row CELL table gives the exact curve.
+    All integers; every point replays.
+
+    Scale shape: two map-side-combined hash aggregates (the token
+    stream shuffles once, keyed by token — the Zipf/CMS shape), a
+    tiny cell join, and the intentional tiny-frame cumulative window.
+    No distinct-over-prefix, no growing state."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("token"),
+    )
+    fs = tok.groupBy("token").agg(
+        F.floor(F.min("doc_id") / HEAPS_BUCKET_DOCS)
+        .cast("bigint")
+        .alias("fb")
+    )
+    tb = (
+        tok.groupBy(
+            F.floor(F.col("doc_id") / HEAPS_BUCKET_DOCS)
+            .cast("bigint")
+            .alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("toks"))
+    )
+    nb = fs.groupBy(F.col("fb").alias("b")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    cells = tb.join(nb, "b", "left").select(
+        "b", "toks", F.coalesce("new_types", F.lit(0)).alias("new_types")
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cells.select(
+        F.col("b").alias("bucket_id"),
+        F.sum("toks").over(w).cast("bigint").alias("n_tokens_cum"),
+        F.sum("new_types").over(w).cast("bigint").alias("n_types_cum"),
+    )
+
+
+# ======================================================================
+# L44''': split-KL corpus drift (r11)
+# ======================================================================
+
+
+@query(
+    "q_corpus_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id % 2 AS s, w AS token FROM documents,
+      unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(w)
+      WHERE w <> ''
+    ),
+    wc AS (
+      SELECT token,
+             CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM tok GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(na) AS BIGINT) AS ta,
+             CAST(sum(nb) AS BIGINT) AS tb
+      FROM wc
+    )
+    SELECT tot.v AS n_types, tot.ta AS n_tokens_a, tot.tb AS n_tokens_b,
+           round(sum(
+             ((wc.na + 1.0) / (tot.ta + tot.v))
+             * ln(((wc.na + 1.0) / (tot.ta + tot.v))
+                  / ((wc.nb + 1.0) / (tot.tb + tot.v)))
+           ), 6) AS kl_ab,
+           round(sum(
+             ((wc.nb + 1.0) / (tot.tb + tot.v))
+             * ln(((wc.nb + 1.0) / (tot.tb + tot.v))
+                  / ((wc.na + 1.0) / (tot.ta + tot.v)))
+           ), 6) AS kl_ba
+    FROM wc, tot
+    GROUP BY tot.v, tot.ta, tot.tb
+    """,
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-KL CORPUS DRIFT (r11) — the distribution-shift monitor a
+    growing corpus needs: add-one-smoothed KL divergence (both
+    directions) between the word distributions of two corpus halves
+    (content-keyed doc_id % 2 — rerun-stable like every split here).
+    Near-zero KL means the halves are exchangeable; a jump flags a
+    crawl-composition change. Counts and totals are exact BIGINTs;
+    the KL sums are doubles absorbed by round-6 (the gmean
+    precedent) — both engines build each term from the same exact
+    integers with the same expression shape.
+
+    Scale shape: ONE vocabulary hash aggregate with two conditional
+    counts (no join between the halves — the split lives inside the
+    aggregate), a 1-row totals frame, one KL aggregate over the
+    vocab-bounded table. The same cells are batch-mergeable, so the
+    drift gauge has the TermStatsStore-style incremental form if a
+    monitor needs it."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("s"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("token"),
+    )
+    wc = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    tot = wc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("na").cast("bigint").alias("ta"),
+        F.sum("nb").cast("bigint").alias("tb"),
+    )
+    j = wc.join(F.broadcast(tot))
+    pa = (F.col("na") + F.lit(1.0)) / (F.col("ta") + F.col("v"))
+    pb = (F.col("nb") + F.lit(1.0)) / (F.col("tb") + F.col("v"))
+    return j.groupBy("v", "ta", "tb").agg(
+        F.round(F.sum(pa * F.log(pa / pb)), 6).alias("kl_ab"),
+        F.round(F.sum(pb * F.log(pb / pa)), 6).alias("kl_ba"),
+    ).select(
+        F.col("v").alias("n_types"),
+        F.col("ta").alias("n_tokens_a"),
+        F.col("tb").alias("n_tokens_b"),
+        "kl_ab",
+        "kl_ba",
+    )

@@ -279,6 +279,8 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_threshold_sweep",
     "q_events_stickiness",
     "q_corpus_zipf",
+    "q_corpus_heaps",
+    "q_corpus_drift",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
