@@ -1761,3 +1761,46 @@ def test_matryoshka_recall_meets_ann_floor(spark):
     exact = {r["vec_id"] for r in knn_topk(corpus, qvec, k=10).collect()}
     got = {r["vec_id"] for r in q_knn_matryoshka(spark, sf).collect()}
     assert len(exact & got) >= 5, (sorted(exact), sorted(got))
+
+
+def test_mrl_index_column_pruning_and_parity(spark, tmp_path):
+    """The materialized Matryoshka layout (r11): (1) search against
+    the written index equals the inline q_knn_matryoshka result
+    row-for-row (same prefix, same shortlist, same rerank); (2) the
+    stage-1 plan's ReadSchema carries the prefix column and NOT the
+    full embedding — the prefix_len/d I/O claim, parquet-verified
+    like the IVF-PQ codes-only assertion."""
+    import re
+
+    from vsphere_event_streaming_spark.functions.vectors import (
+        min_id_query_split,
+        mrl_topk_indexed,
+        write_mrl_index,
+    )
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        MRL_PREFIX,
+        MRL_SHORTLIST,
+        q_knn_matryoshka,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    qvec, corpus = min_id_query_split(emb)
+    path = f"{tmp_path}/mrl"
+    write_mrl_index(corpus, MRL_PREFIX, path)
+
+    got_df = mrl_topk_indexed(
+        spark, path, qvec, MRL_PREFIX, k=10, shortlist=MRL_SHORTLIST
+    )
+    got = [(r["vec_id"], r["score"]) for r in got_df.collect()]
+    want = [
+        (r["vec_id"], r["score"])
+        for r in q_knn_matryoshka(spark, sf).collect()
+    ]
+    assert got == want
+
+    stage1 = spark.read.parquet(path).select("vec_id", "prefix")
+    plan = stage1._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "prefix" in m.group(1), plan
+    assert "embedding" not in m.group(1), m.group(1)

@@ -1300,3 +1300,63 @@ class IvfPqStore:
             F.broadcast(short.select("vec_id")), "vec_id", "left_semi"
         )
         return knn_topk(cand, query, k=k, id_col="vec_id", vec_col="embedding")
+
+
+def write_mrl_index(
+    corpus: DataFrame,
+    prefix_len: int,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the Matryoshka serving layout: the stage-1 prefix
+    stored as its OWN parquet column beside the full vector, so the
+    shortlist scan reads prefix_len/d of the float payload via plain
+    parquet column pruning (the at-rest form q_knn_matryoshka's
+    in-plan ``slice()`` stands in for; asserted in pytest like the
+    IVF-PQ codes-only claim)."""
+    (
+        corpus.select(
+            id_col,
+            vec_col,
+            F.slice(F.col(vec_col), 1, prefix_len).alias("prefix"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def mrl_topk_indexed(
+    spark,
+    index_path: str,
+    query: DataFrame,
+    prefix_len: int,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka search against a materialized index (see
+    :func:`write_mrl_index`): stage 1 reads ONLY (id, prefix) —
+    parquet column pruning keeps the full vectors on disk — heaps the
+    ``shortlist`` best prefix-cosine rows (zero-prefix guard −1.0,
+    the engine-wide convention), and stage 2 fetches the full vectors
+    of exactly those rows for the exact top-k."""
+    idx = spark.read.parquet(index_path)
+    pq_ = F.slice(F.col("q"), 1, prefix_len)
+    ps = F.when(
+        (dot(F.col("prefix"), F.col("prefix")) > 0) & (dot(pq_, pq_) > 0),
+        cosine(F.col("prefix"), pq_),
+    ).otherwise(F.lit(-1.0))
+    short = (
+        idx.select(id_col, "prefix")
+        .join(F.broadcast(query))
+        .select(id_col, ps.alias("__ps"))
+        .orderBy(F.col("__ps").desc(), id_col)
+        .limit(shortlist)
+        .select(id_col)
+    )
+    cand = idx.select(id_col, vec_col).join(
+        F.broadcast(short), id_col, "left_semi"
+    )
+    return knn_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
