@@ -1093,6 +1093,80 @@ def _bloom_shape(docs):
     )
 
 
+def _zipf_shape(docs):
+    """q_corpus_zipf's shape: vocab aggregate → W1 two-phase rank →
+    one regression aggregate. Doc replicas multiply token counts, not
+    vocabulary — time must track the token scan, never vocab²."""
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        q_corpus_zipf as _q,
+    )
+    from vsphere_event_streaming_spark.log.model import assign_offsets
+
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("token")
+    )
+    wc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    rk = assign_offsets(
+        wc.withColumn("__negn", -F.col("n")),
+        order_by=["__negn", "token"],
+        offset_col="r",
+        start=1,
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    return rk.agg(
+        F.sum(x * y).alias("sxy"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.count(F.lit(1)).alias("v"),
+    )
+
+
+def _stickiness_shape(ev):
+    """q_events_stickiness' shape: distinct activity pass + two hash
+    aggregates + a ≤days-row join. User-disjoint replicas multiply
+    users; day count is fixed — cells grow linearly, never user²."""
+    from vsphere_event_streaming_spark.functions.sketches import (
+        activity_days,
+        stickiness_from_days,
+    )
+
+    return stickiness_from_days(activity_days(ev))
+
+
+def _matryoshka_shape(emb):
+    """q_knn_matryoshka's shape: prefix-cosine TakeOrdered shortlist +
+    full-dim broadcast rerank — two rows-linear scans, no shuffle of
+    the corpus side."""
+    from vsphere_event_streaming_spark.functions.vectors import (
+        cosine,
+        dot,
+        knn_topk,
+        min_id_query_split,
+    )
+
+    qvec, corpus = min_id_query_split(emb)
+    pv = F.slice(F.col("embedding"), 1, 32)
+    pq = F.slice(F.col("q"), 1, 32)
+    ps = F.when(
+        (dot(pv, pv) > 0) & (dot(pq, pq) > 0), cosine(pv, pq)
+    ).otherwise(F.lit(-1.0))
+    short = (
+        corpus.join(F.broadcast(qvec))
+        .select("vec_id", ps.alias("__ps"))
+        .orderBy(F.col("__ps").desc(), "vec_id")
+        .limit(100)
+        .select("vec_id")
+    )
+    cand = corpus.join(F.broadcast(short), "vec_id", "left_semi")
+    return knn_topk(cand, qvec, k=10)
+
+
 def _sem_scaled_pairs(spark, n: int) -> tuple[float, int, int]:
     """(elapsed, k, candidate_pairs) for the corpus-scaled SemDeDup
     cell model over n DISTINCT synthetic vectors (pseudorandom sine
@@ -1545,6 +1619,27 @@ def main() -> None:
             "bloom_contamination",
             lambda: _bloom_shape(docs1),
             lambda: _bloom_shape(docsN),
+        ),
+        # r11: Zipf diagnostic — token scan + W1 rank over a
+        # replica-invariant vocabulary: near-flat at 10x docs
+        (
+            "corpus_zipf",
+            lambda: _zipf_shape(docs1),
+            lambda: _zipf_shape(docsN),
+        ),
+        # r11: stickiness — activity cells grow with users, never
+        # user-quadratic under user-disjoint replicas
+        (
+            "events_stickiness",
+            lambda: _stickiness_shape(evu1),
+            lambda: _stickiness_shape(evuN),
+        ),
+        # r11: Matryoshka ANN — two rows-linear scans (prefix
+        # shortlist heap + rerank)
+        (
+            "knn_matryoshka",
+            lambda: _matryoshka_shape(emb1),
+            lambda: _matryoshka_shape(embN),
         ),
     ]:
         if only and name not in only:
