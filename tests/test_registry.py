@@ -32,15 +32,101 @@ from selfcheck import driver_guard  # noqa: E402  (tools/selfcheck.py)
 #: Size of the driver's correctness truncation window (observed r1-r5).
 DRIVER_WINDOW = 50
 
-#: The r11 window, verbatim (VERDICT_r10 #1): every query whose newest
-#: driver evidence is r7 or absent — the 26 deferred-r7 rows repaid
-#: and the 15 oracled r10-new queries getting their first driver rows
-#: — filled to 50 with the 9 stalest r8 rows in prior registration
-#: order. After this rotation no oracled query's newest driver row is
-#: older than r8 and every r10-new operator has driver evidence.
+#: The r12 window, verbatim (VERDICT_r11 #1): the 10 oracled r11-new
+#: queries whose only evidence so far is the judge's selfcheck (first
+#: driver rows) plus 40 of the 41 r8-stale rows in prior registration
+#: order (q_video_frames spills to r13). After this rotation every
+#: oracled query's newest driver row is r9+ except the single spilled
+#: row, and every r11-new operator has driver evidence.
 #: Independent literal (NOT derived from PRIORITY) so reordering
 #: PRIORITY can't silently redefine the window.
-WINDOW_R11 = (
+WINDOW_R12 = (
+    "q_events_paths",
+    "q_events_power_curve",
+    "q_events_gaps",
+    "q_bloom_contamination",
+    "q_knn_matryoshka",
+    "q_dedup_threshold_sweep",
+    "q_events_stickiness",
+    "q_corpus_zipf",
+    "q_corpus_heaps",
+    "q_corpus_drift",
+    "q_array_funcs",
+    "q_knn_sq",
+    "q_join_anti",
+    "q_knn_topk",
+    "q_kmeans_sizes",
+    "q_cluster_balanced",
+    "q_embed_pca_topm",
+    "q_cluster_quality",
+    "q_audio_fingerprint",
+    "q_chunk_text",
+    "q_cogroup_recon",
+    "q_corpus_split",
+    "q_curriculum_order",
+    "q_dedup_embed",
+    "q_dedup_groups",
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_dedup_near_pruned",
+    "q_fingerprint",
+    "q_grouped_map_stats",
+    "q_importance_weight",
+    "q_join_full",
+    "q_join_range_binned",
+    "q_lang_id",
+    "q_markup_strip",
+    "q_media_phash",
+    "q_pack_sequences",
+    "q_pipeline_guarded",
+    "q_pipeline_select",
+    "q_repeated_spans",
+    "q_session_window",
+    "q_sketch_cms",
+    "q_sliding_agg",
+    "q_text_hash_embed",
+    "q_text_knn",
+    "q_token_count",
+    "q_top_words",
+    "q_training_shuffle",
+    "q_url_domains",
+    "q_vector_sq",
+)
+
+#: Queries expected to be rows-only (oracle=None) inside the window —
+#: none since r6: both permanent rows-only checks were rotated out
+#: (their no_oracle driver rows could never go green).
+ROWS_ONLY_IN_WINDOW = ()
+
+#: The permanent rows-only checks — must stay registered (a user can
+#: still run them) but OUT of the window (their driver rows are dead
+#: slots); their correctness evidence is pytest
+#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute and
+#: RRF indexed recall-vs-multiprobe + partition pruning).
+ROWS_ONLY_OFF_WINDOW = (
+    "q_knn_ivf",
+    "q_approx_aggs",
+    # r10: index-backed hybrid retrieval — approximate by design
+    # (trained-IVF probe); evidence is pytest
+    # (test_rrf_indexed_recall_and_partition_pruning)
+    "q_search_rrf_indexed",
+    # r10: PQ ANN with exact rerank — trained codebooks (Lloyd's over
+    # doubles, not oracle-replayed); evidence is pytest
+    # (test_pq_recall_determinism_and_code_shape)
+    "q_knn_pq",
+    # r10: composed IVF-PQ index — evidence is pytest
+    # (test_ivfpq_recall_pruning_and_column_pruning)
+    "q_knn_ivfpq",
+)
+
+#: Queries rotated out of the window in r12 — every one holds a
+#: driver-green value-hash row from r8-r11 and must stay registered
+#: and oracled (selfcheck covers them every round) even though the
+#: driver window no longer records them. Grouped by newest driver
+#: row; q_video_frames (the one spilled r8 row) is first in line for
+#: the r13 window.
+ROTATED_OUT_R12 = (
+    # newest driver row r11 (the full r11 window):
     "q_knn_hyperplane_probed",
     "q_null_funcs",
     "q_offset_assign",
@@ -91,41 +177,7 @@ WINDOW_R11 = (
     "q_string_funcs",
     "q_bitwise_funcs",
     "q_map_funcs",
-)
-
-#: Queries expected to be rows-only (oracle=None) inside the window —
-#: none since r6: both permanent rows-only checks were rotated out
-#: (their no_oracle driver rows could never go green).
-ROWS_ONLY_IN_WINDOW = ()
-
-#: The permanent rows-only checks — must stay registered (a user can
-#: still run them) but OUT of the window (their driver rows are dead
-#: slots); their correctness evidence is pytest
-#: (test_approx_aggs.py; test_pipeline.py IVF recall-vs-brute and
-#: RRF indexed recall-vs-multiprobe + partition pruning).
-ROWS_ONLY_OFF_WINDOW = (
-    "q_knn_ivf",
-    "q_approx_aggs",
-    # r10: index-backed hybrid retrieval — approximate by design
-    # (trained-IVF probe); evidence is pytest
-    # (test_rrf_indexed_recall_and_partition_pruning)
-    "q_search_rrf_indexed",
-    # r10: PQ ANN with exact rerank — trained codebooks (Lloyd's over
-    # doubles, not oracle-replayed); evidence is pytest
-    # (test_pq_recall_determinism_and_code_shape)
-    "q_knn_pq",
-    # r10: composed IVF-PQ index — evidence is pytest
-    # (test_ivfpq_recall_pruning_and_column_pruning)
-    "q_knn_ivfpq",
-)
-
-#: Queries rotated out of the window in r11 — every one holds a
-#: driver-green value-hash row from r8-r10 and must stay registered
-#: and oracled (selfcheck covers them every round) even though the
-#: driver window no longer records them. Grouped by newest driver
-#: row; the 41 r8 rows at the end are first in line for the r12
-#: window.
-ROTATED_OUT_R11 = (
+    # newest driver row r10:
     "q_tpch_q3",
     "q_tpch_q4",
     "q_tpch_q5",
@@ -226,60 +278,8 @@ ROTATED_OUT_R11 = (
     "q_tpch_q18",
     "q_try_funcs",
     "q_window_analytics",
-    "q_array_funcs",
-    "q_knn_sq",
-    "q_join_anti",
-    "q_knn_topk",
-    "q_kmeans_sizes",
-    "q_cluster_balanced",
-    "q_embed_pca_topm",
-    "q_cluster_quality",
-    "q_audio_fingerprint",
-    "q_chunk_text",
-    "q_cogroup_recon",
-    "q_corpus_split",
-    "q_curriculum_order",
-    "q_dedup_embed",
-    "q_dedup_groups",
-    "q_dedup_minhash",
-    "q_dedup_near",
-    "q_dedup_near_pruned",
-    "q_fingerprint",
-    "q_grouped_map_stats",
-    "q_importance_weight",
-    "q_join_full",
-    "q_join_range_binned",
-    "q_lang_id",
-    "q_markup_strip",
-    "q_media_phash",
-    "q_pack_sequences",
-    "q_pipeline_guarded",
-    "q_pipeline_select",
-    "q_repeated_spans",
-    "q_session_window",
-    "q_sketch_cms",
-    "q_sliding_agg",
-    "q_text_hash_embed",
-    "q_text_knn",
-    "q_token_count",
-    "q_top_words",
-    "q_training_shuffle",
-    "q_url_domains",
-    "q_vector_sq",
+    # newest driver row r8 (the one spilled row, first for r13):
     "q_video_frames",
-    # r11-new, declared OUT of the window (window pinned to the
-    # staleness-repayment plan); oracled — selfcheck + the events
-    # fuzz family cover them until their r12 driver rows
-    "q_events_paths",
-    "q_events_power_curve",
-    "q_events_gaps",
-    "q_bloom_contamination",
-    "q_knn_matryoshka",
-    "q_dedup_threshold_sweep",
-    "q_events_stickiness",
-    "q_corpus_zipf",
-    "q_corpus_heaps",
-    "q_corpus_drift",
 )
 
 
@@ -293,16 +293,16 @@ def test_every_priority_name_is_registered():
     assert not missing, f"PRIORITY names not registered: {missing}"
 
 
-def test_r11_window_is_exactly_the_rotation_plan():
-    """The first DRIVER_WINDOW registry entries must be WINDOW_R11 as a
+def test_r12_window_is_exactly_the_rotation_plan():
+    """The first DRIVER_WINDOW registry entries must be WINDOW_R12 as a
     set (order within the window is free; membership is the contract —
     the driver records exactly these 50)."""
-    assert len(WINDOW_R11) == DRIVER_WINDOW
-    assert len(set(WINDOW_R11)) == DRIVER_WINDOW
+    assert len(WINDOW_R12) == DRIVER_WINDOW
+    assert len(set(WINDOW_R12)) == DRIVER_WINDOW
     got = set(PRIORITY[:DRIVER_WINDOW])
-    assert got == set(WINDOW_R11), (
-        f"window drift: unexpected={sorted(got - set(WINDOW_R11))}, "
-        f"missing={sorted(set(WINDOW_R11) - got)}"
+    assert got == set(WINDOW_R12), (
+        f"window drift: unexpected={sorted(got - set(WINDOW_R12))}, "
+        f"missing={sorted(set(WINDOW_R12) - got)}"
     )
 
 
@@ -317,7 +317,7 @@ def test_window_entries_have_oracles():
     qs = load_all()
     no_oracle = [
         n
-        for n in WINDOW_R11
+        for n in WINDOW_R12
         if qs[n].oracle is None and n not in ROWS_ONLY_IN_WINDOW
     ]
     assert not no_oracle, f"window queries without oracle SQL: {no_oracle}"
@@ -343,12 +343,12 @@ def test_window_and_rotated_out_partition_the_registry():
     query, with no overlaps — nothing can silently fall out of all
     evidence tiers."""
     qs = load_all()
-    union = set(WINDOW_R11) | set(ROTATED_OUT_R11) | set(ROWS_ONLY_OFF_WINDOW)
+    union = set(WINDOW_R12) | set(ROTATED_OUT_R12) | set(ROWS_ONLY_OFF_WINDOW)
     assert union == set(qs), (
         f"uncovered={sorted(set(qs) - union)}, "
         f"phantom={sorted(union - set(qs))}"
     )
-    total = len(WINDOW_R11) + len(ROTATED_OUT_R11) + len(ROWS_ONLY_OFF_WINDOW)
+    total = len(WINDOW_R12) + len(ROTATED_OUT_R12) + len(ROWS_ONLY_OFF_WINDOW)
     assert total == len(qs), "tiers overlap"
 
 
@@ -359,7 +359,7 @@ def test_rotated_out_queries_stay_registered_and_oracled():
     compare."""
     qs = load_all()
     idx = {n: i for i, n in enumerate(PRIORITY)}
-    for n in ROTATED_OUT_R11:
+    for n in ROTATED_OUT_R12:
         assert n in qs, f"rotated-out query {n} lost its registration"
         assert qs[n].oracle is not None, f"rotated-out query {n} lost its oracle"
         assert idx[n] >= DRIVER_WINDOW, (

@@ -1101,6 +1101,26 @@ def main() -> int:
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     qs = load_all()
     failed = 0
+
+    # q_search_rrf single-tokenize assertion (VERDICT_r11 #2): the
+    # corpus is tokenized ONCE into a persisted projection shared by
+    # the BM25 side (dl/tf/df) and the hash-embed side. Formatted
+    # mode prints each node once (simple mode reprints the cached
+    # plan per InMemoryTableScan), so exactly one `split(lower(`
+    # occurrence == one tokenize stage in the whole plan.
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        qs["q_search_rrf"].fn(spark, sf_dir).explain(mode="formatted")
+    n_tok = len(re.findall(r"split\(lower\(", buf.getvalue()))
+    if n_tok == 1:
+        print("✓ q_search_rrf single-tokenize (formatted)")
+    else:
+        failed += 1
+        print(
+            f"✗ q_search_rrf single-tokenize: {n_tok} split(lower( "
+            "stages in formatted plan (want exactly 1)"
+        )
+
     for name, (must, must_not) in EXPECT.items():
         buf = io.StringIO()
         with redirect_stdout(buf):

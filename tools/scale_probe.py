@@ -1097,9 +1097,6 @@ def _zipf_shape(docs):
     """q_corpus_zipf's shape: vocab aggregate → W1 two-phase rank →
     one regression aggregate. Doc replicas multiply token counts, not
     vocabulary — time must track the token scan, never vocab²."""
-    from vsphere_event_streaming_spark.queries.pipeline_queries import (
-        q_corpus_zipf as _q,
-    )
     from vsphere_event_streaming_spark.log.model import assign_offsets
 
     tok = docs.select(

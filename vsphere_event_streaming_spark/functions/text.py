@@ -411,6 +411,7 @@ def hash_embed(
     dim: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    words_col: str | None = None,
 ):
     """Feature-hashing text embedding (the hashing trick): component
     k = sum of signed word counts whose 60-bit hash lands on k, with
@@ -426,9 +427,18 @@ def hash_embed(
     integer arithmetic, so one whole shuffle+aggregate disappears and
     the surviving shuffle carries ≤ dim partial cells per doc instead
     of one row per distinct word.)
+
+    ``words_col`` (r12, VERDICT_r11 #2) names a pre-computed
+    ``words(text)`` array column on ``docs`` so a multi-consumer
+    caller (q_search_rrf) can tokenize the corpus ONCE into a
+    persisted projection; the embedding arithmetic is identical.
     """
+    toks = (
+        F.col(words_col) if words_col is not None
+        else words(F.col(text_col))
+    )
     signed = docs.select(
-        id_col, F.explode(words(F.col(text_col))).alias("word")
+        id_col, F.explode(toks).alias("word")
     ).select(
         id_col,
         (md5_hash(F.col("word")) % dim).cast("int").alias("k"),

@@ -1269,7 +1269,20 @@ class IvfPqStore:
     ) -> DataFrame:
         """IVFADC top-k over every ingested batch: coarse probe →
         codes-only ADC shortlist → exact rerank, all reads pruned to
-        the nprobe probed cells of each batch directory."""
+        the nprobe probed cells of each batch directory.
+
+        Raises the store-family typed error on an empty store
+        (ADVICE_r11 #2) instead of surfacing a raw AnalysisException
+        from the parquet read."""
+        import os
+
+        if not os.path.isdir(self.path) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.path)
+        ):
+            raise ValueError(
+                f"IvfPqStore has no ingested batches:"
+                f" {self.path!r} — call add_batch() first"
+            )
         probed = (
             self.centroids.join(F.broadcast(query))
             .select(

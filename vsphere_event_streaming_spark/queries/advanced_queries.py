@@ -2408,6 +2408,7 @@ def bm25_scores(
     stats: DataFrame | None = None,
     dfreq: DataFrame | None = None,
     terms: list[str] | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, score): in-plan BM25 (k1=1.2, b=0.75) of every doc
     matching the engine's query terms — the scoring shared verbatim
@@ -2426,8 +2427,20 @@ def bm25_scores(
     the in-plan corpus aggregates — the incremental serve path
     (``text.TermStatsStore.bm25``, r10) feeds the merged store cells
     through the SAME scoring expressions, so batch and serve scores
-    agree bit-for-bit by construction."""
-    toks = F.split(F.lower(F.col("text")), "[^a-z]+")
+    agree bit-for-bit by construction.
+
+    ``tokens_col`` (r12, VERDICT_r11 #2) names a pre-computed
+    ``split(lower(text), '[^a-z]+')`` array column on ``docs`` —
+    EXACTLY that expression, empties included (``dl`` counts them,
+    matching the oracle's ``len(string_split_regex(...))``) — so a
+    caller that tokenizes for several consumers (q_search_rrf's
+    lexical + semantic rankings) can persist ONE projection and
+    share it; the scoring arithmetic is byte-identical either way."""
+    toks = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.split(F.lower(F.col("text")), "[^a-z]+")
+    )
     lens = docs.select("doc_id", F.size(toks).alias("dl"))
     if stats is None:
         stats = lens.agg(

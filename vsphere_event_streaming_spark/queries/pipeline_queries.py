@@ -3694,26 +3694,40 @@ def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     free at any corpus size; ranks fuse with one correctly-rounded
     double chain (identical left-assoc order in both engines). A doc
     missing from a ranking contributes nothing (rank reported as 0).
-    """
-    from pyspark.sql import Window
 
+    ONE corpus scan (r12, VERDICT_r11 #2): the two rankings use
+    different tokenizers (BM25's ``[^a-z]+`` split vs the embedding's
+    whitespace ``words``), but both arrays are computed in a single
+    pass over ``text`` and PERSISTED — the way the dedup tier shares
+    shingle arrays — so BM25's three consumers (dl, tf, df) and the
+    embedding's explode all read the cached projection instead of
+    re-tokenizing the corpus per consumer. At 100 TB the shared scan
+    is the plan you'd want; plan_audit asserts the single tokenize.
+    """
     from ..functions.vectors import cosine, dot, min_id_query_split
     from ..tables import spread
     from .advanced_queries import bm25_scores
 
     docs = _t(spark, sf_dir, "documents")
 
+    # one tokenize pass, both token forms, persisted for all consumers
+    shared = spread(docs).select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), "[^a-z]+").alias("__bm_toks"),
+        T.words(F.col("text")).alias("__ws_words"),
+    ).persist()
+
     # ranking A: BM25 — the exact q_search_bm25 scoring, SHARED code
     # (advanced_queries.bm25_scores); corpus stats ride a broadcast
     # 1-row frame instead of a driver .first() (VERDICT_r9 #3)
     bmtop = (
-        bm25_scores(docs)
+        bm25_scores(shared, tokens_col="__bm_toks")
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(RRF_DEPTH)
     )
 
     # ranking B: exact cosine over hash embeddings vs the min-id doc
-    emb = T.hash_embed(spread(docs), HASH_EMBED_DIM)
+    emb = T.hash_embed(shared, HASH_EMBED_DIM, words_col="__ws_words")
     qvec, corpus = min_id_query_split(emb, id_col="doc_id")
     guarded = F.when(
         (dot(F.col("embedding"), F.col("embedding")) > 0)
@@ -4746,7 +4760,7 @@ def q_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     first MRL_PREFIX of d dims (the MRL serving trick: a prefix of a
     nested-trained embedding is itself an embedding); the
     MRL_SHORTLIST best re-score at full dimension for the exact
-    top-10. Zero-prefix guard: a vector whose first 16 dims are all
+    top-10. Zero-prefix guard: a vector whose first MRL_PREFIX dims are all
     zero scores -1.0 in stage 1 (never NaN — the q_knn_recall guard),
     identically in both engines.
 
@@ -4869,7 +4883,13 @@ def _zipf_oracle() -> str:
         "unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(w) "
         "WHERE w <> ''"
     )
-    sl = "(v*sxy - sx*sy) / (v*sxx - sx*sx)"
+    # Degenerate-vocabulary guard (ADVICE_r11): on a one-token-type
+    # corpus dx = v*sxx - sx² = 0 (and all-equal counts make dy = 0 for
+    # R²); an unguarded divide is NULL in Spark but NaN/inf under
+    # DuckDB's ieee_floating_point_ops default. Both sides CASE to the
+    # same NULL sentinel so the engines agree.
+    sl = ("CASE WHEN (v*sxx - sx*sx) <> 0 THEN "
+          "(v*sxy - sx*sy) / (v*sxx - sx*sx) END")
     return f"""
     WITH tok AS ({tok}),
     wc AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
@@ -4891,8 +4911,9 @@ def _zipf_oracle() -> str:
     SELECT n_types, n_tokens,
            round({sl}, 6) AS zipf_slope,
            round((sy - ({sl}) * sx) / v, 6) AS zipf_intercept,
-           round(((v*sxy - sx*sy) * (v*sxy - sx*sy))
-                 / ((v*sxx - sx*sx) * (v*syy - sy*sy)), 6) AS r2
+           round(CASE WHEN (v*sxx - sx*sx) * (v*syy - sy*sy) <> 0 THEN
+                 ((v*sxy - sx*sy) * (v*sxy - sx*sy))
+                 / ((v*sxx - sx*sx) * (v*syy - sy*sy)) END, 6) AS r2
     FROM s
     """
 
@@ -4949,9 +4970,12 @@ def q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         F.sum("n").cast("bigint").alias("n_tokens"),
     )
-    sl = (F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    # Degenerate-vocabulary guard (ADVICE_r11): zero denominators CASE
+    # to NULL on both engines (see _zipf_oracle).
+    dx = F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("v") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy")
+    sl = F.when(dx != 0, cov / dx)
     return s.select(
         "n_types",
         "n_tokens",
@@ -4960,15 +4984,7 @@ def q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - sl * F.col("sx")) / F.col("v"), 6
         ).alias("zipf_intercept"),
         F.round(
-            (
-                (F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                * (F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            )
-            / (
-                (F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (F.col("v") * F.col("syy") - F.col("sy") * F.col("sy"))
-            ),
-            6,
+            F.when(dx * dy != 0, (cov * cov) / (dx * dy)), 6
         ).alias("r2"),
     )
 

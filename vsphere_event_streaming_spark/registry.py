@@ -46,16 +46,15 @@ def query(name: str, oracle: str | None = None):
 # Registry order is driver-visible: the verify driver checks queries in
 # registration order and its CORRECTNESS window records the first 50.
 # PRIORITY pins each round's rotation plan; tests/test_registry.py
-# (WINDOW_R11) enforces the pinned membership.
+# (WINDOW_R12) enforces the pinned membership.
 #
-# r11 rotation (VERDICT_r10 next-round #1): the window takes every
-# query whose newest driver evidence is r7 or absent — the 26
-# deferred-r7 rows from r10's plan and the 15 oracled r10-new queries
-# (first driver rows) — then fills to 50 with the 9 stalest r8 rows in
-# prior registration order (q_union .. q_map_funcs). After this
-# rotation NO oracled query's newest driver row is older than r8 and
-# every r10-new operator has driver evidence (the VERDICT_r10 done
-# criterion). The remaining 41 r8 rows are first in line for r12.
+# r12 rotation (VERDICT_r11 next-round #1): the window takes the 10
+# oracled r11-new queries whose only evidence so far is the judge's
+# selfcheck (first driver rows) plus 40 of the 41 r8-stale rows in
+# prior registration order; the one leftover (q_video_frames) spills
+# to r13. After this rotation every oracled query's newest driver row
+# is r9 or newer except that single spilled row, and every r11-new
+# operator has driver evidence (the VERDICT_r11 done criterion).
 # The permanent rows-only checks (q_knn_ivf, q_approx_aggs,
 # q_search_rrf_indexed, q_knn_pq, q_knn_ivfpq) stay out of the window
 # for good (VERDICT_r5 "What's wrong" #1): their `no_oracle` rows can
@@ -64,8 +63,65 @@ def query(name: str, oracle: str | None = None):
 # Everything rotated out keeps its oracle and is exact-value-checked
 # every round by tools/selfcheck.py.
 PRIORITY: tuple[str, ...] = (
-    # ---- r11 driver window (first 50) ----
-    # the 26 deferred-r7 rows (r10's displacement debt, repaid):
+    # ---- r12 driver window (first 50) ----
+    # the 10 oracled r11-new queries getting their FIRST driver rows:
+    "q_events_paths",
+    "q_events_power_curve",
+    "q_events_gaps",
+    "q_bloom_contamination",
+    "q_knn_matryoshka",
+    "q_dedup_threshold_sweep",
+    "q_events_stickiness",
+    "q_corpus_zipf",
+    "q_corpus_heaps",
+    "q_corpus_drift",
+    # ... and 40 of the 41 r8-stale rows in prior registration order
+    # (q_video_frames spills to r13):
+    "q_array_funcs",
+    "q_knn_sq",
+    "q_join_anti",
+    "q_knn_topk",
+    "q_kmeans_sizes",
+    "q_cluster_balanced",
+    "q_embed_pca_topm",
+    "q_cluster_quality",
+    "q_audio_fingerprint",
+    "q_chunk_text",
+    "q_cogroup_recon",
+    "q_corpus_split",
+    "q_curriculum_order",
+    "q_dedup_embed",
+    "q_dedup_groups",
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_dedup_near_pruned",
+    "q_fingerprint",
+    "q_grouped_map_stats",
+    "q_importance_weight",
+    "q_join_full",
+    "q_join_range_binned",
+    "q_lang_id",
+    "q_markup_strip",
+    "q_media_phash",
+    "q_pack_sequences",
+    "q_pipeline_guarded",
+    "q_pipeline_select",
+    "q_repeated_spans",
+    "q_session_window",
+    "q_sketch_cms",
+    "q_sliding_agg",
+    "q_text_hash_embed",
+    "q_text_knn",
+    "q_token_count",
+    "q_top_words",
+    "q_training_shuffle",
+    "q_url_domains",
+    "q_vector_sq",
+    # ---- out of the r12 window ----
+    # Every query below holds a driver-green value-hash row from
+    # r8-r11; tools/selfcheck.py exact-value-checks every oracled one
+    # each round.
+    # newest driver row r11 (the full r11 window):
     "q_knn_hyperplane_probed",
     "q_null_funcs",
     "q_offset_assign",
@@ -92,8 +148,6 @@ PRIORITY: tuple[str, ...] = (
     "q_classifier_auc",
     "q_classifier_calibration",
     "q_kmeans_cluster",
-    # the 15 oracled r10-new queries getting their FIRST driver
-    # evidence:
     "q_dedup_semantic_white",
     "q_knn_classify",
     "q_events_anomaly",
@@ -109,7 +163,6 @@ PRIORITY: tuple[str, ...] = (
     "q_minhash_est",
     "q_dedup_group_sizes",
     "q_events_transitions",
-    # ... and the 9 stalest r8 rows in prior registration order:
     "q_union",
     "q_ordered_replay",
     "q_knn_hyperplane",
@@ -119,10 +172,6 @@ PRIORITY: tuple[str, ...] = (
     "q_string_funcs",
     "q_bitwise_funcs",
     "q_map_funcs",
-    # ---- out of the r11 window ----
-    # Every query below holds a driver-green value-hash row from
-    # r8-r10; tools/selfcheck.py exact-value-checks every oracled one
-    # each round.
     # newest driver row r10 (the full r10 window):
     "q_tpch_q3",
     "q_tpch_q4",
@@ -225,62 +274,9 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q18",
     "q_try_funcs",
     "q_window_analytics",
-    # newest driver row r8 (the 41 rows deferred to r12, first in
-    # line for the r12 window):
-    "q_array_funcs",
-    "q_knn_sq",
-    "q_join_anti",
-    "q_knn_topk",
-    "q_kmeans_sizes",
-    "q_cluster_balanced",
-    "q_embed_pca_topm",
-    "q_cluster_quality",
-    "q_audio_fingerprint",
-    "q_chunk_text",
-    "q_cogroup_recon",
-    "q_corpus_split",
-    "q_curriculum_order",
-    "q_dedup_embed",
-    "q_dedup_groups",
-    "q_dedup_minhash",
-    "q_dedup_near",
-    "q_dedup_near_pruned",
-    "q_fingerprint",
-    "q_grouped_map_stats",
-    "q_importance_weight",
-    "q_join_full",
-    "q_join_range_binned",
-    "q_lang_id",
-    "q_markup_strip",
-    "q_media_phash",
-    "q_pack_sequences",
-    "q_pipeline_guarded",
-    "q_pipeline_select",
-    "q_repeated_spans",
-    "q_session_window",
-    "q_sketch_cms",
-    "q_sliding_agg",
-    "q_text_hash_embed",
-    "q_text_knn",
-    "q_token_count",
-    "q_top_words",
-    "q_training_shuffle",
-    "q_url_domains",
-    "q_vector_sq",
+    # newest driver row r8 — the single r8-stale row the 50-slot r12
+    # window could not fit; FIRST in line for the r13 window:
     "q_video_frames",
-    # r11-new, declared OUT of the window (the r11 window is pinned
-    # to the staleness-repayment plan above); oracled — selfcheck +
-    # the events fuzz family cover them until their r12 driver rows
-    "q_events_paths",
-    "q_events_power_curve",
-    "q_events_gaps",
-    "q_bloom_contamination",
-    "q_knn_matryoshka",
-    "q_dedup_threshold_sweep",
-    "q_events_stickiness",
-    "q_corpus_zipf",
-    "q_corpus_heaps",
-    "q_corpus_drift",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
