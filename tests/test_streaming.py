@@ -2251,3 +2251,185 @@ def test_activity_store_stickiness_parity(spark, tmp_path):
         for r in store.stickiness().collect()
     }
     assert got == want
+
+
+def test_incremental_mrl_store_and_stream(spark, tmp_path):
+    """The 16th store family (VERDICT_r11 #4): the Matryoshka
+    prefix-column index grows batch-by-batch. (1) An MrlStore fed two
+    doc-disjoint batches probes IDENTICALLY (row-for-row, scores
+    included) to a from-scratch write_mrl_index over the union — the
+    prefix projection is a pure per-row function, so batch ≡
+    incremental by construction; (2) a replayed batch_id overwrites
+    instead of doubling; (3) the stage-1 scan over the merged store
+    reads the prefix column and NOT the full embedding (parquet
+    column pruning preserved across batch directories); (4) the
+    foreachBatch ingest reaches the same merged index as manual
+    add_batch calls; (5) an empty store raises the typed
+    store-family error."""
+    import re
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.vectors import (
+        MrlStore,
+        min_id_query_split,
+        mrl_topk_indexed,
+        write_mrl_index,
+    )
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        MRL_PREFIX,
+        MRL_SHORTLIST,
+    )
+    from vsphere_event_streaming_spark.streaming.model_stream import (
+        start_incremental_mrl,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec, corpus = min_id_query_split(emb)
+
+    # from-scratch rebuild over the union = the parity oracle
+    rebuilt = f"{tmp_path}/rebuilt"
+    write_mrl_index(corpus, MRL_PREFIX, rebuilt)
+    want = [
+        (r["vec_id"], r["score"])
+        for r in mrl_topk_indexed(
+            spark, rebuilt, qvec, MRL_PREFIX, k=10,
+            shortlist=MRL_SHORTLIST,
+        ).collect()
+    ]
+
+    # (5) typed empty error before any ingest
+    store = MrlStore(spark, f"{tmp_path}/store", MRL_PREFIX)
+    with _pytest.raises(ValueError, match="no ingested batches"):
+        store.search(qvec)
+
+    # (1) two doc-disjoint batches into the store
+    cut = corpus.approxQuantile("vec_id", [0.5], 0.0)[0]
+    b1 = corpus.filter(F.col("vec_id") <= cut)
+    b2 = corpus.filter(F.col("vec_id") > cut)
+    n1 = store.add_batch(b1, "b1")
+    n2 = store.add_batch(b2, "b2")
+    assert n1 + n2 == corpus.count()
+    got = [
+        (r["vec_id"], r["score"])
+        for r in store.search(qvec, k=10, shortlist=MRL_SHORTLIST).collect()
+    ]
+    assert got == want
+
+    # (2) replayed batch: same rows, same probe
+    store.add_batch(b2, "b2")
+    assert spark.read.parquet(f"{tmp_path}/store").count() == n1 + n2
+    assert [
+        (r["vec_id"], r["score"])
+        for r in store.search(qvec, k=10, shortlist=MRL_SHORTLIST).collect()
+    ] == want
+
+    # (3) stage-1 economics over the merged store: prefix-only
+    # ReadSchema across batch directories
+    stage1 = spark.read.parquet(f"{tmp_path}/store").select(
+        "vec_id", "prefix"
+    )
+    plan = stage1._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "prefix" in m.group(1), plan
+    assert "embedding" not in m.group(1), m.group(1)
+
+    # (4) foreachBatch ingest parity (per-file epochs)
+    in_dir = f"{tmp_path}/in"
+    b1.write.mode("overwrite").parquet(f"{in_dir}/part0")
+    b2.write.mode("overwrite").parquet(f"{in_dir}/part1")
+    q = start_incremental_mrl(
+        spark,
+        in_dir + "/part*",
+        f"{tmp_path}/streamed",
+        f"{tmp_path}/ckpt",
+        MRL_PREFIX,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    streamed = MrlStore(spark, f"{tmp_path}/streamed", MRL_PREFIX)
+    assert [
+        (r["vec_id"], r["score"])
+        for r in streamed.search(
+            qvec, k=10, shortlist=MRL_SHORTLIST
+        ).collect()
+    ] == want
+
+    # disjointness knob: same rows under a NEW batch_id is the
+    # failure mode, a disjoint batch passes
+    with _pytest.raises(ValueError, match="doc-disjoint"):
+        store.add_batch(b2, "b3", assert_disjoint=True)
+
+
+def test_vector_store_ingest_survives_null_and_wrong_dim(spark, tmp_path):
+    """Fuzz tier for the Arrow/codegen ingest paths of the vector
+    stores (VERDICT_r11 #5): the oracled queries already see NASTY
+    embeddings, but the store ingest UDFs got their NULL-vector guard
+    from review, not from a test. One NULL vector and one
+    wrong-dimension (short) vector must flow through BOTH vector
+    stores' add_batch without crashing, land as rows (per-doc state
+    is the store's identity — silently dropping a row would desync
+    the manifest), and never surface in a top-k probe ahead of real
+    neighbors (guarded scores)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.kmeans import (
+        kmeans_centroid_frame,
+        train_kmeans,
+    )
+    from vsphere_event_streaming_spark.functions.vectors import (
+        IvfPqStore,
+        MrlStore,
+        min_id_query_split,
+        pq_fit,
+    )
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        MRL_PREFIX,
+    )
+    from vsphere_event_streaming_spark.tables import spread
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec, corpus = min_id_query_split(emb)
+    nasty = spark.createDataFrame(
+        [
+            (900001, None),               # NULL vector
+            (900002, [1.0, -2.0, 3.0]),   # wrong dimension (3 of 64)
+            (900003, [0.0] * 64),         # zero vector (guard -1.0)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    for name, make in (
+        (
+            "ivfpq",
+            lambda p: IvfPqStore(
+                spark,
+                p,
+                kmeans_centroid_frame(
+                    spark, train_kmeans(emb, k=4, iters=2)
+                ),
+                pq_fit(spread(emb)),
+                64,
+            ),
+        ),
+        ("mrl", lambda p: MrlStore(spark, p, MRL_PREFIX)),
+    ):
+        store = make(f"{tmp_path}/{name}")
+        n_good = store.add_batch(corpus, "b1")
+        n_nasty = store.add_batch(nasty, "b2")
+        assert n_nasty == 3, f"{name}: nasty rows dropped at ingest"
+        assert (
+            spark.read.parquet(f"{tmp_path}/{name}").count()
+            == n_good + 3
+        ), name
+        top = store.search(qvec, k=10).collect()
+        assert len(top) == 10, name
+        nasty_ids = {900001, 900002, 900003}
+        # guarded scoring: none of the degenerate rows may outrank
+        # real neighbors (NULL/zero score as NULL/-1.0 and sink)
+        assert not nasty_ids & {r["vec_id"] for r in top}, (
+            name,
+            [(r["vec_id"], r["score"]) for r in top],
+        )

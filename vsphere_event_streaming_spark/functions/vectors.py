@@ -615,16 +615,19 @@ def _pq_bounds(d: int, m: int) -> list[tuple[int, int]]:
 
 def _np_normalized(col, d: int) -> "object":
     """Batch → (n, d) float64 row-normalized matrix (zero rows stay
-    zero; None rows become zero-filled d-vectors — PQ never ingests
-    NULL vectors, the guard just keeps a stray NULL from crashing the
-    batch: np.stack needs every row at the same length d, so the
-    substitute must be zeros(d), not zeros(0) (ADVICE_r10))."""
+    zero). Malformed rows — None (ADVICE_r10) or WRONG-DIMENSION
+    (r12 fuzz: np.stack raises 'all input arrays must have the same
+    shape' on a ragged batch) — become zero-filled d-vectors: a
+    vector with the wrong dimensionality has no valid code under
+    d-dim codebooks, so it gets the engine-wide degenerate treatment
+    (zero vector → guarded score, sinks in every ranking) instead of
+    crashing the whole Arrow batch."""
     import numpy as np
 
     X = np.stack(
         [
             np.zeros(d, dtype="float64")
-            if v is None
+            if v is None or len(v) != d
             else np.asarray(v, dtype="float64")
             for v in col
         ]
@@ -1339,23 +1342,22 @@ def write_mrl_index(
     )
 
 
-def mrl_topk_indexed(
-    spark,
-    index_path: str,
+def _mrl_probe(
+    idx: DataFrame,
     query: DataFrame,
     prefix_len: int,
-    k: int = 10,
-    shortlist: int = 100,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    k: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Matryoshka search against a materialized index (see
-    :func:`write_mrl_index`): stage 1 reads ONLY (id, prefix) —
-    parquet column pruning keeps the full vectors on disk — heaps the
-    ``shortlist`` best prefix-cosine rows (zero-prefix guard −1.0,
-    the engine-wide convention), and stage 2 fetches the full vectors
-    of exactly those rows for the exact top-k."""
-    idx = spark.read.parquet(index_path)
+    """The two-stage Matryoshka probe over a materialized (id, vec,
+    prefix) frame — shared by :func:`mrl_topk_indexed` and
+    :class:`MrlStore.search` so the rebuilt-index and the incremental
+    store can never drift: stage 1 touches ONLY (id, prefix), heaps
+    the ``shortlist`` best prefix-cosine rows (zero/NULL-prefix guard
+    −1.0, the engine-wide convention), stage 2 fetches the full
+    vectors of exactly those rows for the exact top-k."""
     pq_ = F.slice(F.col("q"), 1, prefix_len)
     ps = F.when(
         (dot(F.col("prefix"), F.col("prefix")) > 0) & (dot(pq_, pq_) > 0),
@@ -1373,3 +1375,138 @@ def mrl_topk_indexed(
         F.broadcast(short), id_col, "left_semi"
     )
     return knn_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def mrl_topk_indexed(
+    spark,
+    index_path: str,
+    query: DataFrame,
+    prefix_len: int,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka search against a materialized index (see
+    :func:`write_mrl_index`): stage 1 reads ONLY (id, prefix) —
+    parquet column pruning keeps the full vectors on disk — and
+    stage 2 fetches the shortlist's full vectors for the exact top-k
+    (the shared :func:`_mrl_probe`)."""
+    idx = spark.read.parquet(index_path)
+    return _mrl_probe(
+        idx, query, prefix_len, k, shortlist, id_col, vec_col
+    )
+
+
+class MrlStore:
+    """Persistent incremental Matryoshka serving index — the 16th
+    store family (VERDICT_r11 #4), closing the serve-growing story
+    for the last materialized index without one: ``write_mrl_index``
+    rebuilds the whole (vec_id, embedding, prefix) table, while this
+    store appends each NEW batch as an idempotent ``batch_id=``
+    partition directory. The prefix projection is a PURE per-row
+    function (``slice(embedding, 1, prefix_len)``) — no trained
+    state to freeze, so ingest is the IvfPqStore shape minus
+    training: one codegen projection over the batch, no history
+    read, no shuffle at all.
+
+    :meth:`search` is the exact :func:`_mrl_probe` over the union of
+    all batches — stage 1 reads ONLY (vec_id, prefix) via parquet
+    column pruning (full vectors never leave disk until the
+    ``shortlist``-row rerank), identical to a from-scratch
+    ``write_mrl_index`` over the same rows (asserted in tests,
+    row-for-row) because the projection is deterministic per row.
+
+    Crash/replay contract: a batch OVERWRITES its own ``batch_id=``
+    directory, so a replayed epoch converges. Batches must be
+    doc-disjoint (vec_id is the serving identity; an overlapping
+    re-ingest under a NEW batch_id duplicates rows — the id-keyed
+    store contract, SCALE.md); ``assert_disjoint=`` is the debug
+    knob, same as IvfPqStore."""
+
+    def __init__(self, spark, path: str, prefix_len: int) -> None:
+        self.spark = spark
+        self.path = path
+        self.prefix_len = prefix_len
+
+    def add_batch(
+        self,
+        batch: DataFrame,
+        batch_id: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        assert_disjoint: bool = False,
+    ) -> int:
+        """Project the batch's prefix column and append it as its own
+        idempotent partition directory. Returns rows written."""
+        import os
+
+        from .dedup import batch_partition_dir
+
+        part_dir = batch_partition_dir(batch_id)  # validates token
+        if assert_disjoint and os.path.isdir(self.path):
+            prior = [
+                e
+                for e in os.listdir(self.path)
+                if e.startswith("batch_id=") and e != part_dir
+            ]
+            if prior:
+                history_ids = (
+                    self.spark.read.option("basePath", self.path)
+                    .parquet(*[f"{self.path}/{e}" for e in prior])
+                    .select("vec_id")
+                )
+                dupes = (
+                    batch.select(
+                        F.col(id_col).cast("long").alias("vec_id")
+                    )
+                    .join(history_ids, "vec_id", "left_semi")
+                    .limit(5)
+                    .collect()
+                )
+                if dupes:
+                    raise ValueError(
+                        f"MrlStore batch {batch_id!r} overlaps prior"
+                        f" batches on vec_id (sample:"
+                        f" {[r['vec_id'] for r in dupes]}) — id-keyed"
+                        " stores require doc-disjoint batches"
+                        " (SCALE.md store-family contract)"
+                    )
+        projected = batch.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+            F.slice(
+                F.col(vec_col).cast("array<double>"), 1, self.prefix_len
+            ).alias("prefix"),
+        )
+        projected = projected.localCheckpoint(eager=True)
+        n = projected.count()
+        projected.write.mode("overwrite").parquet(
+            f"{self.path}/{part_dir}"
+        )
+        return n
+
+    def search(
+        self,
+        query: DataFrame,
+        k: int = 10,
+        shortlist: int = 100,
+    ) -> DataFrame:
+        """Matryoshka top-k over every ingested batch (the shared
+        :func:`_mrl_probe`); stage 1 stays prefix-only across all
+        batch directories. Raises the store-family typed error on an
+        empty store."""
+        import os
+
+        if not os.path.isdir(self.path) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.path)
+        ):
+            raise ValueError(
+                f"MrlStore has no ingested batches:"
+                f" {self.path!r} — call add_batch() first"
+            )
+        idx = self.spark.read.parquet(self.path)
+        return _mrl_probe(
+            idx, query, self.prefix_len, k, shortlist,
+            "vec_id", "embedding",
+        )

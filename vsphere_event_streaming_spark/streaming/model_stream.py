@@ -455,3 +455,45 @@ def start_incremental_ivfpq(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_mrl(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    prefix_len: int,
+    available_now: bool = True,
+    batch_prefix: str = "b",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream embedding batches into an
+    :class:`~..functions.vectors.MrlStore` — the serve-path ingest
+    for the Matryoshka prefix-column layout (the 16th store family,
+    VERDICT_r11 #4). The prefix projection is a pure per-row
+    function, so each epoch is one codegen ``slice`` over the batch
+    appended as its own idempotent ``batch_id=`` partition: no
+    trained state, no history read, no shuffle. Probe ≡ rebuilt
+    ``write_mrl_index`` probe on doc-disjoint ingest and the stage-1
+    scan stays prefix-only (asserted in ``tests/test_streaming.py``).
+    """
+    from ..functions.vectors import MrlStore
+
+    store = MrlStore(spark, index_dir, prefix_len)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        store.add_batch(
+            batch_df.select("vec_id", "embedding"),
+            batch_id=f"{batch_prefix}{epoch_id}",
+        )
+
+    reader = spark.readStream.schema(EMB_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
