@@ -28,14 +28,18 @@ pass feeds three more families per epoch —
                            family, safe even under overlapping ingest
 
 and the embedding stream scores through the FROZEN quality classifier
-into the model-ops family (r11):
+into the model-ops family (r11) and grows the ANN serving index (r12):
 
  - ``AucCellStore``      — ≤n_buckets additive (bin, cpos, cneg)
                            cells; the running corpus AUC reads off
                            the merged cells, bit-identical to the
                            batch binned AUC over everything ingested
+ - ``MrlStore``          — the Matryoshka prefix-column serving
+                           index grows with every embedding epoch
+                           (pure per-row projection, no retraining);
+                           the report probes the live index
 
-The report then reads every store (EIGHT families, no recomputation
+The report then reads every store (NINE families, no recomputation
 of history anywhere) and prints one JSON summary — the dashboard
 numbers a curation team watches between training runs.
 
@@ -86,8 +90,13 @@ from vsphere_event_streaming_spark.queries.pipeline_queries import (  # noqa: E4
     QG_WIDTH,
 )
 from vsphere_event_streaming_spark.session import get_spark, tune  # noqa: E402
+from vsphere_event_streaming_spark.functions.vectors import (  # noqa: E402
+    MrlStore,
+    min_id_query_split,
+)
 from vsphere_event_streaming_spark.streaming.model_stream import (  # noqa: E402
     start_incremental_auc_cells,
+    start_incremental_mrl,
 )
 from vsphere_event_streaming_spark.tables import load  # noqa: E402
 
@@ -210,6 +219,21 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
     qa.awaitTermination(300)
     auc_store = AucCellStore(spark, f"{work_dir}/auc")
 
+    # ... and the SAME embedding epochs grow the ANN serving index
+    # (MrlStore, r12): a pure per-row prefix projection per epoch —
+    # the index a retrieval service reads is never rebuilt, it just
+    # gains partitions as the corpus grows
+    qm = start_incremental_mrl(
+        spark,
+        emb_dir + "/part*",
+        f"{work_dir}/mrl",
+        f"{work_dir}/ckpt_mrl",
+        prefix_len=32,
+        max_files_per_trigger=1,
+    )
+    qm.awaitTermination(300)
+    mrl_store = MrlStore(spark, f"{work_dir}/mrl", 32)
+
     # --- read the stores (no history recomputation) ------------------
     n_docs = docs.count()
     keep = exact.keepers().agg(
@@ -262,6 +286,10 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
     ) if ret_row["d0"] else None
     # running corpus AUC off the merged (bin, cpos, cneg) cells
     running_auc = auc_store.auc().first()["auc"]
+    # live ANN probe off the growing Matryoshka index: the min-id
+    # vector's nearest non-self neighbor (stage 1 reads prefixes only)
+    qvec, _ = min_id_query_split(emb)
+    ann = mrl_store.search(qvec, k=1).first()
     # DAU/WAU stickiness off the same merged activity rows (r11):
     # latest observed day's ratio — the dashboard's headline number
     latest = (
@@ -284,6 +312,8 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
         "retention_cohorts": ret_row["n_cohorts"],
         "retention_day1_rate": day1_rate,
         "running_auc": running_auc,
+        "ann_top1_id": ann["vec_id"],
+        "ann_top1_score": ann["score"],
         "latest_dau": latest["dau"],
         "latest_stickiness": latest["stickiness"],
     }
