@@ -220,6 +220,13 @@ HEADLINE = [
     # Heaps growth curve + split-KL drift monitor
     "q_corpus_heaps",
     "q_corpus_drift",
+    # r12 additions: shingle-tier cross-split leakage audit, exact-K
+    # deterministic sample, token-length pack-budget histogram,
+    # hour-of-day seasonality profile
+    "q_split_leakage",
+    "q_sample_exact_k",
+    "q_len_histogram",
+    "q_events_seasonality",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

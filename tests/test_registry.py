@@ -280,6 +280,14 @@ ROTATED_OUT_R12 = (
     "q_window_analytics",
     # newest driver row r8 (the one spilled row, first for r13):
     "q_video_frames",
+    # r12-new, declared OUT of the window (window pinned to the
+    # staleness-repayment plan); oracled — selfcheck + the
+    # documents/events fuzz families cover them until their r13
+    # driver rows
+    "q_split_leakage",
+    "q_sample_exact_k",
+    "q_len_histogram",
+    "q_events_seasonality",
 )
 
 

@@ -1089,6 +1089,55 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Window",
         ],
     ],
+    # cross-split leakage audit: both sides reduce to int64 shingle
+    # hashes, train side collapses to DISTINCT and the eval side
+    # (semi-)joins against it — no cartesian, no Python, no window;
+    # the split label is a codegen projection, never a join back
+    "q_split_leakage": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+        ],
+    ],
+    # exact-K deterministic sample: ONE TakeOrderedAndProject heap —
+    # no global sort exchange, no window, no Python; the seeded key
+    # is computed in the scan projection
+    "q_sample_exact_k": [
+        [r"TakeOrderedAndProject"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+            r"Exchange rangepartitioning",
+        ],
+    ],
+    # token-length histogram: one map-side-combined hash aggregate to
+    # <= langs x ~20 cells; the share window runs on the cell table
+    # (allowed); no Python, no cartesian
+    "q_len_histogram": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+        ],
+    ],
+    # hour-of-day seasonality: one hash aggregate to <= types x 24
+    # cells; share window on the cell table (allowed); no Python,
+    # no cartesian, no join
+    "q_events_seasonality": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Join",
+        ],
+    ],
 }
 
 

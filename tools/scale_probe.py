@@ -1124,6 +1124,96 @@ def _zipf_shape(docs):
     )
 
 
+def _split_leakage_shape(docs):
+    """q_split_leakage's shape: split projection + the contamination
+    semi-join pointed at the split (eval side vs distinct train
+    shingles). Near-dup replicas grow BOTH sides 10x — the semi-join
+    carries int64 (id, sh) rows, so time must track the shingle scan,
+    rows-linear, never eval x train."""
+    from vsphere_event_streaming_spark.functions.sampling import (
+        corpus_split,
+    )
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        SPLIT_FRACTIONS,
+        SPLIT_LEAK_THRESHOLD,
+        SPLIT_SEED,
+    )
+
+    d = corpus_split(docs, SPLIT_FRACTIONS, seed=SPLIT_SEED)
+    return contamination_report(
+        d.filter(F.col("split") != "train"),
+        d.filter(F.col("split") == "train"),
+        threshold=SPLIT_LEAK_THRESHOLD,
+    )
+
+
+def _sample_exact_k_shape(docs):
+    """q_sample_exact_k's shape: seeded-key projection into ONE
+    TakeOrderedAndProject heap (constant K) — a rows-linear scan with
+    constant output; no shuffle, no window."""
+    from vsphere_event_streaming_spark.functions.sampling import (
+        keep_bucket,
+    )
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        SAMPLE_EXACT_K,
+        SAMPLE_EXACT_SEED,
+    )
+
+    return (
+        docs.select(
+            "doc_id",
+            keep_bucket(F.col("doc_id"), SAMPLE_EXACT_SEED)
+            .cast("bigint")
+            .alias("skey"),
+        )
+        .orderBy("skey", "doc_id")
+        .limit(SAMPLE_EXACT_K)
+    )
+
+
+def _len_histogram_shape(docs):
+    """q_len_histogram's shape: tokenize-and-measure projection into
+    ONE map-side-combined aggregate over <= langs x ~20 cells; the
+    share window runs on the cell table. Replicas multiply docs, not
+    cells — time must track the token scan."""
+    from vsphere_event_streaming_spark.functions.text import words
+
+    n_tok = F.size(words(F.col("text"))).cast("bigint")
+    return (
+        docs.select(
+            "lang",
+            (
+                F.length(F.bin(F.greatest(n_tok, F.lit(1))))
+                .cast("bigint")
+                - 1
+            ).alias("len_bucket"),
+            n_tok.alias("n_tokens"),
+        )
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bucket_tokens"),
+        )
+    )
+
+
+def _seasonality_shape(ev):
+    """q_events_seasonality's shape: one hash aggregate to
+    <= types x 24 cells (+ a cell-table share window) — rows-linear
+    over events, cell count invariant under replication."""
+    us = F.unix_micros(F.col("ts"))
+    return (
+        ev.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.floor(us / F.lit(3.6e9)).cast("bigint") % 24).alias(
+                "hour_of_day"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def _stickiness_shape(ev):
     """q_events_stickiness' shape: distinct activity pass + two hash
     aggregates + a ≤days-row join. User-disjoint replicas multiply
@@ -1637,6 +1727,31 @@ def main() -> None:
             "knn_matryoshka",
             lambda: _matryoshka_shape(emb1),
             lambda: _matryoshka_shape(embN),
+        ),
+        # r12: split leakage — contamination semi-join over the split;
+        # both sides 10x, int64 shingle rows only: rows-linear
+        (
+            "split_leakage",
+            lambda: _split_leakage_shape(docs1),
+            lambda: _split_leakage_shape(docsN),
+        ),
+        # r12: exact-K sample — rows-linear scan into a constant heap
+        (
+            "sample_exact_k",
+            lambda: _sample_exact_k_shape(docs1),
+            lambda: _sample_exact_k_shape(docsN),
+        ),
+        # r12: length histogram — token scan into lang x ~20 cells
+        (
+            "len_histogram",
+            lambda: _len_histogram_shape(docs1g),
+            lambda: _len_histogram_shape(docsNg),
+        ),
+        # r12: seasonality — event scan into types x 24 cells
+        (
+            "events_seasonality",
+            lambda: _seasonality_shape(evt1),
+            lambda: _seasonality_shape(evtN),
         ),
     ]:
         if only and name not in only:

@@ -2475,6 +2475,247 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# L22': cross-split leakage audit (shingle tier, r12)
+# ======================================================================
+#: Overlap fraction at or above which an eval doc counts as leaked
+#: from train (the q_contamination threshold pointed at the split).
+SPLIT_LEAK_THRESHOLD = 0.5
+
+
+def _split_leakage_oracle() -> str:
+    from ..functions.sampling import SAMPLE_MOD
+
+    bucket = (
+        f"((('0x' || substr(md5('{SPLIT_SEED}:' || CAST(doc_id AS"
+        f" VARCHAR)), 1, 15))::BIGINT % {T.HASH_MOD}) % {SAMPLE_MOD})"
+    )
+    t1 = int(round(SPLIT_FRACTIONS["train"] * SAMPLE_MOD))
+    t2 = t1 + int(round(SPLIT_FRACTIONS["val"] * SAMPLE_MOD))
+    return f"""
+    WITH {_duck_shingle_hashes()},
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {bucket} < {t1} THEN 'train'
+                  WHEN {bucket} < {t2} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    train_sh AS (
+      SELECT DISTINCT s AS sh
+      FROM sha JOIN sp USING (doc_id), unnest(sh_arr) AS t(s)
+      WHERE sp.split = 'train'
+    ),
+    ev AS (
+      SELECT sha.doc_id, sp.split, sha.sh_arr
+      FROM sha JOIN sp USING (doc_id) WHERE sp.split != 'train'
+    ),
+    ex AS (SELECT doc_id, s AS sh FROM ev, unnest(sh_arr) AS t(s)),
+    hits AS (
+      SELECT ex.doc_id, count(*) AS n_hits
+      FROM ex JOIN train_sh USING (sh)
+      GROUP BY ex.doc_id
+    )
+    SELECT ev.doc_id, ev.split,
+           CAST(len(ev.sh_arr) AS BIGINT) AS n_sh,
+           coalesce(hits.n_hits, 0) AS n_hits,
+           round(coalesce(hits.n_hits, 0)::DOUBLE / len(ev.sh_arr), 6)
+             AS overlap,
+           CAST(coalesce(hits.n_hits, 0)::DOUBLE / len(ev.sh_arr)
+                >= {SPLIT_LEAK_THRESHOLD} AS INTEGER) AS leaked
+    FROM ev LEFT JOIN hits USING (doc_id)
+    """
+
+
+@query("q_split_leakage", oracle=_split_leakage_oracle())
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SPLIT LEAKAGE AUDIT (r12) — the check q_corpus_split
+    cannot make on its own: the split is keyed by doc_id (append-
+    stable by design), so a near-duplicate of a training document
+    can land in val/test — exactly the train→eval leakage that
+    inflates held-out metrics (no exact-text tier exists to catch
+    it: the corpus's planted duplicates are NEAR duplicates, never
+    byte-identical). Every val/test doc is scored by its word-3-gram
+    shingle overlap against the union of TRAIN shingles — the
+    q_contamination machinery with the benchmark slice replaced by
+    the split's own eval side — and flagged ``leaked`` at ≥ 0.5
+    overlap. The released-eval-set hygiene report: one row per eval
+    doc, its split recomputed in-plan (membership is a pure function
+    of (seed, doc_id) — no join back to the assignment).
+
+    Scale shape: both sides reduce to int64 shingle hashes on the
+    SHARED persisted arrays (the dedup-tier machinery); the train
+    shingle set collapses to DISTINCT hashes and the eval side
+    semi-joins against it — at 100 TB the eval split is the small
+    side by construction (10-20% of the corpus), and the join
+    carries (id, sh) int64 rows only, never text."""
+    from ..functions.dedup import contamination_report
+    from ..functions.sampling import corpus_split
+
+    docs = corpus_split(
+        _t(spark, sf_dir, "documents"), SPLIT_FRACTIONS, seed=SPLIT_SEED
+    )
+    train = docs.filter(F.col("split") == "train")
+    evald = docs.filter(F.col("split") != "train")
+    rep = contamination_report(
+        evald, train, threshold=SPLIT_LEAK_THRESHOLD
+    )
+    # split membership is a pure function of (seed, id) — recompute
+    # it on the report rows instead of joining the assignment back
+    rep = corpus_split(
+        rep, SPLIT_FRACTIONS, key_col="id", seed=SPLIT_SEED
+    )
+    return rep.select(
+        F.col("id").alias("doc_id"),
+        "split",
+        F.col("n_sh").cast("bigint").alias("n_sh"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        "overlap",
+        F.col("contaminated").alias("leaked"),
+    )
+
+
+# ======================================================================
+# L13'': deterministic exact-K uniform sample (r12)
+# ======================================================================
+#: Sample size and seed for the exact-K corpus sample.
+SAMPLE_EXACT_K = 64
+SAMPLE_EXACT_SEED = "exactk1"
+
+
+def _sample_exact_k_oracle() -> str:
+    from ..functions.sampling import SAMPLE_MOD
+
+    skey = (
+        f"((('0x' || substr(md5('{SAMPLE_EXACT_SEED}:' ||"
+        f" CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {T.HASH_MOD}) % {SAMPLE_MOD})"
+    )
+    return f"""
+    SELECT doc_id, lang, CAST({skey} AS BIGINT) AS skey
+    FROM documents
+    ORDER BY skey, doc_id
+    LIMIT {SAMPLE_EXACT_K}
+    """
+
+
+@query("q_sample_exact_k", oracle=_sample_exact_k_oracle())
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-K uniform sample (r12) — the reservoir-sampling
+    deliverable ("give me exactly K documents, uniformly, and the
+    same K every rerun") as a deterministic top-K: every doc gets the
+    engine-wide seeded 60-bit md5 bucket (the q_sample / q_corpus_
+    split keying) and the K smallest keys win, ties broken by id.
+    Content-keyed ⇒ rerun-, partitioning-, and engine-stable, and
+    APPEND-MONOTONE in the useful sense: a new doc displaces at most
+    one old pick. Complements the rate-based q_sample (expected-size)
+    and the per-stratum q_sample_stratified — this is the exact-size
+    global form.
+
+    Scale shape: ONE TakeOrderedAndProject heap (per-partition top-K
+    then a K-row driver merge — no global sort, no shuffle of the
+    corpus, the W2 pagination machinery pointed at sampling). At
+    100 TB it reads doc_id+lang only (column pruning; the key is
+    computed, not stored)."""
+    from ..functions.sampling import keep_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            keep_bucket(F.col("doc_id"), SAMPLE_EXACT_SEED)
+            .cast("bigint")
+            .alias("skey"),
+        )
+        .orderBy("skey", "doc_id")
+        .limit(SAMPLE_EXACT_K)
+    )
+
+
+# ======================================================================
+# L24': token-length histogram (pack-budget diagnostic, r12)
+# ======================================================================
+
+
+@query(
+    "q_len_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             CAST(length(bin(greatest(
+               CAST(len({_DUCK_WORDS}) AS BIGINT), 1))) AS BIGINT) - 1
+               AS len_bucket,
+             CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, len_bucket,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+      FROM t GROUP BY lang, len_bucket
+    )
+    SELECT lang, len_bucket,
+           CAST(2 ** len_bucket AS BIGINT) AS lo_tokens,
+           n_docs, bucket_tokens,
+           round(CAST(bucket_tokens AS DOUBLE)
+                 / sum(bucket_tokens) OVER (PARTITION BY lang), 6)
+             AS lang_token_share
+    FROM c
+    """,
+)
+def q_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-LENGTH HISTOGRAM (r12) — the pack-budget diagnostic that
+    decides max_seq_len before anyone runs q_pack_*: per (lang,
+    power-of-two length bucket), document count, total token mass,
+    and each bucket's share of its language's tokens. The one-glance
+    answer to "what fraction of ja's tokens live in docs shorter
+    than 256 words" — choose a budget that strands 40% of the corpus
+    in over-length docs and the packer chunks (or drops) it.
+
+    Cross-engine determinism: the log2 bucket is INTEGER arithmetic —
+    ``length(bin(n)) - 1`` (bit length minus one ≡ floor(log2 n)) —
+    because float log2 of an exact power of two is libm-dependent;
+    zero-token docs clamp into bucket 0 via greatest(n, 1). Shares
+    divide exact BIGINTs, rounded to 6.
+
+    Scale shape: one tokenize-and-measure projection, ONE map-side-
+    combined hash aggregate to ≤ langs × ~20 cells, and the share
+    window runs on the CELL table (tiny-prefix territory). The raw
+    token stream never shuffles."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(T.words(F.col("text"))).cast("bigint")
+    t = docs.select(
+        "lang",
+        (
+            F.length(F.bin(F.greatest(n_tok, F.lit(1)))).cast("bigint")
+            - 1
+        ).alias("len_bucket"),
+        n_tok.alias("n_tokens"),
+    )
+    c = t.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bucket_tokens"),
+    )
+    w = Window.partitionBy("lang")
+    return c.select(
+        "lang",
+        "len_bucket",
+        F.pow(F.lit(2.0), F.col("len_bucket"))
+        .cast("bigint")
+        .alias("lo_tokens"),
+        "n_docs",
+        "bucket_tokens",
+        F.round(
+            F.col("bucket_tokens").cast("double")
+            / F.sum("bucket_tokens").over(w),
+            6,
+        ).alias("lang_token_share"),
+    )
+
+
+# ======================================================================
 # L42: token-mass systematic sampling (weighted ∝ tokens, exact)
 # ======================================================================
 #: Target picks per language for the systematic sample.

@@ -661,3 +661,63 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stickiness_from_days(
         activity_days(_events(spark, sf_dir))
     )
+
+
+# -- T6l: hour-of-day seasonality profile (r12) ---------------------------
+@query(
+    "q_events_seasonality",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / {_HOUR_US}.0) AS BIGINT) % 24
+               AS hour_of_day,
+             count(*) AS n_events
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, hour_of_day, n_events,
+           round(CAST(n_events AS DOUBLE)
+                 / sum(n_events) OVER (PARTITION BY event_type), 6)
+             AS hour_share
+    FROM c
+    """,
+)
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOUR-OF-DAY SEASONALITY (r12) — the diurnal profile behind
+    capacity planning and anomaly BASELINING: per (event_type, UTC
+    hour-of-day 0-23), event count and the hour's share of its
+    type's traffic. A type whose share curve is flat is machine
+    traffic; a human type shows the day/night wave — and the rate-
+    anomaly monitor (T6d) should be read against this curve, not a
+    flat mean. Hours come from exact integer epoch arithmetic
+    (floor-div micros to hours, mod 24 — same bucket convention as
+    every T6 window), counts are exact BIGINTs, shares divide them
+    rounded to 6.
+
+    Scale shape: ONE map-side-combined hash aggregate to
+    ≤ types × 24 cells; the share window runs on the CELL table
+    (tiny-prefix territory). No join, no Python, the event stream
+    shuffles once keyed by (type, hour)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts"))
+    c = ev.groupBy(
+        "event_type",
+        (
+            F.floor(us / F.lit(float(_HOUR_US))).cast("bigint") % 24
+        ).alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.sum("n_events").over(w),
+            6,
+        ).alias("hour_share"),
+    )

@@ -277,6 +277,14 @@ PRIORITY: tuple[str, ...] = (
     # newest driver row r8 — the single r8-stale row the 50-slot r12
     # window could not fit; FIRST in line for the r13 window:
     "q_video_frames",
+    # r12-new, declared OUT of the window (the r12 window is pinned
+    # to the staleness-repayment plan above); oracled — selfcheck +
+    # the documents/events fuzz families cover them until their r13
+    # driver rows
+    "q_split_leakage",
+    "q_sample_exact_k",
+    "q_len_histogram",
+    "q_events_seasonality",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
