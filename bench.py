@@ -224,6 +224,7 @@ HEADLINE = [
     # deterministic sample, token-length pack-budget histogram,
     # hour-of-day seasonality profile
     "q_split_leakage",
+    "q_split_leakage_pairs",
     "q_sample_exact_k",
     "q_len_histogram",
     "q_events_seasonality",

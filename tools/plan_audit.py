@@ -1102,6 +1102,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Window",
         ],
     ],
+    # pair-level leakage: the lsh-verified shape (band equi-join,
+    # no cartesian, no Python) + a codegen split projection — and
+    # NEVER a join back to the corpus for labels (the verified table
+    # is edges-sized; labels are pure per-id expressions)
+    "q_split_leakage_pairs": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+        ],
+    ],
     # exact-K deterministic sample: ONE TakeOrderedAndProject heap —
     # no global sort exchange, no window, no Python; the seeded key
     # is computed in the scan projection

@@ -305,12 +305,23 @@ def corpus_split(
     Returns df + a ``split`` column. One codegen projection — no
     shuffle, no RNG state.
     """
+    return df.withColumn(
+        "split", split_label(F.col(key_col), fractions, seed)
+    )
+
+
+def split_label(key: Column, fractions: dict[str, float], seed: str) -> Column:
+    """The split-membership expression :func:`corpus_split` assigns —
+    factored out (r12) so queries that need a label for an arbitrary
+    key column (e.g. both ids of a near-dup PAIR in
+    q_split_leakage_pairs) use the byte-identical arithmetic and can
+    never drift from the assignment itself."""
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
     if any(f < 0 for f in fractions.values()):
         raise ValueError(f"negative fraction in {fractions}")
-    bucket = keep_bucket(F.col(key_col), seed)
+    bucket = keep_bucket(key, seed)
     expr = None
     hi = 0
     items = list(fractions.items())
@@ -321,5 +332,4 @@ def corpus_split(
             cond, F.lit(name)
         )
     last = items[-1][0]
-    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
-    return df.withColumn("split", expr)
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))

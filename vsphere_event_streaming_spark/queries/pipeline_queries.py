@@ -2482,22 +2482,31 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPLIT_LEAK_THRESHOLD = 0.5
 
 
-def _split_leakage_oracle() -> str:
+def _duck_split_case(col: str) -> str:
+    """The split-membership CASE for an arbitrary id column — the SQL
+    twin of ``sampling.split_label``, shared by every oracle that
+    labels ids (assignment, doc-level audit, pair-level audit) so the
+    arithmetic can never drift between them."""
     from ..functions.sampling import SAMPLE_MOD
 
     bucket = (
-        f"((('0x' || substr(md5('{SPLIT_SEED}:' || CAST(doc_id AS"
+        f"((('0x' || substr(md5('{SPLIT_SEED}:' || CAST({col} AS"
         f" VARCHAR)), 1, 15))::BIGINT % {T.HASH_MOD}) % {SAMPLE_MOD})"
     )
     t1 = int(round(SPLIT_FRACTIONS["train"] * SAMPLE_MOD))
     t2 = t1 + int(round(SPLIT_FRACTIONS["val"] * SAMPLE_MOD))
+    return (
+        f"CASE WHEN {bucket} < {t1} THEN 'train'"
+        f" WHEN {bucket} < {t2} THEN 'val'"
+        f" ELSE 'test' END"
+    )
+
+
+def _split_leakage_oracle() -> str:
     return f"""
     WITH {_duck_shingle_hashes()},
     sp AS (
-      SELECT doc_id,
-             CASE WHEN {bucket} < {t1} THEN 'train'
-                  WHEN {bucket} < {t2} THEN 'val'
-                  ELSE 'test' END AS split
+      SELECT doc_id, {_duck_split_case("doc_id")} AS split
       FROM documents
     ),
     train_sh AS (
@@ -2571,6 +2580,56 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").cast("bigint").alias("n_hits"),
         "overlap",
         F.col("contaminated").alias("leaked"),
+    )
+
+
+def _split_leakage_pairs_oracle() -> str:
+    return f"""
+    SELECT id_a, id_b,
+           {_duck_split_case("id_a")} AS split_a,
+           {_duck_split_case("id_b")} AS split_b,
+           jaccard
+    FROM ({_lsh_verified_oracle(0.5)}) v
+    WHERE {_duck_split_case("id_a")} != {_duck_split_case("id_b")}
+    """
+
+
+@query("q_split_leakage_pairs", oracle=_split_leakage_pairs_oracle())
+def q_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SPLIT LEAKAGE, PAIR LEVEL (r12) — the escalation the
+    doc-level audit's docstring promises: q_split_leakage tells you
+    WHICH eval docs carry train shingle mass; this names the actual
+    (train, eval) near-duplicate PAIRS — the rows a release engineer
+    deletes — by running the canonical 100 TB near-dup pipeline
+    (MinHash-LSH candidates → exact Jaccard ≥ 0.5, the verbatim
+    q_dedup_lsh_verified machinery) and keeping the verified pairs
+    whose endpoints straddle splits. Both split labels are the PURE
+    per-id expression (sampling.split_label / _duck_split_case, the
+    single definition all three split oracles share) — a codegen
+    projection on the ≤pairs-row verified table, never a join back
+    to the corpus.
+
+    Scale shape: identical to q_dedup_lsh_verified (banded candidate
+    generation, never all-pairs; the verified table is edges-sized —
+    256 rows on the sf0.1 corpus) plus one constant-cost projection
+    and filter. No new shuffle, no Python, no window."""
+    from ..functions.dedup import lsh_verified_pairs
+    from ..functions.sampling import split_label
+
+    pairs = lsh_verified_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+    sa = split_label(F.col("id_a"), SPLIT_FRACTIONS, SPLIT_SEED)
+    sb = split_label(F.col("id_b"), SPLIT_FRACTIONS, SPLIT_SEED)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            sa.alias("split_a"),
+            sb.alias("split_b"),
+            "jaccard",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
     )
 
 

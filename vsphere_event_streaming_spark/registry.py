@@ -282,6 +282,7 @@ PRIORITY: tuple[str, ...] = (
     # the documents/events fuzz families cover them until their r13
     # driver rows
     "q_split_leakage",
+    "q_split_leakage_pairs",
     "q_sample_exact_k",
     "q_len_histogram",
     "q_events_seasonality",
