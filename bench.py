@@ -228,6 +228,8 @@ HEADLINE = [
     "q_sample_exact_k",
     "q_len_histogram",
     "q_events_seasonality",
+    # chunk-pooling fidelity (RAG embedding diagnostic)
+    "q_chunk_pool_fidelity",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -287,6 +287,7 @@ ROTATED_OUT_R12 = (
     "q_split_leakage",
     "q_split_leakage_pairs",
     "q_sample_exact_k",
+    "q_chunk_pool_fidelity",
     "q_len_histogram",
     "q_events_seasonality",
 )

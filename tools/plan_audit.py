@@ -1114,6 +1114,17 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"CartesianProduct",
         ],
     ],
+    # chunk-pooling fidelity: chunk words by codegen transform INSIDE
+    # the row (no explode of chunk text), two hash aggregates over
+    # one persisted scan, doc-keyed join — no Python, no cartesian
+    "q_chunk_pool_fidelity": [
+        [r"HashAggregate", r"InMemory"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+        ],
+    ],
     # exact-K deterministic sample: ONE TakeOrderedAndProject heap —
     # no global sort exchange, no window, no Python; the seeded key
     # is computed in the scan projection

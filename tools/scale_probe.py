@@ -1214,6 +1214,52 @@ def _seasonality_shape(ev):
     )
 
 
+def _chunk_pool_shape(docs):
+    """q_chunk_pool_fidelity's shape: one persisted projection (both
+    word arrays, chunk side in-row — no explode of chunk text), two
+    hash aggregates, a doc-keyed join. Rows-linear; the fan-out is
+    words x ~1.33 overlap, never chunks x corpus."""
+    from vsphere_event_streaming_spark.functions.text import words
+    from vsphere_event_streaming_spark.functions.vectors import cosine, dot
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        HASH_EMBED_DIM,
+        POOL_CHUNK_OVERLAP,
+        POOL_CHUNK_SIZE,
+        POOL_CHUNK_STRIDE,
+    )
+
+    bound = F.greatest(F.length("text") - POOL_CHUNK_OVERLAP, F.lit(1))
+    starts = F.sequence(F.lit(0), bound - 1, F.lit(POOL_CHUNK_STRIDE))
+    cw = F.flatten(
+        F.transform(
+            starts,
+            lambda s: words(
+                F.substring(F.col("text"), s + 1, POOL_CHUNK_SIZE)
+            ),
+        )
+    )
+    shared = docs.select(
+        "doc_id",
+        words(F.col("text")).alias("__dw"),
+        cw.alias("__cw"),
+        F.size(starts).cast("bigint").alias("n_chunks"),
+    ).persist()
+    demb = hash_embed(shared, HASH_EMBED_DIM, words_col="__dw")
+    cemb = hash_embed(
+        shared, HASH_EMBED_DIM, words_col="__cw"
+    ).withColumnRenamed("embedding", "cembedding")
+    g = F.when(
+        (dot(F.col("embedding"), F.col("embedding")) > 0)
+        & (dot(F.col("cembedding"), F.col("cembedding")) > 0),
+        F.round(cosine(F.col("embedding"), F.col("cembedding")), 6),
+    ).otherwise(F.lit(-1.0))
+    return (
+        demb.join(cemb, "doc_id")
+        .join(shared.select("doc_id", "n_chunks"), "doc_id")
+        .select("doc_id", "n_chunks", g.alias("pool_cos"))
+    )
+
+
 def _stickiness_shape(ev):
     """q_events_stickiness' shape: distinct activity pass + two hash
     aggregates + a ≤days-row join. User-disjoint replicas multiply
@@ -1752,6 +1798,13 @@ def main() -> None:
             "events_seasonality",
             lambda: _seasonality_shape(evt1),
             lambda: _seasonality_shape(evtN),
+        ),
+        # r12: chunk-pooling fidelity — shared scan + two hash
+        # aggregates + doc-keyed join: rows-linear
+        (
+            "chunk_pool",
+            lambda: _chunk_pool_shape(docs1),
+            lambda: _chunk_pool_shape(docsN),
         ),
     ]:
         if only and name not in only:

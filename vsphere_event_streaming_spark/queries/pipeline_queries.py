@@ -3770,29 +3770,38 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 HASH_EMBED_DIM = 64
 
 
-def _hash_embed_cte_sql(dim: int = HASH_EMBED_DIM) -> str:
-    """CTE chain after a ``w(doc_id, ws)`` CTE, yielding
-    ``emb(doc_id, v)`` — the hashing-trick embedding with all-integer
-    components (exact in double). Shared by the standalone embedding
-    oracle and the text-ANN composition oracle."""
+def _hash_embed_cte_sql(
+    dim: int = HASH_EMBED_DIM, prefix: str = "", src: str = "w"
+) -> str:
+    """CTE chain after a ``{src}(doc_id, ws)`` CTE, yielding
+    ``{prefix}emb(doc_id, v)`` — the hashing-trick embedding with
+    all-integer components (exact in double). Shared by the
+    standalone embedding oracle, the text-ANN composition oracle,
+    and (r12, via ``prefix``/``src`` so two chains coexist in one
+    statement) the chunk-pooling fidelity oracle."""
     h = _duck_word_hash
+    p = prefix
     return f"""
-    tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
-    wc AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY doc_id, word),
-    signed AS (
+    {p}tok AS (SELECT doc_id, unnest(ws) AS word FROM {src}),
+    {p}wc AS (SELECT doc_id, word, count(*) AS cnt FROM {p}tok
+              GROUP BY doc_id, word),
+    {p}signed AS (
       SELECT doc_id, {h("word")} % {dim} AS k,
              CASE WHEN {h("'s:' || word")} % 2 = 0 THEN cnt ELSE -cnt END AS sv
-      FROM wc
+      FROM {p}wc
     ),
-    hcells AS (SELECT doc_id, k, sum(sv) AS val FROM signed GROUP BY doc_id, k),
-    hgrid AS (
+    {p}hcells AS (SELECT doc_id, k, sum(sv) AS val FROM {p}signed
+                  GROUP BY doc_id, k),
+    {p}hgrid AS (
       SELECT d.doc_id, g.k, CAST(coalesce(val, 0) AS DOUBLE) AS val
       FROM (SELECT DISTINCT doc_id FROM documents) d
       CROSS JOIN (SELECT unnest(range(0, {dim})) AS k) g
-      LEFT JOIN hcells ON hcells.doc_id = d.doc_id AND hcells.k = g.k
+      LEFT JOIN {p}hcells ON {p}hcells.doc_id = d.doc_id
+                         AND {p}hcells.k = g.k
     ),
-    emb AS (
-      SELECT doc_id, list(val ORDER BY k) AS v FROM hgrid GROUP BY doc_id
+    {p}emb AS (
+      SELECT doc_id, list(val ORDER BY k) AS v FROM {p}hgrid
+      GROUP BY doc_id
     )"""
 
 
@@ -3831,6 +3840,114 @@ def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("embedding"),
     )
+
+
+# ======================================================================
+# L24''': chunk-pooling fidelity (RAG embedding diagnostic, r12)
+# ======================================================================
+#: Chunking grid for the pooling diagnostic — the q_chunk_text window
+#: (200-char chunks, 150 stride) so the two queries describe the SAME
+#: chunking.
+POOL_CHUNK_SIZE, POOL_CHUNK_STRIDE, POOL_CHUNK_OVERLAP = 200, 150, 50
+
+
+def _chunk_pool_oracle() -> str:
+    dw = _DUCK_WORDS
+    chunk_ws = (
+        r"list_filter(string_split_regex("
+        f"substr(text, s + 1, {POOL_CHUNK_SIZE}),"
+        r" '[ \t\n\r\f\x0B]+'), x -> x <> '')"
+    )
+    starts = (
+        f"range(0, greatest(len(text) - {POOL_CHUNK_OVERLAP}, 1),"
+        f" {POOL_CHUNK_STRIDE})"
+    )
+    cos = _duck_cosine("demb.v", "cemb.v")
+    return f"""
+    WITH w AS (SELECT doc_id, {dw} AS ws FROM documents),
+    {_hash_embed_cte_sql(prefix="d")},
+    cw AS (
+      SELECT doc_id,
+             flatten(list_transform({starts}, s -> {chunk_ws})) AS ws
+      FROM documents
+    ),
+    {_hash_embed_cte_sql(prefix="c", src="cw")},
+    nch AS (
+      SELECT doc_id, CAST(len({starts}) AS BIGINT) AS n_chunks
+      FROM documents
+    )
+    SELECT demb.doc_id, nch.n_chunks,
+           CASE WHEN list_dot_product(demb.v, demb.v) > 0
+                 AND list_dot_product(cemb.v, cemb.v) > 0
+                THEN round({cos}, 6) ELSE -1.0 END AS pool_cos
+    FROM demb
+    JOIN cemb ON demb.doc_id = cemb.doc_id
+    JOIN nch ON nch.doc_id = demb.doc_id
+    """
+
+
+@query("q_chunk_pool_fidelity", oracle=_chunk_pool_oracle())
+def q_chunk_pool_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-POOLING FIDELITY (r12) — the RAG-pipeline question
+    q_chunk_text raises but cannot answer: if each document is
+    embedded as the POOL of its chunk embeddings (mean/sum — scale-
+    invariant under cosine, so the exact-integer SUM is the pooled
+    vector), how far does the pooled vector drift from embedding the
+    whole document at once? Feature hashing is linear in word
+    counts, so the pooled vector IS the embedding of the chunk-word
+    multiset — the drift measured here is exactly what the chunking
+    grid does to the text: overlap regions double-counted, words cut
+    at chunk boundaries re-tokenized. One row per doc: chunk count
+    and cosine(doc-embedding, pooled-embedding); low values flag the
+    docs whose retrieval behavior changes when the index switches
+    from doc-level to chunk-level embeddings. Zero-token sides score
+    the engine-wide −1.0 guard.
+
+    Scale shape: ONE persisted projection computes both word arrays
+    (the chunk side by codegen transform-over-starts INSIDE the row —
+    no explode, no shuffle of chunk text), the two hash-embed
+    aggregates share it (the q_search_rrf shared-scan pattern), and
+    the final join carries 64-double vectors keyed by doc. All
+    integer arithmetic until the single cosine."""
+    from ..functions.vectors import cosine, dot
+
+    docs = _t(spark, sf_dir, "documents")
+    bound = F.greatest(
+        F.length("text") - POOL_CHUNK_OVERLAP, F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), bound - 1, F.lit(POOL_CHUNK_STRIDE))
+    chunk_words = F.flatten(
+        F.transform(
+            starts,
+            lambda s: T.words(
+                F.substring(
+                    F.col("text"), s + 1, POOL_CHUNK_SIZE
+                )
+            ),
+        )
+    )
+    from ..tables import spread
+
+    shared = spread(docs).select(
+        "doc_id",
+        T.words(F.col("text")).alias("__dw"),
+        chunk_words.alias("__cw"),
+        F.size(starts).cast("bigint").alias("n_chunks"),
+    ).persist()
+    demb = T.hash_embed(shared, HASH_EMBED_DIM, words_col="__dw")
+    cemb = T.hash_embed(
+        shared, HASH_EMBED_DIM, words_col="__cw"
+    ).withColumnRenamed("embedding", "cembedding")
+    j = (
+        demb.join(cemb, "doc_id")
+        .join(shared.select("doc_id", "n_chunks"), "doc_id")
+    )
+    guarded = F.when(
+        (dot(F.col("embedding"), F.col("embedding")) > 0)
+        & (dot(F.col("cembedding"), F.col("cembedding")) > 0),
+        F.round(cosine(F.col("embedding"), F.col("cembedding")), 6),
+    ).otherwise(F.lit(-1.0))
+    return j.select("doc_id", "n_chunks", guarded.alias("pool_cos"))
 
 
 def _text_knn_oracle(n_bits: int = 6) -> str:

@@ -284,6 +284,7 @@ PRIORITY: tuple[str, ...] = (
     "q_split_leakage",
     "q_split_leakage_pairs",
     "q_sample_exact_k",
+    "q_chunk_pool_fidelity",
     "q_len_histogram",
     "q_events_seasonality",
     # permanent rows-only checks (never in the window):
