@@ -230,6 +230,9 @@ HEADLINE = [
     "q_events_seasonality",
     # chunk-pooling fidelity (RAG embedding diagnostic)
     "q_chunk_pool_fidelity",
+    # type co-occurrence lift + per-type burstiness
+    "q_events_cooccurrence",
+    "q_events_burstiness",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -290,6 +290,8 @@ ROTATED_OUT_R12 = (
     "q_chunk_pool_fidelity",
     "q_len_histogram",
     "q_events_seasonality",
+    "q_events_cooccurrence",
+    "q_events_burstiness",
 )
 
 

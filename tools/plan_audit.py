@@ -1125,6 +1125,30 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"CartesianProduct",
         ],
     ],
+    # type co-occurrence: distinct (user, type) first, user-keyed
+    # pair join, broadcast type counts — no window, no Python, no
+    # cartesian (the 1-row n_users BNLJ broadcast is the stats
+    # convention, not a cartesian)
+    "q_events_cooccurrence": [
+        [r"HashAggregate", r"BroadcastHashJoin"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+        ],
+    ],
+    # burstiness: two chained cell aggregates, nothing else
+    "q_events_burstiness": [
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+            r"Join",
+        ],
+    ],
     # exact-K deterministic sample: ONE TakeOrderedAndProject heap —
     # no global sort exchange, no window, no Python; the seeded key
     # is computed in the scan projection

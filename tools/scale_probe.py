@@ -1260,6 +1260,50 @@ def _chunk_pool_shape(docs):
     )
 
 
+def _cooccurrence_shape(ev):
+    """q_events_cooccurrence's shape: DISTINCT (user, type) first,
+    user-keyed pair join (<= types^2 pairs per user), broadcast type
+    counts. User-disjoint replicas multiply users — pairs grow
+    linearly in users, never event-quadratic."""
+    ut = (
+        ev.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a = ut.withColumnRenamed("event_type", "type_a")
+    b = ut.withColumnRenamed("event_type", "type_b")
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+
+
+def _burstiness_shape(ev):
+    """q_events_burstiness' shape: two chained cell aggregates
+    (types x days, then types) — rows-linear event scan into
+    bounded cells."""
+    us = F.unix_micros(F.col("ts"))
+    dc = (
+        ev.filter(
+            F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy(
+            "event_type",
+            F.floor(us / F.lit(86.4e9)).cast("bigint").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return dc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+
+
 def _stickiness_shape(ev):
     """q_events_stickiness' shape: distinct activity pass + two hash
     aggregates + a ≤days-row join. User-disjoint replicas multiply
@@ -1805,6 +1849,19 @@ def main() -> None:
             "chunk_pool",
             lambda: _chunk_pool_shape(docs1),
             lambda: _chunk_pool_shape(docsN),
+        ),
+        # r12: co-occurrence — user-keyed pair join under
+        # user-disjoint replicas: users-linear, never event-quadratic
+        (
+            "events_cooccurrence",
+            lambda: _cooccurrence_shape(evu1),
+            lambda: _cooccurrence_shape(evuN),
+        ),
+        # r12: burstiness — two chained cell aggregates
+        (
+            "events_burstiness",
+            lambda: _burstiness_shape(evt1),
+            lambda: _burstiness_shape(evtN),
         ),
     ]:
         if only and name not in only:

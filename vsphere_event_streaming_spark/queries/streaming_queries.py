@@ -721,3 +721,151 @@ def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hour_share"),
     )
+
+
+# -- T6m: event-type co-occurrence lift (r12) -----------------------------
+@query(
+    "q_events_cooccurrence",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+    tc AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+    co AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT co.type_a, co.type_b, co.n_both,
+           round(CAST(co.n_both AS DOUBLE) * n.n_users
+                 / (ta.n_t * tb.n_t), 6) AS lift
+    FROM co
+    JOIN tc ta ON ta.event_type = co.type_a
+    JOIN tc tb ON tb.event_type = co.type_b, n
+    """,
+)
+def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TYPE CO-OCCURRENCE LIFT (r12) — which behaviors travel
+    together: for every unordered type pair, how many users did both,
+    and the lift n_both·U/(n_a·n_b) (>1 = the types attract, <1 =
+    they repel — the market-basket association measure pointed at the
+    event log; the word-PMI shape over users instead of documents).
+    Exact BIGINT counts; the lift is one rounded double division.
+
+    Scale shape: the corpus collapses to DISTINCT (user, type) rows
+    first (≤ users × types, the only data-sized aggregate); the pair
+    join is keyed by user and each user contributes ≤ types² pairs —
+    bounded by the type-vocabulary, never by event volume; the
+    per-type counts ride a broadcast-sized ≤types-row table. No
+    window, no Python, no cartesian."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.withColumnRenamed("event_type", "type_a")
+    b = ut.withColumnRenamed("event_type", "type_b")
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        co.join(
+            F.broadcast(tc.withColumnRenamed("event_type", "type_a")
+                        .withColumnRenamed("n_t", "n_a")),
+            "type_a",
+        )
+        .join(
+            F.broadcast(tc.withColumnRenamed("event_type", "type_b")
+                        .withColumnRenamed("n_t", "n_b")),
+            "type_b",
+        )
+        .join(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double") * F.col("n_users")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# -- T6n: per-type burstiness (index of dispersion, r12) ------------------
+@query(
+    "q_events_burstiness",
+    oracle=f"""
+    WITH dc AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / {_DAY_US}.0) AS BIGINT) AS d,
+             count(*) AS cnt
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cnt) AS BIGINT) AS s1,
+             CAST(sum(cnt * cnt) AS BIGINT) AS s2
+      FROM dc GROUP BY event_type
+    )
+    SELECT event_type, n_days, s1 AS n_events,
+           round(CAST(s1 AS DOUBLE) / n_days, 6) AS mean_daily,
+           round((CAST(s2 AS DOUBLE) / n_days)
+                 - (CAST(s1 AS DOUBLE) / n_days)
+                   * (CAST(s1 AS DOUBLE) / n_days), 6) AS var_daily,
+           round(((CAST(s2 AS DOUBLE) / n_days)
+                  - (CAST(s1 AS DOUBLE) / n_days)
+                    * (CAST(s1 AS DOUBLE) / n_days))
+                 / (CAST(s1 AS DOUBLE) / n_days), 6) AS dispersion
+    FROM st
+    """,
+)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-TYPE BURSTINESS (r12) — the index of dispersion
+    (variance/mean of ACTIVE-day counts): ~1 means Poisson-like
+    steady traffic, >>1 means bursts — the one-number triage for
+    which event types need the anomaly monitor's attention at all
+    (T6d flags windows; this ranks types). Variance comes from exact
+    integer moment sums (Σx, Σx² as BIGINTs — the T6d moment
+    convention) with the SAME division expression shape in both
+    engines; day buckets are exact integer epoch arithmetic.
+
+    Scale shape: events collapse to ≤ types × days count cells in
+    ONE map-side-combined aggregate, then a second ≤types-row moment
+    aggregate over the CELLS. No window, no join, no Python."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts"))
+    dc = ev.groupBy(
+        "event_type",
+        F.floor(us / F.lit(float(_DAY_US))).cast("bigint").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    st = dc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cnt").cast("bigint").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    var = (F.col("s2").cast("double") / F.col("n_days")) - mean * mean
+    return st.select(
+        "event_type",
+        "n_days",
+        F.col("s1").alias("n_events"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(var / mean, 6).alias("dispersion"),
+    )

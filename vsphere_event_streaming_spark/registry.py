@@ -287,6 +287,8 @@ PRIORITY: tuple[str, ...] = (
     "q_chunk_pool_fidelity",
     "q_len_histogram",
     "q_events_seasonality",
+    "q_events_cooccurrence",
+    "q_events_burstiness",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
