@@ -76,6 +76,7 @@ from vsphere_event_streaming_spark.functions.multimodal import (  # noqa: E402
     synth_cell_png_payloads,
 )
 from vsphere_event_streaming_spark.functions.sampling import (  # noqa: E402
+    corpus_split,
     pack_sequences,
     temperature_sample,
 )
@@ -110,6 +111,9 @@ from vsphere_event_streaming_spark.queries.pipeline_queries import (  # noqa: E4
     SELECT_MIN_LOGP,
     SELECT_MIN_LOGW,
     SHUFFLE_SEED,
+    SPLIT_FRACTIONS,
+    SPLIT_LEAK_THRESHOLD,
+    SPLIT_SEED,
     TEMP_MIX_SEED,
     corpus_card,
 )
@@ -403,6 +407,29 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         .parquet(out_dir)
     )
     out = spark.read.parquet(out_dir)
+
+    # -- 7. release-split leakage audit (r12) -----------------------------
+    # the figure a release publishes next to the dataset card: split
+    # the SELECTED corpus (the released artifact) train/val/test and
+    # score every eval doc's shingle overlap against train — the
+    # q_split_leakage machinery; the selection stages upstream
+    # (exact + semantic dedup) are exactly what should make this ~0
+    split_sel = corpus_split(
+        selected.select("doc_id", "text"), SPLIT_FRACTIONS, seed=SPLIT_SEED
+    )
+    leak_row = (
+        contamination_report(
+            split_sel.filter(F.col("split") != "train"),
+            split_sel.filter(F.col("split") == "train"),
+            threshold=SPLIT_LEAK_THRESHOLD,
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum("contaminated").alias("n_leaked"),
+        )
+        .first()
+    )
+
     summary = {
         "input_docs": docs.count(),
         "after_hygiene": scrubbed.count(),
@@ -421,6 +448,11 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
         "distill_agreement": round(distill_agreement, 3),
         "packs": out.select("lang", "pack_id").distinct().count(),
         "written_docs": out.count(),
+        # release-split hygiene (r12): eval docs in the released
+        # split, and how many of them leak >= 50% of their shingles
+        # from train (q_split_leakage's threshold)
+        "split_eval_docs": leak_row["n_eval"],
+        "split_leaked_eval_docs": int(leak_row["n_leaked"] or 0),
         # the dataset card of the SELECTED corpus — the exact
         # q_corpus_card aggregate (shared corpus_card helper), i.e.
         # the per-language stats block this run would publish

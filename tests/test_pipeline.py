@@ -1450,6 +1450,11 @@ def test_corpus_prep_example_end_to_end(spark, tmp_path):
         assert card["n_docs"] == out["selected_by_lang"][lang]
         assert card["n_tokens"] >= card["n_docs"]  # non-empty docs
         assert 0.0 <= card["dup_rate"] < 1.0
+    # r12: the release-split leakage audit ran over the SELECTED
+    # corpus — eval docs exist and the leaked count is bounded; the
+    # upstream dedup stages are exactly what should keep it low
+    assert out["split_eval_docs"] > 0
+    assert 0 <= out["split_leaked_eval_docs"] <= out["split_eval_docs"]
     shard = spark.read.parquet(str(tmp_path / "shards"))
     assert {"lang", "pack_id"} <= set(shard.columns)
 
