@@ -233,6 +233,8 @@ HEADLINE = [
     # type co-occurrence lift + per-type burstiness
     "q_events_cooccurrence",
     "q_events_burstiness",
+    # per-language tokenizer coverage over the trained BPE
+    "q_bpe_coverage",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -292,6 +292,7 @@ ROTATED_OUT_R12 = (
     "q_events_seasonality",
     "q_events_cooccurrence",
     "q_events_burstiness",
+    "q_bpe_coverage",
 )
 
 

@@ -1149,6 +1149,19 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Join",
         ],
     ],
+    # tokenizer coverage: vocabulary-side BPE application broadcast
+    # onto the (lang, word) occurrence aggregate — no Python, no
+    # cartesian, no window, no sort-merge (vocab always broadcasts)
+    "q_bpe_coverage": [
+        [r"HashAggregate", r"BroadcastHashJoin"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+            r"SortMergeJoin",
+        ],
+    ],
     # exact-K deterministic sample: ONE TakeOrderedAndProject heap —
     # no global sort exchange, no window, no Python; the seeded key
     # is computed in the scan projection

@@ -4929,6 +4929,105 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# L32'''': tokenizer coverage (per-language in-vocab rate, r12)
+# ======================================================================
+@query(
+    "q_bpe_coverage",
+    oracle="WITH"
+    + _bpe.bpe_oracle_ctes(_bpe.DEFAULT_MERGES, _bpe.WORD_RE_FULL)
+    + f""",
+lw AS (
+  SELECT doc.lang, w AS word, count(*) AS occ
+  FROM documents doc,
+       unnest(regexp_extract_all(lower(doc.text),
+              '{_bpe.WORD_RE_FULL.replace("'", "''")}')) AS t(w)
+  GROUP BY 1, 2
+)
+SELECT lw.lang,
+       CAST(sum(lw.occ) AS BIGINT) AS n_word_occ,
+       CAST(sum(CASE WHEN v.wtoks = 1 THEN lw.occ ELSE 0 END)
+            AS BIGINT) AS occ_single,
+       round(CAST(sum(CASE WHEN v.wtoks = 1 THEN lw.occ ELSE 0 END)
+                  AS DOUBLE)
+             / greatest(1, sum(lw.occ)), 6) AS occ_coverage,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(sum((v.wtoks = 1)::INT) AS BIGINT) AS vocab_single,
+       round(CAST(sum((v.wtoks = 1)::INT) AS DOUBLE)
+             / greatest(1, count(*)), 6) AS vocab_coverage
+FROM lw JOIN vtok v USING (word)
+GROUP BY lw.lang
+""",
+)
+def q_bpe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer COVERAGE by language (r12) — the OOV-rate twin of
+    fertility: what share of word OCCURRENCES (and of the distinct
+    per-language vocabulary) tokenizes to a SINGLE subword under the
+    trained full-alphabet merge table. Fertility says how much a
+    language over-pays per word on average; coverage says how much
+    of its traffic the learned merges serve outright — the pair every
+    multilingual tokenizer paper reports, and the number that decides
+    whether a language needs more merges before training starts.
+
+    Oracle replays BPE TRAINING plus the per-word application (the
+    shared bpe_oracle_ctes chain — the q_bpe_fertility precedent), so
+    a corpus change that re-orders one merge flips the value hash.
+    Exact BIGINT counts; two guarded rounded divisions.
+
+    Scale shape: tokenization happens once per DISTINCT word (the
+    vocabulary table, broadcast at any corpus size — the
+    bpe_token_counts argument); the occurrence side is one
+    (lang, word) hash aggregate over the token stream; the trained
+    merge table is memoized per corpus (train-once/apply-many), so
+    the timed row is the application aggregate only."""
+    from ..functions.bpe import WORD_RE_FULL, apply_bpe, word_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = _trained_merges(docs, sf_dir, word_re=WORD_RE_FULL)
+    vtok = word_vocab(docs, word_re=WORD_RE_FULL).select(
+        "word",
+        F.size(apply_bpe(F.col("word"), merges)).alias("wtoks"),
+    )
+    lw = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")),
+                    F.lit(WORD_RE_FULL),
+                    F.lit(0),
+                )
+            ).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    single = F.when(F.col("wtoks") == 1, F.col("occ")).otherwise(F.lit(0))
+    vsingle = (F.col("wtoks") == 1).cast("int")
+    return (
+        lw.join(F.broadcast(vtok), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_word_occ"),
+            F.sum(single).cast("bigint").alias("occ_single"),
+            F.round(
+                F.sum(single).cast("double")
+                / F.greatest(F.lit(1).cast("long"), F.sum("occ")),
+                6,
+            ).alias("occ_coverage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+            F.sum(vsingle).cast("bigint").alias("vocab_single"),
+            F.round(
+                F.sum(vsingle).cast("double")
+                / F.greatest(
+                    F.lit(1).cast("long"), F.count(F.lit(1))
+                ),
+                6,
+            ).alias("vocab_coverage"),
+        )
+    )
+
+
+# ======================================================================
 # L44: corpus dataset card (per-language exact-integer stats block)
 # ======================================================================
 @query(
