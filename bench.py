@@ -235,6 +235,8 @@ HEADLINE = [
     "q_events_burstiness",
     # per-language tokenizer coverage over the trained BPE
     "q_bpe_coverage",
+    # packing fill/overflow summary over the pack cells
+    "q_pack_efficiency",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

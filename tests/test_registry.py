@@ -293,6 +293,7 @@ ROTATED_OUT_R12 = (
     "q_events_cooccurrence",
     "q_events_burstiness",
     "q_bpe_coverage",
+    "q_pack_efficiency",
 )
 
 

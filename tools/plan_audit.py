@@ -1162,6 +1162,17 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"SortMergeJoin",
         ],
     ],
+    # packing efficiency: per-stratum cum-sum window (never
+    # SinglePartition over data), two cell aggregates — no Python
+    "q_pack_efficiency": [
+        [r"Window", r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SinglePartition",
+        ],
+    ],
     # exact-K deterministic sample: ONE TakeOrderedAndProject heap —
     # no global sort exchange, no window, no Python; the seeded key
     # is computed in the scan projection

@@ -3003,6 +3003,87 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# L14''': packing efficiency (fill/overflow summary, r12)
+# ======================================================================
+@query(
+    "q_pack_efficiency",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id, CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    ), p AS (
+      SELECT lang,
+             CAST(floor((cum - n_tokens)::DOUBLE / {PACK_BUDGET_TOKENS})
+                  AS BIGINT) AS pack_id,
+             CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+      FROM c
+      GROUP BY lang, pack_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(pack_tokens) AS DOUBLE)
+                 / (count(*) * {PACK_BUDGET_TOKENS}), 6) AS mean_fill,
+           CAST(sum((pack_tokens > {PACK_BUDGET_TOKENS})::INT)
+                AS BIGINT) AS overflow_packs,
+           CAST(sum((pack_tokens < {PACK_BUDGET_TOKENS})::INT)
+                AS BIGINT) AS underfull_packs
+    FROM p GROUP BY lang
+    """,
+)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKING EFFICIENCY (r12) — the eval metric for the packing
+    tier, the way fertility/coverage evaluate the tokenizer: per
+    language, how full the training packs actually are. Mean fill is
+    total tokens over packs × budget; overflow packs carry a
+    boundary-straddling doc's full count (the L14 first-token-lands
+    convention — downstream the straddle is truncation or carry-over
+    work), underfull packs are padding waste at train time. A
+    language whose mean_fill sits far from 1.0 has the wrong budget
+    or the wrong chunking upstream (q_pack_chunked is the
+    exactly-B alternative; q_len_histogram chooses the budget).
+
+    Exact BIGINT counts over the SAME pack cells as q_pack_sequences
+    (the oracle extends that query's CTE verbatim — the two can
+    never disagree about what a pack holds); one rounded division.
+
+    Scale shape: q_pack_sequences' per-stratum cum-sum window, one
+    cell aggregate, then a ≤langs-row summary aggregate over the
+    CELLS. Nothing new moves."""
+    from ..functions.sampling import pack_sequences
+
+    packed = pack_sequences(
+        _t(spark, sf_dir, "documents"), PACK_BUDGET_TOKENS
+    )
+    cells = packed.groupBy("lang", "pack_id").agg(
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens")
+    )
+    b = F.lit(PACK_BUDGET_TOKENS)
+    return cells.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+        F.sum("pack_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("pack_tokens").cast("double")
+            / (F.count(F.lit(1)) * b),
+            6,
+        ).alias("mean_fill"),
+        F.sum((F.col("pack_tokens") > b).cast("int"))
+        .cast("bigint")
+        .alias("overflow_packs"),
+        F.sum((F.col("pack_tokens") < b).cast("int"))
+        .cast("bigint")
+        .alias("underfull_packs"),
+    )
+
+
+# ======================================================================
 # L15: scalar-quantized vector codes + ADC ANN (compression family)
 # ======================================================================
 def _sq_stats_cte() -> str:

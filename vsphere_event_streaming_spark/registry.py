@@ -290,6 +290,7 @@ PRIORITY: tuple[str, ...] = (
     "q_events_cooccurrence",
     "q_events_burstiness",
     "q_bpe_coverage",
+    "q_pack_efficiency",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
