@@ -32,65 +32,66 @@ from selfcheck import driver_guard  # noqa: E402  (tools/selfcheck.py)
 #: Size of the driver's correctness truncation window (observed r1-r5).
 DRIVER_WINDOW = 50
 
-#: The r12 window, verbatim (VERDICT_r11 #1): the 10 oracled r11-new
+#: The r13 window, verbatim (VERDICT_r12 #1): the 10 oracled r12-new
 #: queries whose only evidence so far is the judge's selfcheck (first
-#: driver rows) plus 40 of the 41 r8-stale rows in prior registration
-#: order (q_video_frames spills to r13). After this rotation every
-#: oracled query's newest driver row is r9+ except the single spilled
-#: row, and every r11-new operator has driver evidence.
+#: driver rows), plus q_video_frames (the spilled r8-stale row), plus
+#: 39 of the 50 r9-stale rows (the 17 the verdict named explicitly,
+#: then 22 more in prior registration order; the 11 that don't fit
+#: are first in line for r14). After this rotation every oracled
+#: query's newest driver row is r10+ except the 11 spilled r9 rows.
 #: Independent literal (NOT derived from PRIORITY) so reordering
 #: PRIORITY can't silently redefine the window.
-WINDOW_R12 = (
-    "q_events_paths",
-    "q_events_power_curve",
-    "q_events_gaps",
-    "q_bloom_contamination",
-    "q_knn_matryoshka",
-    "q_dedup_threshold_sweep",
-    "q_events_stickiness",
-    "q_corpus_zipf",
-    "q_corpus_heaps",
-    "q_corpus_drift",
-    "q_array_funcs",
-    "q_knn_sq",
-    "q_join_anti",
-    "q_knn_topk",
-    "q_kmeans_sizes",
-    "q_cluster_balanced",
-    "q_embed_pca_topm",
-    "q_cluster_quality",
-    "q_audio_fingerprint",
-    "q_chunk_text",
-    "q_cogroup_recon",
-    "q_corpus_split",
-    "q_curriculum_order",
-    "q_dedup_embed",
-    "q_dedup_groups",
-    "q_dedup_minhash",
-    "q_dedup_near",
-    "q_dedup_near_pruned",
-    "q_fingerprint",
-    "q_grouped_map_stats",
-    "q_importance_weight",
-    "q_join_full",
-    "q_join_range_binned",
-    "q_lang_id",
-    "q_markup_strip",
-    "q_media_phash",
-    "q_pack_sequences",
-    "q_pipeline_guarded",
-    "q_pipeline_select",
-    "q_repeated_spans",
-    "q_session_window",
-    "q_sketch_cms",
-    "q_sliding_agg",
-    "q_text_hash_embed",
-    "q_text_knn",
-    "q_token_count",
-    "q_top_words",
-    "q_training_shuffle",
-    "q_url_domains",
-    "q_vector_sq",
+WINDOW_R13 = (
+    "q_split_leakage",
+    "q_split_leakage_pairs",
+    "q_sample_exact_k",
+    "q_len_histogram",
+    "q_pack_efficiency",
+    "q_chunk_pool_fidelity",
+    "q_bpe_coverage",
+    "q_events_seasonality",
+    "q_events_cooccurrence",
+    "q_events_burstiness",
+    "q_video_frames",
+    "q_dataset_mix_temp",
+    "q_dedup_semantic_cells",
+    "q_media_phash_jpeg",
+    "q_bpe_fertility",
+    "q_classifier_auc_binned",
+    "q_embed_whiten",
+    "q_join_asof_tol",
+    "q_join_asof_fwd",
+    "q_cube",
+    "q_chain_agg",
+    "q_rank",
+    "q_math_funcs",
+    "q_eventclass",
+    "q_time_window_filter",
+    "q_range_bounds",
+    "q_page_json",
+    "q_decode_roundtrip",
+    "q_dedup_near_char",
+    "q_dedup_simhash_pairs",
+    "q_multimodal_meta",
+    "q_pivot",
+    "q_quality_score",
+    "q_range_frame",
+    "q_salted_agg",
+    "q_salted_join",
+    "q_sessionize",
+    "q_text_ngrams",
+    "q_udaf_gmean",
+    "q_variant_json",
+    "q_embed_centroid",
+    "q_fuzzy_match",
+    "q_histogram",
+    "q_intersect",
+    "q_join_cross",
+    "q_minmax_by",
+    "q_percentile",
+    "q_pipeline_prep",
+    "q_profile",
+    "q_regexp_funcs",
 )
 
 #: Queries expected to be rows-only (oracle=None) inside the window —
@@ -119,13 +120,24 @@ ROWS_ONLY_OFF_WINDOW = (
     "q_knn_ivfpq",
 )
 
-#: Queries rotated out of the window in r12 — every one holds a
-#: driver-green value-hash row from r8-r11 and must stay registered
+#: Queries rotated out of the window in r13 — every one holds a
+#: driver-green value-hash row from r9-r12 and must stay registered
 #: and oracled (selfcheck covers them every round) even though the
 #: driver window no longer records them. Grouped by newest driver
-#: row; q_video_frames (the one spilled r8 row) is first in line for
-#: the r13 window.
-ROTATED_OUT_R12 = (
+#: row; the 11 spilled r9 rows are first in line for the r14 window.
+ROTATED_OUT_R13 = (
+    # newest driver row r9 — the 11 spilled rows:
+    "q_sample",
+    "q_sample_stratified",
+    "q_search_tfidf",
+    "q_string_agg",
+    "q_subquery_scalar",
+    "q_tpch_q1",
+    "q_tpch_q6",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_try_funcs",
+    "q_window_analytics",
     # newest driver row r11 (the full r11 window):
     "q_knn_hyperplane_probed",
     "q_null_funcs",
@@ -228,72 +240,57 @@ ROTATED_OUT_R12 = (
     "q_join_smj",
     "q_last_page",
     "q_search_bm25",
-    "q_dedup_near_char",
-    "q_dedup_simhash_pairs",
-    "q_join_asof_fwd",
-    "q_join_asof_tol",
-    "q_media_phash_jpeg",
-    "q_multimodal_meta",
-    "q_pivot",
-    "q_quality_score",
-    "q_range_frame",
-    "q_salted_agg",
-    "q_salted_join",
-    "q_sessionize",
-    "q_text_ngrams",
-    "q_udaf_gmean",
-    "q_variant_json",
-    "q_classifier_auc_binned",
-    "q_dedup_semantic_cells",
-    "q_embed_whiten",
-    "q_dataset_mix_temp",
-    "q_bpe_fertility",
-    "q_chain_agg",
-    "q_cube",
-    "q_decode_roundtrip",
-    "q_embed_centroid",
-    "q_eventclass",
-    "q_fuzzy_match",
-    "q_histogram",
-    "q_intersect",
-    "q_join_cross",
-    "q_math_funcs",
-    "q_minmax_by",
-    "q_page_json",
-    "q_percentile",
-    "q_pipeline_prep",
-    "q_profile",
-    "q_range_bounds",
-    "q_rank",
-    "q_regexp_funcs",
-    "q_sample",
-    "q_sample_stratified",
-    "q_search_tfidf",
-    "q_string_agg",
-    "q_subquery_scalar",
-    "q_time_window_filter",
-    "q_tpch_q1",
-    "q_tpch_q6",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_try_funcs",
-    "q_window_analytics",
-    # newest driver row r8 (the one spilled row, first for r13):
-    "q_video_frames",
-    # r12-new, declared OUT of the window (window pinned to the
-    # staleness-repayment plan); oracled — selfcheck + the
-    # documents/events fuzz families cover them until their r13
-    # driver rows
-    "q_split_leakage",
-    "q_split_leakage_pairs",
-    "q_sample_exact_k",
-    "q_chunk_pool_fidelity",
-    "q_len_histogram",
-    "q_events_seasonality",
-    "q_events_cooccurrence",
-    "q_events_burstiness",
-    "q_bpe_coverage",
-    "q_pack_efficiency",
+    # newest driver row r12 (the full r12 window):
+    "q_events_paths",
+    "q_events_power_curve",
+    "q_events_gaps",
+    "q_bloom_contamination",
+    "q_knn_matryoshka",
+    "q_dedup_threshold_sweep",
+    "q_events_stickiness",
+    "q_corpus_zipf",
+    "q_corpus_heaps",
+    "q_corpus_drift",
+    "q_array_funcs",
+    "q_knn_sq",
+    "q_join_anti",
+    "q_knn_topk",
+    "q_kmeans_sizes",
+    "q_cluster_balanced",
+    "q_embed_pca_topm",
+    "q_cluster_quality",
+    "q_audio_fingerprint",
+    "q_chunk_text",
+    "q_cogroup_recon",
+    "q_corpus_split",
+    "q_curriculum_order",
+    "q_dedup_embed",
+    "q_dedup_groups",
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_dedup_near_pruned",
+    "q_fingerprint",
+    "q_grouped_map_stats",
+    "q_importance_weight",
+    "q_join_full",
+    "q_join_range_binned",
+    "q_lang_id",
+    "q_markup_strip",
+    "q_media_phash",
+    "q_pack_sequences",
+    "q_pipeline_guarded",
+    "q_pipeline_select",
+    "q_repeated_spans",
+    "q_session_window",
+    "q_sketch_cms",
+    "q_sliding_agg",
+    "q_text_hash_embed",
+    "q_text_knn",
+    "q_token_count",
+    "q_top_words",
+    "q_training_shuffle",
+    "q_url_domains",
+    "q_vector_sq",
 )
 
 
@@ -307,16 +304,16 @@ def test_every_priority_name_is_registered():
     assert not missing, f"PRIORITY names not registered: {missing}"
 
 
-def test_r12_window_is_exactly_the_rotation_plan():
-    """The first DRIVER_WINDOW registry entries must be WINDOW_R12 as a
+def test_r13_window_is_exactly_the_rotation_plan():
+    """The first DRIVER_WINDOW registry entries must be WINDOW_R13 as a
     set (order within the window is free; membership is the contract —
     the driver records exactly these 50)."""
-    assert len(WINDOW_R12) == DRIVER_WINDOW
-    assert len(set(WINDOW_R12)) == DRIVER_WINDOW
+    assert len(WINDOW_R13) == DRIVER_WINDOW
+    assert len(set(WINDOW_R13)) == DRIVER_WINDOW
     got = set(PRIORITY[:DRIVER_WINDOW])
-    assert got == set(WINDOW_R12), (
-        f"window drift: unexpected={sorted(got - set(WINDOW_R12))}, "
-        f"missing={sorted(set(WINDOW_R12) - got)}"
+    assert got == set(WINDOW_R13), (
+        f"window drift: unexpected={sorted(got - set(WINDOW_R13))}, "
+        f"missing={sorted(set(WINDOW_R13) - got)}"
     )
 
 
@@ -331,7 +328,7 @@ def test_window_entries_have_oracles():
     qs = load_all()
     no_oracle = [
         n
-        for n in WINDOW_R12
+        for n in WINDOW_R13
         if qs[n].oracle is None and n not in ROWS_ONLY_IN_WINDOW
     ]
     assert not no_oracle, f"window queries without oracle SQL: {no_oracle}"
@@ -357,12 +354,12 @@ def test_window_and_rotated_out_partition_the_registry():
     query, with no overlaps — nothing can silently fall out of all
     evidence tiers."""
     qs = load_all()
-    union = set(WINDOW_R12) | set(ROTATED_OUT_R12) | set(ROWS_ONLY_OFF_WINDOW)
+    union = set(WINDOW_R13) | set(ROTATED_OUT_R13) | set(ROWS_ONLY_OFF_WINDOW)
     assert union == set(qs), (
         f"uncovered={sorted(set(qs) - union)}, "
         f"phantom={sorted(union - set(qs))}"
     )
-    total = len(WINDOW_R12) + len(ROTATED_OUT_R12) + len(ROWS_ONLY_OFF_WINDOW)
+    total = len(WINDOW_R13) + len(ROTATED_OUT_R13) + len(ROWS_ONLY_OFF_WINDOW)
     assert total == len(qs), "tiers overlap"
 
 
@@ -373,7 +370,7 @@ def test_rotated_out_queries_stay_registered_and_oracled():
     compare."""
     qs = load_all()
     idx = {n: i for i, n in enumerate(PRIORITY)}
-    for n in ROTATED_OUT_R12:
+    for n in ROTATED_OUT_R13:
         assert n in qs, f"rotated-out query {n} lost its registration"
         assert qs[n].oracle is not None, f"rotated-out query {n} lost its oracle"
         assert idx[n] >= DRIVER_WINDOW, (

@@ -46,15 +46,19 @@ def query(name: str, oracle: str | None = None):
 # Registry order is driver-visible: the verify driver checks queries in
 # registration order and its CORRECTNESS window records the first 50.
 # PRIORITY pins each round's rotation plan; tests/test_registry.py
-# (WINDOW_R12) enforces the pinned membership.
+# (WINDOW_R13) enforces the pinned membership.
 #
-# r12 rotation (VERDICT_r11 next-round #1): the window takes the 10
-# oracled r11-new queries whose only evidence so far is the judge's
-# selfcheck (first driver rows) plus 40 of the 41 r8-stale rows in
-# prior registration order; the one leftover (q_video_frames) spills
-# to r13. After this rotation every oracled query's newest driver row
-# is r9 or newer except that single spilled row, and every r11-new
-# operator has driver evidence (the VERDICT_r11 done criterion).
+# r13 rotation (VERDICT_r12 next-round #1): the window takes the 10
+# oracled r12-new queries whose only evidence so far is the judge's
+# selfcheck (first driver rows), plus q_video_frames (the spilled
+# r8-stale row — the oldest driver row in the registry), plus 39 of
+# the 50 r9-stale rows: the 17 the verdict named explicitly, then 22
+# more in prior registration order. The 11 r9 rows that don't fit are
+# FIRST in line for r14. After this rotation every oracled query's
+# newest driver row is r10 or newer except those 11 spilled r9 rows,
+# and every r12-new operator has driver evidence (the VERDICT_r12
+# done criterion, modulo the 50-slot window arithmetic: 61 stale rows
+# into 50 slots).
 # The permanent rows-only checks (q_knn_ivf, q_approx_aggs,
 # q_search_rrf_indexed, q_knn_pq, q_knn_ivfpq) stay out of the window
 # for good (VERDICT_r5 "What's wrong" #1): their `no_oracle` rows can
@@ -63,64 +67,78 @@ def query(name: str, oracle: str | None = None):
 # Everything rotated out keeps its oracle and is exact-value-checked
 # every round by tools/selfcheck.py.
 PRIORITY: tuple[str, ...] = (
-    # ---- r12 driver window (first 50) ----
-    # the 10 oracled r11-new queries getting their FIRST driver rows:
-    "q_events_paths",
-    "q_events_power_curve",
-    "q_events_gaps",
-    "q_bloom_contamination",
-    "q_knn_matryoshka",
-    "q_dedup_threshold_sweep",
-    "q_events_stickiness",
-    "q_corpus_zipf",
-    "q_corpus_heaps",
-    "q_corpus_drift",
-    # ... and 40 of the 41 r8-stale rows in prior registration order
-    # (q_video_frames spills to r13):
-    "q_array_funcs",
-    "q_knn_sq",
-    "q_join_anti",
-    "q_knn_topk",
-    "q_kmeans_sizes",
-    "q_cluster_balanced",
-    "q_embed_pca_topm",
-    "q_cluster_quality",
-    "q_audio_fingerprint",
-    "q_chunk_text",
-    "q_cogroup_recon",
-    "q_corpus_split",
-    "q_curriculum_order",
-    "q_dedup_embed",
-    "q_dedup_groups",
-    "q_dedup_minhash",
-    "q_dedup_near",
-    "q_dedup_near_pruned",
-    "q_fingerprint",
-    "q_grouped_map_stats",
-    "q_importance_weight",
-    "q_join_full",
-    "q_join_range_binned",
-    "q_lang_id",
-    "q_markup_strip",
-    "q_media_phash",
-    "q_pack_sequences",
-    "q_pipeline_guarded",
-    "q_pipeline_select",
-    "q_repeated_spans",
-    "q_session_window",
-    "q_sketch_cms",
-    "q_sliding_agg",
-    "q_text_hash_embed",
-    "q_text_knn",
-    "q_token_count",
-    "q_top_words",
-    "q_training_shuffle",
-    "q_url_domains",
-    "q_vector_sq",
-    # ---- out of the r12 window ----
+    # ---- r13 driver window (first 50) ----
+    # the 10 oracled r12-new queries getting their FIRST driver rows:
+    "q_split_leakage",
+    "q_split_leakage_pairs",
+    "q_sample_exact_k",
+    "q_len_histogram",
+    "q_pack_efficiency",
+    "q_chunk_pool_fidelity",
+    "q_bpe_coverage",
+    "q_events_seasonality",
+    "q_events_cooccurrence",
+    "q_events_burstiness",
+    # the one r8-stale row the r12 window spilled:
+    "q_video_frames",
+    # the 17 r9-stale rows VERDICT_r12 #1 named explicitly:
+    "q_dataset_mix_temp",
+    "q_dedup_semantic_cells",
+    "q_media_phash_jpeg",
+    "q_bpe_fertility",
+    "q_classifier_auc_binned",
+    "q_embed_whiten",
+    "q_join_asof_tol",
+    "q_join_asof_fwd",
+    "q_cube",
+    "q_chain_agg",
+    "q_rank",
+    "q_math_funcs",
+    "q_eventclass",
+    "q_time_window_filter",
+    "q_range_bounds",
+    "q_page_json",
+    "q_decode_roundtrip",
+    # ... and 22 more r9-stale rows in prior registration order:
+    "q_dedup_near_char",
+    "q_dedup_simhash_pairs",
+    "q_multimodal_meta",
+    "q_pivot",
+    "q_quality_score",
+    "q_range_frame",
+    "q_salted_agg",
+    "q_salted_join",
+    "q_sessionize",
+    "q_text_ngrams",
+    "q_udaf_gmean",
+    "q_variant_json",
+    "q_embed_centroid",
+    "q_fuzzy_match",
+    "q_histogram",
+    "q_intersect",
+    "q_join_cross",
+    "q_minmax_by",
+    "q_percentile",
+    "q_pipeline_prep",
+    "q_profile",
+    "q_regexp_funcs",
+    # ---- out of the r13 window ----
     # Every query below holds a driver-green value-hash row from
-    # r8-r11; tools/selfcheck.py exact-value-checks every oracled one
+    # r9-r12; tools/selfcheck.py exact-value-checks every oracled one
     # each round.
+    # newest driver row r9 — the 11 spilled rows, FIRST in line for
+    # the r14 window:
+    "q_sample",
+    "q_sample_stratified",
+    "q_search_tfidf",
+    "q_string_agg",
+    "q_subquery_scalar",
+    "q_tpch_q1",
+    "q_tpch_q6",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_try_funcs",
+    "q_window_analytics",
     # newest driver row r11 (the full r11 window):
     "q_knn_hyperplane_probed",
     "q_null_funcs",
@@ -223,74 +241,57 @@ PRIORITY: tuple[str, ...] = (
     "q_join_smj",
     "q_last_page",
     "q_search_bm25",
-    # newest driver row r9:
-    "q_dedup_near_char",
-    "q_dedup_simhash_pairs",
-    "q_join_asof_fwd",
-    "q_join_asof_tol",
-    "q_media_phash_jpeg",
-    "q_multimodal_meta",
-    "q_pivot",
-    "q_quality_score",
-    "q_range_frame",
-    "q_salted_agg",
-    "q_salted_join",
-    "q_sessionize",
-    "q_text_ngrams",
-    "q_udaf_gmean",
-    "q_variant_json",
-    "q_classifier_auc_binned",
-    "q_dedup_semantic_cells",
-    "q_embed_whiten",
-    "q_dataset_mix_temp",
-    "q_bpe_fertility",
-    "q_chain_agg",
-    "q_cube",
-    "q_decode_roundtrip",
-    "q_embed_centroid",
-    "q_eventclass",
-    "q_fuzzy_match",
-    "q_histogram",
-    "q_intersect",
-    "q_join_cross",
-    "q_math_funcs",
-    "q_minmax_by",
-    "q_page_json",
-    "q_percentile",
-    "q_pipeline_prep",
-    "q_profile",
-    "q_range_bounds",
-    "q_rank",
-    "q_regexp_funcs",
-    "q_sample",
-    "q_sample_stratified",
-    "q_search_tfidf",
-    "q_string_agg",
-    "q_subquery_scalar",
-    "q_time_window_filter",
-    "q_tpch_q1",
-    "q_tpch_q6",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_try_funcs",
-    "q_window_analytics",
-    # newest driver row r8 — the single r8-stale row the 50-slot r12
-    # window could not fit; FIRST in line for the r13 window:
-    "q_video_frames",
-    # r12-new, declared OUT of the window (the r12 window is pinned
-    # to the staleness-repayment plan above); oracled — selfcheck +
-    # the documents/events fuzz families cover them until their r13
-    # driver rows
-    "q_split_leakage",
-    "q_split_leakage_pairs",
-    "q_sample_exact_k",
-    "q_chunk_pool_fidelity",
-    "q_len_histogram",
-    "q_events_seasonality",
-    "q_events_cooccurrence",
-    "q_events_burstiness",
-    "q_bpe_coverage",
-    "q_pack_efficiency",
+    # newest driver row r12 (the full r12 window):
+    "q_events_paths",
+    "q_events_power_curve",
+    "q_events_gaps",
+    "q_bloom_contamination",
+    "q_knn_matryoshka",
+    "q_dedup_threshold_sweep",
+    "q_events_stickiness",
+    "q_corpus_zipf",
+    "q_corpus_heaps",
+    "q_corpus_drift",
+    "q_array_funcs",
+    "q_knn_sq",
+    "q_join_anti",
+    "q_knn_topk",
+    "q_kmeans_sizes",
+    "q_cluster_balanced",
+    "q_embed_pca_topm",
+    "q_cluster_quality",
+    "q_audio_fingerprint",
+    "q_chunk_text",
+    "q_cogroup_recon",
+    "q_corpus_split",
+    "q_curriculum_order",
+    "q_dedup_embed",
+    "q_dedup_groups",
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_dedup_near_pruned",
+    "q_fingerprint",
+    "q_grouped_map_stats",
+    "q_importance_weight",
+    "q_join_full",
+    "q_join_range_binned",
+    "q_lang_id",
+    "q_markup_strip",
+    "q_media_phash",
+    "q_pack_sequences",
+    "q_pipeline_guarded",
+    "q_pipeline_select",
+    "q_repeated_spans",
+    "q_session_window",
+    "q_sketch_cms",
+    "q_sliding_agg",
+    "q_text_hash_embed",
+    "q_text_knn",
+    "q_token_count",
+    "q_top_words",
+    "q_training_shuffle",
+    "q_url_domains",
+    "q_vector_sq",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
