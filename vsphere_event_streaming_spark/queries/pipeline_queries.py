@@ -5055,17 +5055,28 @@ def q_bpe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact BIGINT counts; two guarded rounded divisions.
 
     Scale shape: tokenization happens once per DISTINCT word (the
-    vocabulary table, broadcast at any corpus size — the
-    bpe_token_counts argument); the occurrence side is one
-    (lang, word) hash aggregate over the token stream; the trained
-    merge table is memoized per corpus (train-once/apply-many), so
-    the timed row is the application aggregate only."""
-    from ..functions.bpe import WORD_RE_FULL, apply_bpe, word_vocab
+    vocabulary table); the join back onto the (lang, word) occurrence
+    aggregate runs the TIERED path (join_tokenized_vocab, r13,
+    VERDICT_r12 #2) — top-K head force-broadcast (bounded build side
+    at any corpus size), unbounded long tail shuffle-joined. The cap
+    here is 16, BELOW the test corpus's 31-word pool, so BOTH tiers
+    carry real traffic at every SF and the DuckDB oracle (a plain
+    inner join) value-hashes the tiering's correctness; production
+    uses bpe.BROADCAST_HEAD_WORDS. The trained merge table is
+    memoized per corpus (train-once/apply-many), so the timed row is
+    the application aggregate only."""
+    from ..functions.bpe import (
+        WORD_RE_FULL,
+        apply_bpe,
+        join_tokenized_vocab,
+        word_vocab,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     merges = _trained_merges(docs, sf_dir, word_re=WORD_RE_FULL)
     vtok = word_vocab(docs, word_re=WORD_RE_FULL).select(
         "word",
+        "cnt",
         F.size(apply_bpe(F.col("word"), merges)).alias("wtoks"),
     )
     lw = (
@@ -5085,7 +5096,7 @@ def q_bpe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     single = F.when(F.col("wtoks") == 1, F.col("occ")).otherwise(F.lit(0))
     vsingle = (F.col("wtoks") == 1).cast("int")
     return (
-        lw.join(F.broadcast(vtok), "word")
+        join_tokenized_vocab(lw, vtok, head_words=16)
         .groupBy("lang")
         .agg(
             F.sum("occ").cast("bigint").alias("n_word_occ"),
