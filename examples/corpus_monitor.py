@@ -13,6 +13,14 @@ over everything ingested (the per-family parity proofs live in
  - ``ShingleDfStore``    — per-doc n-gram novelty (diversity drift)
  - ``TermStatsStore``    — BM25 corpus stats (hybrid-retrieval serve)
  - ``QuantileCellStore`` — per-language quality-score distribution
+ - ``LshIndex`` → ``GroupStore`` (r13) — the full incremental
+                           near-dup pipeline: each epoch bands
+                           against history, its verified pairs merge
+                           into stored connected-component GROUP
+                           labels — keep-one-per-group decisions
+                           without ever recomputing history (the
+                           second min-lattice family: overlapping
+                           pair ingest converges)
 
 The event log streams in the same way (r10): a second foreachBatch
 pass feeds three more families per epoch —
@@ -39,7 +47,7 @@ into the model-ops family (r11) and grows the ANN serving index (r12):
                            (pure per-row projection, no retraining);
                            the report probes the live index
 
-The report then reads every store (NINE families, no recomputation
+The report then reads every store (TEN families, no recomputation
 of history anywhere) and prints one JSON summary — the dashboard
 numbers a curation team watches between training runs.
 
@@ -53,8 +61,9 @@ Batch-overlap contract (SCALE.md store-family section): every store
 fed here is count-additive, so the file stream must deliver each
 document/event exactly once ACROSS batches — a replayed epoch is safe
 (idempotent ``batch_id=`` overwrite) but the same rows re-ingested
-under a NEW batch_id double-count; only the set-union families
-(``ActivityStore``, ``BloomStore``) tolerate overlapping ingest.
+under a NEW batch_id double-count; only the lattice-merge families
+(``ActivityStore``, ``BloomStore`` — set-union; ``GroupStore`` —
+min-label) tolerate overlapping ingest.
 """
 
 from __future__ import annotations
@@ -68,8 +77,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
     ExactDedupStore,
+    GroupStore,
+    LshIndex,
     ShingleDfStore,
     release_cached,
+    verify_candidate_pairs,
 )
 from vsphere_event_streaming_spark.functions.classifier import (  # noqa: E402
     AucCellStore,
@@ -137,7 +149,10 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
         n_buckets=QG_BUCKETS,
     )
 
-    # --- ONE pass per epoch feeds all four stores --------------------
+    lsh = LshIndex(spark, f"{work_dir}/lsh")
+    groups = GroupStore(spark, f"{work_dir}/groups")
+
+    # --- ONE pass per epoch feeds all five document stores -----------
     def process(batch_df, epoch_id: int) -> None:
         bid = f"m{epoch_id}"
         exact.add_batch(batch_df, bid)
@@ -149,6 +164,14 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
             ),
             bid,
         )
+        # incremental near-dup GROUPS (r13): band the epoch against
+        # history, re-score the candidates exactly (the semi-join
+        # inside verify touches candidate docs only), merge the
+        # verified pairs into the stored component labels
+        cands = lsh.add_batch(batch_df, batch_id=bid)
+        verified = verify_candidate_pairs(cands, docs, threshold=0.5)
+        groups.add_batch(verified, bid)
+        release_cached()
 
     stream = (
         spark.readStream.schema("doc_id long, text string, lang string")
@@ -287,14 +310,35 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
     # running corpus AUC off the merged (bin, cpos, cneg) cells
     running_auc = auc_store.auc().first()["auc"]
     # live ANN probe off the growing Matryoshka index: the min-id
-    # vector's nearest non-self neighbor (stage 1 reads prefixes only)
-    qvec, _ = min_id_query_split(emb)
-    ann = mrl_store.search(qvec, k=1).first()
+    # vector's nearest NON-SELF neighbor (stage 1 reads prefixes
+    # only). The store ingested every epoch including the query's own
+    # row, so k=1 would always return the query itself at cosine 1.0
+    # (ADVICE r12) — probe k=2 and drop the query id
+    qid = emb.agg(F.min("vec_id")).first()[0]
+    ann = next(
+        r
+        for r in mrl_store.search(min_id_query_split(emb)[0], k=2)
+        .collect()
+        if r["vec_id"] != qid
+    )
     # DAU/WAU stickiness off the same merged activity rows (r11):
     # latest observed day's ratio — the dashboard's headline number
     latest = (
         activity.stickiness()
         .orderBy(F.col("day_us").desc())
+        .limit(1)
+        .first()
+    )
+    # near-dup GROUP pressure off the merged component labels (r13):
+    # how many transitive dup clusters exist and how big the worst
+    # one is — the keep-one-per-group deletion forecast
+    grp = groups.labels().agg(
+        F.countDistinct("group_id").alias("n_groups"),
+        F.count(F.lit(1)).alias("grouped_docs"),
+    ).first()
+    worst = (
+        groups.group_sizes()
+        .orderBy(F.col("group_size").desc())
         .limit(1)
         .first()
     )
@@ -316,6 +360,9 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
         "ann_top1_score": ann["score"],
         "latest_dau": latest["dau"],
         "latest_stickiness": latest["stickiness"],
+        "neardup_groups": grp["n_groups"],
+        "neardup_grouped_docs": grp["grouped_docs"],
+        "neardup_max_group": worst["group_size"] if worst else 0,
     }
     release_cached()  # the novelty read path persists shingle arrays
     return summary

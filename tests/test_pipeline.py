@@ -1661,11 +1661,12 @@ def test_ivf_index_incremental_batches(spark, tmp_path):
 
 def test_corpus_monitor_example_end_to_end(spark, tmp_path):
     """The examples/ monitoring topology runs end-to-end: one
-    foreachBatch pass feeds four document store families per epoch
-    (plus an events pass feeding rate/frequency/activity and an
-    embeddings pass feeding the AUC cells — EIGHT families, r11), and
-    every summary figure read off the merged stores matches its batch
-    operator over the ingested corpus."""
+    foreachBatch pass feeds five document store families per epoch
+    (incl. the r13 LshIndex→GroupStore incremental near-dup pipeline;
+    plus an events pass feeding rate/frequency/activity and an
+    embeddings pass feeding the AUC cells and the MRL index — TEN
+    families), and every summary figure read off the merged stores
+    matches its batch operator over the ingested corpus."""
     import sys
 
     sys.path.insert(0, ".")
@@ -1745,6 +1746,36 @@ def test_corpus_monitor_example_end_to_end(spark, tmp_path):
     )
     assert out["latest_dau"] == last["dau"]
     assert out["latest_stickiness"] == last["stickiness"]
+    # the ANN probe reports a NON-SELF neighbor (ADVICE r12: the
+    # store ingests the query's own row, so an unfiltered k=1 probe
+    # was a degenerate self-match at cosine 1.0)
+    emb = load(spark, sf, "embeddings")
+    qid = emb.agg(F.min("vec_id")).first()[0]
+    assert out["ann_top1_id"] != qid
+    # the near-dup GROUP block — served off the merged GroupStore
+    # labels (r13) — matches batch dedup_groups over the batch
+    # LSH-verified pairs of the whole ingested corpus (per-epoch
+    # banding ∪ = batch banding, verified at the same threshold)
+    from vsphere_event_streaming_spark.functions.dedup import (
+        lsh_verified_pairs,
+        release_cached,
+    )
+    from vsphere_event_streaming_spark.operators.graph import dedup_groups
+
+    docs = load(spark, sf, "documents")
+    gl = dedup_groups(lsh_verified_pairs(docs, threshold=0.5))
+    want_groups = gl.select("group_id").distinct().count()
+    want_docs = gl.count()
+    want_max = (
+        gl.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .agg(F.max("s"))
+        .first()[0]
+    )
+    release_cached()
+    assert out["neardup_groups"] == want_groups > 0
+    assert out["neardup_grouped_docs"] == want_docs
+    assert out["neardup_max_group"] == want_max
 
 
 def test_matryoshka_recall_meets_ann_floor(spark):

@@ -1484,3 +1484,140 @@ class ExactDedupStore:
             )
             .select("keeper_id", "copies")
         )
+
+
+class GroupStore:
+    """Persistent incremental dedup-GROUP label store — the 17th
+    index/store family (r13, VERDICT_r12 #3): connected-component
+    labels over the verified near-dup pair graph, maintained
+    batch-by-batch instead of recomputed per corpus version. Closes
+    the last batch-only step in the canonical incremental dedup
+    pipeline (LshIndex finds the pairs incrementally; this store
+    turns them into keep-one-per-group labels incrementally).
+
+    What makes CC labels incrementally mergeable: a component's label
+    table is a CONTRACTION of its edge history — the star graph
+    (vertex → component) is connectivity-equivalent to every edge
+    ever ingested, and since the label is the component's min vertex
+    id (itself a member), min-id labels are preserved under the
+    contraction. So ``add_batch`` unions the new pairs with the
+    label-edges of only the TOUCHED components (components sharing a
+    vertex with the new pairs — everything else provably cannot
+    change), re-runs the distributed CC (``operators/graph.py``; the
+    star inputs keep the diameter ≈2, so it converges in ~3 rounds)
+    and writes the affected labels under an idempotent ``batch_id=``
+    partition. Work per batch is proportional to the touched
+    components, never to history.
+
+    Readout is a MIN-LATTICE merge: labels only ever decrease
+    (components merge, never split; a merge adopts the smaller min),
+    so stale partition rows are always ≥ the newest and
+    ``groupBy(vertex).min(component)`` is the current label table.
+    Like the other lattice families (ActivityStore, BloomStore —
+    set-union) this makes OVERLAPPING ingest safe: re-ingesting pairs
+    already merged is a no-op (union-find idempotence), so replayed
+    or even re-sliced batches converge. Labels are monotone
+    non-increasing per vertex across ingests.
+
+    Parity contract (pytest, tests/test_streaming.py): ``labels()``
+    after any batch sequence ≡ batch ``dedup_groups`` over the union
+    of all ingested pairs, bit-identical; replay idempotent;
+    foreachBatch form in ``streaming/dedup_stream.py``.
+
+    NOT safe: concurrent ``add_batch`` calls (each reads the merged
+    state — the foreachBatch topology is sequential by construction).
+    """
+
+    def __init__(self, spark, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def _has_batches(self) -> bool:
+        import os
+
+        return os.path.isdir(self.path) and any(
+            e.startswith("batch_id=") for e in os.listdir(self.path)
+        )
+
+    def add_batch(
+        self,
+        pairs: DataFrame,
+        batch_id: str,
+        id_a: str = "id_a",
+        id_b: str = "id_b",
+    ) -> int:
+        """Merge one batch of verified near-dup pairs into the stored
+        labels. ``pairs`` may reference any doc ids — new docs,
+        historical docs, or both (the LshIndex emits new↔history
+        pairs; that is the point). Returns affected label rows
+        written."""
+        from ..operators.graph import connected_components
+
+        part_dir = batch_partition_dir(batch_id)  # validates token
+        new_edges = pairs.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+        )
+        cc_in = new_edges
+        if self._has_batches():
+            cur = self.labels()
+            nv = new_edges.select(
+                F.explode(F.array("src", "dst")).alias("doc_id")
+            ).distinct()
+            touched = (
+                cur.join(nv, "doc_id", "left_semi")
+                .select("group_id")
+                .distinct()
+            )
+            # label-edges of the touched components only; self-loops
+            # (the component head's own row) add no connectivity —
+            # every head with members appears as a dst already
+            sub = (
+                cur.join(touched, "group_id", "left_semi")
+                .filter(F.col("doc_id") != F.col("group_id"))
+                .select(
+                    F.col("doc_id").alias("src"),
+                    F.col("group_id").alias("dst"),
+                )
+            )
+            cc_in = new_edges.unionByName(sub)
+        affected = (
+            connected_components(cc_in, "src", "dst")
+            .select(
+                F.col("vertex").alias("doc_id"),
+                F.col("component").alias("group_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = affected.count()
+        affected.write.mode("overwrite").parquet(f"{self.path}/{part_dir}")
+        return n
+
+    def labels(self) -> DataFrame:
+        """The merged ``(doc_id, group_id)`` label table over every
+        ingested batch — exactly batch :func:`~..operators.graph.
+        dedup_groups` over the union of all ingested pairs, by the
+        min-lattice argument in the class docstring. Raises a typed
+        error on a store with no ingested batches."""
+        if not self._has_batches():
+            raise ValueError(
+                f"GroupStore has no ingested batches: {self.path!r}"
+                " — call add_batch() first"
+            )
+        return (
+            self.spark.read.parquet(self.path)
+            .groupBy("doc_id")
+            .agg(F.min("group_id").alias("group_id"))
+        )
+
+    def group_sizes(self) -> DataFrame:
+        """(group_size, n_groups): the dup-cluster size histogram of
+        the merged labels — q_dedup_group_sizes' exact output over
+        everything ingested (two tiny aggregates over the label
+        table, never the corpus)."""
+        return (
+            self.labels()
+            .groupBy("group_id")
+            .agg(F.count(F.lit(1)).alias("group_size"))
+            .groupBy("group_size")
+            .agg(F.count(F.lit(1)).alias("n_groups"))
+        )

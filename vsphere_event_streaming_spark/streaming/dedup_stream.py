@@ -317,3 +317,50 @@ def start_incremental_bloom(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+#: Schema a verified-pair stream must carry (the `lsh_verified_pairs`
+#: / `verify_candidate_pairs` output layout).
+PAIR_STREAM_SCHEMA = "id_a long, id_b long, jaccard double"
+
+
+def start_incremental_groups(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    batch_prefix: str = "b",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream VERIFIED near-dup pair batches into a
+    :class:`~..functions.dedup.GroupStore` — the group-label half of
+    the canonical incremental dedup topology (r13, 17th family):
+    :func:`start_incremental_dedup` bands each doc batch against
+    history and emits candidates, the caller's
+    :func:`~..functions.dedup.verify_candidate_pairs` re-scores them
+    exactly, and each epoch of surviving pairs lands here — merged
+    into the stored connected-component labels under an idempotent
+    ``batch_id=`` partition, so ``store.labels()`` is the
+    keep-one-per-group table of everything ingested at any time,
+    bit-identical to batch ``dedup_groups`` over the union (pytest).
+    MIN-LATTICE merge: overlapping or replayed pair batches converge
+    (re-unioning merged pairs is a no-op). Same checkpoint/prefix
+    contract as :func:`start_incremental_dedup`."""
+    from ..functions.dedup import GroupStore
+
+    store = GroupStore(spark, store_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        store.add_batch(batch_df, batch_id=f"{batch_prefix}{epoch_id}")
+
+    reader = spark.readStream.schema(PAIR_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
