@@ -2565,3 +2565,115 @@ def test_incremental_group_store_and_stream(spark, tmp_path):
     # ---- empty store raises the typed error
     with _pytest.raises(ValueError, match="no ingested batches"):
         GroupStore(spark, f"{tmp_path}/gp_nope").labels()
+
+
+def test_text_store_ingest_survives_null_empty_cjk(spark, tmp_path):
+    """Ingest-path fuzz for the TEXT/SKETCH stores (VERDICT_r12 #4 —
+    the r12 vector-store fuzz caught a real ragged-np.stack crash;
+    same treatment here): a batch holding a NULL text, an empty
+    string, a whitespace-only row, and a CJK-only row must flow
+    through TermStatsStore / ShingleDfStore / ExactDedupStore /
+    BpeVocab ingest (and the BloomStore shingle path) without
+    crashing, AND the merged readout must still equal the batch
+    operator over the union — nasty rows may not poison parity for
+    the normal rows ingested beside them."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.bpe import BpeVocab
+    from vsphere_event_streaming_spark.functions.dedup import (
+        ExactDedupStore,
+        ShingleDfStore,
+        exact_dedup_keepers,
+        release_cached,
+        shingle_df_cells,
+        shingle_hash_arrays,
+    )
+    from vsphere_event_streaming_spark.functions.bpe import word_vocab
+    from vsphere_event_streaming_spark.functions.sketches import BloomStore
+    from vsphere_event_streaming_spark.functions.text import TermStatsStore
+
+    nasty = spark.createDataFrame(
+        [
+            (9101, None),
+            (9102, ""),
+            (9103, " \t\n  "),
+            (9104, "中文文本也要安全通过摄取路径"),
+            (9105, "mixed 中文 and english words"),
+        ],
+        "doc_id long, text string",
+    )
+    normal = spark.createDataFrame(
+        [
+            (9201, "the quick brown fox jumps over the lazy dog"),
+            (9202, "the quick brown fox jumps over the lazy dog"),
+            (9203, "plain english filler text for parity checking"),
+        ],
+        "doc_id long, text string",
+    )
+    union = nasty.unionByName(normal)
+
+    # --- TermStatsStore: merged cells ≡ one-batch-over-union cells
+    ts = TermStatsStore(spark, f"{tmp_path}/fz_ts")
+    ts.add_batch(nasty, "n0")
+    ts.add_batch(normal, "n1")
+    one = TermStatsStore(spark, f"{tmp_path}/fz_ts_one")
+    one.add_batch(union, "all")
+    assert sorted(
+        (r["term"], r["df"]) for r in ts.df_table().collect()
+    ) == sorted((r["term"], r["df"]) for r in one.df_table().collect())
+    s2, s1 = ts.stats().first(), one.stats().first()
+    assert (s2["n_docs"], s2["avgdl"]) == (s1["n_docs"], s1["avgdl"])
+
+    # --- ShingleDfStore: merged df table ≡ batch cells over union
+    sd = ShingleDfStore(spark, f"{tmp_path}/fz_sd")
+    sd.add_batch(nasty, "n0")
+    sd.add_batch(normal, "n1")
+    want_df = sorted(
+        (r["sh"], r["df"]) for r in shingle_df_cells(union).collect()
+    )
+    release_cached()
+    assert (
+        sorted((r["sh"], r["df"]) for r in sd.df_table().collect())
+        == want_df
+    )
+
+    # --- ExactDedupStore: keepers ≡ batch exact_dedup_keepers(union)
+    ek = ExactDedupStore(spark, f"{tmp_path}/fz_ek")
+    ek.add_batch(nasty, "n0")
+    ek.add_batch(normal, "n1")
+    assert sorted(
+        (r["keeper_id"], r["copies"]) for r in ek.keepers().collect()
+    ) == sorted(
+        (r["keeper_id"], r["copies"])
+        for r in exact_dedup_keepers(union).collect()
+    )
+
+    # --- BpeVocab: merged vocabulary ≡ word_vocab(union)
+    bv = BpeVocab(spark, f"{tmp_path}/fz_bv")
+    bv.add_batch(nasty, "n0")
+    bv.add_batch(normal, "n1")
+    assert sorted(
+        (r["word"], r["cnt"]) for r in bv.vocab().collect()
+    ) == sorted((r["word"], r["cnt"]) for r in word_vocab(union).collect())
+
+    # --- BloomStore via the shingle path (the streaming wrapper's
+    # exact ingest shape): nasty batch first, then normal — a normal
+    # shingle must probe as present afterwards
+    bs = BloomStore(spark, f"{tmp_path}/fz_bs")
+    for i, batch in enumerate((nasty, normal)):
+        sh = (
+            shingle_hash_arrays(batch)
+            .select(F.explode("sh_arr").alias("sh"))
+            .distinct()
+        )
+        bs.add_batch(sh, batch_id=f"n{i}", key_col="sh")
+        release_cached()
+    probe = (
+        shingle_hash_arrays(normal)
+        .select(F.explode("sh_arr").alias("sh"))
+        .distinct()
+    )
+    hits = bs.membership(probe, key_col="sh").filter("bloom_hit").count()
+    want_hits = probe.count()
+    release_cached()
+    assert hits == want_hits > 0
