@@ -487,6 +487,13 @@ def test_bench_headline_names_are_registered():
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, f"bench HEADLINE names not registered: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicates"
+    # the heavy-tail ambient-control block (r13) must name real
+    # headline members or its artifact rows silently vanish
+    tail_missing = [
+        n for n in bench.HEAVY_TAIL if n not in bench.HEADLINE
+    ]
+    assert not tail_missing, f"HEAVY_TAIL not in HEADLINE: {tail_missing}"
+    assert len(set(bench.HEAVY_TAIL)) == len(bench.HEAVY_TAIL)
 
 
 def test_tools_import_cleanly():
