@@ -237,6 +237,13 @@ HEADLINE = [
     "q_bpe_coverage",
     # packing fill/overflow summary over the pack cells
     "q_pack_efficiency",
+    # r13 additions: the dedup verdict table (pairs -> CC -> keep),
+    # asymmetric containment pairs, character-entropy quality, and
+    # the oracle-replayed HLL distinct sketch
+    "q_dedup_keep_list",
+    "q_dedup_containment",
+    "q_quality_entropy",
+    "q_sketch_hll",
 ]
 
 #: Pinned measurement spine (VERDICT_r6 #2). MEMBERSHIP IS FROZEN —

@@ -32,8 +32,13 @@ pass feeds three more families per epoch —
  - ``ActivityStore``     — distinct (user, day) activity rows (r11);
                            the cohort-retention table reads off the
                            merged rows, bit-identical to batch
-                           q_events_retention — the one SET-UNION
-                           family, safe even under overlapping ingest
+                           q_events_retention — set-union, safe even
+                           under overlapping ingest
+ - ``HllStore`` (r13)    — per-day distinct-user registers (the
+                           fixed-memory DAU sketch, q_sketch_hll's
+                           incremental form); max-lattice merge, also
+                           overlap-safe; the report prints the latest
+                           day's HLL estimate beside the exact DAU
 
 and the embedding stream scores through the FROZEN quality classifier
 into the model-ops family (r11) and grows the ANN serving index (r12):
@@ -47,7 +52,7 @@ into the model-ops family (r11) and grows the ANN serving index (r12):
                            (pure per-row projection, no retraining);
                            the report probes the live index
 
-The report then reads every store (TEN families, no recomputation
+The report then reads every store (ELEVEN families, no recomputation
 of history anywhere) and prints one JSON summary — the dashboard
 numbers a curation team watches between training runs.
 
@@ -90,6 +95,7 @@ from vsphere_event_streaming_spark.functions.classifier import (  # noqa: E402
 from vsphere_event_streaming_spark.functions.sketches import (  # noqa: E402
     ActivityStore,
     CmsStore,
+    HllStore,
     QuantileCellStore,
     RateCellStore,
 )
@@ -198,12 +204,29 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
     rate = RateCellStore(spark, f"{work_dir}/rate")
     cms = CmsStore(spark, f"{work_dir}/cms", key_col="event_type")
     activity = ActivityStore(spark, f"{work_dir}/activity")
+    hll = HllStore(spark, f"{work_dir}/hll", "user_id", ["d"])
 
     def process_events(batch_df, epoch_id: int) -> None:
         bid = f"e{epoch_id}"
         rate.add_batch(batch_df, bid)
         cms.add_batch(batch_df, bid)
         activity.add_batch(batch_df, bid)
+        # fixed-memory DAU registers (r13, max-lattice — the one
+        # events family that would stay ≤256 rows/day at any user
+        # count; the exact ActivityStore row set grows with users)
+        hll.add_batch(
+            batch_df.filter(
+                F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+            ).select(
+                F.floor(
+                    F.unix_micros("ts") / F.lit(86_400_000_000.0)
+                )
+                .cast("long")
+                .alias("d"),
+                "user_id",
+            ),
+            bid,
+        )
 
     ev_stream = (
         spark.readStream.schema(
@@ -329,6 +352,16 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
         .limit(1)
         .first()
     )
+    # fixed-memory DAU estimate for the SAME latest day the exact
+    # stickiness block reports (r13): the HLL registers' answer next
+    # to the exact one — the drift a dashboard watches before
+    # trusting the sketch at a scale where exact is unaffordable
+    latest_hll = (
+        hll.estimates()
+        .orderBy(F.col("d").desc())
+        .limit(1)
+        .first()
+    )
     # near-dup GROUP pressure off the merged component labels (r13):
     # how many transitive dup clusters exist and how big the worst
     # one is — the keep-one-per-group deletion forecast
@@ -360,6 +393,7 @@ def monitor_corpus(spark, sf_dir: str, work_dir: str) -> dict:
         "ann_top1_score": ann["score"],
         "latest_dau": latest["dau"],
         "latest_stickiness": latest["stickiness"],
+        "latest_dau_hll": latest_hll["est_distinct"],
         "neardup_groups": grp["n_groups"],
         "neardup_grouped_docs": grp["grouped_docs"],
         "neardup_max_group": worst["group_size"] if worst else 0,

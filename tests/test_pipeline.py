@@ -1663,8 +1663,8 @@ def test_corpus_monitor_example_end_to_end(spark, tmp_path):
     """The examples/ monitoring topology runs end-to-end: one
     foreachBatch pass feeds five document store families per epoch
     (incl. the r13 LshIndex→GroupStore incremental near-dup pipeline;
-    plus an events pass feeding rate/frequency/activity and an
-    embeddings pass feeding the AUC cells and the MRL index — TEN
+    plus an events pass feeding rate/frequency/activity/HLL and an
+    embeddings pass feeding the AUC cells and the MRL index — ELEVEN
     families), and every summary figure read off the merged stores
     matches its batch operator over the ingested corpus."""
     import sys
@@ -1746,6 +1746,25 @@ def test_corpus_monitor_example_end_to_end(spark, tmp_path):
     )
     assert out["latest_dau"] == last["dau"]
     assert out["latest_stickiness"] == last["stickiness"]
+    # the HLL block — served off the MERGED register cells (r13,
+    # max-lattice parity is test_incremental_hll_store) — is the
+    # declared q_sketch_hll estimate for the same latest day
+    from vsphere_event_streaming_spark.queries.advanced_queries import (
+        q_sketch_hll,
+    )
+
+    hll_last = (
+        q_sketch_hll(spark, sf)
+        .orderBy(F.col("day_us").desc())
+        .limit(1)
+        .first()
+    )
+    assert out["latest_dau_hll"] == hll_last["est_dau"]
+    assert (
+        abs(out["latest_dau_hll"] - out["latest_dau"])
+        / out["latest_dau"]
+        < 0.20
+    )
     # the ANN probe reports a NON-SELF neighbor (ADVICE r12: the
     # store ingests the query's own row, so an unfiltered k=1 probe
     # was a degenerate self-match at cosine 1.0)

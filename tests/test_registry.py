@@ -291,6 +291,14 @@ ROTATED_OUT_R13 = (
     "q_training_shuffle",
     "q_url_domains",
     "q_vector_sq",
+    # r13-new, declared OUT of the window (window pinned to the
+    # staleness-repayment plan); oracled — selfcheck + the
+    # documents/events fuzz families cover them until their r14
+    # driver rows
+    "q_dedup_keep_list",
+    "q_quality_entropy",
+    "q_dedup_containment",
+    "q_sketch_hll",
 )
 
 

@@ -2677,3 +2677,83 @@ def test_text_store_ingest_survives_null_empty_cjk(spark, tmp_path):
     want_hits = probe.count()
     release_cached()
     assert hits == want_hits > 0
+
+
+def test_incremental_hll_store(spark, tmp_path):
+    """HllStore (the 18th store family, r13): per-day distinct-user
+    registers ingested in two OVERLAPPING batches (event-id split —
+    most users appear in both halves, so the per-bucket MAX merge is
+    load-bearing, not decorative) read out estimates BIT-IDENTICAL
+    to the batch hll_estimates over the union; a replayed batch and
+    a full overlapping re-ingest both converge (max-lattice); the
+    estimates track the exact per-day distinct counts within the
+    family's error bound; an empty store raises the typed error."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.sketches import (
+        HllStore,
+        hll_cells,
+        hll_estimates,
+    )
+    from vsphere_event_streaming_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    base = ev.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0))
+        .cast("long")
+        .alias("d"),
+        "user_id",
+    )
+    want = sorted(
+        (r["d"], r["est_distinct"])
+        for r in hll_estimates(
+            hll_cells(base, "user_id", ["d"]), ["d"]
+        ).collect()
+    )
+
+    store = HllStore(spark, f"{tmp_path}/hll", "user_id", ["d"])
+    with _pytest.raises(ValueError, match="no ingested batches"):
+        store.estimates()
+    ids = ev.select("event_id", "ts", "user_id")
+    for b in range(2):
+        batch = ids.filter(F.col("event_id") % 2 == b).select(
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0))
+            .cast("long")
+            .alias("d"),
+            "user_id",
+        )
+        store.add_batch(batch, f"h{b}")
+
+    def got():
+        return sorted(
+            (r["d"], r["est_distinct"])
+            for r in store.estimates().collect()
+        )
+
+    assert got() == want and want
+    # replayed epoch (same batch_id) and full-overlap re-ingest both
+    # converge — registers can only stay or grow to the union MAX
+    store.add_batch(
+        ids.filter(F.col("event_id") % 2 == 1).select(
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0))
+            .cast("long")
+            .alias("d"),
+            "user_id",
+        ),
+        "h1",
+    )
+    store.add_batch(base, "h2")  # every row again
+    assert got() == want
+
+    # accuracy: each day's estimate within 3x the 1.04/sqrt(m) bound
+    exact = {
+        r["d"]: r["n"]
+        for r in base.groupBy("d")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for d, est in want:
+        assert abs(est - exact[d]) / exact[d] < 0.20, (d, est, exact[d])

@@ -881,6 +881,59 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Window",
         ],
     ],
+    # near-dup keep list (r13): the CC labels are materialized at
+    # build time (localCheckpoint per label-propagation round, the
+    # operators/graph.py contract), so the returned plan is the
+    # labels-sized scan joined back to doc ids — no Python, no
+    # cartesian, no window
+    "q_dedup_keep_list": [
+        [r"Join"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+            r"Window",
+        ],
+    ],
+    # asymmetric containment (r13): the L2 inverted-index shape —
+    # shared-shingle equi-join + hash aggregate, never a pair-
+    # producing nested loop, no Python, no window
+    "q_dedup_containment": [
+        [r"HashAggregate", r"Join"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+            r"Window",
+        ],
+    ],
+    # character entropy (r13): explode + (doc, char) hash aggregate +
+    # per-doc sorted fold — codegen end to end, no Python, no window,
+    # no cartesian
+    "q_quality_entropy": [
+        [r"HashAggregate", r"Generate"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+            r"Window",
+        ],
+    ],
+    # HLL sketch (r13): ONE map-side-combined register aggregate +
+    # the 30-row est/exact join — no Python, no cartesian, no window
+    "q_sketch_hll": [
+        [r"HashAggregate", r"Join"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+            r"Window",
+        ],
+    ],
     # minhash estimator accuracy: banded candidates + signature and
     # shingle-array joins over CANDIDATES only — no cartesian, no
     # window, no Python

@@ -25,6 +25,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
+    containment_pairs,
     contamination_report,
     exact_dedup_keepers,
     jaccard_pairs,
@@ -32,6 +33,10 @@ from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
     lsh_candidate_pairs,
     lsh_verified_pairs,
     release_cached,
+)
+from vsphere_event_streaming_spark.functions.sketches import (  # noqa: E402
+    hll_cells,
+    hll_estimates,
 )
 from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
     repeated_spans,
@@ -1389,6 +1394,57 @@ def _sem_scaled_pairs(spark, n: int) -> tuple[float, int, int]:
     return round(time.perf_counter() - t0, 2), k, pairs
 
 
+def _entropy_shape(docs):
+    """q_quality_entropy's plan: (doc, char) hash aggregate + the
+    char-ordered per-doc fold."""
+    ex = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "")
+        ).alias("c"),
+    ).filter(F.col("c") != "")
+    return (
+        ex.groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("c", "cnt"))),
+                    lambda s: s.cnt.cast("double")
+                    * F.log2(s.cnt.cast("double")),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda a, x: a + x,
+            ).alias("sc"),
+        )
+    )
+
+
+def _keep_list_shape(docs):
+    """q_dedup_keep_list's plan: pairs -> CC labels -> one
+    labels-sized left join back to doc ids."""
+    from vsphere_event_streaming_spark.operators.graph import dedup_groups
+
+    gl = dedup_groups(jaccard_pairs(docs, 0.5))
+    return docs.select("doc_id").join(gl, "doc_id", "left")
+
+
+def _hll_shape(ev):
+    """q_sketch_hll's register plan: one map-side-combined aggregate
+    into <= 256 register cells per day + the per-day estimate."""
+    base = ev.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0))
+        .cast("long")
+        .alias("d"),
+        "user_id",
+    )
+    return hll_estimates(hll_cells(base, "user_id", ["d"]), ["d"])
+
+
 def _time(fn) -> tuple[float, int]:
     t0 = time.perf_counter()
     df = fn()
@@ -1862,6 +1918,36 @@ def main() -> None:
             "events_burstiness",
             lambda: _burstiness_shape(evt1),
             lambda: _burstiness_shape(evtN),
+        ),
+        # r13: asymmetric containment — the L2 inverted-index shape;
+        # like jaccard_pairs this is the oracle-tier baseline (pair
+        # rows grow with shared-shingle k², the documented skew note)
+        (
+            "containment_pairs",
+            lambda: containment_pairs(docs1, 0.9),
+            lambda: containment_pairs(docsN, 0.9),
+        ),
+        # r13: character entropy — explode + (doc, char) aggregate +
+        # per-doc fold over a <= alphabet-size array: rows-linear
+        (
+            "char_entropy",
+            lambda: _entropy_shape(docs1),
+            lambda: _entropy_shape(docsN),
+        ),
+        # r13: keep list — pairs -> CC labels -> labels-sized join;
+        # CC cost tracks the EDGE table, not the corpus
+        (
+            "dedup_keep_list",
+            lambda: _keep_list_shape(docs1),
+            lambda: _keep_list_shape(docsN),
+        ),
+        # r13: HLL registers — one map-side-combined aggregate into
+        # <= 256 cells/day however many users: rows-linear scan,
+        # constant output
+        (
+            "hll_registers",
+            lambda: _hll_shape(evu1),
+            lambda: _hll_shape(evuN),
         ),
     ]:
         if only and name not in only:

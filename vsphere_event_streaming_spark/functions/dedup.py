@@ -172,6 +172,50 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """L2j (r13): ASYMMETRIC containment — pairs where the smaller
+    document's shingle set is (almost) a subset of the larger's:
+    ``C(small→big) = |S∩B| / |S| ≥ threshold`` with ``n_small <
+    n_big`` strictly. This is the quote/embedding detector symmetric
+    Jaccard structurally misses: a tweet pasted into a long article
+    has Jaccard ≈ |tweet|/|article| ≈ 0 but containment ≈ 1, and
+    dedup policy for containment (keep the superset, or keep both)
+    differs from near-dup policy — so it is its own operator in
+    every web-corpus pipeline.
+
+    Same inverted-index shape as :func:`jaccard_pairs` (shared
+    shingles aggregated to an intersection count; shuffle rows are
+    three int64s; the same stop-shingle skew note applies at web
+    scale), with the asymmetric length filter ``na < nb`` applied
+    pre-aggregation: containment needs no upper length bound on the
+    big side, so only the strict size ordering prunes."""
+    sh = shingle_hash_table(docs, text_col, id_col, n)
+    a = sh.select(
+        F.col("id").alias("id_small"), F.col("n_sh").alias("n_small"), "sh"
+    )
+    b = sh.select(
+        F.col("id").alias("id_big"), F.col("n_sh").alias("n_big"), "sh"
+    )
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("n_small") < F.col("n_big"))
+        .groupBy("id_small", "id_big", "n_small", "n_big")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cont = F.col("common").cast("double") / F.col("n_small").cast("double")
+    return (
+        inter.withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_small", "id_big", "n_small", "n_big", "containment")
+    )
+
+
 def char_shingle_hash_arrays(
     docs: DataFrame,
     text_col: str = "text",

@@ -803,3 +803,177 @@ class BloomStore:
         return bloom_membership(
             self.bits(), probes, key_col, self.m, self.h
         )
+
+
+# ----------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (r13): cells, readout, store —
+# ONE implementation shared by the declared query (q_sketch_hll), the
+# oracle replay, and HllStore, so the three can never drift (the CMS
+# discipline). Fixed-memory distinct counting is the third classic
+# sketch a monitoring pipeline runs next to CMS (frequency) and Bloom
+# (membership).
+# ----------------------------------------------------------------------
+
+#: Register-index bits / register count. m=256 gives the standard
+#: 1.04/sqrt(m) ≈ 6.5% relative error at a 256-row cell table per
+#: group — broadcastable at any corpus size, like the Bloom cells.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+#: The hashed value (md5 60-bit, the engine-portable hash) splits
+#: into the low HLL_P bucket bits and a (60-P)-bit window whose
+#: leading-zero count is the register rank — so the max rank is
+#: 60 - P + 1 = 53, and 2^(HLL_RANK_MAX - rank) sums stay exact
+#: BIGINTs (≤ m·2^53 < 2^63).
+HLL_RANK_MAX = 60 - HLL_P + 1
+#: alpha_m · m² for m=256 (Flajolet et al. 2007, the standard bias
+#: constant) — ONE literal injected into both engines, so the float
+#: arithmetic is bit-identical.
+HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M
+
+
+def hll_cells(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """The HLL as its ≤ m MAX-mergeable ``(bucket, r)`` register
+    cells per group — ONE map-side-combined hash aggregate. Register
+    maxima merge by MAX across ANY batch split (the defining HLL
+    property): overlapping or replayed ingest converges, making this
+    the max-lattice sibling of the set-union families.
+
+    NULL keys are excluded (they are not a countable identity, and
+    both engines must agree)."""
+    group_cols = list(group_cols or [])
+    key = F.col(key_col).cast("string")
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    # bit ops, NOT division: h is 60-bit, and a long/int division in
+    # Spark goes through double — precision loss above 2^53 would
+    # silently diverge from DuckDB's integer >>
+    w = F.shiftright(h, HLL_P)
+    rank = F.when(
+        w > 0, F.lit(HLL_RANK_MAX) - F.length(F.conv(w, 10, 2))
+    ).otherwise(F.lit(HLL_RANK_MAX))
+    return (
+        df.filter(key.isNotNull())
+        .select(
+            *group_cols,
+            h.bitwiseAND(F.lit(HLL_M - 1)).cast("int").alias("bucket"),
+            rank.cast("int").alias("r"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimates(
+    cells: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-group HLL cardinality estimate off merged register cells.
+
+    Exact-determinism shape: the indicator sum Z is computed SCALED
+    as Σ 2^(RANK_MAX − r) over present registers plus V·2^RANK_MAX
+    for the absent ones — exact BIGINT addition, order-free — and
+    only the final alpha·m²·2^RANK_MAX / Z division is float, so the
+    estimate is bit-identical in any engine given the same cells.
+    Small-range correction (E ≤ 2.5m with empty registers) uses the
+    standard linear-counting m·ln(m/V)."""
+    group_cols = list(group_cols or [])
+    agg = cells.groupBy(*group_cols).agg(
+        # the PySpark shiftleft wrapper takes a literal shift only;
+        # the SQL form accepts a column amount
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {HLL_RANK_MAX} - r)"
+            )
+        ).alias("z_present"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    v = F.lit(HLL_M) - F.col("present")
+    z_scaled = F.col("z_present") + v.cast("long") * F.lit(
+        1 << HLL_RANK_MAX
+    ).cast("long")
+    raw = (
+        F.lit(HLL_ALPHA_M2)
+        * F.lit(float(1 << HLL_RANK_MAX))
+        / F.col("z_scaled").cast("double")
+    )
+    est = F.when(
+        (F.col("raw") <= 2.5 * HLL_M) & (v > 0),
+        F.round(
+            F.lit(float(HLL_M))
+            * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+            4,
+        ),
+    ).otherwise(F.round(F.col("raw"), 4))
+    return (
+        agg.withColumn("z_scaled", z_scaled)
+        .withColumn("raw", raw)
+        .select(*group_cols, est.alias("est_distinct"))
+    )
+
+
+class HllStore:
+    """Persistent incremental HyperLogLog store — the 18th
+    index/store family (r13) and the max-lattice member of the
+    lattice-merge group (ActivityStore/BloomStore: set-union;
+    GroupStore: min-label): per-batch state is the batch's ≤ m
+    register cells per group, the merged sketch is the per-register
+    MAX over every ingested batch — so replayed AND overlapping
+    ingest both converge (re-hashing a key can never lower a
+    register). The monitoring shape: distinct users / distinct URLs
+    per key over a growing log at fixed memory, read at any time
+    without touching history.
+
+    Same crash contract as every store: a batch write OVERWRITES its
+    own ``batch_id=`` partition directory (idempotent replay);
+    per-batch state is ≤ m rows per group, never per-row."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        key_col: str,
+        group_cols: list[str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.group_cols = list(group_cols or [])
+
+    def add_batch(self, df: DataFrame, batch_id: str) -> int:
+        """Collapse the batch to register cells and persist them as
+        an idempotent partition directory. Returns cells written."""
+        from .dedup import batch_partition_dir
+
+        part_dir = batch_partition_dir(batch_id)  # validates token
+        cells = hll_cells(df, self.key_col, self.group_cols).localCheckpoint(
+            eager=True
+        )
+        n = cells.count()
+        cells.write.mode("overwrite").parquet(f"{self.path}/{part_dir}")
+        return n
+
+    def cells(self) -> DataFrame:
+        """The merged register table over every ingested batch —
+        exactly the full-corpus :func:`hll_cells` by MAX
+        mergeability. Raises the store-family typed error on a store
+        with no ingested batches."""
+        import os
+
+        if not os.path.isdir(self.path) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.path)
+        ):
+            raise ValueError(
+                f"HllStore has no ingested batches: {self.path!r}"
+                " — call add_batch() first"
+            )
+        return (
+            self.spark.read.parquet(self.path)
+            .groupBy(*self.group_cols, "bucket")
+            .agg(F.max("r").alias("r"))
+        )
+
+    def estimates(self) -> DataFrame:
+        """Per-group distinct-count estimates off the merged
+        registers — bit-identical to the batch estimate over the
+        union of everything ingested."""
+        return hll_estimates(self.cells(), self.group_cols)

@@ -176,6 +176,70 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# L2j: asymmetric CONTAINMENT pairs (quote/embedding detector)
+# ======================================================================
+#: Containment cutoff for the declared query: the planted dup tier
+#: sits at ~1.0, background pairs below 0.35 (measured at both test
+#: SFs), so 0.9 is non-vacuous and well-separated everywhere.
+CONTAINMENT_T = 0.9
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_duck_shingle_hashes()},
+    ex AS (
+      SELECT doc_id, len(sh_arr) AS n_sh, unnest(sh_arr) AS sh
+      FROM sha WHERE len(sh_arr) > 0
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+             any_value(a.n_sh) AS n_small, any_value(b.n_sh) AS n_big,
+             count(*) AS common
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.n_sh < b.n_sh
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_small, id_big,
+           CAST(n_small AS BIGINT) AS n_small,
+           CAST(n_big AS BIGINT) AS n_big,
+           round(CAST(common AS DOUBLE) / CAST(n_small AS DOUBLE), 6)
+             AS containment
+    FROM inter
+    WHERE round(CAST(common AS DOUBLE) / CAST(n_small AS DOUBLE), 6)
+          >= {CONTAINMENT_T}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment pairs (r13) — the quote/embedding
+    detector the symmetric Jaccard tier structurally misses: a short
+    document pasted inside a long one has Jaccard ≈ |small|/|big| ≈ 0
+    (the length filter prunes it before scoring) but containment
+    |S∩B|/|S| ≈ 1, and the dedup policy differs (keep the superset /
+    keep both) — so every web-corpus pipeline runs it as its own
+    pass. Output: (id_small, id_big, sizes, containment ≥ 0.9) with
+    n_small < n_big strictly (equal-size mutual containment IS the
+    Jaccard-1 case q_dedup_near already owns).
+
+    Same inverted-index shape and cost as q_dedup_near (shared
+    shingle hashes, three-int64 shuffle rows, the documented
+    stop-shingle skew note at web scale); the asymmetric size filter
+    applies pre-aggregation. Exact-tier baseline — the scale path
+    composes the LshIndex candidates with this scorer the way
+    verify_candidate_pairs does for Jaccard."""
+    from ..functions.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=CONTAINMENT_T
+    ).select(
+        "id_small",
+        "id_big",
+        F.col("n_small").cast("bigint").alias("n_small"),
+        F.col("n_big").cast("bigint").alias("n_big"),
+        "containment",
+    )
+
+
+# ======================================================================
 # L2a': stop-shingle-pruned exact Jaccard (the web-scale variant)
 # ======================================================================
 @query(
@@ -1204,6 +1268,118 @@ def _quality_oracle() -> str:
     """
 
 
+# ======================================================================
+# L4''': character-entropy quality signal
+# ======================================================================
+def _entropy_oracle() -> str:
+    """Replays the ordered-fold entropy exactly: per-(doc, char)
+    BIGINT counts, the Σ c·log2(c) terms folded in CHARACTER order
+    (both engines sum the identical term list left-to-right — the
+    zipf/KL float-determinism pattern), one final division + round."""
+    return """
+    WITH ch AS (
+      SELECT doc_id, c, count(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(coalesce(text, ''), '(?s).')) AS c
+        FROM documents
+      ) GROUP BY doc_id, c
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_chars,
+             CAST(count(*) AS BIGINT) AS distinct_chars,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))
+                      ORDER BY c)),
+               (a, b) -> a + b) AS sc
+      FROM ch GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_chars, CAST(0 AS BIGINT)) AS n_chars,
+           coalesce(a.distinct_chars, CAST(0 AS BIGINT)) AS distinct_chars,
+           CASE WHEN coalesce(a.n_chars, 0) = 0 THEN 0.0
+                ELSE round(log2(CAST(a.n_chars AS DOUBLE))
+                           - a.sc / CAST(a.n_chars AS DOUBLE), 6)
+           END AS entropy_bits
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@query("q_quality_entropy", oracle=_entropy_oracle())
+def q_quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-ENTROPY quality signal (r13) — the classic cheap
+    spam/garbage detector the heuristic tier (length/stopword/punct
+    ratios, repetition, bigram LM, readability) did not yet carry:
+    per-document Shannon entropy over characters. Near-zero entropy
+    = one repeated character (padding spam); unusually high entropy
+    = binary/base64 junk pasted into text — both standard cut
+    criteria in web-corpus pipelines.
+
+    Exact-determinism shape (the zipf/KL precedent): character
+    counts are exact BIGINTs; the only floats are the Σ c·log2(c)
+    terms, folded in SORTED CHARACTER ORDER in both engines (Spark:
+    sort_array(collect_list(struct)) + F.aggregate; DuckDB:
+    list(... ORDER BY c) + list_reduce), so the left-to-right sum is
+    bit-identical and H = log2(n) − sc/n rounds to the same 6
+    decimals. NULL/empty docs keep (0, 0, 0.0) via the left join.
+
+    Scale shape: one explode + (doc, char) hash aggregate (map-side
+    combined; ≤ alphabet-size rows per doc), one per-doc fold over a
+    ≤ alphabet-size array — no window, no join beyond the final
+    labels-sized left join back to doc ids, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "")
+        ).alias("c"),
+    ).filter(F.col("c") != "")
+    per = (
+        ex.groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("c", "cnt"))
+                    ),
+                    lambda s: s.cnt.cast("double")
+                    * F.log2(s.cnt.cast("double")),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda a, x: a + x,
+            ).alias("sc"),
+        )
+    )
+    entropy = F.when(
+        F.coalesce("n_chars", F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.log2(F.col("n_chars").cast("double"))
+            - F.col("sc") / F.col("n_chars").cast("double"),
+            6,
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars", F.lit(0).cast("bigint")).alias(
+                "n_chars"
+            ),
+            F.coalesce(
+                "distinct_chars", F.lit(0).cast("bigint")
+            ).alias("distinct_chars"),
+            entropy.alias("entropy_bits"),
+        )
+    )
+
+
 @query("q_quality_score", oracle=_quality_oracle())
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1509,6 +1685,65 @@ def q_dedup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_size"))
         .groupBy("group_size")
         .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+# ======================================================================
+# L2i: near-dup KEEP LIST (the dedup pipeline's final verdict table)
+# ======================================================================
+def _keep_list_oracle() -> str:
+    base = _dedup_groups_oracle()
+    final = "SELECT a AS doc_id, least(a, min(b)) AS group_id FROM reach GROUP BY a"
+    assert base.rstrip().endswith(final)
+    return (
+        base.rstrip()[: -len(final)]
+        + """, klab AS (
+      SELECT a AS doc_id, least(a, min(b)) AS group_id
+      FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           coalesce(k.group_id, d.doc_id) AS group_id,
+           CAST(CASE WHEN coalesce(k.group_id, d.doc_id) = d.doc_id
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM documents d LEFT JOIN klab k USING (doc_id)
+    """
+    )
+
+
+@query("q_dedup_keep_list", oracle=_keep_list_oracle())
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup KEEP LIST (r13) — the verdict table the whole dedup
+    pipeline exists to produce: one row per document with its
+    transitive group and the keep/drop decision. Pairs (L2) →
+    connected components (L2') → keep-one-per-group, materialized
+    over the FULL corpus (ungrouped docs are their own keeper via
+    the left join), so a curation run can anti-join the drop set in
+    one step instead of re-deriving it from the label table.
+
+    The keeper convention falls out of the CC labels for free: the
+    component label IS the min member id (operators/graph.py), so
+    keep = (doc_id == group_id) — no second aggregate over groups,
+    no extra shuffle beyond the L2' machinery this composes. keep is
+    CAST to INT for the cross-engine value hash (the engine-wide
+    boolean-column convention).
+
+    Scale shape: exactly q_dedup_groups' plan (bucketed pair
+    generation + O(log d) label propagation over the edges-sized
+    table) plus ONE left broadcast-or-shuffle join back to the doc
+    ids — the labels table is components-sized, never corpus-sized.
+    Oracle extends the same recursive-closure chain."""
+    from ..functions.dedup import jaccard_pairs
+    from ..operators.graph import dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    gl = dedup_groups(pairs)
+    return docs.select("doc_id").join(gl, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("group_id", "doc_id").alias("group_id"),
+        (F.coalesce("group_id", "doc_id") == F.col("doc_id"))
+        .cast("int")
+        .alias("keep"),
     )
 
 

@@ -292,6 +292,14 @@ PRIORITY: tuple[str, ...] = (
     "q_training_shuffle",
     "q_url_domains",
     "q_vector_sq",
+    # r13-new, declared OUT of the window (the r13 window is pinned
+    # to the staleness-repayment plan above); oracled — selfcheck +
+    # the documents/events fuzz families cover them until their r14
+    # driver rows
+    "q_dedup_keep_list",
+    "q_quality_entropy",
+    "q_dedup_containment",
+    "q_sketch_hll",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
