@@ -276,6 +276,10 @@ HEAVY_TAIL = [
     "q_dedup_media",
     "q_dedup_media_robust",
     "q_pipeline_select",
+    # r13 observation: read 7.42 min-of-2 IN-SET on the early run but
+    # 2.08 isolated (r12 ledger 1.93) — the strongest full-set
+    # co-tenancy case measured yet, so it carries the control too
+    "q_repeated_spans",
 ]
 
 SPINE = [
