@@ -223,9 +223,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same inverted-index shape and cost as q_dedup_near (shared
     shingle hashes, three-int64 shuffle rows, the documented
     stop-shingle skew note at web scale); the asymmetric size filter
-    applies pre-aggregation. Exact-tier baseline — the scale path
-    composes the LshIndex candidates with this scorer the way
-    verify_candidate_pairs does for Jaccard."""
+    applies pre-aggregation. Exact-tier baseline — note the scale
+    path is the DF-CAPPED inverted index (the jaccard_pairs_pruned
+    machinery), NOT MinHash banding: band collision probability
+    tracks symmetric Jaccard, and a high-containment pair of very
+    different sizes has jac ≈ n_small/n_big ≈ 0 — banding would miss
+    exactly the pairs this operator exists to find."""
     from ..functions.dedup import containment_pairs
 
     return containment_pairs(
