@@ -242,6 +242,7 @@ HEADLINE = [
     # the oracle-replayed HLL distinct sketch
     "q_dedup_keep_list",
     "q_dedup_containment",
+    "q_dedup_containment_pruned",
     "q_quality_entropy",
     "q_sketch_hll",
 ]

@@ -298,6 +298,7 @@ ROTATED_OUT_R13 = (
     "q_dedup_keep_list",
     "q_quality_entropy",
     "q_dedup_containment",
+    "q_dedup_containment_pruned",
     "q_sketch_hll",
 )
 

@@ -909,6 +909,20 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
             r"Window",
         ],
     ],
+    # pruned containment (r13): same contract as the unpruned form,
+    # plus the 1-row frequent-shingle broadcast (BroadcastNestedLoopJoin
+    # on a literal TRUE condition is the DOCUMENTED 1-row attach shape
+    # from jaccard_pairs_pruned — allowed; a pair-producing cartesian
+    # still is not)
+    "q_dedup_containment_pruned": [
+        [r"HashAggregate", r"Join"],
+        [
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Window",
+        ],
+    ],
     # character entropy (r13): explode + (doc, char) hash aggregate +
     # per-doc sorted fold — codegen end to end, no Python, no window,
     # no cartesian

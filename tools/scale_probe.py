@@ -26,6 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from vsphere_event_streaming_spark.functions.dedup import (  # noqa: E402
     containment_pairs,
+    containment_pairs_pruned,
     contamination_report,
     exact_dedup_keepers,
     jaccard_pairs,
@@ -1926,6 +1927,18 @@ def main() -> None:
             "containment_pairs",
             lambda: containment_pairs(docs1, 0.9),
             lambda: containment_pairs(docsN, 0.9),
+        ),
+        # r13: pruned containment — the scale path: global df cap
+        # bounds the join at df^2 rows per surviving shingle. The cap
+        # scales with the corpus (5 -> 5*factor), the
+        # semantic_cells_scaled_k precedent: replicas multiply every
+        # df by the factor, so a FIXED cap prunes the whole corpus
+        # (measured: rows_10x = 0) — df caps are corpus-relative
+        # knobs by definition
+        (
+            "containment_pruned",
+            lambda: containment_pairs_pruned(docs1, 0.9, 5),
+            lambda: containment_pairs_pruned(docsN, 0.9, 5 * factor),
         ),
         # r13: character entropy — explode + (doc, char) aggregate +
         # per-doc fold over a <= alphabet-size array: rows-linear

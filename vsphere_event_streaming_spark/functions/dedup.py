@@ -335,23 +335,7 @@ def jaccard_pairs_pruned(
     for corpora with hundreds of shingles per doc, where the prefix
     ratio actually bites.
     """
-    arrs = shingle_hash_arrays(docs, text_col, id_col, n)
-    sh = arrs.select("id", F.explode("sh_arr").alias("sh"))
-    freq_row = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_doc_freq)
-        .agg(F.collect_set("sh").alias("freq"))
-    )
-    kept = (
-        arrs.join(F.broadcast(freq_row))
-        .select(
-            "id", F.array_except("sh_arr", "freq").alias("arr2")
-        )
-        .withColumn("n_sh2", F.size("arr2"))
-        .filter(F.col("n_sh2") > 0)
-    )
-    kept = _persist(kept)
+    kept = _pruned_shingle_table(docs, max_doc_freq, text_col, id_col, n)
     a = kept.select(
         F.col("id").alias("id_a"),
         F.col("n_sh2").alias("na"),
@@ -379,6 +363,84 @@ def jaccard_pairs_pruned(
         inter.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _pruned_shingle_table(
+    docs: DataFrame,
+    max_doc_freq: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The persisted stop-shingle-pruned ``(id, arr2, n_sh2)`` table
+    (df > max_doc_freq dropped globally, in ARRAY form via one 1-row
+    broadcast + array_except — the jaccard_pairs_pruned plan notes) —
+    shared by the symmetric (jaccard) and asymmetric (containment)
+    pruned scorers so the pruned universe can never drift between
+    them. Caller releases via :func:`release_cached`."""
+    arrs = shingle_hash_arrays(docs, text_col, id_col, n)
+    sh = arrs.select("id", F.explode("sh_arr").alias("sh"))
+    freq_row = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .agg(F.collect_set("sh").alias("freq"))
+    )
+    kept = (
+        arrs.join(F.broadcast(freq_row))
+        .select(
+            "id", F.array_except("sh_arr", "freq").alias("arr2")
+        )
+        .withColumn("n_sh2", F.size("arr2"))
+        .filter(F.col("n_sh2") > 0)
+    )
+    return _persist(kept)
+
+
+def containment_pairs_pruned(
+    docs: DataFrame,
+    threshold: float,
+    max_doc_freq: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """L2j at web scale: asymmetric containment over the
+    stop-shingle-pruned universe — the SCALE PATH for
+    :func:`containment_pairs` (r13). MinHash banding cannot serve
+    containment (collision probability tracks symmetric Jaccard, and
+    a high-containment pair of very different sizes has jac ≈
+    n_small/n_big ≈ 0), so the join bound comes from the df cap
+    instead: dropping shingles with document frequency >
+    ``max_doc_freq`` globally caps the inverted-index join at df²
+    rows per surviving shingle — exactly the
+    :func:`jaccard_pairs_pruned` argument, over the SAME pruned
+    table (shared ``_pruned_shingle_table``). Containment is then
+    exact over the pruned sets (deterministic, engine-reproducible;
+    sizes are the pruned sizes, like the pruned-jaccard contract)."""
+    kept = _pruned_shingle_table(docs, max_doc_freq, text_col, id_col, n)
+    a = kept.select(
+        F.col("id").alias("id_small"),
+        F.col("n_sh2").alias("n_small"),
+        F.explode("arr2").alias("sh"),
+    )
+    b = kept.select(
+        F.col("id").alias("id_big"),
+        F.col("n_sh2").alias("n_big"),
+        F.explode("arr2").alias("sh"),
+    )
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("n_small") < F.col("n_big"))
+        .groupBy("id_small", "id_big", "n_small", "n_big")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cont = F.col("common").cast("double") / F.col("n_small").cast("double")
+    return (
+        inter.withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_small", "id_big", "n_small", "n_big", "containment")
     )
 
 

@@ -242,6 +242,65 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_containment_pruned",
+    oracle=f"""
+    WITH {_duck_shingle_hashes()},
+    ex AS (
+      SELECT doc_id, unnest(sh_arr) AS sh
+      FROM sha WHERE len(sh_arr) > 0
+    ),
+    freq AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) > 5),
+    pr AS (SELECT * FROM ex WHERE sh NOT IN (SELECT sh FROM freq)),
+    sz AS (SELECT doc_id, count(*) AS n2 FROM pr GROUP BY doc_id),
+    px AS (SELECT pr.doc_id, pr.sh, sz.n2 FROM pr JOIN sz USING (doc_id)),
+    inter AS (
+      SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+             any_value(a.n2) AS n_small, any_value(b.n2) AS n_big,
+             count(*) AS common
+      FROM px a JOIN px b ON a.sh = b.sh AND a.n2 < b.n2
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_small, id_big,
+           CAST(n_small AS BIGINT) AS n_small,
+           CAST(n_big AS BIGINT) AS n_big,
+           round(CAST(common AS DOUBLE) / CAST(n_small AS DOUBLE), 6)
+             AS containment
+    FROM inter
+    WHERE round(CAST(common AS DOUBLE) / CAST(n_small AS DOUBLE), 6)
+          >= {CONTAINMENT_T}
+    """,
+)
+def q_dedup_containment_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment over the STOP-SHINGLE-PRUNED universe
+    (r13) — the scale path for q_dedup_containment, as a declared
+    oracled query so the bound is value-hash-checked, not claimed:
+    MinHash banding cannot serve containment (collision probability
+    tracks symmetric Jaccard; a high-containment pair of very
+    different sizes has jac ≈ 0), so the join bound comes from the
+    global df cap instead — shingles in > 5 docs dropped from every
+    set, inverted-index join capped at df² rows per surviving
+    shingle, containment exact over the pruned sets (pruned sizes,
+    the pruned-jaccard contract). Shares _pruned_shingle_table with
+    q_dedup_near_pruned so the two pruned universes can never
+    drift. At the test corpus the cap preserves all 28/25 containment
+    pairs (measured at both SFs) — the planted containments live in
+    RARE shingles, which is exactly the df-cap argument."""
+    from ..functions.dedup import containment_pairs_pruned
+
+    return containment_pairs_pruned(
+        _t(spark, sf_dir, "documents"),
+        threshold=CONTAINMENT_T,
+        max_doc_freq=5,
+    ).select(
+        "id_small",
+        "id_big",
+        F.col("n_small").cast("bigint").alias("n_small"),
+        F.col("n_big").cast("bigint").alias("n_big"),
+        "containment",
+    )
+
+
 # ======================================================================
 # L2a': stop-shingle-pruned exact Jaccard (the web-scale variant)
 # ======================================================================

@@ -299,6 +299,7 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_keep_list",
     "q_quality_entropy",
     "q_dedup_containment",
+    "q_dedup_containment_pruned",
     "q_sketch_hll",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
