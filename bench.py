@@ -460,14 +460,19 @@ def main() -> None:
     # the frozen 20-query spine, the official round-over-round
     # instrument — guaranteed to survive the tail capture whole.
     print(json.dumps(out))
-    try:
-        full_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
-        )
-        with open(full_path, "w") as fh:
-            json.dump(out, fh)
-    except OSError:
-        pass  # archival only; never fail the bench over it
+    # bench_full.json is the TRACKED round ledger — only a FULL run may
+    # write it. A SPARK_GRAFT_BENCH_ONLY/PREFIX smoke run overwriting
+    # it once clobbered a round's committed closing record (r13).
+    if not prefix and not only:
+        try:
+            full_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_full.json",
+            )
+            with open(full_path, "w") as fh:
+                json.dump(out, fh)
+        except OSError:
+            pass  # archival only; never fail the bench over it
     if spine_block is not None:
         # Compact spine: totals + per-query mins only — the min2 /
         # single_shot control maps live in the full JSON and

@@ -1211,9 +1211,11 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch state is d·W cells however large the vocabulary, the
     sketch is a one-shuffle aggregate (mergeable across shards by
     cell-wise addition), and estimates only ever overestimate
-    (n_cms >= n_exact, asserted in tests). Unlike HLL/quantile
-    sketches (engine-internal state → rows-only q_approx_aggs), the
-    CMS estimate is a deterministic function of the data, so the
+    (n_cms >= n_exact, asserted in tests). Unlike SPARK'S OWN sketch
+    aggregates (HLL++/KLL engine-internal state → rows-only
+    q_approx_aggs), the CMS estimate is a deterministic function of
+    the data — the same argument that makes q_sketch_hll's
+    from-scratch HLL (r13) fully oracled — so the
     oracle replays every estimate exactly.
 
     Returns the exact global top-20 tokens with exact and estimated
