@@ -244,6 +244,7 @@ HEADLINE = [
     "q_dedup_containment",
     "q_dedup_containment_pruned",
     "q_quality_entropy",
+    "q_join_asof_near",
     "q_sketch_hll",
 ]
 

@@ -138,3 +138,67 @@ def test_asof_join_keyless_requires_opt_in(spark):
         left, right, "k", "rk", "t", "rt", allow_unkeyed=True
     ).collect()
     assert len(out) == 1 and out[0].v == "a"
+
+
+def test_asof_nearest_direction_and_ties(spark):
+    """The r13 'nearest' direction: picks the closest right row in
+    EITHER time direction by exact integer-microsecond distance;
+    equidistant ties prefer the EARLIER right_time then the caller's
+    tiebreakers; the exclusive tolerance drops matches at exactly the
+    bound; unmatched left rows keep NULLs."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-10 00:00:00"),  # nearest is AFTER (d=1)
+            (2, 10, "2024-01-02 00:00:00"),  # nearest is BEFORE (d=1)
+            (3, 10, "2024-01-06 00:00:00"),  # equidistant 01/01 vs 01/11
+            (4, 99, "2024-01-05 00:00:00"),  # no right rows at all
+        ],
+        "eid long, k long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (10, 100, "2024-01-01 00:00:00"),
+            (10, 200, "2024-01-11 00:00:00"),
+        ],
+        "rk long, rid long, rts string",
+    ).withColumn("rts", F.to_timestamp("rts"))
+
+    out = {
+        r["eid"]: r["rid"]
+        for r in asof_join(
+            left,
+            right,
+            left_on="k",
+            right_on="rk",
+            left_time="ts",
+            right_time="rts",
+            tiebreakers=["rid"],
+            left_key="eid",
+            direction="nearest",
+        ).collect()
+    }
+    # eid 1: 01-10 → 01-11 (d=1) beats 01-01 (d=9); eid 2: mirrored;
+    # eid 3: equidistant (d=5 both) → EARLIER right_time wins (rid 100)
+    assert out == {1: 200, 2: 100, 3: 100, 4: None}
+
+    # exclusive tolerance: a 5-day bound excludes eid 3's d=5 matches
+    out_tol = {
+        r["eid"]: r["rid"]
+        for r in asof_join(
+            left,
+            right,
+            left_on="k",
+            right_on="rk",
+            left_time="ts",
+            right_time="rts",
+            tiebreakers=["rid"],
+            left_key="eid",
+            direction="nearest",
+            tolerance="5 days",
+        ).collect()
+    }
+    assert out_tol == {1: 200, 2: 100, 3: None, 4: None}

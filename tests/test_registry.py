@@ -300,6 +300,7 @@ ROTATED_OUT_R13 = (
     "q_dedup_containment",
     "q_dedup_containment_pruned",
     "q_sketch_hll",
+    "q_join_asof_near",
 )
 
 

@@ -41,8 +41,10 @@ def asof_join(
     tolerance: str | None = None,
     allow_unkeyed: bool = False,
 ) -> DataFrame:
-    """As-of join: nearest ``right`` row at-or-before (``backward``,
-    the default) or at-or-after (``forward``) each left row's time.
+    """As-of join: the matching ``right`` row at-or-before
+    (``backward``, the default), at-or-after (``forward``), or
+    closest in either direction (``nearest``, r13 — exact
+    integer-microsecond distance) of each left row's time.
 
     ``tolerance`` (an INTERVAL string, e.g. ``"30 days"``) bounds the
     staleness: a backward match must also satisfy
@@ -105,6 +107,34 @@ def asof_join(
         order = [F.col(right_time).asc_nulls_last()] + [
             F.col(t).asc_nulls_last() for t in tiebreakers
         ]
+    elif direction == "nearest":
+        # closest right row in EITHER time direction (r13 — completes
+        # the pandas merge_asof direction trio). Requires
+        # timestamp-castable time columns: the ranking distance is
+        # exact integer MICROSECONDS (unix_micros ≡ DuckDB epoch_us),
+        # never a float subtraction, so equidistant candidates rank
+        # identically in every engine. Ties (same distance before and
+        # after) prefer the EARLIER right_time, then the caller's
+        # tiebreakers ascending — documented, deterministic.
+        dist = F.abs(
+            F.unix_micros(F.col(right_time).cast("timestamp"))
+            - F.unix_micros(F.col(left_time).cast("timestamp"))
+        )
+        time_cond = F.lit(True)
+        if tolerance is not None:
+            # exclusive on both sides, the module's tolerance
+            # convention (backward/forward are exclusive too)
+            time_cond = (
+                F.col(right_time)
+                > F.col(left_time) - F.expr(f"INTERVAL {tolerance}")
+            ) & (
+                F.col(right_time)
+                < F.col(left_time) + F.expr(f"INTERVAL {tolerance}")
+            )
+        order = [
+            dist.asc_nulls_last(),
+            F.col(right_time).asc_nulls_last(),
+        ] + [F.col(t).asc_nulls_last() for t in tiebreakers]
     else:  # pragma: no cover - caller bug
         raise ValueError(f"unknown direction {direction!r}")
     cond = (F.col(left_on) == F.col(right_on)) & time_cond

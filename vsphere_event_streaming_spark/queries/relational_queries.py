@@ -337,6 +337,64 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("o_orderkey").alias("next_orderkey"))
 
 
+@query(
+    "q_join_asof_near",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, o.o_orderkey,
+             abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                 - epoch_us(e.ts)) AS dist_us,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                            - epoch_us(e.ts)) ASC,
+                        o.o_orderdate ASC, o.o_orderkey ASC
+             ) AS rn
+      FROM events e
+      LEFT JOIN orders o ON o.o_custkey = e.user_id
+    )
+    SELECT event_id, o_orderkey AS near_orderkey,
+           CAST(dist_us AS BIGINT) AS dist_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_join_asof_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of (r13) — the closest order to each event in
+    EITHER time direction, completing the as-of direction trio
+    (backward/forward/nearest, the pandas merge_asof surface): the
+    attribution question 'which order is this event ABOUT' when the
+    order may precede or follow the event. Same key-partitioned
+    shuffle as the other directions; the ranking distance is exact
+    integer microseconds (unix_micros ≡ epoch_us — no float
+    subtraction), equidistant ties prefer the earlier order date then
+    the key, so both engines rank identically. Unmatched events keep
+    NULLs under the left join — the reported dist_us doubles as the
+    staleness column a tolerance would gate on."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    out = asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        tiebreakers=["o_orderkey"],
+        left_key="event_id",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        F.col("o_orderkey").alias("near_orderkey"),
+        F.abs(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            - F.unix_micros(F.col("ts"))
+        )
+        .cast("bigint")
+        .alias("dist_us"),
+    )
+
+
 # ======================================================================
 # §2.4 Aggregations
 # ======================================================================

@@ -301,6 +301,7 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_containment",
     "q_dedup_containment_pruned",
     "q_sketch_hll",
+    "q_join_asof_near",
     # permanent rows-only checks (never in the window):
     # (q_search_rrf_indexed r10: trained-IVF probe is approximate and
     # Lloyd's-over-doubles is not oracle-replayed — evidence is the
