@@ -1612,8 +1612,10 @@ class GroupStore:
     change), re-runs the distributed CC (``operators/graph.py``; the
     star inputs keep the diameter ≈2, so it converges in ~3 rounds)
     and writes the affected labels under an idempotent ``batch_id=``
-    partition. Work per batch is proportional to the touched
-    components, never to history.
+    partition. The CC COMPUTE per batch is proportional to the
+    touched components; each ingest does also read the merged label
+    table once to find them — one columnar scan + min-aggregate over
+    an EDGES-sized (never corpus-sized) store.
 
     Readout is a MIN-LATTICE merge: labels only ever decrease
     (components merge, never split; a merge adopts the smaller min),
