@@ -2757,3 +2757,119 @@ def test_incremental_hll_store(spark, tmp_path):
     }
     for d, est in want:
         assert abs(est - exact[d]) / exact[d] < 0.20, (d, est, exact[d])
+
+
+def test_group_store_random_batches_match_union_find(spark, tmp_path):
+    """Randomized adversarial check for the GroupStore contraction:
+    random small graphs, random OVERLAPPING batch partitions of the
+    edge set, random ingest order — after every full ingest the
+    merged labels must equal an independent pure-Python union-find's
+    min-id components over the edge union (the test_graph.py
+    reference discipline, pointed at the incremental path)."""
+    import random
+
+    from vsphere_event_streaming_spark.functions.dedup import GroupStore
+
+    def uf_labels(n_vertices, edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    rng = random.Random(13)
+    for trial in range(3):
+        vertices = list(range(1, 13))
+        pool = [
+            (a, b)
+            for i, a in enumerate(vertices)
+            for b in vertices[i + 1 :]
+        ]
+        edges = rng.sample(pool, rng.randint(4, 10))
+        # random batches WITH overlap: every edge lands in >= 1 batch,
+        # some in several
+        n_batches = rng.randint(2, 4)
+        batches = [[] for _ in range(n_batches)]
+        for e in edges:
+            for bi in rng.sample(
+                range(n_batches), rng.randint(1, n_batches)
+            ):
+                batches[bi].append(e)
+        rng.shuffle(batches)
+        store = GroupStore(spark, f"{tmp_path}/rgs{trial}")
+        for bi, batch in enumerate(batches):
+            if not batch:
+                continue
+            df = spark.createDataFrame(
+                [(a, b, 1.0) for a, b in batch],
+                "id_a long, id_b long, jaccard double",
+            )
+            store.add_batch(df, f"t{trial}b{bi}")
+        got = {
+            r["doc_id"]: r["group_id"] for r in store.labels().collect()
+        }
+        assert got == uf_labels(12, edges), (trial, edges, batches)
+
+
+def test_hll_registers_match_python_reference(spark):
+    """Three-way discipline for the HLL (the DuckDB oracle is the
+    second implementation; this pure-Python one — hashlib md5, no
+    shared code — is the third): register cells AND the final
+    estimate must match exactly for a mixed key set, including the
+    linear-counting small-range branch."""
+    import hashlib
+    import math
+
+    from vsphere_event_streaming_spark.functions.sketches import (
+        HLL_ALPHA_M2,
+        HLL_M,
+        HLL_P,
+        HLL_RANK_MAX,
+        hll_cells,
+        hll_estimates,
+    )
+
+    keys = [str(i * 37) for i in range(500)] + ["a", "b", "中文", ""]
+
+    def ref_registers(ks):
+        regs = {}
+        for k in ks:
+            h = int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+            bucket = h & (HLL_M - 1)
+            w = h >> HLL_P
+            rank = (
+                HLL_RANK_MAX - (w.bit_length())
+                if w > 0
+                else HLL_RANK_MAX
+            )
+            regs[bucket] = max(regs.get(bucket, 0), rank)
+        return regs
+
+    def ref_estimate(regs):
+        z = sum(1 << (HLL_RANK_MAX - r) for r in regs.values())
+        v = HLL_M - len(regs)
+        z += v * (1 << HLL_RANK_MAX)
+        raw = HLL_ALPHA_M2 * float(1 << HLL_RANK_MAX) / float(z)
+        if raw <= 2.5 * HLL_M and v > 0:
+            return round(float(HLL_M) * math.log(float(HLL_M) / v), 4)
+        return round(raw, 4)
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got_regs = {
+        r["bucket"]: r["r"] for r in hll_cells(df, "k").collect()
+    }
+    want_regs = ref_registers(keys)
+    assert got_regs == want_regs
+    got_est = hll_estimates(hll_cells(df, "k")).first()["est_distinct"]
+    assert got_est == ref_estimate(want_regs)
+    # and the estimate is sane for the true cardinality
+    assert abs(got_est - len(set(keys))) / len(set(keys)) < 0.15
