@@ -2540,6 +2540,26 @@ def test_incremental_group_store_and_stream(spark, tmp_path):
         == want
     )
 
+    # ---- drop_list readout ≡ the batch keep list's keep=0 rows
+    from vsphere_event_streaming_spark.queries.pipeline_queries import (
+        q_dedup_keep_list,
+    )
+
+    want_drops = sorted(
+        (r["doc_id"], r["group_id"])
+        for r in q_dedup_keep_list(
+            spark, "/root/testdata/sf0.001"
+        ).filter("keep = 0").collect()
+    )
+    release_cached()
+    assert (
+        sorted(
+            (r["doc_id"], r["group_id"])
+            for r in store.drop_list().collect()
+        )
+        == want_drops
+    )
+
     # ---- transitive merge strictly ACROSS batches (hand graph):
     # {1,2} then {3,4} then the bridge (2,3) — all four must land on
     # min id 1, proving the touched-component contraction pulls BOTH

@@ -1729,3 +1729,15 @@ class GroupStore:
             .groupBy("group_size")
             .agg(F.count(F.lit(1)).alias("n_groups"))
         )
+
+    def drop_list(self) -> DataFrame:
+        """(doc_id, group_id): the docs a keep-one-per-group pass
+        DELETES — every grouped doc that is not its component's
+        min-id keeper. The actionable artifact the incremental
+        pipeline ends in: a curation run anti-joins this against the
+        corpus (docs never paired are absent here, hence kept), the
+        exact keep=0 set of the batch q_dedup_keep_list restricted
+        to grouped docs (pytest)."""
+        return self.labels().filter(
+            F.col("doc_id") != F.col("group_id")
+        )
