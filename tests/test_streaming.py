@@ -2336,28 +2336,26 @@ def test_incremental_mrl_store_and_stream(spark, tmp_path):
     probe = store.search(qvec, k=10, shortlist=MRL_SHORTLIST)
     probe.collect()
     plan = probe._jdf.queryExecution().executedPlan().toString()
-    store_schemas = []
-    for chunk in plan.split("Scan parquet")[1:]:
-        if f"{tmp_path}/store" not in chunk.split("ReadSchema")[0]:
-            continue
-        m = re.search(r"ReadSchema: (\S+)", chunk)
-        assert m, chunk[:300]
-        store_schemas.append(m.group(1))
-    # (the executed AQE tree can print a scan more than once —
-    # compare the distinct schemas, not occurrence counts)
-    schemas = set(store_schemas)
+    # classify scans by SCHEMA, not by path: the 'prefix' column
+    # exists only in the store layout, and plan Location strings
+    # truncate on long pytest tmp dirs (a path match here was flaky
+    # across pytest run numbers — observed green then red on the
+    # identical code)
+    schemas = {
+        m.group(1)
+        for chunk in plan.split("Scan parquet")[1:]
+        if (m := re.search(r"ReadSchema: (\S+)", chunk))
+    }
     assert schemas, plan
-    # no store scan may read prefix AND embedding together — that is
-    # exactly the stage-1-reads-full-vectors regression
+    # the stage-1 shortlist scan reads prefix WITHOUT embedding...
+    assert [
+        s for s in schemas if "prefix" in s and "embedding" not in s
+    ], schemas
+    # ...and NO scan reads prefix AND embedding together — exactly
+    # the stage-1-reads-full-vectors regression this guards
     assert not [
         s for s in schemas if "prefix" in s and "embedding" in s
     ], schemas
-    assert [
-        s for s in schemas if "prefix" in s and "embedding" not in s
-    ], schemas  # the shortlist stage
-    assert [
-        s for s in schemas if "embedding" in s and "prefix" not in s
-    ], schemas  # the rerank stage
 
     # (4) foreachBatch ingest parity (per-file epochs)
     in_dir = f"{tmp_path}/in"
