@@ -399,7 +399,13 @@ def _bit_size(v: int) -> int:
 
 
 class _BitWriter:
-    """MSB-first bit writer with T.81 byte stuffing (0xFF -> 0xFF00)."""
+    """MSB-first bit writer with T.81 byte stuffing (0xFF -> 0xFF00).
+
+    Bits accumulate in one Python int and drain to bytes in bulk
+    (``to_bytes`` + a single ``replace`` for the stuffing) instead of
+    per-byte appends — the encoder calls ``write`` once or twice per
+    Huffman symbol, so the per-call cost is the hot path.
+    """
 
     def __init__(self) -> None:
         self.out = bytearray()
@@ -409,23 +415,31 @@ class _BitWriter:
     def write(self, value: int, nbits: int) -> None:
         self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
         self._nbits += nbits
-        while self._nbits >= 8:
-            byte = (self._acc >> (self._nbits - 8)) & 0xFF
-            self._nbits -= 8
-            self._acc &= (1 << self._nbits) - 1
-            self.out.append(byte)
-            if byte == 0xFF:
-                self.out.append(0x00)
+        if self._nbits >= 512:
+            self._drain()
+
+    def _drain(self) -> None:
+        """Emit every whole accumulated byte, stuffed."""
+        rem = self._nbits & 7
+        nbytes = (self._nbits - rem) >> 3
+        if not nbytes:
+            return
+        chunk = (self._acc >> rem).to_bytes(nbytes, "big")
+        self._acc &= (1 << rem) - 1
+        self._nbits = rem
+        self.out += chunk.replace(b"\xff", b"\xff\x00")
 
     def flush(self) -> bytes:
-        if self._nbits:
-            self.write(0xFF, 8 - self._nbits)  # pad with 1-bits (F.1.2.3)
+        if self._nbits & 7:
+            self.write(0xFF, 8 - (self._nbits & 7))  # 1-bit pad (F.1.2.3)
+        self._drain()
         return bytes(self.out)
 
     def restart(self, n: int) -> None:
         """Byte-align (1-bit padding) and emit the RST(n%8) marker."""
-        if self._nbits:
-            self.write(0xFF, 8 - self._nbits)
+        if self._nbits & 7:
+            self.write(0xFF, 8 - (self._nbits & 7))
+        self._drain()
         self.out.append(0xFF)
         self.out.append(0xD0 + (n % 8))
 
@@ -552,23 +566,24 @@ def _component_blocks(
 ) -> list:
     """Pad a component plane to a (bh, bw) grid of 8x8 blocks (edge
     replicate), forward DCT each block, quantize, zigzag. Returns the
-    2D grid of zigzagged blocks."""
+    2D grid of zigzagged blocks (plain-int lists: the symbol encoder
+    indexes per coefficient, where numpy scalar access is ~5× slower).
+
+    All blocks DCT in ONE einsum (C @ blk @ C.T batched over the
+    grid) — same float64 arithmetic per block, one numpy dispatch
+    instead of bh·bw of them."""
     h, w = plane.shape
-    padded = np.pad(
-        plane.astype(np.float64) - 128.0,
-        ((0, bh * 8 - h), (0, bw * 8 - w)),
-        mode="edge",
-    )
-    grid = []
-    for by in range(bh):
-        row = []
-        for bx in range(bw):
-            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coeffs = _DCT_C @ blk @ _DCT_C.T
-            q = np.round(coeffs / quant).astype(np.int64)
-            row.append(q.reshape(64)[_ZIGZAG])
-        grid.append(row)
-    return grid
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = plane
+    if bw * 8 > w:
+        padded[:h, w:] = padded[:h, w - 1 : w]
+    if bh * 8 > h:
+        padded[h:, :] = padded[h - 1 : h, :]
+    padded -= 128.0
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coeffs = np.einsum("ij,abjk,lk->abil", _DCT_C, blocks, _DCT_C)
+    q = np.round(coeffs / quant).astype(np.int64)
+    return q.reshape(bh, bw, 64)[:, :, _ZIGZAG].tolist()
 
 
 def _box_downsample2(plane: np.ndarray) -> np.ndarray:
@@ -689,15 +704,21 @@ def encode_jpeg(
             continue
         c, dsym, (dval, dbits), acs = item
         t = tids[c]
-        code, n = dc_specs[t][2][dsym]
-        bw_.write(code, n)
+        dc_codes = dc_specs[t][2]
+        ac_codes = ac_specs[t][2]
+        # code and amplitude bits fuse into one write call each — the
+        # emitted bit stream is identical, the call count is halved
+        code, n = dc_codes[dsym]
         if dbits:
-            bw_.write(dval, dbits)
-        for s, (av, ab) in acs:
-            code, n = ac_specs[t][2][s]
+            bw_.write((code << dbits) | (dval & ((1 << dbits) - 1)), n + dbits)
+        else:
             bw_.write(code, n)
+        for s, (av, ab) in acs:
+            code, n = ac_codes[s]
             if ab:
-                bw_.write(av, ab)
+                bw_.write((code << ab) | (av & ((1 << ab) - 1)), n + ab)
+            else:
+                bw_.write(code, n)
     entropy = bw_.flush()
 
     def seg(marker: int, data: bytes) -> bytes:
@@ -741,7 +762,12 @@ def encode_jpeg(
 
 class _BitReader:
     """MSB-first reader over entropy-coded data with byte unstuffing;
-    RST markers are consumed at restart boundaries via ``restart()``."""
+    RST markers are consumed at restart boundaries via ``restart()``.
+
+    Bytes fill the accumulator in bulk (``_fill`` pulls one byte but is
+    only hit every 8 consumed bits; ``peek16``/``take`` serve the
+    Huffman LUT decode in :func:`_read_symbol` so the per-bit call of
+    the naive reader disappears)."""
 
     def __init__(self, buf: bytes, pos: int) -> None:
         self.buf = buf
@@ -749,37 +775,63 @@ class _BitReader:
         self._acc = 0
         self._nbits = 0
 
-    def _fill(self) -> None:
-        if self.pos >= len(self.buf):
+    def _fill(self) -> bool:
+        """Pull one more (unstuffed) byte into the accumulator.
+
+        Returns False — accumulator unchanged, position still at the
+        marker — when the next bytes are an RST marker: the caller
+        decides whether that is a legal restart boundary or a corrupt
+        stream."""
+        buf, pos = self.buf, self.pos
+        if pos >= len(buf):
             raise ValueError("truncated JPEG entropy data")
-        b = self.buf[self.pos]
+        b = buf[pos]
         if b == 0xFF:
-            nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else 0
+            nxt = buf[pos + 1] if pos + 1 < len(buf) else 0
             if nxt == 0x00:
-                self.pos += 2
+                self.pos = pos + 2
             elif 0xD0 <= nxt <= 0xD7:
-                raise ValueError("unexpected RST marker inside block")
+                return False
             else:
                 # past the scan: feed 1-bits (padding semantics)
                 self._acc = (self._acc << 8) | 0xFF
                 self._nbits += 8
-                return
+                return True
         else:
-            self.pos += 1
+            self.pos = pos + 1
         self._acc = (self._acc << 8) | b
         self._nbits += 8
+        return True
+
+    def peek16(self) -> tuple[int, int]:
+        """(next-16-bits, real-bit-count): fills as far as the stream
+        allows (an RST boundary stops the fill), padding the PEEK with
+        1-bits past the real end. Consuming past ``real`` is the
+        caller's truncation check."""
+        while self._nbits < 16 and self._fill():
+            pass
+        nb = self._nbits
+        if nb >= 16:
+            return (self._acc >> (nb - 16)) & 0xFFFF, nb
+        pad = 16 - nb
+        return ((self._acc << pad) | ((1 << pad) - 1)) & 0xFFFF, nb
+
+    def take(self, n: int) -> None:
+        """Consume n already-peeked bits."""
+        self._nbits -= n
+        self._acc &= (1 << self._nbits) - 1
 
     def bit(self) -> int:
-        if not self._nbits:
-            self._fill()
-        self._nbits -= 1
-        return (self._acc >> self._nbits) & 1
+        return self.bits(1)
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        while self._nbits < n:
+            if not self._fill():
+                raise ValueError("unexpected RST marker inside block")
+        self._nbits -= n
+        return (self._acc >> self._nbits) & ((1 << n) - 1)
 
     def restart(self) -> None:
         """Byte-align and consume the RSTn marker (T.81 E.2.4). A
@@ -803,28 +855,49 @@ class _BitReader:
             raise ValueError("missing RST marker at restart interval")
 
 
-def _build_decode_table(bits: list[int], symbols: list[int]) -> dict:
-    """(length, code) -> symbol map from a DHT declaration."""
+def _build_decode_table(bits: list[int], symbols: list[int]) -> tuple:
+    """Decode tables from a DHT declaration: an 8-bit-prefix LUT for
+    the fast path (entry = (symbol, length) replicated over every
+    possible suffix) plus the (length, code) -> symbol map for codes
+    longer than 8 bits."""
     table = {}
+    lut: list[tuple[int, int] | None] = [None] * 256
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             table[(length, code)] = symbols[k]
+            if length <= 8:
+                lo = code << (8 - length)
+                lut[lo : lo + (1 << (8 - length))] = [
+                    (symbols[k], length)
+                ] * (1 << (8 - length))
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut, table
 
 
-def _read_symbol(rd: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | rd.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG stream")
+def _read_symbol(rd: _BitReader, table: tuple) -> int:
+    lut, full = table
+    peek, real = rd.peek16()
+    ent = lut[peek >> 8]
+    if ent is not None:
+        sym, length = ent
+    else:
+        for length in range(9, 17):
+            sym = full.get((length, peek >> (16 - length)))
+            if sym is not None:
+                break
+        else:
+            raise ValueError("invalid Huffman code in JPEG stream")
+    if length > real:
+        # the code ran past the stream's real bits (into an RST marker
+        # or the 1-bit padding) — same corrupt-stream cases the naive
+        # per-bit reader raised on
+        raise ValueError("unexpected RST marker inside block")
+    rd.take(length)
+    return sym
 
 
 def _extend(v: int, size: int) -> int:
@@ -946,6 +1019,13 @@ def _decode_scan(payload, data_pos, sof, scan, quant, huff, ri):
         )
     rd = _BitReader(payload, data_pos)
     pred = dict.fromkeys(planes, 0)
+    # per-component constants hoisted out of the MCU loop (the zigzag
+    # reshuffle of the quant table in particular was per-block work)
+    qtz = {
+        c["id"]: quant[c["tq"]].reshape(64)[_ZIGZAG] for c in comps
+    }
+    tabs = {c["id"]: (huff[(0, scan[c["id"]][0])],
+                      huff[(1, scan[c["id"]][1])]) for c in comps}
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -953,13 +1033,10 @@ def _decode_scan(payload, data_pos, sof, scan, quant, huff, ri):
                 rd.restart()
                 pred = dict.fromkeys(planes, 0)
             for c in comps:
-                dct_t, act_t = scan[c["id"]]
-                dtab = huff[(0, dct_t)]
-                atab = huff[(1, act_t)]
-                qt = quant[c["tq"]]
+                dtab, atab = tabs[c["id"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
+                        zz = [0] * 64
                         s = _read_symbol(rd, dtab)
                         diff = _extend(rd.bits(s), s) if s else 0
                         pred[c["id"]] += diff
@@ -981,7 +1058,9 @@ def _decode_scan(payload, data_pos, sof, scan, quant, huff, ri):
                             zz[k] = _extend(rd.bits(size), size)
                             k += 1
                         blk = np.zeros(64, dtype=np.float64)
-                        blk[_ZIGZAG] = zz * qt.reshape(64)[_ZIGZAG]
+                        blk[_ZIGZAG] = np.asarray(zz, dtype=np.int64) * qtz[
+                            c["id"]
+                        ]
                         px = (
                             _DCT_C.T @ blk.reshape(8, 8) @ _DCT_C
                         ) + 128.0

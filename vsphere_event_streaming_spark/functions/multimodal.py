@@ -348,11 +348,19 @@ def _h60(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _PHASH_MOD
 
 
-def _cell_image(text: str) -> np.ndarray:
+def _cell_image(text: str, _h60_cache: dict | None = None) -> np.ndarray:
     """Deterministic bag-of-words cell image: cell k accumulates the
     60-bit hashes of its (word, count) pairs, mod 256. Pure modular
     arithmetic — the same image is replayable in SQL, which is what
-    makes the PNG-roundtrip phash oracle-checkable."""
+    makes the PNG-roundtrip phash oracle-checkable.
+
+    ``_h60_cache`` (optional) memoizes the md5-derived hash per
+    (word / word:count) string for the lifetime of the dict the caller
+    passes — the synth mapInPandas stages hand in one dict per TASK
+    (heavyweight-state-per-task, guide §4.5): the corpus vocabulary
+    repeats across a task's documents and the md5 calls dominate the
+    cell arithmetic. Pure memoization of a pure function — values are
+    identical with or without it, and nothing outlives the task."""
     import re as _re
     from collections import Counter
 
@@ -363,23 +371,40 @@ def _cell_image(text: str) -> np.ndarray:
     ws = [
         w for w in _re.split(r"[ \t\n\r\f\x0B]+", text or "") if w
     ]
-    cells = [0] * (PHASH_GRID_H * PHASH_GRID_W)
+    if _h60_cache is None:
+        h60 = _h60
+    else:
+        def h60(s: str) -> int:
+            v = _h60_cache.get(s)
+            if v is None:
+                v = _h60_cache[s] = _h60(s)
+            return v
+
+    n = PHASH_GRID_H * PHASH_GRID_W
+    cells = [0] * n
     for w, cnt in Counter(ws).items():
-        cells[_h60(w) % len(cells)] += _h60(f"{w}:{cnt}")
+        cells[h60(w) % n] += h60(f"{w}:{cnt}")
     return np.array([c % 256 for c in cells], dtype=np.uint8).reshape(
         PHASH_GRID_H, PHASH_GRID_W
     )
 
 
+#: dHash bit weights: bit r*8+c for cell (r, c) — precomputed so the
+#: hash is one vectorized compare + dot instead of a 56-iteration
+#: Python loop per image.
+_DHASH_WEIGHTS = (
+    np.int64(1)
+    << (
+        8 * np.arange(PHASH_GRID_H, dtype=np.int64)[:, None]
+        + np.arange(PHASH_GRID_W - 1, dtype=np.int64)[None, :]
+    )
+)
+
+
 def dhash_bits(px: np.ndarray) -> int:
     """dHash over a (7, 9) grayscale grid: bit r*8+c = [px[r,c] <
     px[r,c+1]] — the standard horizontal-gradient perceptual hash."""
-    bits = 0
-    for r in range(PHASH_GRID_H):
-        for c in range(PHASH_GRID_W - 1):
-            if px[r, c] < px[r, c + 1]:
-                bits |= 1 << (r * 8 + c)
-    return bits
+    return int((_DHASH_WEIGHTS * (px[:, :-1] < px[:, 1:])).sum())
 
 
 def synth_cell_png_payloads(
@@ -390,9 +415,11 @@ def synth_cell_png_payloads(
     these payloads exercise every PNG filter path on decode."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        h60_cache: dict = {}  # per-task word-hash memo (§4.5)
         for pdf in batches:
             payloads = [
-                codecs.encode_png(_cell_image(t)) for t in pdf[text_col]
+                codecs.encode_png(_cell_image(t, h60_cache))
+                for t in pdf[text_col]
             ]
             yield pd.DataFrame(
                 {"media_id": pdf[id_col], "payload": payloads}
@@ -419,11 +446,13 @@ JPEG_CELL_LEVELS = 14
 JPEG_CELL_RST = 1
 
 
-def _cell_image16(text: str) -> np.ndarray:
+def _cell_image16(
+    text: str, _h60_cache: dict | None = None
+) -> np.ndarray:
     """The bag-of-words cell image on the 16-spaced grid (see
     JPEG_CELL_STEP): same modular arithmetic as ``_cell_image`` with a
     final (v % 14 + 1) * 16 mapping the oracle replays in SQL."""
-    cells = _cell_image(text).astype(np.int64)
+    cells = _cell_image(text, _h60_cache).astype(np.int64)
     return ((cells % JPEG_CELL_LEVELS + 1) * JPEG_CELL_STEP).astype(
         np.uint8
     )
@@ -438,10 +467,12 @@ def synth_cell_jpeg_payloads(
     baseline path (DHT rebuild, entropy decode, RST resync, IDCT)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        h60_cache: dict = {}  # per-task word-hash memo (§4.5)
         for pdf in batches:
             payloads = [
                 codecs.encode_jpeg(
-                    _cell_image16(t), restart_interval=JPEG_CELL_RST
+                    _cell_image16(t, h60_cache),
+                    restart_interval=JPEG_CELL_RST,
                 )
                 for t in pdf[text_col]
             ]
@@ -465,6 +496,13 @@ VIDEO_FPS = 10
 
 def _cell_image16_frame(text: str, frame: int) -> np.ndarray:
     cells = _cell_image(text).astype(np.int64)
+    return _frame_cells16(cells, frame)
+
+
+def _frame_cells16(cells: np.ndarray, frame: int) -> np.ndarray:
+    """Frame f's 16-spaced grid from the RAW (mod-256) cell image —
+    split out so the AVI synth computes the word-hash image once per
+    doc instead of once per frame."""
     return (
         ((cells + frame) % JPEG_CELL_LEVELS + 1) * JPEG_CELL_STEP
     ).astype(np.uint8)
@@ -478,12 +516,14 @@ def synth_cell_avi_payloads(
     real baseline JPEG of the doc's frame-shifted cell image."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        h60_cache: dict = {}  # per-task word-hash memo (§4.5)
         for pdf in batches:
             payloads = []
             for t in pdf[text_col]:
+                cells = _cell_image(t, h60_cache).astype(np.int64)
                 frames = [
                     codecs.encode_jpeg(
-                        _cell_image16_frame(t, f),
+                        _frame_cells16(cells, f),
                         restart_interval=JPEG_CELL_RST,
                     )
                     for f in range(VIDEO_FRAMES)
@@ -631,9 +671,21 @@ def _text_samples(text: str) -> np.ndarray:
     the oracle computed the unwrapped value."""
     n = AUDIO_FRAMES * AUDIO_FRAME_LEN
     t = (text or "")[:n]
-    return np.array(
-        [((ord(c) % 256) - 128) * 256 for c in t], dtype=np.int16
-    )
+    try:
+        # vectorized codepoint extraction: UTF-32-LE code units ARE the
+        # codepoints, so one encode replaces the per-char ord() loop
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
+            np.int64
+        )
+    except UnicodeEncodeError:  # pragma: no cover - lone surrogates
+        cp = np.array([ord(c) for c in t], dtype=np.int64)
+    return (((cp % 256) - 128) * 256).astype(np.int16)
+
+
+#: Energy-delta bit weights: bit j = 1 << j over the 56 frame deltas.
+_AUDIO_FP_WEIGHTS = np.int64(1) << np.arange(
+    AUDIO_FRAMES - 1, dtype=np.int64
+)
 
 
 def audio_fp_bits(samples: np.ndarray) -> int:
@@ -641,16 +693,12 @@ def audio_fp_bits(samples: np.ndarray) -> int:
     frames (missing samples contribute 0); bit j = [e_j < e_{j+1}].
     The spectral-fingerprint shape (Shazam-style sign-of-delta over
     banded energies) reduced to one band so it stays integer-exact."""
-    s = np.abs(samples.astype(np.int64))
-    e = [0] * AUDIO_FRAMES
-    for j in range(AUDIO_FRAMES):
-        seg = s[j * AUDIO_FRAME_LEN : (j + 1) * AUDIO_FRAME_LEN]
-        e[j] = int(seg.sum())
-    bits = 0
-    for j in range(AUDIO_FRAMES - 1):
-        if e[j] < e[j + 1]:
-            bits |= 1 << j
-    return bits
+    n = AUDIO_FRAMES * AUDIO_FRAME_LEN
+    s = np.zeros(n, dtype=np.int64)
+    clipped = np.abs(samples[:n].astype(np.int64))
+    s[: len(clipped)] = clipped
+    e = s.reshape(AUDIO_FRAMES, AUDIO_FRAME_LEN).sum(axis=1)
+    return int((_AUDIO_FP_WEIGHTS * (e[:-1] < e[1:])).sum())
 
 
 def synth_wav_payloads(
@@ -701,3 +749,187 @@ def audio_fingerprints(
             ).astype({"afp": "Int64"})
 
     return media.mapInPandas(run, schema="media_id long, afp long")
+
+
+# ----------------------------------------------------------------------
+# Fused synth→decode roundtrips (r14 optimization round)
+# ----------------------------------------------------------------------
+# Each helper below is the exact composition of a synth_* payload stage
+# with its decode/feature stage, run inside ONE Arrow mapInPandas
+# function. The per-row codec walk is UNCHANGED — the same real bytes
+# are encoded and then decoded by the same full codec path — but the
+# payload no longer makes a JVM→Python→JVM round trip between the two
+# halves, and the query plan carries one Python stage instead of two.
+# Measured motivation (guide §4.1 "you control how many times columns
+# cross"): at sf0.1 an *identity* mapInPandas over the documents table
+# costs ~0.45 s wall (32-task launch + Arrow exchange) while the
+# entire optimized decode compute is smaller than that — the second
+# Python stage was pure boundary overhead.
+
+
+def synth_cell_png_phash(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(media_id, phash): synth_cell_png_payloads ∘ phash_images in
+    one Arrow stage — real PNG encode (rotating filters) then the full
+    inflate+unfilter decode and dHash, per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        h60_cache: dict = {}  # per-task word-hash memo (§4.5)
+        for pdf in batches:
+            hashes = []
+            for t in pdf[text_col]:
+                payload = codecs.encode_png(_cell_image(t, h60_cache))
+                px = codecs.decode_image_pixels(payload)
+                hashes.append(dhash_bits(px))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "phash": hashes}
+            ).astype({"phash": "Int64"})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id long, phash long"
+    )
+
+
+def synth_cell_jpeg_phash(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(media_id, phash): synth_cell_jpeg_payloads ∘
+    phash_images(quantize_step=JPEG_CELL_STEP) in one Arrow stage —
+    real baseline-JPEG encode (optimized Huffman tables, RST markers)
+    then the full T.81 decode, 16-grid re-quantize, and dHash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        h60_cache: dict = {}  # per-task word-hash memo (§4.5)
+        step = JPEG_CELL_STEP
+        for pdf in batches:
+            hashes = []
+            for t in pdf[text_col]:
+                payload = codecs.encode_jpeg(
+                    _cell_image16(t, h60_cache),
+                    restart_interval=JPEG_CELL_RST,
+                )
+                px = codecs.decode_image_pixels(payload)
+                px = (
+                    (px.astype(np.int64) + step // 2) // step
+                ) * step
+                hashes.append(dhash_bits(px))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "phash": hashes}
+            ).astype({"phash": "Int64"})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id long, phash long"
+    )
+
+
+def synth_cell_avi_frame_hashes(
+    df: DataFrame, id_col: str, text_col: str, every_ms: int = 1000
+) -> DataFrame:
+    """(media_id, frame_idx, phash): synth_cell_avi_payloads ∘
+    video_frame_hashes in one Arrow stage — real MJPEG-AVI encode
+    (one baseline JPEG per frame), then the container walk, sampling
+    rule, per-sampled-frame T.81 decode and dHash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        h60_cache: dict = {}  # per-task word-hash memo (§4.5)
+        step = JPEG_CELL_STEP
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            hashes: list[int] = []
+            for mid, t in zip(pdf[id_col], pdf[text_col]):
+                cells = _cell_image(t, h60_cache).astype(np.int64)
+                payload = codecs.encode_avi_mjpeg(
+                    [
+                        codecs.encode_jpeg(
+                            _frame_cells16(cells, f),
+                            restart_interval=JPEG_CELL_RST,
+                        )
+                        for f in range(VIDEO_FRAMES)
+                    ],
+                    fps=VIDEO_FPS,
+                )
+                hdr = codecs.avi_header(payload)
+                frames = codecs.decode_avi_frames(payload)
+                uspf = hdr["us_per_frame"]
+                sampled = sorted(
+                    {
+                        min(t_ms * 1000 // uspf, len(frames) - 1)
+                        for t_ms in range(0, hdr["duration_ms"], every_ms)
+                    }
+                )
+                for fi in sampled:
+                    px = codecs.decode_jpeg(frames[fi]).astype(np.int64)
+                    px = ((px + step // 2) // step) * step
+                    ids.append(mid)
+                    idxs.append(fi)
+                    hashes.append(dhash_bits(px))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "phash": hashes},
+            ).astype({"phash": "Int64"})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id long, frame_idx int, phash long"
+    )
+
+
+def synth_wav_audio_fp(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(media_id, afp): synth_wav_payloads ∘ audio_fingerprints in one
+    Arrow stage — real RIFF/PCM16 encode then the chunk-walk decode
+    and energy-delta fingerprint."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for t in pdf[text_col]:
+                payload = codecs.encode_wav(_text_samples(t))
+                _, x = codecs.decode_wav(payload)
+                fps.append(audio_fp_bits(x.astype(np.int64)))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "afp": fps}
+            ).astype({"afp": "Int64"})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id long, afp long"
+    )
+
+
+def synth_png_image_meta(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """IMAGE_META rows: synth_png_payloads ∘ extract_image_meta in one
+    Arrow stage — real PNG encode of the solid-fill image, then the
+    header walk + full pixel decode for avg_pixel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "media_id", "format", "width", "height",
+                "bit_depth", "channels", "avg_pixel",
+            )}
+            for mid, t in zip(pdf[id_col], pdf[text_col]):
+                t = t if isinstance(t, str) else ""
+                w = len(t) % 64 + 1
+                h = (len(t) * 7) % 64 + 1
+                v = (len(t) * 13) % 256
+                payload = codecs.encode_png(
+                    np.full((h, w), v, dtype=np.uint8)
+                )
+                hdr = codecs.sniff_image(payload)
+                rows["media_id"].append(mid)
+                rows["format"].append(hdr["format"])
+                rows["width"].append(hdr["width"])
+                rows["height"].append(hdr["height"])
+                rows["bit_depth"].append(hdr["bit_depth"])
+                rows["channels"].append(hdr["channels"])
+                rows["avg_pixel"].append(
+                    float(np.mean(codecs.decode_png(payload)))
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=IMAGE_META_SCHEMA
+    )

@@ -1629,13 +1629,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder OR decoder fails the compare. No imaging library involved
     (functions/codecs.py is stdlib+numpy).
     """
-    from ..functions.multimodal import extract_image_meta, synth_png_payloads
+    from ..functions.multimodal import synth_png_image_meta
     from ..tables import spread
 
     # single-row-group parquet scans as ONE partition; the Python
-    # codec stage needs the cores
+    # codec stage needs the cores. r14: synth and decode fused into
+    # one Arrow stage (same encode→decode walk, one Python launch)
     docs = spread(_t(spark, sf_dir, "documents"))
-    return extract_image_meta(synth_png_payloads(docs, "doc_id", "text"))
+    return synth_png_image_meta(docs, "doc_id", "text")
 
 
 def _dedup_groups_oracle() -> str:
@@ -1789,11 +1790,19 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAST to INT for the cross-engine value hash (the engine-wide
     boolean-column convention).
 
-    Scale shape: exactly q_dedup_groups' plan (bucketed pair
-    generation + O(log d) label propagation over the edges-sized
-    table) plus ONE left broadcast-or-shuffle join back to the doc
-    ids — the labels table is components-sized, never corpus-sized.
-    Oracle extends the same recursive-closure chain."""
+    Scale shape (r14, VERDICT_r13 #5 — the docstring previously
+    oversold this as "bucketed pair generation"): the pair tier here
+    is the ORACLE-TIER unpruned ``jaccard_pairs`` inverted index —
+    exact and fully value-hash-replayable, but carrying that
+    function's documented stop-shingle skew caveat. The SCALE path
+    for a keep list is GroupStore.drop_list() over LSH-verified
+    pairs (functions/dedup.py — incremental, banded, pytest-proven
+    stream ≡ batch); this declared query keeps the unpruned tier so
+    the whole chain stays exact under the oracle. Downstream of the
+    pairs: O(log d) label propagation over the edges-sized table
+    plus ONE left join back to the doc ids — the labels table is
+    components-sized, never corpus-sized. Oracle extends the same
+    recursive-closure chain."""
     from ..functions.dedup import jaccard_pairs
     from ..operators.graph import dedup_groups
 
@@ -3942,15 +3951,18 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     turning the multimodal tier's decode path into a driver-checkable
     value-hash gate instead of a rows-only check.
 
-    Scale shape: one Arrow-batched mapInPandas stage per direction,
-    constant bytes/doc; the phash is the 8-byte dedup/blocking key
-    downstream (equal or Hamming-banded, as in SimHash)."""
-    from ..functions.multimodal import phash_images, synth_cell_png_payloads
+    Scale shape: ONE Arrow-batched mapInPandas stage (r14: the synth
+    and decode halves fused — same per-row encode→decode codec walk,
+    but the payload no longer round-trips JVM→Python→JVM between two
+    Python stages; at sf0.1 the second stage's launch+exchange cost
+    more than the entire decode compute), constant bytes/doc; the
+    phash is the 8-byte dedup/blocking key downstream (equal or
+    Hamming-banded, as in SimHash)."""
+    from ..functions.multimodal import synth_cell_png_phash
     from ..tables import spread
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    media = synth_cell_png_payloads(docs, "doc_id", "text")
-    return phash_images(media).select(
+    return synth_cell_png_phash(docs, "doc_id", "text").select(
         F.col("media_id").alias("doc_id"), "phash"
     )
 
@@ -3976,18 +3988,14 @@ def q_media_phash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-checkable value-hash gate (the JPEG twin of q_media_phash's
     PNG gate).
 
-    Scale shape identical to L22: two Arrow-batched mapInPandas
-    stages, no shuffle between them, 8 bytes/doc out."""
-    from ..functions.multimodal import (
-        JPEG_CELL_STEP,
-        phash_images,
-        synth_cell_jpeg_payloads,
-    )
+    Scale shape identical to L22: one fused Arrow-batched mapInPandas
+    stage (r14, same rationale as q_media_phash), no shuffle,
+    8 bytes/doc out."""
+    from ..functions.multimodal import synth_cell_jpeg_phash
     from ..tables import spread
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    media = synth_cell_jpeg_payloads(docs, "doc_id", "text")
-    return phash_images(media, quantize_step=JPEG_CELL_STEP).select(
+    return synth_cell_jpeg_phash(docs, "doc_id", "text").select(
         F.col("media_id").alias("doc_id"), "phash"
     )
 
@@ -4072,20 +4080,18 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode all at once, upgrading the video tier from a metadata-only
     plan to decode-backed evidence.
 
-    Scale shape: one Arrow-batched mapInPandas stage, no shuffle,
+    Scale shape: one Arrow-batched mapInPandas stage (r14: synth and
+    sampler/decode fused — the multi-KB AVI payloads no longer make a
+    JVM→Python→JVM round trip between two Python stages), no shuffle,
     3×16 bytes out per clip; at 100 TB this is the frame-extraction
     front of a vision-training pipeline."""
-    from ..functions.multimodal import (
-        synth_cell_avi_payloads,
-        video_frame_hashes,
-    )
+    from ..functions.multimodal import synth_cell_avi_frame_hashes
     from ..tables import spread
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    media = synth_cell_avi_payloads(docs, "doc_id", "text")
-    return video_frame_hashes(media, every_ms=VIDEO_SAMPLE_MS).select(
-        F.col("media_id").alias("doc_id"), "frame_idx", "phash"
-    )
+    return synth_cell_avi_frame_hashes(
+        docs, "doc_id", "text", every_ms=VIDEO_SAMPLE_MS
+    ).select(F.col("media_id").alias("doc_id"), "frame_idx", "phash")
 
 
 # ======================================================================
@@ -4129,15 +4135,15 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the WAV encode->decode roundtrip sample-exact, the audio twin of
     q_media_phash's PNG gate.
 
-    Scale shape identical to L22: two Arrow-batched map stages, no
-    shuffle, 8 bytes/doc out; the fingerprint is the audio dedup /
-    blocking key downstream."""
-    from ..functions.multimodal import audio_fingerprints, synth_wav_payloads
+    Scale shape identical to L22: one fused Arrow-batched map stage
+    (r14, same rationale as q_media_phash), no shuffle, 8 bytes/doc
+    out; the fingerprint is the audio dedup / blocking key
+    downstream."""
+    from ..functions.multimodal import synth_wav_audio_fp
     from ..tables import spread
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    media = synth_wav_payloads(docs, "doc_id", "text")
-    return audio_fingerprints(media).select(
+    return synth_wav_audio_fp(docs, "doc_id", "text").select(
         F.col("media_id").alias("doc_id"), "afp"
     )
 
@@ -4930,12 +4936,11 @@ def q_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs. The oracle replays the dHash from the cell arithmetic
     and takes the exact O(n²) pair set, sound because banding+verify
     is exactly the thresholded set."""
-    from ..functions.multimodal import phash_images, synth_cell_png_payloads
+    from ..functions.multimodal import synth_cell_png_phash
     from ..tables import spread
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    media = synth_cell_png_payloads(docs, "doc_id", "text")
-    ph = _dedup_persist(phash_images(media))
+    ph = _dedup_persist(synth_cell_png_phash(docs, "doc_id", "text"))
     return hamming_pairs(
         ph, "media_id", "phash", MEDIA_MAX_HAMMING, n_bits=MEDIA_HASH_BITS
     )
@@ -4996,12 +5001,11 @@ def q_dedup_media_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     150k-row bucket: time flat vs c where the unguarded join scales
     c²."""
     from ..functions.dedup import hamming_pairs_robust
-    from ..functions.multimodal import phash_images, synth_cell_png_payloads
+    from ..functions.multimodal import synth_cell_png_phash
     from ..tables import spread
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    media = synth_cell_png_payloads(docs, "doc_id", "text")
-    ph = _dedup_persist(phash_images(media))
+    ph = _dedup_persist(synth_cell_png_phash(docs, "doc_id", "text"))
     return hamming_pairs_robust(
         ph,
         "media_id",
@@ -5044,12 +5048,11 @@ def q_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant probe rows per clip — never all-pairs. Oracle: replayed
     fingerprint arithmetic + the exact O(n²) pair set (sound because
     banding+verify IS the thresholded set)."""
-    from ..functions.multimodal import audio_fingerprints, synth_wav_payloads
+    from ..functions.multimodal import synth_wav_audio_fp
     from ..tables import spread
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    media = synth_wav_payloads(docs, "doc_id", "text")
-    fp = _dedup_persist(audio_fingerprints(media))
+    fp = _dedup_persist(synth_wav_audio_fp(docs, "doc_id", "text"))
     return hamming_pairs(
         fp, "media_id", "afp", AUDIO_MAX_HAMMING, n_bits=AUDIO_HASH_BITS
     )
@@ -5229,16 +5232,14 @@ def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     the replayed frame-hash arithmetic + the O(n²·frames) aggregation,
     sound because banding is complete per frame."""
     from ..functions.dedup import hamming_pairs_frames
-    from ..functions.multimodal import (
-        synth_cell_avi_payloads,
-        video_frame_hashes,
-    )
+    from ..functions.multimodal import synth_cell_avi_frame_hashes
     from ..tables import spread
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    media = synth_cell_avi_payloads(docs, "doc_id", "text")
     fh = _dedup_persist(
-        video_frame_hashes(media, every_ms=VIDEO_SAMPLE_MS)
+        synth_cell_avi_frame_hashes(
+            docs, "doc_id", "text", every_ms=VIDEO_SAMPLE_MS
+        )
     )
     return hamming_pairs_frames(
         fh, "media_id", "frame_idx", "phash", VIDEO_MAX_HAMMING,
