@@ -2587,9 +2587,12 @@ def bm25_scores(
     ).filter(F.col("term").isin(terms if terms is not None else _SEARCH_TERMS))
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     if dfreq is None:
-        dfreq = tokens.distinct().groupBy("term").agg(
-            F.count(F.lit(1)).alias("df")
-        )
+        # df = the number of (doc, term) groups per term, which is
+        # exactly tf's group count (r14): deriving it from tf drops
+        # the second explode + distinct pass over the token stream —
+        # same integer df, interleaved-A/B'd at sf0.1 (0.87 -> 0.79 s
+        # median for the full scoring pipeline)
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )

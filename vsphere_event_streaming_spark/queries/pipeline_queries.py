@@ -5569,12 +5569,18 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     arrs = shingle_hash_arrays(docs)
-    bench_sh = (
+    # r14: persist the two tiny build-side tables. bench_sh feeds the
+    # filter build AND the exact semi-join; bits is broadcast once per
+    # Bloom slot (BLOOM_H chained joins) — without the persists the
+    # explode+distinct subtree re-ran once per consumer (4× in the
+    # plan, see plans/r14/q_bloom_contamination_before.txt). Both are
+    # bounded (≤ distinct bench shingles / ≤ BLOOM_M rows).
+    bench_sh = _dedup_persist(
         arrs.filter(F.col("id") % 50 == 0)
         .select(F.explode("sh_arr").alias("sh"))
         .distinct()
     )
-    bits = bloom_bits(bench_sh, "sh")
+    bits = _dedup_persist(bloom_bits(bench_sh, "sh"))
     sh = arrs.select("id", F.explode("sh_arr").alias("sh"))
     bh = (
         bloom_membership(bits, sh, "sh")
