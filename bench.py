@@ -282,6 +282,11 @@ HEAVY_TAIL = [
     # 2.08 isolated (r12 ledger 1.93) — the strongest full-set
     # co-tenancy case measured yet, so it carries the control too
     "q_repeated_spans",
+    # r14 additions (the media-tier fusions halved that tier, so the
+    # pruned-dedup pair generators are now among the heaviest rows;
+    # additive only — the spine stays frozen)
+    "q_dedup_near_pruned",
+    "q_dedup_containment_pruned",
 ]
 
 SPINE = [

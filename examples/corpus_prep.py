@@ -72,8 +72,7 @@ from vsphere_event_streaming_spark.functions.sketches import (  # noqa: E402
     quantile_bucket,
 )
 from vsphere_event_streaming_spark.functions.multimodal import (  # noqa: E402
-    phash_images,
-    synth_cell_png_payloads,
+    synth_cell_png_phash,
 )
 from vsphere_event_streaming_spark.functions.sampling import (  # noqa: E402
     corpus_split,
@@ -166,7 +165,7 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
     # phash is an 8-byte shuffle key; the payloads never move after the
     # map stage that hashes them
     media_keepers = (
-        phash_images(synth_cell_png_payloads(clean, "doc_id", "text"))
+        synth_cell_png_phash(clean, "doc_id", "text")  # fused r14
         .groupBy("phash")
         .agg(F.min("media_id").alias("doc_id"))
         .select("doc_id")

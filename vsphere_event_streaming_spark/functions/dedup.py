@@ -1327,18 +1327,27 @@ def repeated_spans(
     arithmetic is cheaper than the materialization barrier.
     """
     ws = words(F.col(text_col))
+    # positional grams via arrays_zip of k shifted slices (r14): the
+    # former per-position ``F.slice(ws, i, k)`` copied k elements per
+    # gram inside an interpreted lambda — k slices taken ONCE per doc
+    # and zipped produce the identical gram strings at a fraction of
+    # the cost (interleaved A/B at sf0.1, single-partition form:
+    # 6.34 s -> 2.30 s min for the full span pipeline).
+    m = F.size(ws) - (k - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(ws, j + 1, m).alias(f"w{j}") for j in range(k)]
+    )
+    gram_arr = F.transform(
+        zipped,
+        lambda s: md5_hash(
+            F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)])
+        ),
+    )
     grams = (
         docs.filter(F.size(ws) >= k)
         .select(
             F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - (k - 1)),
-                    lambda i: md5_hash(
-                        F.concat_ws(" ", F.slice(ws, i.cast("int"), k))
-                    ),
-                )
-            ).alias("pos", "gh"),
+            F.posexplode(gram_arr).alias("pos", "gh"),
         )
     )
     rare = (

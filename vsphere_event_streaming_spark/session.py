@@ -19,7 +19,6 @@ _BUILD_CONF = {
     # and out-of-range element_at — matching the DuckDB oracle's
     # semantics; all intentional strictness uses try_* explicitly
     "spark.sql.ansi.enabled": "false",
-    "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -68,6 +67,17 @@ def get_spark(app_name: str = "vses-spark", cpus: int | str | None = None) -> Sp
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     for k, v in _BUILD_CONF.items():
         builder = builder.config(k, v)
+    # Shuffle partitions DERIVED from the core count, not a constant
+    # (r14, guide §2.2/§2.5): partitions ≈ cores in local mode (the
+    # driver benches this engine at several SPARK_GRAFT_CPUS values to
+    # measure scaling — a constant 32 gives an 8-core run 4 task waves
+    # of pure scheduling overhead per exchange). Unchanged at the
+    # default 32-core harness. On a real cluster this setting is
+    # sized from data volume (100 MB-1 GB per post-shuffle partition)
+    # with AQE coalescing — which stays enabled here — not from this
+    # local rule.
+    n_shuffle = str(cpus) if isinstance(cpus, int) or str(cpus).isdigit() else "32"
+    builder = builder.config("spark.sql.shuffle.partitions", n_shuffle)
     spark = builder.getOrCreate()
     tune(spark)
     return spark
