@@ -158,3 +158,105 @@ def test_hamming_pairs_robust_two_tier(spark):
     # star not clique: each degenerate group adds c-1 rows, not c(c-1)/2
     n_zero = sum(1 for *_, d in got if d == 0)
     assert n_zero <= len(_brute(kept, 0)) + 11 + 7
+
+
+def test_clipmaps_equals_frames_and_brute_force(spark):
+    """hamming_pairs_clipmaps (r15: pre-grouped clip arrays +
+    frame-0-only banding + map-lookup verify) == hamming_pairs_frames
+    == brute force 'max over SHARED frames within k', on clips with
+    DIFFERING frame sets — every clip contains the probe frame (the
+    precondition) but otherwise drops random frames, so the
+    intersection semantics and the single-frame banding completeness
+    are both exercised."""
+    from vsphere_event_streaming_spark.functions.dedup import (
+        hamming_pairs_clipmaps,
+        hamming_pairs_frames,
+    )
+
+    n_bits, k, n_frames = 56, 3, 5
+    rng = random.Random(19)
+    base = [
+        [rng.getrandbits(n_bits) for _ in range(n_frames)]
+        for _ in range(6)
+    ]
+    clips = []
+    for i in range(40):
+        fr = list(rng.choice(base))
+        for _ in range(rng.randint(0, 4)):
+            f = rng.randrange(n_frames)
+            fr[f] ^= 1 << rng.randrange(n_bits)
+        # keep frame 0 (precondition), drop a random subset of others
+        keep = [0] + [
+            f for f in range(1, n_frames) if rng.random() < 0.7
+        ]
+        clips.append((i, [(f, fr[f]) for f in keep]))
+    want = set()
+    for (ia, fa), (ib, fb) in itertools.combinations(clips, 2):
+        da, db = dict(fa), dict(fb)
+        shared = sorted(set(da) & set(db))
+        ds = [bin(da[f] ^ db[f]).count("1") for f in shared]
+        if ds and max(ds) <= k:
+            want.add((min(ia, ib), max(ia, ib), max(ds)))
+
+    rows = [(i, f, h) for i, fr in clips for f, h in fr]
+    df = spark.createDataFrame(rows, "id long, fi int, h long")
+    via_frames = {
+        (r.id_a, r.id_b, r.max_hamming)
+        for r in hamming_pairs_frames(
+            df, "id", "fi", "h", k, n_bits=n_bits
+        ).collect()
+    }
+    crows = [
+        (i, [f for f, _ in fr], [h for _, h in fr]) for i, fr in clips
+    ]
+    cdf = spark.createDataFrame(
+        crows, "id long, fs array<int>, hs array<bigint>"
+    )
+    via_clipmaps = {
+        (r.id_a, r.id_b, r.max_hamming)
+        for r in hamming_pairs_clipmaps(
+            cdf, "id", "fs", "hs", k, n_bits=n_bits
+        ).collect()
+    }
+    # the per-frame form bands EVERY frame: pairs within k on every
+    # SHARED frame but disjoint beyond frame 0 still collide — both
+    # forms must equal brute force over shared frames (nonempty
+    # shared set is guaranteed here: frame 0 is always shared)
+    assert via_frames == want
+    assert via_clipmaps == want
+
+
+def test_avi_clip_synth_matches_frame_synth(spark):
+    """synth_cell_avi_clip_hashes exploded == the per-frame
+    synth_cell_avi_frame_hashes rows (they share _avi_clip_hash_walk;
+    this pins the fused-array stage to the per-frame contract)."""
+    from pyspark.sql import functions as F
+
+    from vsphere_event_streaming_spark.functions.multimodal import (
+        synth_cell_avi_clip_hashes,
+        synth_cell_avi_frame_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "zeta")],
+        "doc_id long, text string",
+    )
+    per_frame = {
+        (r.media_id, r.frame_idx, r.phash)
+        for r in synth_cell_avi_frame_hashes(
+            docs, "doc_id", "text", every_ms=1000
+        ).collect()
+    }
+    per_clip = {
+        (r.media_id, r.f, r.h)
+        for r in synth_cell_avi_clip_hashes(
+            docs, "doc_id", "text", every_ms=1000
+        )
+        .select(
+            "media_id",
+            F.explode(F.arrays_zip("fs", "hs")).alias("z"),
+        )
+        .select("media_id", F.col("z.fs").alias("f"), F.col("z.hs").alias("h"))
+        .collect()
+    }
+    assert per_clip == per_frame

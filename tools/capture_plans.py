@@ -1,7 +1,9 @@
-"""Dump .explain("formatted") for named queries to plans/r14/.
+"""Dump .explain("formatted") for named queries to plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> q1 q2 ...
-Writes plans/r14/<query>_<suffix>.txt for each query.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (default r15)
+for each query. Pass ALL as the query list to dump every registered
+query (the full-tail archive VERDICT_r14 #5/#8 asks for).
 """
 import os
 import sys
@@ -18,10 +20,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     queries = load_all()
+    if names == ["ALL"]:
+        import bench
+
+        names = list(bench.HEADLINE)
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:

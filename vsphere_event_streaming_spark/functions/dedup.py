@@ -1281,6 +1281,112 @@ def hamming_pairs_frames(
     )
 
 
+def hamming_pairs_clipmaps(
+    clips: DataFrame,
+    id_col: str,
+    fs_col: str,
+    hs_col: str,
+    max_hamming: int,
+    n_bits: int = 63,
+    probe_frame: int = 0,
+) -> DataFrame:
+    """:func:`hamming_pairs_frames` over PRE-GROUPED clips — one row
+    per clip carrying parallel ``(frame_idx, phash)`` arrays — with
+    single-frame probing (r15, guide §2.3/§2.4). Same output:
+    ``(id_a, id_b, max_hamming)`` for pairs whose max per-frame
+    Hamming distance over the frames present on BOTH clips is within
+    ``max_hamming``.
+
+    Two soundness preconditions, both held by q_dedup_video's synth
+    by construction (and checked by the shared-walk test):
+
+    1. frame indices are UNIQUE within a clip (``map_from_entries``
+       raises on a duplicate key — loud, not silent);
+    2. EVERY clip contains ``probe_frame`` (the AVI sampling rule
+       always emits t_ms=0 → frame 0). A qualifying pair has every
+       shared frame within the distance, so ``probe_frame`` — shared
+       by all clips — is within the distance and its pigeonhole
+       bands must collide: banding ONLY that frame is complete, and
+       cuts probe rows by the frame count (×50 here) versus banding
+       every frame. A clip missing ``probe_frame`` is (loudly not:
+       silently) absent from candidates — hence the precondition.
+
+    Versus the per-frame-table form: no groupBy exchange (rows arrive
+    pre-grouped), the banded join probes one fingerprint per clip
+    instead of every frame's, and the all-frames verify is two
+    broadcast-sized map-lookup joins instead of a per-frame fan-out
+    join pair + re-aggregate. The inline ``bit_count`` kill inside
+    the banded join's stage is kept (the measured-critical ordering —
+    see :func:`hamming_pairs_frames`)."""
+    fm = F.map_from_entries(
+        F.arrays_zip(F.col(fs_col), F.col(hs_col))
+    )
+    base = clips.select(F.col(id_col).alias("__id"), fm.alias("__fm"))
+
+    def probe_rows(side: str) -> DataFrame:
+        fr = base.select(
+            F.col("__id").alias(f"id_{side}"),
+            F.element_at("__fm", F.lit(probe_frame)).alias(
+                f"__fp_{side}"
+            ),
+        ).filter(F.col(f"__fp_{side}").isNotNull())
+        bands = _band_structs(f"__fp_{side}", max_hamming, n_bits)
+        return fr.select(
+            f"id_{side}",
+            f"__fp_{side}",
+            F.explode(F.array(*bands)).alias("probe"),
+        ).select(
+            f"id_{side}",
+            f"__fp_{side}",
+            F.col("probe.band_idx").alias("band_idx"),
+            F.col("probe.band_val").alias("band_val"),
+        )
+
+    cand = (
+        probe_rows("a")
+        .join(probe_rows("b"), ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # the probed frame must itself be within the distance — the
+        # same exact in-stage kill hamming_pairs_frames documents
+        .filter(
+            F.bit_count(F.col("__fp_a").bitwiseXOR(F.col("__fp_b")))
+            <= max_hamming
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ca = base.select(
+        F.col("__id").alias("id_a"), F.col("__fm").alias("fa")
+    )
+    cb = base.select(
+        F.col("__id").alias("id_b"), F.col("__fm").alias("fb")
+    )
+    # max over the frame-index intersection — exactly the inner-join
+    # aggregation of hamming_pairs_frames, as one map-lookup pass
+    common = F.filter(
+        F.map_keys(F.col("fa")),
+        lambda k: F.element_at(F.col("fb"), k).isNotNull(),
+    )
+    mh = F.array_max(
+        F.transform(
+            common,
+            lambda k: F.bit_count(
+                F.element_at(F.col("fa"), k).bitwiseXOR(
+                    F.element_at(F.col("fb"), k)
+                )
+            ),
+        )
+    )
+    return (
+        cand.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a", "id_b", mh.cast("int").alias("max_hamming")
+        )
+        .filter(F.col("max_hamming") <= max_hamming)
+    )
+
+
 # ----------------------------------------------------------------------
 # L19: repeated-span detection (exact substring dedup)
 # ----------------------------------------------------------------------

@@ -823,6 +823,46 @@ def synth_cell_jpeg_phash(
     )
 
 
+def _avi_clip_hash_walk(
+    t: str, h60_cache: dict, every_ms: int
+) -> tuple[list[int], list[int]]:
+    """One doc's full synth→decode AVI walk: real MJPEG-AVI encode
+    (one baseline JPEG per frame), container walk, sampling rule,
+    per-sampled-frame T.81 decode and dHash. Returns the sampled
+    ``(frame_idx, phash)`` pair lists in ascending frame order —
+    shared by the per-frame and per-clip synth stages so the two
+    can never drift."""
+    step = JPEG_CELL_STEP
+    cells = _cell_image(t, h60_cache).astype(np.int64)
+    payload = codecs.encode_avi_mjpeg(
+        [
+            codecs.encode_jpeg(
+                _frame_cells16(cells, f),
+                restart_interval=JPEG_CELL_RST,
+            )
+            for f in range(VIDEO_FRAMES)
+        ],
+        fps=VIDEO_FPS,
+    )
+    hdr = codecs.avi_header(payload)
+    frames = codecs.decode_avi_frames(payload)
+    uspf = hdr["us_per_frame"]
+    sampled = sorted(
+        {
+            min(t_ms * 1000 // uspf, len(frames) - 1)
+            for t_ms in range(0, hdr["duration_ms"], every_ms)
+        }
+    )
+    fs: list[int] = []
+    hs: list[int] = []
+    for fi in sampled:
+        px = codecs.decode_jpeg(frames[fi]).astype(np.int64)
+        px = ((px + step // 2) // step) * step
+        fs.append(fi)
+        hs.append(dhash_bits(px))
+    return fs, hs
+
+
 def synth_cell_avi_frame_hashes(
     df: DataFrame, id_col: str, text_col: str, every_ms: int = 1000
 ) -> DataFrame:
@@ -833,44 +873,54 @@ def synth_cell_avi_frame_hashes(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         h60_cache: dict = {}  # per-task word-hash memo (§4.5)
-        step = JPEG_CELL_STEP
         for pdf in batches:
             ids: list[int] = []
             idxs: list[int] = []
             hashes: list[int] = []
             for mid, t in zip(pdf[id_col], pdf[text_col]):
-                cells = _cell_image(t, h60_cache).astype(np.int64)
-                payload = codecs.encode_avi_mjpeg(
-                    [
-                        codecs.encode_jpeg(
-                            _frame_cells16(cells, f),
-                            restart_interval=JPEG_CELL_RST,
-                        )
-                        for f in range(VIDEO_FRAMES)
-                    ],
-                    fps=VIDEO_FPS,
-                )
-                hdr = codecs.avi_header(payload)
-                frames = codecs.decode_avi_frames(payload)
-                uspf = hdr["us_per_frame"]
-                sampled = sorted(
-                    {
-                        min(t_ms * 1000 // uspf, len(frames) - 1)
-                        for t_ms in range(0, hdr["duration_ms"], every_ms)
-                    }
-                )
-                for fi in sampled:
-                    px = codecs.decode_jpeg(frames[fi]).astype(np.int64)
-                    px = ((px + step // 2) // step) * step
-                    ids.append(mid)
-                    idxs.append(fi)
-                    hashes.append(dhash_bits(px))
+                fs, hs = _avi_clip_hash_walk(t, h60_cache, every_ms)
+                ids.extend(mid for _ in fs)
+                idxs.extend(fs)
+                hashes.extend(hs)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "phash": hashes},
             ).astype({"phash": "Int64"})
 
     return df.select(id_col, text_col).mapInPandas(
         run, schema="media_id long, frame_idx int, phash long"
+    )
+
+
+def synth_cell_avi_clip_hashes(
+    df: DataFrame, id_col: str, text_col: str, every_ms: int = 1000
+) -> DataFrame:
+    """(media_id, fs, hs): the SAME walk as
+    :func:`synth_cell_avi_frame_hashes` emitting ONE row per clip —
+    the sampled frame indices and their dHashes as parallel arrays in
+    ascending frame order (r15, guide §2.4): the clip-pairing
+    consumer (q_dedup_video) needs per-clip frame sets, and emitting
+    them pre-grouped from the Arrow stage removes the groupBy
+    exchange a per-frame table would need, shrinks the Python
+    boundary to one row per clip, and lets the verify step read each
+    clip's frames as one map lookup instead of a per-frame join
+    fan-out. Frame indices are unique per clip by construction (the
+    sampling rule builds a set)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        h60_cache: dict = {}  # per-task word-hash memo (§4.5)
+        for pdf in batches:
+            ids: list[int] = []
+            fss: list[np.ndarray] = []
+            hss: list[np.ndarray] = []
+            for mid, t in zip(pdf[id_col], pdf[text_col]):
+                fs, hs = _avi_clip_hash_walk(t, h60_cache, every_ms)
+                ids.append(mid)
+                fss.append(np.array(fs, dtype=np.int32))
+                hss.append(np.array(hs, dtype=np.int64))
+            yield pd.DataFrame({"media_id": ids, "fs": fss, "hs": hss})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id long, fs array<int>, hs array<bigint>"
     )
 
 
