@@ -441,6 +441,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # VERDICT_r14 #7: the ledger must say which core count produced
+        # it — a driver cpus=8 scaling run once overwrote the committed
+        # 32-core closing record and the two were indistinguishable.
+        "cpus": spark.sparkContext.defaultParallelism,
     }
     if spine_block is not None:
         out["spine"] = spine_block
@@ -468,8 +472,15 @@ def main() -> None:
     print(json.dumps(out))
     # bench_full.json is the TRACKED round ledger — only a FULL run may
     # write it. A SPARK_GRAFT_BENCH_ONLY/PREFIX smoke run overwriting
-    # it once clobbered a round's committed closing record (r13).
-    if not prefix and not only:
+    # it once clobbered a round's committed closing record (r13), and a
+    # driver cpus=8 scaling run did the same in r14 (VERDICT_r14 #7) —
+    # so a non-default core count also skips the archive write (the
+    # run's own stdout JSON still carries its numbers + cpus).
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+    default_cpus = cpus_env in (None, "", "*") or cpus_env == str(
+        os.cpu_count()
+    )
+    if not prefix and not only and default_cpus:
         try:
             full_path = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),

@@ -408,6 +408,46 @@ def importance_weights(
     )
 
 
+#: Ceiling for hash_embed's one-aggregate form: dim conditional-sum
+#: buffers cost O(dim) per exploded token row, which beats the extra
+#: exchange up to a few hundred components (declared queries use 64)
+#: and loses badly in the thousands.
+_ONE_AGG_MAX_DIM = 256
+
+
+def _embed_cells_one_agg(signed, id_col: str, dim: int):
+    """dim agg buffers in ONE groupBy(id) — no (id, k) exchange."""
+    return signed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("k") == i, F.col("sv")).otherwise(F.lit(0))
+            ).alias(f"__c{i}")
+            for i in range(dim)
+        ]
+    )
+
+
+def _embed_cells_two_stage(signed, id_col: str, dim: int):
+    """(id, k) partial sums, then pivoted to the same __c{i} columns.
+
+    O(1) per exploded row at any dim, one more exchange; the map
+    lookup per component happens on the per-doc row, not per token.
+    """
+    per_cell = signed.groupBy(id_col, "k").agg(
+        F.sum("sv").alias("__cell")
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("k"), F.col("__cell")))
+    )
+    return per_cell.groupBy(id_col).agg(m.alias("__m")).select(
+        id_col,
+        *[
+            F.element_at(F.col("__m"), F.lit(i)).alias(f"__c{i}")
+            for i in range(dim)
+        ],
+    )
+
+
 def hash_embed(
     docs,
     dim: int = 64,
@@ -458,14 +498,16 @@ def hash_embed(
     # ((id, k) cells -> per-id map) disappears. Values are the same
     # exact integer sums; interleaved-A/B'd at sf0.1 (0.69 -> 0.65 s
     # median embed pipeline, one less shuffle at any scale).
-    cells = signed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.col("k") == i, F.col("sv")).otherwise(F.lit(0))
-            ).alias(f"__c{i}")
-            for i in range(dim)
-        ]
-    )
+    # VERDICT_r14 #2 guard: the dim conditional-sum buffers evaluate
+    # per exploded token row, so per-row work is O(dim) — a win at the
+    # declared dim=64 but silently quadratic-ish if a caller passes
+    # dim in the thousands. Above _ONE_AGG_MAX_DIM fall back to the
+    # two-stage (id, k) chain (O(1) per row + one more exchange);
+    # tests/test_hash_embed_dim.py proves both forms bit-identical.
+    if dim <= _ONE_AGG_MAX_DIM:
+        cells = _embed_cells_one_agg(signed, id_col, dim)
+    else:
+        cells = _embed_cells_two_stage(signed, id_col, dim)
     vec = F.array(
         *[
             F.coalesce(F.col(f"__c{i}"), F.lit(0)).cast("double")

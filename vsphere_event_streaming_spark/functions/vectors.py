@@ -698,6 +698,46 @@ def pq_adc_udf(books: list[list[list[float]]], d: int):
     return adc
 
 
+def pq_score_udf(books: list[list[list[float]]], d: int):
+    """Fused encode→ADC in ONE Arrow stage (r15, guide §4.1): the
+    pure-PQ serving path (q_knn_pq) computes codes on the fly only to
+    score them in the very next Python stage, so the chain paid two
+    ArrowEvalPython boundary crossings per row (vector out → codes in,
+    codes out → distance in) plus each stage's fixed worker overhead.
+    This body runs pq_encode_udf's numpy ops then pq_adc_udf's, in the
+    same order on the same doubles — distances (and therefore the
+    shortlist and the exact rerank) are bit-identical; only the stage
+    count changes. Stored-code paths (IVF-PQ stage 1, GroupStore)
+    keep the split UDFs: there the codes come from disk, not from a
+    sibling stage."""
+    import numpy as np
+
+    bounds = _pq_bounds(d, len(books))
+    bks = [np.asarray(b, dtype="float64") for b in books]
+
+    @pandas_udf(DoubleType())
+    def score(col: pd.Series, q: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="float64")
+        X = _np_normalized(col, d)
+        Q = _np_normalized(q, d)
+        tot = np.zeros(X.shape[0], dtype="float64")
+        for mi, (off, ln) in enumerate(bounds):
+            sub = X[:, off : off + ln]
+            C = bks[mi]
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ C.T
+                + (C * C).sum(axis=1)[None, :]
+            )
+            codes = d2.argmin(axis=1)
+            diff = Q[:, off : off + ln] - C[codes]
+            tot += (diff * diff).sum(axis=1)
+        return pd.Series(np.round(tot, 6))
+
+    return score
+
+
 def pq_fit(
     corpus: DataFrame,
     m: int = PQ_M,
@@ -803,15 +843,24 @@ def pq_adc_topk(
     its codes; the (1-row, broadcast, in-plan — no driver round-trip)
     query scores each row against the literal codebooks, and a
     TakeOrdered heap keeps the k best (ascending ADC distance, id
-    tie-break)."""
-    enc = pq_encode_udf(books, d)
-    adc = pq_adc_udf(books, d)
-    coded = corpus.select(id_col, enc(F.col(vec_col)).alias("__codes"))
-    joined = coded.join(F.broadcast(query.select(F.col("q"))))
+    tie-break).
+
+    r15 (guide §4.1, VERDICT_r14 #6): encode and ADC run FUSED in one
+    Arrow stage (:func:`pq_score_udf`) — the on-the-fly-codes path
+    paid two chained ArrowEvalPython stages (vector→codes, codes→
+    distance) where one suffices. Same numpy ops in the same order,
+    so distances (hence shortlist and exact rerank) are bit-identical;
+    interleaved same-JVM A/B at sf0.1: med 1.000 → 0.689 s, results
+    collect-identical at all three SFs. Stored-code paths (IVF-PQ
+    stage 1) keep the split ADC — their codes come from disk."""
+    score = pq_score_udf(books, d)
+    joined = corpus.select(id_col, vec_col).join(
+        F.broadcast(query.select(F.col("q")))
+    )
     return (
         joined.select(
             id_col,
-            adc(F.col("__codes"), F.col("q")).alias("adc_dist"),
+            score(F.col(vec_col), F.col("q")).alias("adc_dist"),
         )
         .orderBy(F.col("adc_dist").asc(), id_col)
         .limit(k)

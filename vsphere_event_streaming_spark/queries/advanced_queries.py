@@ -2544,6 +2544,7 @@ def bm25_scores(
     dfreq: DataFrame | None = None,
     terms: list[str] | None = None,
     tokens_col: str | None = None,
+    persist_tf: bool = False,
 ) -> DataFrame:
     """(doc_id, score): in-plan BM25 (k1=1.2, b=0.75) of every doc
     matching the engine's query terms — the scoring shared verbatim
@@ -2570,7 +2571,18 @@ def bm25_scores(
     matching the oracle's ``len(string_split_regex(...))``) — so a
     caller that tokenizes for several consumers (q_search_rrf's
     lexical + semantic rankings) can persist ONE projection and
-    share it; the scoring arithmetic is byte-identical either way."""
+    share it; the scoring arithmetic is byte-identical either way.
+
+    ``persist_tf`` (r15, guide §5) caches the ``tf`` table so the
+    dfreq-from-tf derivation (r14) and the scoring join read ONE
+    computed copy instead of re-running the explode+filter+groupBy
+    subtree twice. Only sensible inside a query that is already
+    paying for several corpus passes (q_search_rrf: interleaved
+    same-JVM A/B med 1.93 -> 1.66 s with it, two independent runs);
+    measured SLOWER standalone (q_search_bm25 0.36 -> 0.68 s med —
+    the cache-fill barrier serializes two otherwise-concurrent
+    subtrees and costs more than the saved explode at bench SF), so
+    it defaults off. No-op when ``dfreq`` is supplied (store path)."""
     toks = (
         F.col(tokens_col)
         if tokens_col is not None
@@ -2586,6 +2598,8 @@ def bm25_scores(
         "doc_id", F.explode(toks).alias("term")
     ).filter(F.col("term").isin(terms if terms is not None else _SEARCH_TERMS))
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if persist_tf and dfreq is None:
+        tf = tf.persist()
     if dfreq is None:
         # df = the number of (doc, term) groups per term, which is
         # exactly tf's group count (r14): deriving it from tf drops

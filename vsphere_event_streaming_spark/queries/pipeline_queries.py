@@ -4383,10 +4383,17 @@ def q_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import spread
 
     # spread: single-row-group scan would serialize the embed
-    # aggregates (2.1 s -> 1.3 s at sf0.1; no-op at real scale)
-    emb = T.hash_embed(
-        spread(_t(spark, sf_dir, "documents")), HASH_EMBED_DIM
-    ).withColumnRenamed("doc_id", "vec_id")
+    # aggregates (2.1 s -> 1.3 s at sf0.1; no-op at real scale).
+    # persist (r15, guide §5): min_id_query_split consumes emb twice
+    # (query-vector arm + corpus arm) and the before-plan computed
+    # the full tokenize+embed aggregate once per arm; caching halves
+    # the corpus passes (interleaved same-JVM A/B med 1.18 -> 1.02 s,
+    # results collect-identical at both SFs)
+    emb = (
+        T.hash_embed(spread(_t(spark, sf_dir, "documents")), HASH_EMBED_DIM)
+        .withColumnRenamed("doc_id", "vec_id")
+        .persist()
+    )
     qvec, corpus = min_id_query_split(emb)
     return hyperplane_topk(corpus, qvec, k=10, n_bits=6).withColumnRenamed(
         "vec_id", "doc_id"
@@ -4522,13 +4529,21 @@ def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (advanced_queries.bm25_scores); corpus stats ride a broadcast
     # 1-row frame instead of a driver .first() (VERDICT_r9 #3)
     bmtop = (
-        bm25_scores(shared, tokens_col="__bm_toks")
+        bm25_scores(shared, tokens_col="__bm_toks", persist_tf=True)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(RRF_DEPTH)
     )
 
-    # ranking B: exact cosine over hash embeddings vs the min-id doc
-    emb = T.hash_embed(shared, HASH_EMBED_DIM, words_col="__ws_words")
+    # ranking B: exact cosine over hash embeddings vs the min-id doc.
+    # emb is persisted (r15, guide §5): min_id_query_split reads it
+    # twice (qvec arm + corpus arm) and without the cache the whole
+    # 64-buffer embed aggregate ran twice — the before-plan shows the
+    # Generate+HashAggregate subtree duplicated. With tf also cached
+    # (persist_tf above), interleaved same-JVM A/B: med 1.93 -> 1.66 s
+    # (second run 1.83 -> 1.44 s), results collect-identical.
+    emb = T.hash_embed(
+        shared, HASH_EMBED_DIM, words_col="__ws_words"
+    ).persist()
     qvec, corpus = min_id_query_split(emb, id_col="doc_id")
     guarded = F.when(
         (dot(F.col("embedding"), F.col("embedding")) > 0)
@@ -4627,13 +4642,28 @@ def q_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RRF_DEPTH)
     )
 
-    emb = T.hash_embed(spread(docs), HASH_EMBED_DIM).withColumnRenamed(
-        "doc_id", "vec_id"
+    # query vector: hash-embed ONLY the min-id document (r15, guide
+    # §1.2 "don't compute things you throw away"). hash_embed is a
+    # pure per-doc function, so embedding the 1-row filtered doc is
+    # bit-identical to embedding the corpus and filtering — but the
+    # warm (memoized-index) path then never runs the full-corpus
+    # embed aggregate it used to discard. Interleaved same-JVM A/B:
+    # med 1.10 -> 0.65 s, fused lists collect-identical at both SFs.
+    qmin = docs.agg(F.min("doc_id").alias("__qid"))
+    qdoc = docs.join(
+        F.broadcast(qmin), F.col("doc_id") == F.col("__qid")
+    ).select("doc_id", "text")
+    qvec = T.hash_embed(qdoc, HASH_EMBED_DIM).select(
+        F.col("embedding").alias("q")
     )
-    qvec, corpus = min_id_query_split(emb)
+
     ck = _corpus_key(sf_dir, table="documents.parquet")
     entry = _RRF_IVF_MEMO.get(ck)
     if entry is None:
+        emb = T.hash_embed(spread(docs), HASH_EMBED_DIM).withColumnRenamed(
+            "doc_id", "vec_id"
+        )
+        _, corpus = min_id_query_split(emb)
         cents = kmeans_fit(corpus, k=RRF_IVF_K, iters=3)
         path = os.path.join(
             tempfile.gettempdir(),
